@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every SURVEY.md §2 inventory key to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` maps the same keys to
+ANSI SQL DuckDB runs on the same parquet tables. Column names/aliases match
+between the two on every query.
 """
 
 from __future__ import annotations
@@ -13,26 +12,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gdalos_spark.operators import relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": relational.pricing_summary,
+    "top_orders": relational.top_orders,
+    "region_volume": relational.region_volume,
+    "events_sessionize": relational.events_sessionize,
+    "events_windowed_agg": relational.events_windowed_agg,
+}
+
+_ORACLES: dict[str, str] = {
+    "pricing_summary": relational.PRICING_SUMMARY_SQL,
+    "top_orders": relational.TOP_ORDERS_SQL,
+    "region_volume": relational.REGION_VOLUME_SQL,
+    "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
+    "events_windowed_agg": relational.EVENTS_WINDOWED_AGG_SQL,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

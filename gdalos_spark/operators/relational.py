@@ -1,0 +1,216 @@
+"""Relational engine core.
+
+gdalos is at heart a batch-job engine: it plans a list of jobs, sizes them,
+sorts by expected output size, and runs them with dependencies
+(/root/reference/WHATDO.md "sort jobs by expected size then by dependency").
+A distributed engine needs the same primitives as first-class relational
+operators: scan→filter→project→aggregate→join→sort→limit→window. These
+queries exercise each of them on the TPC-H-ish testdata.
+
+All money aggregates run in DECIMAL so results are bit-exact against the
+DuckDB oracle (double sums are order-dependent; decimal sums are not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import load
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the flagship scan→agg pipeline.
+
+    Plan shape at scale: single parquet scan with column pruning +
+    shipdate pushdown, partial (map-side) aggregation, one shuffle on the
+    two low-cardinality group keys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            # exact decimal sum -> double, / count: bit-identical across engines
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style: customer ⋈ orders ⋈ lineitem, top revenue orders.
+
+    customer is small relative to lineitem → explicit broadcast; the
+    orders⋈lineitem join shuffles on orderkey (AQE coalesces).
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT
+  l_orderkey, o_orderdate, o_orderpriority,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style 5-way join: revenue by nation within a region.
+
+    nation/region/supplier/customer all broadcast; only the
+    orders⋈lineitem edge shuffles.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter((F.col("r_name") == "ASIA") & (cust.c_nationkey == sup.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+REGION_VOLUME_SQL = """
+SELECT
+  n_name,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) per user.
+
+    Classic streaming-adjacent op done as two windows: lag(ts) per user →
+    new-session flag → running sum = session id. One shuffle on user_id,
+    both windows share the partitioning.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event_type — the batch twin of the
+    Structured Streaming operator in gdalos_spark.streaming.events."""
+    ev = load(spark, sf_dir, "events")
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long").alias("window_start")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_WINDOWED_AGG_SQL = """
+SELECT
+  CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""

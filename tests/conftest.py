@@ -1,0 +1,86 @@
+"""Shared fixtures: one SparkSession per test run + a DuckDB oracle harness
+mirroring the driver's check (row count + schema + order-insensitive value
+comparison at sf0.001)."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gdalos_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("gdalos_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ducks():
+    con = duckdb.connect()
+    for p in glob.glob(f"{SF_DIR}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(v):
+    """Normalize a cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return float(v)
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()[:26]
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    try:  # Decimal -> exact string via normalized float-safe repr
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return format(v.normalize(), "f")
+    except Exception:
+        pass
+    return v
+
+
+def assert_matches_oracle(spark, ducks, fn, sql, sf_dir=SF_DIR):
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    dcur = ducks.execute(sql)
+    dcols = [d[0] for d in dcur.description]
+    drows = dcur.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
+        f"schema mismatch: spark={scols} duckdb={dcols}"
+    )
+    # sort columns by name (driver does the same), then compare value sets
+    s_sorted_cols = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    s_set = sorted(
+        [tuple(_norm(r[scols[i]]) for i in s_sorted_cols) for r in srows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    d_idx = {c.lower(): j for j, c in enumerate(dcols)}
+    d_set = sorted(
+        [
+            tuple(_norm(rec[d_idx[scols[i].lower()]]) for i in s_sorted_cols)
+            for rec in drows
+        ],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert len(s_set) == len(d_set), f"row count: spark={len(s_set)} duckdb={len(d_set)}"
+    for a, b in zip(s_set, d_set):
+        assert a == b, f"value mismatch:\n spark : {a}\n duckdb: {b}"

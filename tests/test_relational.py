@@ -1,0 +1,26 @@
+"""Oracle-parity tests for the relational core (SURVEY §2 #23-27)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import assert_matches_oracle
+
+RELATIONAL_KEYS = [
+    "pricing_summary",
+    "top_orders",
+    "region_volume",
+    "events_sessionize",
+    "events_windowed_agg",
+]
+
+
+@pytest.mark.parametrize("key", RELATIONAL_KEYS)
+def test_relational_matches_oracle(spark, ducks, key):
+    q = entrymod.queries()[key]
+    sql = entrymod.oracle_sql()[key]
+    assert_matches_oracle(spark, ducks, q, sql)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
