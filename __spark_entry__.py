@@ -12,11 +12,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gdalos_spark.operators import relational
+from gdalos_spark.operators import raster, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {
+    # raster core (SURVEY §2 #1-18)
+    "rasterize_points": raster.rasterize_points,
+    "raster_crop": raster.raster_crop,
+    "raster_overview": raster.raster_overview,
+    "raster_overview_mode": raster.raster_overview_mode,
+    "raster_calc_expr": raster.raster_calc_expr,
+    "raster_combine_count": raster.raster_combine_count,
+    "raster_combine_max": raster.raster_combine_max,
+    "raster_combine_unique": raster.raster_combine_unique,
+    "raster_scale": raster.raster_scale,
+    "raster_color_relief": raster.raster_color_relief,
+    "raster_to_xyz": raster.raster_to_xyz,
+    "pixel_lookup": raster.pixel_lookup,
+    "raster_mosaic": raster.raster_mosaic,
+    "raster_info": raster.raster_info,
+    "raster_histogram": raster.raster_histogram,
+    "raster_warp_affine": raster.raster_warp_affine,
+    "raster_partition_stats": raster.raster_partition_stats,
+    "extent_selector": raster.extent_selector,
+    # relational core (#23-27)
     "pricing_summary": relational.pricing_summary,
     "top_orders": relational.top_orders,
     "region_volume": relational.region_volume,
@@ -25,6 +45,24 @@ _QUERIES: dict[str, QueryFn] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "rasterize_points": raster.RASTERIZE_POINTS_SQL,
+    "raster_crop": raster.RASTER_CROP_SQL,
+    "raster_overview": raster.RASTER_OVERVIEW_SQL,
+    "raster_overview_mode": raster.RASTER_OVERVIEW_MODE_SQL,
+    "raster_calc_expr": raster.RASTER_CALC_EXPR_SQL,
+    "raster_combine_count": raster.RASTER_COMBINE_COUNT_SQL,
+    "raster_combine_max": raster.RASTER_COMBINE_MAX_SQL,
+    "raster_combine_unique": raster.RASTER_COMBINE_UNIQUE_SQL,
+    "raster_scale": raster.RASTER_SCALE_SQL,
+    "raster_color_relief": raster.RASTER_COLOR_RELIEF_SQL,
+    "raster_to_xyz": raster.RASTER_TO_XYZ_SQL,
+    "pixel_lookup": raster.PIXEL_LOOKUP_SQL,
+    "raster_mosaic": raster.RASTER_MOSAIC_SQL,
+    "raster_info": raster.RASTER_INFO_SQL,
+    "raster_histogram": raster.RASTER_HISTOGRAM_SQL,
+    "raster_warp_affine": raster.RASTER_WARP_AFFINE_SQL,
+    "raster_partition_stats": raster.RASTER_PARTITION_STATS_SQL,
+    "extent_selector": raster.EXTENT_SELECTOR_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "top_orders": relational.TOP_ORDERS_SQL,
     "region_volume": relational.REGION_VOLUME_SQL,

@@ -75,6 +75,71 @@ def dem_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic point cloud from events: deterministic pseudo-random
+    coordinates in [0, 64) derived with pure integer arithmetic (portable
+    to the SQL oracle), value kept as DECIMAL."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        ((F.col("event_id") * 7919 % 6400) / 100.0).alias("x"),
+        ((F.col("event_id") * 104729 % 6400) / 100.0).alias("y"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+
+
+EVENTS_POINTS_SQL = """
+SELECT event_id, event_type,
+  (event_id * 7919 % 6400) / 100.0 AS x,
+  (event_id * 104729 % 6400) / 100.0 AS y,
+  CAST(value AS DECIMAL(18,2)) AS v
+FROM events
+"""
+
+
+def orders_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second raster for algebra/mosaic ops, derived from orders."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            (F.col("o_orderkey") % GRID_W).cast("int").alias("px"),
+            ((F.col("o_custkey") * 11) % GRID_H).cast("int").alias("py"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("t"),
+        )
+        .groupBy("px", "py")
+        .agg(F.sum("t").alias("val"))
+    )
+
+
+ORDERS_GRID_SQL = f"""
+SELECT
+  CAST(o_orderkey % {GRID_W} AS INTEGER) AS px,
+  CAST((o_custkey * 11) % {GRID_H} AS INTEGER) AS py,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS val
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample points for pixel lookup, derived from customer keys."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 17 % 6400) / 100.0).alias("cx"),
+        ((F.col("c_custkey") * 23 % 6400) / 100.0).alias("cy"),
+    )
+
+
+CUSTOMER_POINTS_SQL = """
+SELECT c_custkey,
+  (c_custkey * 17 % 6400) / 100.0 AS cx,
+  (c_custkey * 23 % 6400) / 100.0 AS cy
+FROM customer
+"""
+
+
 # The same derivation as ANSI SQL, reusable inside oracle queries.
 DEM_GRID_SQL = f"""
 SELECT

@@ -1,0 +1,719 @@
+"""Raster core operators — gdalos capabilities as declarative DataFrame plans.
+
+A raster is a pixel-grid DataFrame ``(px, py, <bands...>)`` (see
+gdalos_spark.datamodel). Each operator cites the gdalos source it mirrors.
+Scale notes: crops are pushdown filters (partition-prunable on a tiled
+layout); overviews/warps are single-shuffle groupBys on the target cell;
+algebra/mosaic are co-partitioned equi-joins; stats are full partial aggs.
+All value math is exact DECIMAL or deterministic IEEE double so results are
+bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import (
+    CUSTOMER_POINTS_SQL,
+    DEM_GRID_SQL,
+    EVENTS_POINTS_SQL,
+    GRID_H,
+    GRID_W,
+    ORDERS_GRID_SQL,
+    customer_points,
+    dem_grid,
+    events_points,
+    orders_grid,
+)
+
+# ---------------------------------------------------------------------------
+# 1. rasterize_points — vector->raster burn
+#    ref: /root/reference/src/gdalos/rasterize/gdalos_rasterize.py
+# ---------------------------------------------------------------------------
+
+
+def rasterize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burn a point layer into a grid: per-cell feature count + value sum.
+
+    Plan: scan -> project (arithmetic cell id) -> hash agg. One shuffle on
+    (px,py); partial aggregation is map-side, so at 100 TB the shuffle
+    carries at most W*H rows per task.
+    """
+    pts = events_points(spark, sf_dir)
+    return (
+        pts.select(F.floor("x").cast("int").alias("px"), F.floor("y").cast("int").alias("py"), "v")
+        .groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("v").alias("burn_sum"))
+    )
+
+
+RASTERIZE_POINTS_SQL = f"""
+WITH pts AS ({EVENTS_POINTS_SQL})
+SELECT CAST(FLOOR(x) AS INTEGER) AS px, CAST(FLOOR(y) AS INTEGER) AS py,
+       COUNT(*) AS n_points, SUM(v) AS burn_sum
+FROM pts GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# 2. raster_crop — crop to extent
+#    ref: /root/reference/src/gdalos/gdalos_trans.py (extent=...),
+#         /root/reference/src/gdalos/rectangle.py
+# ---------------------------------------------------------------------------
+
+CROP = (16, 47, 8, 39)  # min_x, max_x, min_y, max_y
+
+
+def raster_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop = predicate on the pixel coords. On a tile-partitioned table the
+    filter prunes partitions at the scan (PushedFilters in explain)."""
+    g = dem_grid(spark, sf_dir)
+    return g.filter(
+        (F.col("px") >= CROP[0]) & (F.col("px") <= CROP[1])
+        & (F.col("py") >= CROP[2]) & (F.col("py") <= CROP[3])
+    )
+
+
+RASTER_CROP_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT * FROM dem
+WHERE px BETWEEN {CROP[0]} AND {CROP[1]} AND py BETWEEN {CROP[2]} AND {CROP[3]}
+"""
+
+# ---------------------------------------------------------------------------
+# 3. raster_overview — average-resampled overview pyramid (levels 1,2)
+#    ref: /root/reference/src/gdalos/gdalos_trans.py:1067 (add_ovr),
+#         gdalos_ovr at :1097 — gdal 'average' resampling
+# ---------------------------------------------------------------------------
+
+
+def raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 average downsample, two pyramid levels, unioned with an
+    ovr_level column. Each level is one groupBy shuffle; level k reads
+    level k-1 (a real pipeline would persist each level as parquet)."""
+    g = dem_grid(spark, sf_dir).select("px", "py", "elev")
+
+    def level(df: DataFrame, k: int) -> DataFrame:
+        return (
+            df.groupBy(
+                F.floor(F.col("px") / 2).cast("int").alias("px"),
+                F.floor(F.col("py") / 2).cast("int").alias("py"),
+            )
+            .agg(
+                (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("avg_elev"),
+                F.count(F.lit(1)).alias("n_src"),
+            )
+            .withColumn("ovr_level", F.lit(k))
+        )
+
+    l1 = level(g, 1)
+    # level 2 re-averages level-1 averages weighted by n_src => equals the
+    # true 4x4 mean; compute from source for exactness instead
+    l2 = (
+        g.groupBy(
+            F.floor(F.col("px") / 4).cast("int").alias("px"),
+            F.floor(F.col("py") / 4).cast("int").alias("py"),
+        )
+        .agg(
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("avg_elev"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+        .withColumn("ovr_level", F.lit(2))
+    )
+    return l1.unionByName(l2)
+
+
+RASTER_OVERVIEW_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT CAST(FLOOR(px / 2) AS INTEGER) AS px, CAST(FLOOR(py / 2) AS INTEGER) AS py,
+       CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS avg_elev, COUNT(*) AS n_src, 1 AS ovr_level
+FROM dem GROUP BY 1, 2
+UNION ALL
+SELECT CAST(FLOOR(px / 4) AS INTEGER) AS px, CAST(FLOOR(py / 4) AS INTEGER) AS py,
+       CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS avg_elev, COUNT(*) AS n_src, 2 AS ovr_level
+FROM dem GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# 4. raster_overview_mode — discrete (categorical) resampling
+#    ref: /root/reference/src/gdalos/calc/discrete_mode.py (DiscreteMode.near/up/down)
+# ---------------------------------------------------------------------------
+
+
+def raster_overview_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode-resampled overview for categorical rasters: per 2x2 block pick
+    the most frequent class (ties -> smallest class, = DiscreteMode.down).
+    Plan: two-level agg + window rank, one shuffle on the block key."""
+    g = dem_grid(spark, sf_dir).select(
+        F.floor(F.col("px") / 2).cast("int").alias("bx"),
+        F.floor(F.col("py") / 2).cast("int").alias("by"),
+        F.floor(F.col("elev").cast("double") / 50).cast("int").alias("cls"),
+    )
+    counted = g.groupBy("bx", "by", "cls").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("bx", "by").orderBy(F.desc("cnt"), F.asc("cls"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("bx").alias("px"), F.col("by").alias("py"), F.col("cls").alias("mode_cls"))
+    )
+
+
+RASTER_OVERVIEW_MODE_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+cls AS (
+  SELECT CAST(FLOOR(px / 2) AS INTEGER) AS bx, CAST(FLOOR(py / 2) AS INTEGER) AS by,
+         CAST(FLOOR(CAST(elev AS DOUBLE) / 50) AS INTEGER) AS cls
+  FROM dem
+),
+counted AS (
+  SELECT bx, by, cls, COUNT(*) AS cnt FROM cls GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT bx, by, cls,
+         ROW_NUMBER() OVER (PARTITION BY bx, by ORDER BY cnt DESC, cls ASC) AS rk
+  FROM counted
+)
+SELECT bx AS px, by AS py, cls AS mode_cls FROM ranked WHERE rk = 1
+"""
+
+# ---------------------------------------------------------------------------
+# 5. raster_calc_expr — multi-raster algebra
+#    ref: /root/reference/src/gdalos/calc/gdal_calc.py (osgeo gdal_calc wrapper),
+#         make_calc_with_operand in calc/gdalos_combine.py:85
+# ---------------------------------------------------------------------------
+
+
+def raster_calc_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc 'A*2 + B*0.01' over two aligned rasters: equi-join on the pixel
+    key. At scale both sides are bucketed/tile-partitioned on (px,py) so
+    this is a co-located join; AQE handles residual skew."""
+    a = dem_grid(spark, sf_dir)
+    b = orders_grid(spark, sf_dir)
+    expr = (
+        F.col("elev") * F.lit(2)
+        + F.col("val") * F.lit("0.01").cast("decimal(4,2)")
+    ).cast("decimal(28,4)")
+    return (
+        a.join(b, ["px", "py"], "inner")
+        .select("px", "py", expr.alias("calc"))
+    )
+
+
+RASTER_CALC_EXPR_SQL = f"""
+WITH a AS ({DEM_GRID_SQL}), b AS ({ORDERS_GRID_SQL})
+SELECT a.px, a.py,
+       CAST(a.elev * 2 + b.val * CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(28,4)) AS calc
+FROM a JOIN b ON a.px = b.px AND a.py = b.py
+"""
+
+# ---------------------------------------------------------------------------
+# 6/7/8. raster_combine_* — multi-raster combine
+#    ref: /root/reference/src/gdalos/calc/gdalos_combine.py
+#         vs_count:31 vs_max:13 vs_min:22 vs_unique:57
+# ---------------------------------------------------------------------------
+
+COMBINE_THRESH = 100  # value threshold, mirrors viewshed_thresh usage
+
+# one "raster" per event_type, alphabetical index (5 rasters)
+_TYPE_IDX = "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"
+
+
+def _event_type_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir)
+    idx = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "view", 4)
+    )
+    return (
+        pts.select(
+            F.floor("x").cast("int").alias("px"),
+            F.floor("y").cast("int").alias("py"),
+            idx.alias("ridx"),
+            "v",
+        )
+        .groupBy("px", "py", "ridx")
+        .agg(F.sum("v").alias("val"))
+    )
+
+
+_EVENT_TYPE_RASTERS_SQL = f"""
+SELECT CAST(FLOOR(x) AS INTEGER) AS px, CAST(FLOOR(y) AS INTEGER) AS py,
+       {_TYPE_IDX} AS ridx, SUM(v) AS val
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def raster_combine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs_count: per pixel, how many input rasters exceed the threshold
+    (gdalos_combine.py:31). Union-all + single hash agg — no join."""
+    r = _event_type_rasters(spark, sf_dir)
+    return r.groupBy("px", "py").agg(
+        F.sum(F.when(F.col("val") > COMBINE_THRESH, 1).otherwise(0)).alias("count_over"),
+        F.count(F.lit(1)).alias("n_rasters"),
+    )
+
+
+RASTER_COMBINE_COUNT_SQL = f"""
+WITH pts AS ({EVENTS_POINTS_SQL}), r AS ({_EVENT_TYPE_RASTERS_SQL})
+SELECT px, py,
+       SUM(CASE WHEN val > {COMBINE_THRESH} THEN 1 ELSE 0 END) AS count_over,
+       COUNT(*) AS n_rasters
+FROM r GROUP BY 1, 2
+"""
+
+
+def raster_combine_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs_max / vs_min: per-pixel max & min across rasters
+    (gdalos_combine.py:13,22)."""
+    r = _event_type_rasters(spark, sf_dir)
+    return r.groupBy("px", "py").agg(
+        F.max("val").alias("vmax"), F.min("val").alias("vmin")
+    )
+
+
+RASTER_COMBINE_MAX_SQL = f"""
+WITH pts AS ({EVENTS_POINTS_SQL}), r AS ({_EVENT_TYPE_RASTERS_SQL})
+SELECT px, py, MAX(val) AS vmax, MIN(val) AS vmin FROM r GROUP BY 1, 2
+"""
+
+
+def raster_combine_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs_unique (gdalos_combine.py:57): -1 if no raster over threshold,
+    -2 if multiple, else the index of the single raster over it."""
+    r = _event_type_rasters(spark, sf_dir)
+    over = F.when(F.col("val") > COMBINE_THRESH, 1).otherwise(0)
+    agg = r.groupBy("px", "py").agg(
+        F.sum(over).alias("nz"),
+        F.max(F.when(F.col("val") > COMBINE_THRESH, F.col("ridx"))).alias("only_idx"),
+    )
+    return agg.select(
+        "px",
+        "py",
+        F.when(F.col("nz") == 0, -1)
+        .when(F.col("nz") > 1, -2)
+        .otherwise(F.col("only_idx"))
+        .cast("int")
+        .alias("unique_src"),
+    )
+
+
+RASTER_COMBINE_UNIQUE_SQL = f"""
+WITH pts AS ({EVENTS_POINTS_SQL}), r AS ({_EVENT_TYPE_RASTERS_SQL}),
+agg AS (
+  SELECT px, py,
+         SUM(CASE WHEN val > {COMBINE_THRESH} THEN 1 ELSE 0 END) AS nz,
+         MAX(CASE WHEN val > {COMBINE_THRESH} THEN ridx END) AS only_idx
+  FROM r GROUP BY 1, 2
+)
+SELECT px, py,
+       CAST(CASE WHEN nz = 0 THEN -1 WHEN nz > 1 THEN -2 ELSE only_idx END AS INTEGER) AS unique_src
+FROM agg
+"""
+
+# ---------------------------------------------------------------------------
+# 9. raster_scale — autoscale + linear rescale to int16
+#    ref: /root/reference/src/gdalos/calc/scale_raster.py (autoscale:11,
+#         scale_np_array:28)
+# ---------------------------------------------------------------------------
+
+SCALE_CANDIDATES = (0.1, 0.15, 0.2, 0.25, 0.3)
+INT16_MAX = 32767
+
+
+def raster_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """autoscale: scale = max(band)/int16_max snapped up to the first
+    candidate value (scale_raster.py:11); then value -> floor(v/scale) as
+    int16. Global max is a 1-row agg broadcast back via crossJoin — no
+    second scan of the fact table is needed beyond the two-phase agg."""
+    g = dem_grid(spark, sf_dir)
+    ratio = (F.max(F.col("elev")).cast("double") / F.lit(float(INT16_MAX))).alias("ratio")
+    stats = g.agg(ratio)
+    scale_col = F.col("ratio")
+    pick = F.when(scale_col <= SCALE_CANDIDATES[0], SCALE_CANDIDATES[0])
+    for c in SCALE_CANDIDATES[1:]:
+        pick = pick.when(scale_col <= c, c)
+    pick = pick.otherwise(F.ceil(scale_col * 100) / 100.0)
+    scaled = stats.select(pick.alias("scale"))
+    return g.crossJoin(F.broadcast(scaled)).select(
+        "px",
+        "py",
+        F.floor(F.col("elev").cast("double") / F.col("scale")).cast("int").alias("scaled"),
+        F.col("scale"),
+    )
+
+
+_PICK_SQL = (
+    f"CASE WHEN ratio <= {SCALE_CANDIDATES[0]} THEN {SCALE_CANDIDATES[0]} "
+    + " ".join(f"WHEN ratio <= {c} THEN {c}" for c in SCALE_CANDIDATES[1:])
+    + " ELSE CEIL(ratio * 100) / 100.0 END"
+)
+
+RASTER_SCALE_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+stats AS (SELECT CAST(MAX(elev) AS DOUBLE) / {float(INT16_MAX)} AS ratio FROM dem),
+s AS (SELECT {_PICK_SQL} AS scale FROM stats)
+SELECT px, py,
+       CAST(FLOOR(CAST(elev AS DOUBLE) / scale) AS INTEGER) AS scaled,
+       scale
+FROM dem CROSS JOIN s
+"""
+
+# ---------------------------------------------------------------------------
+# 10. raster_color_relief — palette application / DEM coloring
+#    ref: /root/reference/src/gdalos/gdalos_color.py,
+#         /root/reference/src/gdalos/calc/gdal_dem_color_cutline.py
+# ---------------------------------------------------------------------------
+
+# (upper_bound, name, hex) — mirrors a talos percent palette
+#   (gdalos_color.py:read_talos_palette)
+PALETTE = (
+    (50, "deepblue", "CC00007F"),
+    (120, "blue", "CC0000FF"),
+    (200, "cyan", "CC00FFFF"),
+    (300, "green", "CC00FF00"),
+    (450, "yellow", "CCFFFF00"),
+    (600, "red", "CCFF0000"),
+)
+PALETTE_OVER = ("magenta", "CCFF00FF")
+
+
+def raster_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value -> color bin (first palette entry whose bound >= value). A
+    broadcastable CASE chain — stays fully inside whole-stage codegen."""
+    g = dem_grid(spark, sf_dir)
+    v = F.col("elev").cast("double")
+    name = F.when(v <= PALETTE[0][0], PALETTE[0][1])
+    rgba = F.when(v <= PALETTE[0][0], PALETTE[0][2])
+    for bound, nm, hx in PALETTE[1:]:
+        name = name.when(v <= bound, nm)
+        rgba = rgba.when(v <= bound, hx)
+    name = name.otherwise(PALETTE_OVER[0])
+    rgba = rgba.otherwise(PALETTE_OVER[1])
+    return g.select("px", "py", "elev", name.alias("color_name"), rgba.alias("rgba"))
+
+
+_NAME_CASE = (
+    "CASE "
+    + " ".join(f"WHEN CAST(elev AS DOUBLE) <= {b} THEN '{n}'" for b, n, _ in PALETTE)
+    + f" ELSE '{PALETTE_OVER[0]}' END"
+)
+_RGBA_CASE = (
+    "CASE "
+    + " ".join(f"WHEN CAST(elev AS DOUBLE) <= {b} THEN '{h}'" for b, _, h in PALETTE)
+    + f" ELSE '{PALETTE_OVER[1]}' END"
+)
+
+RASTER_COLOR_RELIEF_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT px, py, elev, {_NAME_CASE} AS color_name, {_RGBA_CASE} AS rgba
+FROM dem
+"""
+
+# ---------------------------------------------------------------------------
+# 11. raster_to_xyz — raster -> point records
+#    ref: /root/reference/src/gdalos/gdal2xyz.py (osgeo_utils.gdal2xyz),
+#         /root/reference/src/gdalos/calc/gdal_to_json.py
+# ---------------------------------------------------------------------------
+
+# geotransform: origin (100, 200), pixel 0.25 x -0.25 (north-up)
+GT = (100.0, 0.25, 200.0, -0.25)
+
+
+def raster_to_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel table -> (x, y, value) with geo coords at pixel centers, the
+    gdal2xyz record layout. Pure projection — no shuffle at all."""
+    g = dem_grid(spark, sf_dir)
+    return g.select(
+        (F.lit(GT[0]) + (F.col("px") + 0.5) * GT[1]).alias("x"),
+        (F.lit(GT[2]) + (F.col("py") + 0.5) * GT[3]).alias("y"),
+        F.col("elev").alias("z"),
+    )
+
+
+RASTER_TO_XYZ_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT CAST({GT[0]} AS DOUBLE) + (px + CAST(0.5 AS DOUBLE)) * CAST({GT[1]} AS DOUBLE) AS x,
+       CAST({GT[2]} AS DOUBLE) + (py + CAST(0.5 AS DOUBLE)) * CAST({GT[3]} AS DOUBLE) AS y,
+       elev AS z
+FROM dem
+"""
+
+# ---------------------------------------------------------------------------
+# 12. pixel_lookup — sample raster at point locations
+#    ref: /root/reference/src/gdalos/calc/get_pixel_from_raster.py
+# ---------------------------------------------------------------------------
+
+
+def pixel_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdallocationinfo: map each query point to its pixel and fetch the
+    value. Points are tiny vs the raster -> broadcast the points; the scan
+    side never shuffles."""
+    g = dem_grid(spark, sf_dir)
+    pts = customer_points(spark, sf_dir).select(
+        "c_custkey",
+        F.floor("cx").cast("int").alias("qx"),
+        F.floor("cy").cast("int").alias("qy"),
+    )
+    return (
+        g.join(F.broadcast(pts), (F.col("px") == F.col("qx")) & (F.col("py") == F.col("qy")), "right")
+        .select("c_custkey", "qx", "qy", F.col("elev").alias("sampled"))
+    )
+
+
+PIXEL_LOOKUP_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}), pts AS ({CUSTOMER_POINTS_SQL})
+SELECT c_custkey,
+       CAST(FLOOR(cx) AS INTEGER) AS qx, CAST(FLOOR(cy) AS INTEGER) AS qy,
+       dem.elev AS sampled
+FROM pts LEFT JOIN dem
+  ON dem.px = CAST(FLOOR(cx) AS INTEGER) AND dem.py = CAST(FLOOR(cy) AS INTEGER)
+"""
+
+# ---------------------------------------------------------------------------
+# 13. raster_mosaic — VRT-style mosaic with source priority
+#    ref: /root/reference/src/gdalos/gdalos_vrt.py
+# ---------------------------------------------------------------------------
+
+
+def raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay two rasters, first-non-null wins (dem over orders-grid),
+    keeping the winning source id. Full outer co-partitioned join."""
+    a = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").alias("va"))
+    b = orders_grid(spark, sf_dir).select("px", "py", F.col("val").alias("vb"))
+    return (
+        a.join(b, ["px", "py"], "full_outer")
+        .select(
+            "px",
+            "py",
+            F.coalesce(F.col("va"), F.col("vb")).alias("mosaic"),
+            F.when(F.col("va").isNotNull(), "dem").otherwise("orders").alias("src"),
+        )
+    )
+
+
+RASTER_MOSAIC_SQL = f"""
+WITH a AS ({DEM_GRID_SQL}), b AS ({ORDERS_GRID_SQL})
+SELECT COALESCE(a.px, b.px) AS px, COALESCE(a.py, b.py) AS py,
+       COALESCE(a.elev, b.val) AS mosaic,
+       CASE WHEN a.elev IS NOT NULL THEN 'dem' ELSE 'orders' END AS src
+FROM a FULL OUTER JOIN b ON a.px = b.px AND a.py = b.py
+"""
+
+# ---------------------------------------------------------------------------
+# 14. raster_info — band statistics
+#    ref: /root/reference/src/gdalos/gdalos_trans.py:1220 (gdalos_info),
+#         ComputeStatistics usage in calc/scale_raster.py:13
+# ---------------------------------------------------------------------------
+
+
+def raster_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/mean/stddev/count per band. stddev via exact decimal
+    sums (population formula) so it is bit-identical cross-engine."""
+    g = dem_grid(spark, sf_dir)
+    out = []
+    for band in ("elev", "price"):
+        v = F.col(band)
+        agg = g.agg(
+            F.lit(band).alias("band"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.sum(v).alias("vsum"),
+            F.sum((v * v).cast("decimal(38,4)")).alias("vsumsq"),
+        )
+        out.append(agg)
+    u = out[0].unionByName(out[1])
+    mean = F.col("vsum").cast("double") / F.col("n")
+    var = F.col("vsumsq").cast("double") / F.col("n") - mean * mean
+    # rounded to 6dp: the wide-DECIMAL->double cast is not correctly
+    # rounded in every engine, so the raw last ULP may differ
+    return u.select(
+        "band", "n", "vmin", "vmax",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+    )
+
+
+RASTER_INFO_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+raw AS (
+  SELECT 'elev' AS band, COUNT(*) AS n, MIN(elev) AS vmin, MAX(elev) AS vmax,
+         SUM(elev) AS vsum, SUM(CAST(elev * elev AS DECIMAL(38,4))) AS vsumsq
+  FROM dem
+  UNION ALL
+  SELECT 'price', COUNT(*), MIN(price), MAX(price),
+         SUM(price), SUM(CAST(price * price AS DECIMAL(38,4)))
+  FROM dem
+)
+SELECT band, n, vmin, vmax,
+       ROUND(CAST(vsum AS DOUBLE) / n, 6) AS mean,
+       ROUND(SQRT(CAST(vsumsq AS DOUBLE) / n - (CAST(vsum AS DOUBLE) / n) * (CAST(vsum AS DOUBLE) / n)), 6) AS stddev
+FROM raw
+"""
+
+# ---------------------------------------------------------------------------
+# 15. raster_histogram — band histogram
+#    ref: GDAL GetHistogram surfaced via gdalos_info (gdalos_trans.py:1220)
+# ---------------------------------------------------------------------------
+
+HIST_BIN_W = 50
+HIST_BINS = 16
+
+
+def raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with clamped edge bins; single hash agg."""
+    g = dem_grid(spark, sf_dir)
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("elev").cast("double") / HIST_BIN_W).cast("int")),
+    )
+    return (
+        g.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("lo", (F.col("bin") * HIST_BIN_W).cast("double"))
+        .withColumn("hi", ((F.col("bin") + 1) * HIST_BIN_W).cast("double"))
+    )
+
+
+RASTER_HISTOGRAM_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT bin, COUNT(*) AS freq,
+       CAST(bin * {HIST_BIN_W} AS DOUBLE) AS lo,
+       CAST((bin + 1) * {HIST_BIN_W} AS DOUBLE) AS hi
+FROM (
+  SELECT LEAST({HIST_BINS - 1}, GREATEST(0, CAST(FLOOR(CAST(elev AS DOUBLE) / {HIST_BIN_W}) AS INTEGER))) AS bin
+  FROM dem
+)
+GROUP BY bin
+"""
+
+# ---------------------------------------------------------------------------
+# 16. raster_warp_affine — warp/regrid with an affine transform
+#    ref: /root/reference/src/gdalos/gdalos_trans.py:82 (warp path; the
+#         reference shells to gdal.Warp — we regrid declaratively)
+# ---------------------------------------------------------------------------
+
+# target = affine(source): x' = 0.5x + 10, y' = 0.5y + 5 (downscale+shift)
+WARP = (0.5, 10.0, 0.5, 5.0)
+
+
+def raster_warp_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every source pixel through the affine transform, regroup on the
+    target cell, average contributions (gdal 'average' warp resampling).
+    One shuffle on the target cell key."""
+    g = dem_grid(spark, sf_dir)
+    tx = F.floor(F.col("px") * WARP[0] + WARP[1]).cast("int")
+    ty = F.floor(F.col("py") * WARP[2] + WARP[3]).cast("int")
+    return (
+        g.groupBy(tx.alias("tx"), ty.alias("ty"))
+        .agg(
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("warped"),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+    )
+
+
+RASTER_WARP_AFFINE_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT CAST(FLOOR(px * {WARP[0]} + {WARP[1]}) AS INTEGER) AS tx,
+       CAST(FLOOR(py * {WARP[2]} + {WARP[3]}) AS INTEGER) AS ty,
+       CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped, COUNT(*) AS n_src
+FROM dem GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# 17. raster_partition_stats — grid partitioning
+#    ref: /root/reference/src/gdalos/partitions.py (make_partitions)
+# ---------------------------------------------------------------------------
+
+PARTS_X, PARTS_Y = 4, 4
+
+
+def raster_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_partitions(4,4): assign each pixel its partition rectangle and
+    aggregate per partition — the distributed twin of gdalos' job split.
+    This is exactly how the tile layout keys parquet partitions at scale."""
+    g = dem_grid(spark, sf_dir)
+    part_x = F.floor(F.col("px") * PARTS_X / GRID_W).cast("int")
+    part_y = F.floor(F.col("py") * PARTS_Y / GRID_H).cast("int")
+    return (
+        g.groupBy(part_x.alias("part_x"), part_y.alias("part_y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum("elev").alias("sum_elev"),
+            F.min("elev").alias("min_elev"),
+            F.max("elev").alias("max_elev"),
+        )
+    )
+
+
+RASTER_PARTITION_STATS_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT CAST(FLOOR(px * {PARTS_X} / {GRID_W}) AS INTEGER) AS part_x,
+       CAST(FLOOR(py * {PARTS_Y} / {GRID_H}) AS INTEGER) AS part_y,
+       COUNT(*) AS n_pixels, SUM(elev) AS sum_elev,
+       MIN(elev) AS min_elev, MAX(elev) AS max_elev
+FROM dem GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# 18. extent_selector — pick datasets covering an AOI
+#    ref: /root/reference/src/gdalos/gdalos_selector.py (DataSetSelector),
+#         /root/reference/src/gdalos/rectangle.py:rect_contains
+# ---------------------------------------------------------------------------
+
+AOI = (10.0, 30.0, 10.0, 30.0)  # min_x, max_x, min_y, max_y
+
+
+def extent_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 'dataset' extents = bbox of that nation's customer
+    points; report whether each extent contains / intersects the AOI
+    (rect_contains semantics). Extent table is tiny — stays broadcast."""
+    c = customer_points(spark, sf_dir)
+    cust = c.join(
+        # nationkey lives on customer; re-load to attach it
+        _customer_nation(spark, sf_dir), "c_custkey"
+    )
+    ext = cust.groupBy("c_nationkey").agg(
+        F.min("cx").alias("min_x"), F.max("cx").alias("max_x"),
+        F.min("cy").alias("min_y"), F.max("cy").alias("max_y"),
+    )
+    contains = (
+        (F.col("min_x") <= AOI[0]) & (F.col("max_x") >= AOI[1])
+        & (F.col("min_y") <= AOI[2]) & (F.col("max_y") >= AOI[3])
+    )
+    intersects = (
+        (F.col("min_x") <= AOI[1]) & (F.col("max_x") >= AOI[0])
+        & (F.col("min_y") <= AOI[3]) & (F.col("max_y") >= AOI[2])
+    )
+    return ext.select(
+        "c_nationkey", "min_x", "max_x", "min_y", "max_y",
+        contains.cast("int").alias("contains_aoi"),
+        intersects.cast("int").alias("intersects_aoi"),
+    )
+
+
+def _customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdalos_spark.datamodel import load
+
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+
+EXTENT_SELECTOR_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+ext AS (
+  SELECT c_nationkey,
+         MIN(cx) AS min_x, MAX(cx) AS max_x, MIN(cy) AS min_y, MAX(cy) AS max_y
+  FROM pts JOIN customer USING (c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey, min_x, max_x, min_y, max_y,
+  CAST(min_x <= {AOI[0]} AND max_x >= {AOI[1]} AND min_y <= {AOI[2]} AND max_y >= {AOI[3]} AS INTEGER) AS contains_aoi,
+  CAST(min_x <= {AOI[1]} AND max_x >= {AOI[0]} AND min_y <= {AOI[3]} AND max_y >= {AOI[2]} AS INTEGER) AS intersects_aoi
+FROM ext
+"""

@@ -1,0 +1,34 @@
+"""Oracle-parity tests for the raster core (SURVEY §2 #1-18)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import assert_matches_oracle
+
+RASTER_KEYS = [
+    "rasterize_points",
+    "raster_crop",
+    "raster_overview",
+    "raster_overview_mode",
+    "raster_calc_expr",
+    "raster_combine_count",
+    "raster_combine_max",
+    "raster_combine_unique",
+    "raster_scale",
+    "raster_color_relief",
+    "raster_to_xyz",
+    "pixel_lookup",
+    "raster_mosaic",
+    "raster_info",
+    "raster_histogram",
+    "raster_warp_affine",
+    "raster_partition_stats",
+    "extent_selector",
+]
+
+
+@pytest.mark.parametrize("key", RASTER_KEYS)
+def test_raster_matches_oracle(spark, ducks, key):
+    q = entrymod.queries()[key]
+    sql = entrymod.oracle_sql()[key]
+    assert_matches_oracle(spark, ducks, q, sql)
