@@ -7,6 +7,13 @@ layout); overviews/warps are single-shuffle groupBys on the target cell;
 algebra/mosaic are co-partitioned equi-joins; stats are full partial aggs.
 All value math is exact DECIMAL or deterministic IEEE double so results are
 bit-identical to the DuckDB oracle.
+
+Terminal-type rule (driver hash gate): output columns are only BIGINT, INT,
+DOUBLE, or VARCHAR on both engines — decimal math stays internal and is
+cast to DOUBLE at the end (exact: all sums fit in 2^53 when scaled), and
+DuckDB HUGEINT conditional sums are cast to BIGINT. Spark and DuckDB widen
+decimal SUMs differently (28,s vs 38,s), so a decimal terminal fails the
+type-sensitive hash even when values are equal.
 """
 
 from __future__ import annotations
@@ -45,14 +52,14 @@ def rasterize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pts.select(F.floor("x").cast("int").alias("px"), F.floor("y").cast("int").alias("py"), "v")
         .groupBy("px", "py")
-        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("v").alias("burn_sum"))
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("v").cast("double").alias("burn_sum"))
     )
 
 
 RASTERIZE_POINTS_SQL = f"""
 WITH pts AS ({EVENTS_POINTS_SQL})
 SELECT CAST(FLOOR(x) AS INTEGER) AS px, CAST(FLOOR(y) AS INTEGER) AS py,
-       COUNT(*) AS n_points, SUM(v) AS burn_sum
+       COUNT(*) AS n_points, CAST(SUM(v) AS DOUBLE) AS burn_sum
 FROM pts GROUP BY 1, 2
 """
 
@@ -72,12 +79,14 @@ def raster_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         (F.col("px") >= CROP[0]) & (F.col("px") <= CROP[1])
         & (F.col("py") >= CROP[2]) & (F.col("py") <= CROP[3])
-    )
+    ).select("px", "py", F.col("elev").cast("double").alias("elev"),
+             F.col("price").cast("double").alias("price"))
 
 
 RASTER_CROP_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL})
-SELECT * FROM dem
+SELECT px, py, CAST(elev AS DOUBLE) AS elev, CAST(price AS DOUBLE) AS price
+FROM dem
 WHERE px BETWEEN {CROP[0]} AND {CROP[1]} AND py BETWEEN {CROP[2]} AND {CROP[3]}
 """
 
@@ -193,7 +202,7 @@ def raster_calc_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     expr = (
         F.col("elev") * F.lit(2)
         + F.col("val") * F.lit("0.01").cast("decimal(4,2)")
-    ).cast("decimal(28,4)")
+    ).cast("decimal(28,4)").cast("double")
     return (
         a.join(b, ["px", "py"], "inner")
         .select("px", "py", expr.alias("calc"))
@@ -203,7 +212,7 @@ def raster_calc_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 RASTER_CALC_EXPR_SQL = f"""
 WITH a AS ({DEM_GRID_SQL}), b AS ({ORDERS_GRID_SQL})
 SELECT a.px, a.py,
-       CAST(a.elev * 2 + b.val * CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(28,4)) AS calc
+       CAST(CAST(a.elev * 2 + b.val * CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(28,4)) AS DOUBLE) AS calc
 FROM a JOIN b ON a.px = b.px AND a.py = b.py
 """
 
@@ -252,7 +261,7 @@ def raster_combine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gdalos_combine.py:31). Union-all + single hash agg — no join."""
     r = _event_type_rasters(spark, sf_dir)
     return r.groupBy("px", "py").agg(
-        F.sum(F.when(F.col("val") > COMBINE_THRESH, 1).otherwise(0)).alias("count_over"),
+        F.sum(F.when(F.col("val") > COMBINE_THRESH, 1).otherwise(0)).cast("bigint").alias("count_over"),
         F.count(F.lit(1)).alias("n_rasters"),
     )
 
@@ -260,7 +269,7 @@ def raster_combine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 RASTER_COMBINE_COUNT_SQL = f"""
 WITH pts AS ({EVENTS_POINTS_SQL}), r AS ({_EVENT_TYPE_RASTERS_SQL})
 SELECT px, py,
-       SUM(CASE WHEN val > {COMBINE_THRESH} THEN 1 ELSE 0 END) AS count_over,
+       CAST(SUM(CASE WHEN val > {COMBINE_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS count_over,
        COUNT(*) AS n_rasters
 FROM r GROUP BY 1, 2
 """
@@ -271,19 +280,26 @@ def raster_combine_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gdalos_combine.py:13,22)."""
     r = _event_type_rasters(spark, sf_dir)
     return r.groupBy("px", "py").agg(
-        F.max("val").alias("vmax"), F.min("val").alias("vmin")
+        F.max("val").cast("double").alias("vmax"), F.min("val").cast("double").alias("vmin")
     )
 
 
 RASTER_COMBINE_MAX_SQL = f"""
 WITH pts AS ({EVENTS_POINTS_SQL}), r AS ({_EVENT_TYPE_RASTERS_SQL})
-SELECT px, py, MAX(val) AS vmax, MIN(val) AS vmin FROM r GROUP BY 1, 2
+SELECT px, py, CAST(MAX(val) AS DOUBLE) AS vmax, CAST(MIN(val) AS DOUBLE) AS vmin
+FROM r GROUP BY 1, 2
 """
 
 
+COMBINE_NDV = 255  # no raster over threshold (viewshed_comb_ndv, uint8 nodata)
+COMBINE_MULTI = 254  # multiple rasters over threshold (viewshed_comb_multi_val)
+
+
 def raster_combine_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vs_unique (gdalos_combine.py:57): -1 if no raster over threshold,
-    -2 if multiple, else the index of the single raster over it."""
+    """vs_unique (gdalos_combine.py:57): 255 if no raster over threshold,
+    254 if multiple, else the index of the single raster over it — the
+    reference's uint8 sentinel encoding (viewshed_comb_ndv=255,
+    viewshed_comb_multi_val=254)."""
     r = _event_type_rasters(spark, sf_dir)
     over = F.when(F.col("val") > COMBINE_THRESH, 1).otherwise(0)
     agg = r.groupBy("px", "py").agg(
@@ -293,8 +309,8 @@ def raster_combine_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "px",
         "py",
-        F.when(F.col("nz") == 0, -1)
-        .when(F.col("nz") > 1, -2)
+        F.when(F.col("nz") == 0, COMBINE_NDV)
+        .when(F.col("nz") > 1, COMBINE_MULTI)
         .otherwise(F.col("only_idx"))
         .cast("int")
         .alias("unique_src"),
@@ -310,7 +326,7 @@ agg AS (
   FROM r GROUP BY 1, 2
 )
 SELECT px, py,
-       CAST(CASE WHEN nz = 0 THEN -1 WHEN nz > 1 THEN -2 ELSE only_idx END AS INTEGER) AS unique_src
+       CAST(CASE WHEN nz = 0 THEN 255 WHEN nz > 1 THEN 254 ELSE only_idx END AS INTEGER) AS unique_src
 FROM agg
 """
 
@@ -336,7 +352,9 @@ def raster_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = F.when(scale_col <= SCALE_CANDIDATES[0], SCALE_CANDIDATES[0])
     for c in SCALE_CANDIDATES[1:]:
         pick = pick.when(scale_col <= c, c)
-    pick = pick.otherwise(F.ceil(scale_col * 100) / 100.0)
+    # ratio beyond the last candidate passes through unchanged — mirrors
+    # scale_raster.py autoscale, which only snaps when a candidate fits
+    pick = pick.otherwise(scale_col)
     scaled = stats.select(pick.alias("scale"))
     return g.crossJoin(F.broadcast(scaled)).select(
         "px",
@@ -349,7 +367,7 @@ def raster_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PICK_SQL = (
     f"CASE WHEN ratio <= {SCALE_CANDIDATES[0]} THEN {SCALE_CANDIDATES[0]} "
     + " ".join(f"WHEN ratio <= {c} THEN {c}" for c in SCALE_CANDIDATES[1:])
-    + " ELSE CEIL(ratio * 100) / 100.0 END"
+    + " ELSE ratio END"
 )
 
 RASTER_SCALE_SQL = f"""
@@ -393,7 +411,8 @@ def raster_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
         rgba = rgba.when(v <= bound, hx)
     name = name.otherwise(PALETTE_OVER[0])
     rgba = rgba.otherwise(PALETTE_OVER[1])
-    return g.select("px", "py", "elev", name.alias("color_name"), rgba.alias("rgba"))
+    return g.select("px", "py", F.col("elev").cast("double").alias("elev"),
+                    name.alias("color_name"), rgba.alias("rgba"))
 
 
 _NAME_CASE = (
@@ -409,7 +428,7 @@ _RGBA_CASE = (
 
 RASTER_COLOR_RELIEF_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL})
-SELECT px, py, elev, {_NAME_CASE} AS color_name, {_RGBA_CASE} AS rgba
+SELECT px, py, CAST(elev AS DOUBLE) AS elev, {_NAME_CASE} AS color_name, {_RGBA_CASE} AS rgba
 FROM dem
 """
 
@@ -430,7 +449,7 @@ def raster_to_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         (F.lit(GT[0]) + (F.col("px") + 0.5) * GT[1]).alias("x"),
         (F.lit(GT[2]) + (F.col("py") + 0.5) * GT[3]).alias("y"),
-        F.col("elev").alias("z"),
+        F.col("elev").cast("double").alias("z"),
     )
 
 
@@ -438,7 +457,7 @@ RASTER_TO_XYZ_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL})
 SELECT CAST({GT[0]} AS DOUBLE) + (px + CAST(0.5 AS DOUBLE)) * CAST({GT[1]} AS DOUBLE) AS x,
        CAST({GT[2]} AS DOUBLE) + (py + CAST(0.5 AS DOUBLE)) * CAST({GT[3]} AS DOUBLE) AS y,
-       elev AS z
+       CAST(elev AS DOUBLE) AS z
 FROM dem
 """
 
@@ -450,25 +469,34 @@ FROM dem
 
 def pixel_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdallocationinfo: map each query point to its pixel and fetch the
-    value. Points are tiny vs the raster -> broadcast the points; the scan
-    side never shuffles."""
+    value. Points are tiny vs the raster, so the raster side must never
+    shuffle. A right-outer join can't build its hash table on the preserved
+    (broadcast) side, so instead: broadcast INNER join (BroadcastHashJoin,
+    pts as build side — the raster streams) + a broadcast anti-join of the
+    points against the matched cells for the misses. At 100 TB the real
+    layout would additionally prune raster tiles by the probe cell set."""
     g = dem_grid(spark, sf_dir)
     pts = customer_points(spark, sf_dir).select(
         "c_custkey",
         F.floor("cx").cast("int").alias("qx"),
         F.floor("cy").cast("int").alias("qy"),
     )
-    return (
-        g.join(F.broadcast(pts), (F.col("px") == F.col("qx")) & (F.col("py") == F.col("qy")), "right")
-        .select("c_custkey", "qx", "qy", F.col("elev").alias("sampled"))
+    hit = (
+        g.join(F.broadcast(pts), (F.col("px") == F.col("qx")) & (F.col("py") == F.col("qy")), "inner")
+        .select("c_custkey", "qx", "qy", F.col("elev").cast("double").alias("sampled"))
     )
+    miss = (
+        pts.join(F.broadcast(hit.select("qx", "qy").distinct()), ["qx", "qy"], "left_anti")
+        .select("c_custkey", "qx", "qy", F.lit(None).cast("double").alias("sampled"))
+    )
+    return hit.unionByName(miss)
 
 
 PIXEL_LOOKUP_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL}), pts AS ({CUSTOMER_POINTS_SQL})
 SELECT c_custkey,
        CAST(FLOOR(cx) AS INTEGER) AS qx, CAST(FLOOR(cy) AS INTEGER) AS qy,
-       dem.elev AS sampled
+       CAST(dem.elev AS DOUBLE) AS sampled
 FROM pts LEFT JOIN dem
   ON dem.px = CAST(FLOOR(cx) AS INTEGER) AND dem.py = CAST(FLOOR(cy) AS INTEGER)
 """
@@ -489,7 +517,7 @@ def raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "px",
             "py",
-            F.coalesce(F.col("va"), F.col("vb")).alias("mosaic"),
+            F.coalesce(F.col("va"), F.col("vb")).cast("double").alias("mosaic"),
             F.when(F.col("va").isNotNull(), "dem").otherwise("orders").alias("src"),
         )
     )
@@ -498,7 +526,7 @@ def raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
 RASTER_MOSAIC_SQL = f"""
 WITH a AS ({DEM_GRID_SQL}), b AS ({ORDERS_GRID_SQL})
 SELECT COALESCE(a.px, b.px) AS px, COALESCE(a.py, b.py) AS py,
-       COALESCE(a.elev, b.val) AS mosaic,
+       CAST(COALESCE(a.elev, b.val) AS DOUBLE) AS mosaic,
        CASE WHEN a.elev IS NOT NULL THEN 'dem' ELSE 'orders' END AS src
 FROM a FULL OUTER JOIN b ON a.px = b.px AND a.py = b.py
 """
@@ -532,7 +560,9 @@ def raster_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounded to 6dp: the wide-DECIMAL->double cast is not correctly
     # rounded in every engine, so the raw last ULP may differ
     return u.select(
-        "band", "n", "vmin", "vmax",
+        "band", "n",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(var), 6).alias("stddev"),
     )
@@ -549,7 +579,7 @@ raw AS (
          SUM(price), SUM(CAST(price * price AS DECIMAL(38,4)))
   FROM dem
 )
-SELECT band, n, vmin, vmax,
+SELECT band, n, CAST(vmin AS DOUBLE) AS vmin, CAST(vmax AS DOUBLE) AS vmax,
        ROUND(CAST(vsum AS DOUBLE) / n, 6) AS mean,
        ROUND(SQRT(CAST(vsumsq AS DOUBLE) / n - (CAST(vsum AS DOUBLE) / n) * (CAST(vsum AS DOUBLE) / n)), 6) AS stddev
 FROM raw
@@ -645,9 +675,9 @@ def raster_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.groupBy(part_x.alias("part_x"), part_y.alias("part_y"))
         .agg(
             F.count(F.lit(1)).alias("n_pixels"),
-            F.sum("elev").alias("sum_elev"),
-            F.min("elev").alias("min_elev"),
-            F.max("elev").alias("max_elev"),
+            F.sum("elev").cast("double").alias("sum_elev"),
+            F.min("elev").cast("double").alias("min_elev"),
+            F.max("elev").cast("double").alias("max_elev"),
         )
     )
 
@@ -656,8 +686,8 @@ RASTER_PARTITION_STATS_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL})
 SELECT CAST(FLOOR(px * {PARTS_X} / {GRID_W}) AS INTEGER) AS part_x,
        CAST(FLOOR(py * {PARTS_Y} / {GRID_H}) AS INTEGER) AS part_y,
-       COUNT(*) AS n_pixels, SUM(elev) AS sum_elev,
-       MIN(elev) AS min_elev, MAX(elev) AS max_elev
+       COUNT(*) AS n_pixels, CAST(SUM(elev) AS DOUBLE) AS sum_elev,
+       CAST(MIN(elev) AS DOUBLE) AS min_elev, CAST(MAX(elev) AS DOUBLE) AS max_elev
 FROM dem GROUP BY 1, 2
 """
 

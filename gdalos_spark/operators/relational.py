@@ -9,6 +9,14 @@ queries exercise each of them on the TPC-H-ish testdata.
 
 All money aggregates run in DECIMAL so results are bit-exact against the
 DuckDB oracle (double sums are order-dependent; decimal sums are not).
+
+Terminal-type rule (driver hash gate): every output column is BIGINT, INT,
+DOUBLE, or VARCHAR on BOTH engines. Decimal sums stay exact internally and
+are cast to DOUBLE only at the very end (sums here are < 2^53 when scaled,
+so the cast is exact); DuckDB HUGEINT window/conditional sums are cast to
+BIGINT; timestamps are formatted to ISO strings. Spark's decimal widening
+(sum(decimal(18,2)) -> decimal(28,2)) differs from DuckDB's (-> 38,2), so a
+decimal terminal hashes differently even when values are equal.
 """
 
 from __future__ import annotations
@@ -33,13 +41,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
                     "decimal(28,4)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
             # exact decimal sum -> double, / count: bit-identical across engines
             (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
@@ -53,9 +61,9 @@ PRICING_SUMMARY_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
   COUNT(*) AS count_order,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
@@ -81,16 +89,24 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).alias("revenue"))
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(F.sum(rev).alias("rev"))
+        .orderBy(F.desc("rev"), "l_orderkey")
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.col("rev").cast("double").alias("revenue"),
+        )
     )
 
 
 TOP_ORDERS_SQL = """
 SELECT
-  l_orderkey, o_orderdate, o_orderpriority,
-  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+  l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -125,7 +141,7 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter((F.col("r_name") == "ASIA") & (cust.c_nationkey == sup.s_nationkey))
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -133,7 +149,7 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGION_VOLUME_SQL = """
 SELECT
   n_name,
-  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -157,12 +173,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     flagged = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
-    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w).cast("bigint"))
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -171,18 +187,18 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
-    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+    CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), sess AS (
   SELECT user_id, value,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS session_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sess
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -198,7 +214,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(hour, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -209,7 +225,7 @@ SELECT
   CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
   event_type,
   COUNT(*) AS n,
-  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
