@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gdalos_spark.operators import raster, relational
+from gdalos_spark.operators import dedup, raster, relational, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -42,6 +42,21 @@ _QUERIES: dict[str, QueryFn] = {
     "region_volume": relational.region_volume,
     "events_sessionize": relational.events_sessionize,
     "events_windowed_agg": relational.events_windowed_agg,
+    # dedup family (#28-32)
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    # similarity search (#33-35)
+    "ann_cosine_topk": similarity.ann_cosine_topk,
+    "ann_lsh_topk": similarity.ann_lsh_topk,
+    "centroid_similarity": similarity.centroid_similarity,
+    # text analysis (#36-39)
+    "text_language_id": text.text_language_id,
+    "text_quality_score": text.text_quality_score,
+    "text_token_stats": text.text_token_stats,
+    "doc_fingerprint": text.doc_fingerprint,
 }
 
 _ORACLES: dict[str, str] = {
@@ -68,6 +83,18 @@ _ORACLES: dict[str, str] = {
     "region_volume": relational.REGION_VOLUME_SQL,
     "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
     "events_windowed_agg": relational.EVENTS_WINDOWED_AGG_SQL,
+    "dedup_exact": dedup.DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
+    "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_COSINE_SQL,
+    "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
+    "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
+    "centroid_similarity": similarity.CENTROID_SIMILARITY_SQL,
+    "text_language_id": text.TEXT_LANGUAGE_ID_SQL,
+    "text_quality_score": text.TEXT_QUALITY_SCORE_SQL,
+    "text_token_stats": text.TEXT_TOKEN_STATS_SQL,
+    "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
 }
 
 

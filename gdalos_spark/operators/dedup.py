@@ -1,0 +1,408 @@
+"""Deduplication operators over the `documents` table (SURVEY §2 #28-32).
+
+The scale-critical property of every near-dup operator here: candidate
+pairs come from an EQUI-JOIN on a bucket key (shared rare shingle, LSH
+band, simhash byte, hyperplane bucket) — never an all-pairs cross join.
+At 100 TB the bucket join shuffles on the bucket key and AQE handles the
+residual skew; per-bucket pair expansion is bounded by construction
+(document-frequency caps / band width).
+
+All hashing is the portable md5 family (functions/hashing.py) so the
+DuckDB oracle reproduces results bit-for-bit. Terminal columns are
+BIGINT/INT/DOUBLE/VARCHAR only (driver hash gate).
+
+gdalos itself has no dedup surface; this family is the LLM-training-data
+extension the brief makes first-class. The job-dedup idea in the reference
+(skipping already-produced outputs, gdalos_trans.py overwrite checks) is
+the moral ancestor of dedup_exact's hash-and-keep-first plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdalos_spark.datamodel import load
+from gdalos_spark.functions import vectors
+from gdalos_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    P31,
+    hash_base,
+    hash_base_sql,
+    perm_hash,
+)
+
+# ---------------------------------------------------------------------------
+# shared shingling / tokenization (texts are single-space-joined words)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def shingles3(text_col: Column) -> Column:
+    """Word 3-gram shingles as an array; docs under 3 tokens shingle to
+    the whole text. Pure array ops — no explode until the caller asks."""
+    t = tokens(text_col)
+    n = F.size(t)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    return F.when(n >= 3, sh).otherwise(F.array(text_col))
+
+
+# DuckDB mirror of the same derivation (t = string_split(text, ' '))
+SHINGLES3_SQL = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+# distinct (doc_id, lang, shingle) rows
+DOCSH_SQL = f"""
+  SELECT doc_id, lang, unnest(list_distinct({SHINGLES3_SQL})) AS shingle
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(shingles3(F.col("text")))).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 28. dedup_exact — md5 content hash, keep lowest doc_id
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by full-content md5, keep the smallest doc_id as
+    canonical. One scan + one hash-agg shuffle on the digest — the only
+    plan that works at 100 TB (no sort, no pairwise compare)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# 29. dedup_ngram_jaccard — rare-shingle blocking + exact Jaccard on the
+#     discriminative shingle sets
+# ---------------------------------------------------------------------------
+
+MAX_DF = 10  # shingles seen in more than MAX_DF docs are stop-shingles
+MIN_JACCARD = 0.1
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard over discriminative shingles: drop shingles with
+    document frequency > MAX_DF (stop-shingle removal — also the scale
+    guard: each surviving shingle contributes at most C(MAX_DF,2) pairs),
+    pair same-language docs sharing a shingle, and compute exact Jaccard
+    over the rare-shingle sets. Candidate generation is an equi-join on
+    the shingle — never O(n^2)."""
+    docsh = doc_shingles(spark, sf_dir)
+    df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = docsh.join(
+        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
+    ).select("doc_id", "lang", "shingle")
+    # rare-set size per doc (docs with no rare shingle can never pair)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= MIN_JACCARD)
+        .select("doc_a", "doc_b", F.col("shared").cast("bigint").alias("shared"), "jaccard")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH docsh AS ({DOCSH_SQL}),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM docsh GROUP BY 1),
+rare AS (
+  SELECT d.doc_id, d.lang, d.shingle
+  FROM docsh d JOIN dfc ON d.shingle = dfc.shingle
+  WHERE dfc.df BETWEEN 2 AND {MAX_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       shared / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= {MIN_JACCARD}
+"""
+
+# ---------------------------------------------------------------------------
+# 30. dedup_minhash_lsh — 16 minhash perms, 4 bands x 4 rows, band-bucket
+#     equi-join for candidates, signature-agreement estimate
+# ---------------------------------------------------------------------------
+
+N_PERM = 16
+N_BANDS = 4
+BAND_R = 4
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docsh = doc_shingles(spark, sf_dir)
+    base = hash_base(F.col("shingle"))
+    return docsh.groupBy("doc_id").agg(
+        *[F.min(perm_hash(base, i)).alias(f"m{i}") for i in range(N_PERM)]
+    )
+
+
+def _sig_sql() -> str:
+    base = hash_base_sql("shingle")
+    mins = ", ".join(
+        f"MIN(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {P31}) AS m{i}"
+        for i in range(N_PERM)
+    )
+    return f"SELECT doc_id, {mins} FROM docsh GROUP BY doc_id"
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: per-doc 16-permutation minhash signature (one
+    shuffle), band keys of 4 rows each, candidate pairs via equi-join on
+    (band_id, band_key), estimated Jaccard = fraction of agreeing
+    signature components. The band join IS the LSH trick — sub-quadratic
+    by construction, shuffles only on band keys."""
+    sig = _signatures(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws("-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]).alias("bkey"),
+        )
+        for j in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (agree / F.lit(float(N_PERM))).alias("est_jaccard"))
+    )
+
+
+def _minhash_sql() -> str:
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {j} AS band_id, concat_ws('-', {cols}) AS bkey FROM sig".format(
+            j=j, cols=", ".join(f"m{j * BAND_R + r}" for r in range(BAND_R))
+        )
+        for j in range(N_BANDS)
+    )
+    agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM))
+    return f"""
+WITH docsh AS ({DOCSH_SQL}),
+sig AS ({_sig_sql()}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ({agree}) / {float(N_PERM)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_sql()
+
+# ---------------------------------------------------------------------------
+# 31. dedup_simhash — 32-bit simhash over token hashes, byte-band
+#     candidate grouping, hamming distance filter
+# ---------------------------------------------------------------------------
+
+SIM_BITS = 32
+SIM_BYTES = 4
+HAMMING_MAX = 6
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-doc 32-bit fingerprint (bit j set iff the
+    sum of ±1 votes from shingle-hash bit j is positive), candidates =
+    pairs sharing at least one of the 4 fingerprint bytes (equi-join on
+    (byte_id, byte)), ranked by hamming distance. One agg shuffle to
+    build fingerprints; the byte join is the hamming-band trick.
+    Features are word 3-grams, not tokens — token sets are near-identical
+    across same-vocabulary documents and would collapse the fingerprint."""
+    doctok = doc_shingles(spark, sf_dir).select("doc_id", F.col("shingle").alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    votes = doctok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIM_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(SIM_BITS)
+    ).cast("bigint")
+    fp = votes.select("doc_id", simhash.alias("simhash"))
+    byte_structs = [
+        F.struct(
+            F.lit(bi).alias("byte_id"),
+            F.shiftright(F.col("simhash"), 8 * bi).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        for bi in range(SIM_BYTES)
+    ]
+    bands = fp.select("doc_id", "simhash", F.explode(F.array(*byte_structs)).alias("b")).select(
+        "doc_id", "simhash", F.col("b.byte_id").alias("byte_id"), F.col("b.byte").alias("byte")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.byte_id") == F.col("b.byte_id"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def _simhash_sql() -> str:
+    h = "CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIM_BITS)
+    )
+    sim = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIM_BITS))
+    bytes_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS byte_id, (simhash >> {8 * bi}) & 255 AS byte FROM fp"
+        for bi in range(SIM_BYTES)
+    )
+    return f"""
+WITH docsh AS ({DOCSH_SQL}),
+doctok AS (SELECT doc_id, shingle AS tok FROM docsh),
+votes AS (SELECT doc_id, {votes} FROM doctok GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes),
+bands AS ({bytes_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.byte_id = b.byte_id AND a.byte = b.byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+# ---------------------------------------------------------------------------
+# 32. dedup_embedding_cosine — sign-LSH bucketed exact-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COS_TAU = 0.2
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: bucket every vector by the sign pattern of 8
+    deterministic hyperplane projections (sign-LSH), then exact cosine
+    only WITHIN buckets — candidate generation is an equi-join on the
+    bucket id, never an all-pairs cross join. Dot products are ordered
+    array folds, bit-identical across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        vectors.norm2(F.col("embedding")).alias("n2"),
+        vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+        F.col("n2").alias("n2_a"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        F.col("n2").alias("n2_b"), "bucket",
+    )
+    cos = F.round(
+        vectors.dot(vectors.emb_double(F.col("emb_a")), vectors.emb_double(F.col("emb_b")))
+        / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
+        6,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "bucket", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COS_TAU)
+    )
+
+
+def _emb_cos_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    pair_dot = vectors.dot_sql("a.emb", "b.emb")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS emb, {n2} AS n2, {vectors.lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       ROUND({pair_dot} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({pair_dot} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= {COS_TAU}
+"""
+
+
+DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()

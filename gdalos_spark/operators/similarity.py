@@ -1,0 +1,221 @@
+"""Similarity-search operators over the `embeddings` table (SURVEY §2
+#33-35): brute-force cosine top-k (oracle baseline), sign-LSH bucketed
+top-k (the scale path), and per-label centroid similarity.
+
+All float reductions are ordered array folds (functions/vectors.py) so
+values are bit-identical to the DuckDB oracle; cosines are rounded to
+6 dp BEFORE ranking so orderings agree across engines. Terminal columns
+are BIGINT/INT/DOUBLE only.
+
+The reference has no vector search; the nearest analogue is its AOI
+dataset selection (gdalos_selector.py picks the best-resolution dataset
+containing a point — a 1-NN by coverage). These operators are the
+LLM-pipeline extension the brief makes first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import load
+from gdalos_spark.functions import vectors
+
+N_PROBES = 10  # probe set = vec_id < N_PROBES
+TOP_K = 5
+
+
+def _base(spark: SparkSession, sf_dir: str, with_bucket: bool = False) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cols = [
+        F.col("vec_id"),
+        F.col("embedding").alias("emb"),
+        vectors.norm2(F.col("embedding")).alias("n2"),
+    ]
+    if with_bucket:
+        cols.append(vectors.lsh_bucket(F.col("embedding")).alias("bucket"))
+    return emb.select(*cols)
+
+
+def _pair_cos() -> F.Column:
+    return F.round(
+        vectors.dot(vectors.emb_double(F.col("emb")), vectors.emb_double(F.col("p_emb")))
+        / F.sqrt(F.col("n2") * F.col("p_n2")),
+        6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 33. ann_cosine_topk — brute-force baseline, broadcast probe set
+# ---------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against a broadcast probe set. The corpus scan
+    never shuffles for scoring (BroadcastNestedLoopJoin against the tiny
+    probe side); ranking is row_number over probe — Spark's
+    WindowGroupLimit pushes the rank<=k filter into a per-partition
+    partial top-k before the shuffle, so the plan is the declarative
+    two-phase top-k."""
+    base = _base(spark, sf_dir)
+    probes = base.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("p_emb"),
+        F.col("n2").alias("p_n2"),
+    )
+    scored = (
+        base.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", _pair_cos().alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ann_sql(bucketed: bool) -> str:
+    n2 = vectors.norm2_sql("embedding")
+    cos = f"ROUND({vectors.dot_sql('c.emb', 'p.p_emb')} / sqrt(c.n2 * p.p_n2), 6)"
+    bucket_col = f", {vectors.lsh_bucket_sql('embedding')} AS bucket" if bucketed else ""
+    join = (
+        "c.bucket = p.p_bucket AND c.vec_id <> p.probe_id"
+        if bucketed
+        else "c.vec_id <> p.probe_id"
+    )
+    p_bucket = ", bucket AS p_bucket" if bucketed else ""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS emb, {n2} AS n2{bucket_col}
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS probe_id, emb AS p_emb, n2 AS p_n2{p_bucket}
+  FROM base WHERE vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id, {cos} AS cosine
+  FROM base c JOIN probes p ON {join}
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANN_COSINE_TOPK_SQL = _ann_sql(bucketed=False)
+
+# ---------------------------------------------------------------------------
+# 34. ann_lsh_topk — sign-LSH bucketed top-k (the 100-TB path)
+# ---------------------------------------------------------------------------
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's sign-LSH
+    bucket, so the scored set is corpus/2^planes per probe instead of the
+    whole corpus — the join is an equi-join on the bucket id. Recall is
+    traded for a 2^planes fan-in reduction; rank semantics match the
+    brute-force baseline within the bucket."""
+    base = _base(spark, sf_dir, with_bucket=True)
+    probes = base.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("p_emb"),
+        F.col("n2").alias("p_n2"),
+        F.col("bucket").alias("p_bucket"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", "vec_id", _pair_cos().alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_LSH_TOPK_SQL = _ann_sql(bucketed=True)
+
+# ---------------------------------------------------------------------------
+# 35. centroid_similarity — per-label centroid, cosine of each vector to
+#     its own label's centroid
+# ---------------------------------------------------------------------------
+
+_SCALE = 1_000_000_000  # float -> integer nano-units for exact grouped sums
+
+
+def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass plan: (1) per-label centroid via EXACT integer sums —
+    floats are scaled to nano-unit BIGINTs first, because grouped float
+    addition is unordered and nondeterministic across engines; (2) each
+    vector joins its label centroid (tiny, broadcast) and takes an
+    ordered-fold cosine. At 100 TB pass 1 is one partial-agg shuffle on
+    (label, pos) and pass 2 is a broadcast join — no re-shuffle of the
+    vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * _SCALE, 0).cast("bigint").alias("micro"),
+    )
+    cent_flat = flat.groupBy("label", "pos").agg(
+        (F.sum("micro").cast("double") / (F.count(F.lit(1)) * F.lit(float(_SCALE)))).alias("c")
+    )
+    centroids = cent_flat.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    )
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").alias("emb"),
+        vectors.norm2(F.col("embedding")).alias("n2"),
+    )
+    joined = base.join(F.broadcast(centroids), "label")
+    cos = F.round(
+        vectors.dot(vectors.emb_double(F.col("emb")), F.col("cent"))
+        / (F.sqrt(F.col("n2")) * F.sqrt(vectors.fold_sum(F.transform(F.col("cent"), lambda x: x * x)))),
+        6,
+    )
+    return joined.select("vec_id", "label", cos.alias("cos_centroid"))
+
+
+def _centroid_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    pair_dot = vectors.dot_sql("b.emb", "c.cent", dim=vectors.EMB_DIM)
+    cent_n2 = vectors.norm2_sql("c.cent")
+    return f"""
+WITH flat AS (
+  SELECT vec_id, label, pos,
+         CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * {_SCALE}, 0) AS BIGINT) AS micro
+  FROM embeddings, (SELECT unnest(range(1, {vectors.EMB_DIM + 1})) AS pos)
+),
+cent_flat AS (
+  SELECT label, pos,
+         CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * {float(_SCALE)}) AS c
+  FROM flat GROUP BY label, pos
+),
+centroids AS (
+  SELECT label, list(c ORDER BY pos) AS cent FROM cent_flat GROUP BY label
+),
+base AS (
+  SELECT vec_id, label, embedding AS emb, {n2} AS n2 FROM embeddings
+)
+SELECT b.vec_id, b.label,
+       ROUND({pair_dot} / (sqrt(b.n2) * sqrt({cent_n2})), 6) AS cos_centroid
+FROM base b JOIN centroids c ON b.label = c.label
+"""
+
+
+CENTROID_SIMILARITY_SQL = _centroid_sql()

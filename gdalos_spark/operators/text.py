@@ -1,0 +1,244 @@
+"""Text-analysis operators over the `documents` table (SURVEY §2 #36-39):
+corpus-profile language ID, heuristic quality scoring, token statistics,
+and content fingerprinting.
+
+Everything is built-in column functions (split / regexp / array ops) —
+no Python UDFs anywhere, so the hot path stays inside whole-stage
+codegen. Ratios are integer-derived doubles (deterministic across
+engines); hashes are the portable md5 family. Terminal columns are
+BIGINT/INT/DOUBLE/VARCHAR only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import load
+from gdalos_spark.operators.dedup import DOCSH_SQL, doc_shingles
+
+# ---------------------------------------------------------------------------
+# 36. text_language_id — n-gram/marker-word scoring vs the lang label
+# ---------------------------------------------------------------------------
+
+N_MARKERS = 20  # top tokens per language kept as that language's profile
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by corpus-learned marker words: build each language's
+    profile (top-N tokens by term frequency, deterministic tiebreak),
+    then score every document's distinct tokens against every profile and
+    pick the argmax (ties -> alphabetically first language). Profiles are
+    tiny (langs x N) and broadcast; the document side is scanned once.
+    The synthetic corpus shares one vocabulary across langs, so accuracy
+    is near-chance — the operator contract (profile -> score -> argmax)
+    is what's exercised."""
+    docs = load(spark, sf_dir, "documents")
+    tok_all = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok_all.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    w_top = Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("tok"))
+    markers = (
+        tf.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= N_MARKERS)
+        .select(F.col("lang").alias("marker_lang"), "tok")
+    )
+    doc_tok = docs.select("doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    scores = (
+        doc_tok.join(F.broadcast(markers), "tok")
+        .groupBy("doc_id", "lang", "marker_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("marker_lang"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("marker_lang").alias("pred_lang"),
+            F.col("score").cast("bigint").alias("score"),
+            (F.col("marker_lang") == F.col("lang")).cast("int").alias("correct"),
+        )
+    )
+
+
+TEXT_LANGUAGE_ID_SQL = f"""
+WITH tok_all AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT lang, tok, COUNT(*) AS tf FROM tok_all GROUP BY 1, 2),
+markers AS (
+  SELECT lang AS marker_lang, tok
+  FROM (SELECT lang, tok, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, tok ASC) AS rk FROM tf)
+  WHERE rk <= {N_MARKERS}
+),
+doc_tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+),
+scores AS (
+  SELECT d.doc_id, d.lang, m.marker_lang, COUNT(*) AS score
+  FROM doc_tok d JOIN markers m ON d.tok = m.tok
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, marker_lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, marker_lang ASC) AS rk
+  FROM scores
+)
+SELECT doc_id, lang, marker_lang AS pred_lang, CAST(score AS BIGINT) AS score,
+       CAST(marker_lang = lang AS INTEGER) AS correct
+FROM best WHERE rk = 1
+"""
+
+# ---------------------------------------------------------------------------
+# 37. text_quality_score — length/punct/stopword/digit heuristics
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from integer-derived ratios: token count,
+    stopword ratio, digit ratio, mean token length. Single scan, pure
+    column expressions, one deterministic double at the end."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.withColumn("t", F.split("text", " "))
+    n_chars = F.length("text").cast("bigint")
+    n_tokens = F.size("t").cast("bigint")
+    n_stop = F.expr(f"size(filter(t, x -> x IN ({_STOP_IN})))").cast("bigint")
+    n_digit = (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("bigint")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    digit_ratio = n_digit / n_chars.cast("double")
+    avg_tok_len = (n_chars - n_tokens + 1) / n_tokens.cast("double")
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0))
+        * (F.lit(1.0) - digit_ratio)
+        * (F.lit(0.25) + F.lit(0.75) * F.least(F.lit(1.0), stop_ratio * 5)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS BIGINT) AS n_stopwords,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM d
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_stopwords,
+       ROUND(n_stopwords / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       ROUND(n_digit / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+       ROUND((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       ROUND(LEAST(1.0, n_tokens / 64.0)
+             * (1.0 - n_digit / CAST(n_chars AS DOUBLE))
+             * (0.25 + 0.75 * LEAST(1.0, (n_stopwords / CAST(n_tokens AS DOUBLE)) * 5)), 6) AS quality
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# 38. text_token_stats — whitespace + regex token counting
+# ---------------------------------------------------------------------------
+
+_RE_TOKEN = "[a-z0-9]+"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics: whitespace tokens, regex (BPE-ish word/number
+    run) tokens, distinct count, type-token ratio, max token length.
+    Single scan, built-ins only."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.withColumn("t", F.split("text", " "))
+    n_ws = F.size("t").cast("bigint")
+    n_re = F.regexp_count("text", F.lit(_RE_TOKEN)).cast("bigint")
+    n_distinct = F.size(F.array_distinct("t")).cast("bigint")
+    max_len = F.array_max(F.transform(F.col("t"), lambda x: F.length(x))).cast("int")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_re.alias("n_re_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct / n_ws.cast("double"), 6).alias("type_token_ratio"),
+        max_len.alias("max_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_RE_TOKEN}')) AS BIGINT) AS n_re_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+       ROUND(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS type_token_ratio,
+       CAST(list_max(list_transform(t, x -> length(x))) AS INTEGER) AS max_token_len
+FROM d
+"""
+
+# ---------------------------------------------------------------------------
+# 39. doc_fingerprint — content hash + bottom-k shingle-hash sketch
+# ---------------------------------------------------------------------------
+
+SKETCH_K = 4
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: full-content md5 plus a bottom-k sketch of
+    the rolling 3-gram shingle hashes (the k smallest 60-bit hashes,
+    dash-joined ascending) — a compact signature that is stable under
+    small edits, unlike the content hash. One window + one agg shuffle,
+    both on doc_id."""
+    docsh = doc_shingles(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+    hashed = docsh.select("doc_id", h.alias("h"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("h"))
+    bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= SKETCH_K)
+    sketch = bottom.groupBy("doc_id").agg(
+        F.concat_ws(
+            "-", F.transform(F.array_sort(F.collect_list("h")), lambda x: x.cast("string"))
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("k_used"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    counts = docsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(sketch, "doc_id")
+        .join(counts, "doc_id")
+        .select("doc_id", "content_hash", "fingerprint", F.col("k_used").cast("int").alias("k_used"), "n_shingles")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH docsh AS ({DOCSH_SQL}),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM docsh
+),
+bottom AS (
+  SELECT doc_id, h
+  FROM (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rk FROM hashed)
+  WHERE rk <= {SKETCH_K}
+),
+sketch AS (
+  SELECT doc_id, string_agg(CAST(h AS VARCHAR), '-' ORDER BY h ASC) AS fingerprint,
+         CAST(COUNT(*) AS INTEGER) AS k_used
+  FROM bottom GROUP BY doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM docsh GROUP BY doc_id)
+SELECT d.doc_id, md5(d.text) AS content_hash, s.fingerprint, s.k_used, c.n_shingles
+FROM documents d JOIN sketch s ON d.doc_id = s.doc_id JOIN counts c ON d.doc_id = c.doc_id
+"""
