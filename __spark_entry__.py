@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gdalos_spark.operators import dedup, raster, relational, similarity, text
+from gdalos_spark.operators import dedup, multimodal, raster, relational, similarity, text, viewshed
+from gdalos_spark.streaming import events as streaming_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -36,6 +37,11 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_warp_affine": raster.raster_warp_affine,
     "raster_partition_stats": raster.raster_partition_stats,
     "extent_selector": raster.extent_selector,
+    # viewshed / geo (#19-22)
+    "viewshed_los": viewshed.viewshed_los,
+    "viewshed_observer_count": viewshed.viewshed_observer_count,
+    "free_space_loss": viewshed.free_space_loss,
+    "utm_zone_convergence": viewshed.utm_zone_convergence,
     # relational core (#23-27)
     "pricing_summary": relational.pricing_summary,
     "top_orders": relational.top_orders,
@@ -57,6 +63,9 @@ _QUERIES: dict[str, QueryFn] = {
     "text_quality_score": text.text_quality_score,
     "text_token_stats": text.text_token_stats,
     "doc_fingerprint": text.doc_fingerprint,
+    # multimodal + streaming (#40-41)
+    "multimodal_decode": multimodal.multimodal_decode,
+    "streaming_event_counts": streaming_events.streaming_event_counts,
 }
 
 _ORACLES: dict[str, str] = {
@@ -78,6 +87,10 @@ _ORACLES: dict[str, str] = {
     "raster_warp_affine": raster.RASTER_WARP_AFFINE_SQL,
     "raster_partition_stats": raster.RASTER_PARTITION_STATS_SQL,
     "extent_selector": raster.EXTENT_SELECTOR_SQL,
+    "viewshed_los": viewshed.VIEWSHED_LOS_SQL,
+    "viewshed_observer_count": viewshed.VIEWSHED_OBSERVER_COUNT_SQL,
+    "free_space_loss": viewshed.FREE_SPACE_LOSS_SQL,
+    "utm_zone_convergence": viewshed.UTM_ZONE_CONVERGENCE_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "top_orders": relational.TOP_ORDERS_SQL,
     "region_volume": relational.REGION_VOLUME_SQL,
@@ -95,6 +108,8 @@ _ORACLES: dict[str, str] = {
     "text_quality_score": text.TEXT_QUALITY_SCORE_SQL,
     "text_token_stats": text.TEXT_TOKEN_STATS_SQL,
     "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+    # multimodal_decode is rows-only: the mapInPandas stage has no SQL oracle
+    "streaming_event_counts": streaming_events.STREAMING_EVENT_COUNTS_SQL,
 }
 
 

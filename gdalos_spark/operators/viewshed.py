@@ -1,0 +1,289 @@
+"""Viewshed / line-of-sight / radio / UTM operators (SURVEY §2 #19-22).
+
+The reference's largest subsystem (viewshed_calc.py — 1,114 lines around
+`viewshed_calc`/`los_calc`) computes per-pixel visibility from observer
+points over a DEM. The distributed re-expression: every DEM cell is
+assigned to a discretized sight ray from the observer (pure INTEGER
+octant+slope bucketing — no atan2, whose last-ULP behavior differs
+between engines), and visibility is a running-max window over the
+elevation-angle tangent ordered by distance along the ray. One shuffle
+on the ray key; rays are independent, so at 100 TB the window
+parallelizes across (observer, ray) partitions and never needs the whole
+DEM on one node.
+
+Citations: los_calc viewshed_calc.py:636; multi-observer combine via
+CalcOperation.count viewshed_calc.py:89; calc_free_space_loss
+viewshed_calc.py:627 (20*(log10(d)+log10(f))-27.55, d meters / f MHz);
+utm_convergence_old utm_convergence.py:18 (Δλ·sin(φ) approximation) and
+get_zone_lon0 utm_convergence.py:13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import CUSTOMER_POINTS_SQL, DEM_GRID_SQL, customer_points, dem_grid
+
+# observer for single-observer LOS (#19): grid center, antenna at z=500
+OBS_X, OBS_Y = 32, 32
+OBS_Z = 500.0
+
+# ray discretization: 8 octants x 33 slope buckets
+SLOPE_BUCKETS = 32
+
+# multi-observer set (#20)
+OBSERVERS = ((16, 16), (16, 48), (48, 16), (48, 48), (32, 32))
+
+
+def _ray_cols(dx: Column, dy: Column) -> tuple[Column, Column]:
+    """(ray_id, d2) from integer deltas — all-integer arithmetic."""
+    adx, ady = F.abs(dx), F.abs(dy)
+    octant = (
+        F.when(dx >= 0, 0).otherwise(4)
+        + F.when(dy >= 0, 0).otherwise(2)
+        + F.when(adx >= ady, 0).otherwise(1)
+    )
+    slope = F.when(adx >= ady, (ady * SLOPE_BUCKETS).cast("bigint") / adx).otherwise(
+        (adx * SLOPE_BUCKETS).cast("bigint") / ady
+    )
+    # integer division via floor is safe: operands are non-negative
+    ray = (octant * (SLOPE_BUCKETS + 1) + F.floor(slope)).cast("int")
+    return ray, (dx * dx + dy * dy).cast("bigint")
+
+
+def _ray_sql(dx: str, dy: str) -> tuple[str, str]:
+    adx, ady = f"abs({dx})", f"abs({dy})"
+    octant = (
+        f"(CASE WHEN {dx} >= 0 THEN 0 ELSE 4 END"
+        f" + CASE WHEN {dy} >= 0 THEN 0 ELSE 2 END"
+        f" + CASE WHEN {adx} >= {ady} THEN 0 ELSE 1 END)"
+    )
+    slope = (
+        f"CASE WHEN {adx} >= {ady} THEN ({ady} * {SLOPE_BUCKETS}) // {adx} "
+        f"ELSE ({adx} * {SLOPE_BUCKETS}) // {ady} END"
+    )
+    ray = f"CAST({octant} * {SLOPE_BUCKETS + 1} + {slope} AS INTEGER)"
+    d2 = f"CAST({dx}*{dx} + {dy}*{dy} AS BIGINT)"
+    return ray, d2
+
+
+# ---------------------------------------------------------------------------
+# 19. viewshed_los — single-observer line-of-sight over the DEM grid
+# ---------------------------------------------------------------------------
+
+
+def viewshed_los(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOS: cell is visible iff its elevation-angle tangent is >= the
+    running max of every cell closer on the same ray. tan = (z - z_obs)/d
+    is monotone in the angle, so no trig is needed; d = sqrt(int) and the
+    division are IEEE-deterministic. Window partitions by ray (264
+    independent rays), orders by integer d2 with (px,py) tiebreak."""
+    g = dem_grid(spark, sf_dir)
+    dx, dy = F.col("px") - OBS_X, F.col("py") - OBS_Y
+    ray, d2 = _ray_cols(dx, dy)
+    cells = (
+        g.filter((F.col("px") != OBS_X) | (F.col("py") != OBS_Y))
+        .select(
+            "px", "py",
+            ray.alias("ray"), d2.alias("d2"),
+            ((F.col("elev").cast("double") - OBS_Z) / F.sqrt(d2.cast("double"))).alias("tan_angle"),
+        )
+    )
+    w = (
+        Window.partitionBy("ray")
+        .orderBy("d2", "px", "py")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_before = F.max("tan_angle").over(w)
+    return cells.select(
+        "px", "py", "ray",
+        F.sqrt(F.col("d2").cast("double")).alias("dist"),
+        "tan_angle",
+        F.when(max_before.isNull() | (F.col("tan_angle") >= max_before), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("visible"),
+    )
+
+
+def _los_sql() -> str:
+    ray, d2 = _ray_sql(f"(px - {OBS_X})", f"(py - {OBS_Y})")
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+cells AS (
+  SELECT px, py, {ray} AS ray, {d2} AS d2,
+         (CAST(elev AS DOUBLE) - {OBS_Z}) / sqrt(CAST({d2} AS DOUBLE)) AS tan_angle
+  FROM dem WHERE NOT (px = {OBS_X} AND py = {OBS_Y})
+)
+SELECT px, py, ray, sqrt(CAST(d2 AS DOUBLE)) AS dist, tan_angle,
+       CAST(CASE WHEN mb IS NULL OR tan_angle >= mb THEN 1 ELSE 0 END AS INTEGER) AS visible
+FROM (
+  SELECT *, MAX(tan_angle) OVER (PARTITION BY ray ORDER BY d2, px, py
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+  FROM cells
+)
+"""
+
+
+VIEWSHED_LOS_SQL = _los_sql()
+
+# ---------------------------------------------------------------------------
+# 20. viewshed_observer_count — per-cell count of observers with LOS
+# ---------------------------------------------------------------------------
+
+
+def viewshed_observer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-observer combine (CalcOperation.count): run the LOS window
+    per (observer, ray) and count per cell how many observers see it.
+    The observer table is a tiny broadcast dim; the DEM is scanned once
+    and fans out x|observers| map-side. One window shuffle on
+    (ox, oy, ray), one count shuffle on the cell."""
+    g = dem_grid(spark, sf_dir)
+    obs = spark.createDataFrame(list(OBSERVERS), "ox int, oy int")
+    cells = g.crossJoin(F.broadcast(obs)).filter(
+        (F.col("px") != F.col("ox")) | (F.col("py") != F.col("oy"))
+    )
+    dx, dy = F.col("px") - F.col("ox"), F.col("py") - F.col("oy")
+    ray, d2 = _ray_cols(dx, dy)
+    scored = cells.select(
+        "px", "py", "ox", "oy",
+        ray.alias("ray"), d2.alias("d2"),
+        ((F.col("elev").cast("double") - OBS_Z) / F.sqrt(d2.cast("double"))).alias("tan_angle"),
+    )
+    w = (
+        Window.partitionBy("ox", "oy", "ray")
+        .orderBy("d2", "px", "py")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_before = F.max("tan_angle").over(w)
+    vis = scored.select(
+        "px", "py",
+        F.when(max_before.isNull() | (F.col("tan_angle") >= max_before), 1)
+        .otherwise(0)
+        .alias("visible"),
+    )
+    return vis.groupBy("px", "py").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("visible").cast("bigint").alias("n_visible"),
+    )
+
+
+def _obs_count_sql() -> str:
+    ray, d2 = _ray_sql("(px - ox)", "(py - oy)")
+    values = ", ".join(f"({x}, {y})" for x, y in OBSERVERS)
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+obs(ox, oy) AS (VALUES {values}),
+cells AS (
+  SELECT px, py, ox, oy, {ray} AS ray, {d2} AS d2,
+         (CAST(elev AS DOUBLE) - {OBS_Z}) / sqrt(CAST({d2} AS DOUBLE)) AS tan_angle
+  FROM dem CROSS JOIN obs
+  WHERE NOT (px = ox AND py = oy)
+),
+vis AS (
+  SELECT px, py,
+         CASE WHEN mb IS NULL OR tan_angle >= mb THEN 1 ELSE 0 END AS visible
+  FROM (
+    SELECT *, MAX(tan_angle) OVER (PARTITION BY ox, oy, ray ORDER BY d2, px, py
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+    FROM cells
+  )
+)
+SELECT px, py, COUNT(*) AS n_obs, CAST(SUM(visible) AS BIGINT) AS n_visible
+FROM vis GROUP BY px, py
+"""
+
+
+VIEWSHED_OBSERVER_COUNT_SQL = _obs_count_sql()
+
+# ---------------------------------------------------------------------------
+# 21. free_space_loss — radio FSL per link
+# ---------------------------------------------------------------------------
+
+ANTENNA_X, ANTENNA_Y = 32.0, 32.0
+
+
+def free_space_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSPL = 20*(log10(d_m) + log10(f_MHz)) - 27.55 — the reference's
+    exact formula (viewshed_calc.py:627). Links: customer points to a
+    fixed antenna; distance in grid units scaled to meters, frequency
+    derived per link. Pure scalar projection — no shuffle at all."""
+    pts = customer_points(spark, sf_dir)
+    dist_m = F.sqrt(
+        (F.col("cx") - ANTENNA_X) * (F.col("cx") - ANTENNA_X)
+        + (F.col("cy") - ANTENNA_Y) * (F.col("cy") - ANTENNA_Y)
+    ) * 1000.0
+    freq = (100 + (F.col("c_custkey") % 40) * 100).cast("double")
+    fsl = 20.0 * (F.log10(dist_m) + F.log10(freq)) - 27.55
+    return (
+        pts.select(
+            "c_custkey",
+            dist_m.alias("dist_m"),
+            freq.alias("freq_mhz"),
+            F.round(fsl, 6).alias("fsl_db"),
+        )
+        .filter(F.col("dist_m") > 0)
+    )
+
+
+FREE_SPACE_LOSS_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+links AS (
+  SELECT c_custkey,
+         sqrt((cx - {ANTENNA_X})*(cx - {ANTENNA_X}) + (cy - {ANTENNA_Y})*(cy - {ANTENNA_Y})) * 1000.0 AS dist_m,
+         CAST(100 + (c_custkey % 40) * 100 AS DOUBLE) AS freq_mhz
+  FROM pts
+)
+SELECT c_custkey, dist_m, freq_mhz,
+       ROUND(20.0 * (log10(dist_m) + log10(freq_mhz)) - 27.55, 6) AS fsl_db
+FROM links WHERE dist_m > 0
+"""
+
+# ---------------------------------------------------------------------------
+# 22. utm_zone_convergence — UTM zone + grid convergence approximation
+# ---------------------------------------------------------------------------
+
+
+def utm_zone_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM zone from longitude and the reference's arithmetic convergence
+    approximation (utm_convergence_old): conv_deg = Δλ·sin(φ) with
+    Δλ = lon - zone central meridian (get_zone_lon0: (zone-31)*6+3).
+    Scalar projection; trig-derived output rounded to 6 dp to absorb
+    engine last-ULP differences in sin()."""
+    pts = customer_points(spark, sf_dir)
+    lon = (F.col("c_custkey") * 17 % 36000) / 100.0 - 180.0
+    lat = (F.col("c_custkey") * 23 % 16000) / 100.0 - 80.0
+    zone = F.least(F.lit(60), (F.floor((lon + 180.0) / 6.0) + 1).cast("int"))
+    lon0 = ((zone - 31) * 6 + 3).cast("double")
+    conv = (lon - lon0) * F.sin(F.radians(lat))
+    return pts.select(
+        "c_custkey",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        zone.alias("zone"),
+        lon0.alias("central_lon"),
+        # + 0.0 folds IEEE -0.0 to 0.0 (engines round into signed zero
+        # differently)
+        (F.round(conv, 6) + 0.0).alias("convergence_deg"),
+        F.when(lat >= 0, "N").otherwise("S").alias("hemisphere"),
+    )
+
+
+UTM_ZONE_CONVERGENCE_SQL = """
+WITH pts AS (SELECT c_custkey,
+  (c_custkey * 17 % 36000) / 100.0 - 180.0 AS lon,
+  (c_custkey * 23 % 16000) / 100.0 - 80.0 AS lat
+FROM customer),
+z AS (
+  SELECT c_custkey, lon, lat,
+         LEAST(60, CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS INTEGER)) AS zone
+  FROM pts
+)
+SELECT c_custkey, lon, lat, zone,
+       CAST((zone - 31) * 6 + 3 AS DOUBLE) AS central_lon,
+       ROUND((lon - CAST((zone - 31) * 6 + 3 AS DOUBLE)) * sin(radians(lat)), 6) + 0.0 AS convergence_deg,
+       CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS hemisphere
+FROM z
+"""

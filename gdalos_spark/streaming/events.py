@@ -1,0 +1,95 @@
+"""Structured Streaming operators (SURVEY §2 #41).
+
+`streaming_event_counts` runs a REAL Structured Streaming query — file
+source -> event-time tumbling window with watermark -> memory sink,
+trigger=availableNow — and returns the sink table as a batch DataFrame.
+Because complete-mode output over the full file set equals the batch
+computation, the result is checked against the SAME DuckDB oracle as its
+batch twin (relational.events_windowed_agg), making this a full
+hash-gated entry rather than rows-only.
+
+At production scale the identical query runs continuously against a
+growing directory/Kafka topic: the watermark bounds state (windows older
+than max(event_time) - 1h are finalized and evicted in append mode), and
+the windowed aggregation shuffles once on (window, event_type) with
+partial aggregation map-side — the same plan shape as the batch twin.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_NAME = "gdalos_stream_event_counts"
+
+
+def _stage_dir(path: str) -> str:
+    """The file-stream source only accepts directories; stage the single
+    parquet file into a stable temp dir via symlink (hardlink/copy are
+    equivalent — in production the source IS a directory or Kafka)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "gdalos_stream", path.strip("/").replace("/", "_")
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts per event_type, computed
+    by Structured Streaming (availableNow) and materialized through the
+    memory sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+
+    # a previous invocation in the same session may still own the sink name
+    for q in spark.streams.active:
+        if q.name == QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(QUERY_NAME)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(QUERY_NAME).select(
+        F.col("w").getField("start").cast("long").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# identical semantics to the batch twin -> same oracle
+STREAMING_EVENT_COUNTS_SQL = """
+SELECT
+  CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
