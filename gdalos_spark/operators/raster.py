@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gdalos_spark.functions import palette
 from gdalos_spark.datamodel import (
     CUSTOMER_POINTS_SQL,
     DEM_GRID_SQL,
@@ -386,49 +387,31 @@ FROM dem CROSS JOIN s
 #         /root/reference/src/gdalos/calc/gdal_dem_color_cutline.py
 # ---------------------------------------------------------------------------
 
-# (upper_bound, name, hex) — mirrors a talos percent palette
-#   (gdalos_color.py:read_talos_palette)
-PALETTE = (
-    (50, "deepblue", "CC00007F"),
-    (120, "blue", "CC0000FF"),
-    (200, "cyan", "CC00FFFF"),
-    (300, "green", "CC00FF00"),
-    (450, "yellow", "CCFFFF00"),
-    (600, "red", "CCFF0000"),
-)
-PALETTE_OVER = ("magenta", "CCFF00FF")
+# parsed from the reference's own talos test palette (gdalos_color.py:52),
+# rescaled to elevation steps; see functions/palette.py for the format
+PALETTE = palette.read_talos_palette(palette.DEFAULT_TALOS_PALETTE)
 
 
 def raster_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value -> color bin (first palette entry whose bound >= value). A
-    broadcastable CASE chain — stays fully inside whole-stage codegen."""
+    """Value -> color bin: rgba of the palette entry with the greatest
+    key <= value ("nearest below", gdaldem color-relief exact mode). The
+    palette is parsed from a talos palette string
+    (gdalos_color.py:read_talos_palette) into one broadcastable CASE
+    chain — stays fully inside whole-stage codegen."""
     g = dem_grid(spark, sf_dir)
     v = F.col("elev").cast("double")
-    name = F.when(v <= PALETTE[0][0], PALETTE[0][1])
-    rgba = F.when(v <= PALETTE[0][0], PALETTE[0][2])
-    for bound, nm, hx in PALETTE[1:]:
-        name = name.when(v <= bound, nm)
-        rgba = rgba.when(v <= bound, hx)
-    name = name.otherwise(PALETTE_OVER[0])
-    rgba = rgba.otherwise(PALETTE_OVER[1])
-    return g.select("px", "py", F.col("elev").cast("double").alias("elev"),
-                    name.alias("color_name"), rgba.alias("rgba"))
+    return g.select(
+        "px", "py", v.alias("elev"),
+        palette.bin_key_case(PALETTE, v).alias("bin_lo"),
+        palette.bin_case(PALETTE, v).alias("rgba"),
+    )
 
-
-_NAME_CASE = (
-    "CASE "
-    + " ".join(f"WHEN CAST(elev AS DOUBLE) <= {b} THEN '{n}'" for b, n, _ in PALETTE)
-    + f" ELSE '{PALETTE_OVER[0]}' END"
-)
-_RGBA_CASE = (
-    "CASE "
-    + " ".join(f"WHEN CAST(elev AS DOUBLE) <= {b} THEN '{h}'" for b, _, h in PALETTE)
-    + f" ELSE '{PALETTE_OVER[1]}' END"
-)
 
 RASTER_COLOR_RELIEF_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL})
-SELECT px, py, CAST(elev AS DOUBLE) AS elev, {_NAME_CASE} AS color_name, {_RGBA_CASE} AS rgba
+SELECT px, py, CAST(elev AS DOUBLE) AS elev,
+       {palette.bin_key_case_sql(PALETTE, "CAST(elev AS DOUBLE)")} AS bin_lo,
+       {palette.bin_case_sql(PALETTE, "CAST(elev AS DOUBLE)")} AS rgba
 FROM dem
 """
 

@@ -1,0 +1,47 @@
+"""Oracle-parity tests for the LLM-pipeline families (SURVEY §2 #28-39)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import assert_matches_oracle
+
+LLM_KEYS = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "centroid_similarity",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "doc_fingerprint",
+]
+
+
+@pytest.mark.parametrize("key", LLM_KEYS)
+def test_llm_pipeline_matches_oracle(spark, ducks, key):
+    q = entrymod.queries()[key]
+    sql = entrymod.oracle_sql()[key]
+    assert_matches_oracle(spark, ducks, q, sql)
+
+
+def test_ann_lsh_subset_of_brute_force(spark):
+    """LSH top-k candidates are drawn from the probe's bucket, and every
+    returned cosine must also appear in the brute-force scoring for that
+    probe (approximation affects recall, never correctness of scores)."""
+    from tests.conftest import SF_DIR
+
+    brute = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in entrymod.queries()["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    from gdalos_spark.operators.similarity import _base, _pair_cos  # noqa: F401
+
+    lsh = entrymod.queries()["ann_lsh_topk"](spark, SF_DIR).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        if (r.probe_id, r.vec_id) in brute:
+            assert brute[(r.probe_id, r.vec_id)] == r.cosine

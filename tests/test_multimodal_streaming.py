@@ -1,0 +1,46 @@
+"""Tests for multimodal decode (#40, rows-only) and structured
+streaming (#41, full oracle parity via its batch twin)."""
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_multimodal_decode_contract(spark):
+    df = entrymod.queries()["multimodal_decode"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "doc_id", "media_type", "byte_len", "feat_mean", "n_frames", "width", "height",
+    ]
+    for r in rows:
+        assert r.media_type in ("image", "audio", "video")
+        assert r.byte_len > 0
+        # payloads are lowercase ascii text + spaces: mean byte in (32, 127)
+        assert 32.0 < r.feat_mean < 127.0
+        assert r.n_frames == r.byte_len // 1024 + 1
+
+
+def test_multimodal_real_codec_is_stubbed():
+    import pytest
+
+    from gdalos_spark.operators.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"bytes", "image")
+
+
+def test_streaming_matches_batch_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["streaming_event_counts"],
+        entrymod.oracle_sql()["streaming_event_counts"],
+    )
+
+
+def test_streaming_equals_batch_twin(spark):
+    stream = entrymod.queries()["streaming_event_counts"](spark, SF_DIR)
+    batch = entrymod.queries()["events_windowed_agg"](spark, SF_DIR)
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the 100-TB design claims, executable.
+
+Each test pins a scale-critical property of an operator's plan so a
+regression fails here instead of melting a cluster: broadcasts stay
+broadcasts, filters reach the scan, candidate generation never degrades
+to a cartesian product, top-k uses WindowGroupLimit's partial limit."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from gdalos_spark.datamodel import load
+from gdalos_spark.plans.asserts import (
+    assert_broadcast_join,
+    assert_in_plan,
+    assert_no_cartesian,
+    assert_not_in_plan,
+    assert_pushed_filter,
+    assert_whole_stage_codegen,
+)
+from tests.conftest import SF_DIR
+
+
+def q(spark, key):
+    return entrymod.queries()[key](spark, SF_DIR)
+
+
+def test_pricing_summary_pushes_shipdate(spark):
+    assert_pushed_filter(q(spark, "pricing_summary"), "l_shipdate")
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning: a 2-column projection must not read all 16
+    lineitem columns."""
+    df = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = assert_in_plan(df, "ReadSchema")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_region_volume_broadcasts_dims(spark):
+    plan = assert_broadcast_join(q(spark, "region_volume"))
+    assert_no_cartesian(q(spark, "region_volume"))
+
+
+def test_top_orders_broadcasts(spark):
+    assert_broadcast_join(q(spark, "top_orders"))
+
+
+def test_pixel_lookup_broadcast_build_side_is_points(spark):
+    """The round-1 bug: a broadcast hint on the preserved side of an
+    outer join silently degrades to a full shuffle. The fixed plan must
+    contain a BroadcastHashJoin (points as build side) and no sort-merge
+    join of the raster."""
+    plan = assert_broadcast_join(q(spark, "pixel_lookup"))
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_candidates_never_cartesian(spark):
+    for key in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+                "dedup_embedding_cosine"):
+        assert_no_cartesian(q(spark, key))
+        assert_not_in_plan(q(spark, key), "BroadcastNestedLoopJoin")
+
+
+def test_ann_topk_uses_window_group_limit(spark):
+    assert_in_plan(q(spark, "ann_cosine_topk"), "WindowGroupLimit")
+
+
+def test_no_python_udfs_in_sql_operators(spark):
+    """Every oracle-checked operator stays JVM-side: no BatchEvalPython
+    (row UDF) or ArrowEvalPython stages anywhere."""
+    for key in entrymod.oracle_sql():
+        if key == "streaming_event_counts":
+            continue  # materialized via a streaming query, not a lazy plan
+        assert_not_in_plan(q(spark, key), "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_whole_stage_codegen_covers_pricing_summary(spark):
+    # AQE defers codegen planning to execution; disable it to inspect
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert_whole_stage_codegen(q(spark, "pricing_summary"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
