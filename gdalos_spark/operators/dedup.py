@@ -71,7 +71,13 @@ DOCSH_SQL = f"""
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Repartition before the explode: the shingle+md5 pipeline is
+    # CPU-bound, and a small doc table may arrive as one input split —
+    # without this every downstream hash runs on a single core. At real
+    # scale the scan is already many splits and this is a cheap no-op
+    # redistribution of raw text.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n, "doc_id")
     return docs.select(
         "doc_id", "lang", F.explode(F.array_distinct(shingles3(F.col("text")))).alias("shingle")
     )
@@ -120,7 +126,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = docsh.join(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
-    ).select("doc_id", "lang", "shingle")
+    ).select("doc_id", "lang", "shingle").persist()
     # rare-set size per doc (docs with no rare shingle can never pair)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = rare.alias("a"), rare.alias("b")
@@ -180,20 +186,25 @@ BAND_R = 4
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docsh = doc_shingles(spark, sf_dir)
-    base = hash_base(F.col("shingle"))
+    # materialize the md5 base once per (doc, shingle) row; the 16 perm
+    # mins then reference the cheap column, not 16 md5 evaluations
+    docsh = doc_shingles(spark, sf_dir).select(
+        "doc_id", hash_base(F.col("shingle")).alias("hb")
+    )
     return docsh.groupBy("doc_id").agg(
-        *[F.min(perm_hash(base, i)).alias(f"m{i}") for i in range(N_PERM)]
+        *[F.min(perm_hash(F.col("hb"), i)).alias(f"m{i}") for i in range(N_PERM)]
     )
 
 
 def _sig_sql() -> str:
-    base = hash_base_sql("shingle")
     mins = ", ".join(
-        f"MIN(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {P31}) AS m{i}"
+        f"MIN(({MINHASH_A[i]} * hb + {MINHASH_B[i]}) % {P31}) AS m{i}"
         for i in range(N_PERM)
     )
-    return f"SELECT doc_id, {mins} FROM docsh GROUP BY doc_id"
+    return (
+        f"SELECT doc_id, {mins} FROM "
+        f"(SELECT doc_id, {hash_base_sql('shingle')} AS hb FROM docsh) GROUP BY doc_id"
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +213,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_key), estimated Jaccard = fraction of agreeing
     signature components. The band join IS the LSH trick — sub-quadratic
     by construction, shuffles only on band keys."""
-    sig = _signatures(spark, sf_dir)
+    # sig feeds the band explode AND both sides of the candidate join —
+    # persist the tiny per-doc table instead of recomputing the shingle
+    # pipeline four times (at scale this is a materialized signature table)
+    sig = _signatures(spark, sf_dir).persist()
     band_structs = [
         F.struct(
             F.lit(j).alias("band_id"),
@@ -280,12 +294,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     build fingerprints; the byte join is the hamming-band trick.
     Features are word 3-grams, not tokens — token sets are near-identical
     across same-vocabulary documents and would collapse the fingerprint."""
-    doctok = doc_shingles(spark, sf_dir).select("doc_id", F.col("shingle").alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    # materialize the 60-bit md5 hash once per (doc, shingle) row; the 32
+    # bit-vote sums then read the column instead of re-hashing
+    doctok = doc_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    hc = F.col("h")
     votes = doctok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(hc, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(SIM_BITS)
         ]
@@ -293,7 +312,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = sum(
         F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(SIM_BITS)
     ).cast("bigint")
-    fp = votes.select("doc_id", simhash.alias("simhash"))
+    # both sides of the self-join reuse the per-doc fingerprint table
+    fp = votes.select("doc_id", simhash.alias("simhash")).persist()
     byte_structs = [
         F.struct(
             F.lit(bi).alias("byte_id"),
@@ -323,9 +343,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    h = "CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)"
     votes = ", ".join(
-        f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIM_BITS)
     )
     sim = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIM_BITS))
@@ -335,7 +354,7 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH docsh AS ({DOCSH_SQL}),
-doctok AS (SELECT doc_id, shingle AS tok FROM docsh),
+doctok AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM docsh),
 votes AS (SELECT doc_id, {votes} FROM doctok GROUP BY doc_id),
 fp AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes),
 bands AS ({bytes_sql})
@@ -368,7 +387,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb"),
         vectors.norm2(F.col("embedding")).alias("n2"),
         vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).persist()
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
         F.col("n2").alias("n2_a"), "bucket",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gdalos_spark.datamodel import load
-from gdalos_spark.operators.dedup import DOCSH_SQL, doc_shingles
+from gdalos_spark.operators.dedup import DOCSH_SQL, SHINGLES3_SQL, doc_shingles
 
 # ---------------------------------------------------------------------------
 # 36. text_language_id — n-gram/marker-word scoring vs the lang label
@@ -200,45 +200,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: full-content md5 plus a bottom-k sketch of
     the rolling 3-gram shingle hashes (the k smallest 60-bit hashes,
     dash-joined ascending) — a compact signature that is stable under
-    small edits, unlike the content hash. One window + one agg shuffle,
-    both on doc_id."""
-    docsh = doc_shingles(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
-    hashed = docsh.select("doc_id", h.alias("h"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("h"))
-    bottom = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= SKETCH_K)
-    sketch = bottom.groupBy("doc_id").agg(
-        F.concat_ws(
-            "-", F.transform(F.array_sort(F.collect_list("h")), lambda x: x.cast("string"))
-        ).alias("fingerprint"),
-        F.count(F.lit(1)).alias("k_used"),
+    small edits, unlike the content hash. Entirely array ops on the
+    document row: no explode, no window, no shuffle — a narrow
+    map-only pipeline at any scale."""
+    from gdalos_spark.operators.dedup import shingles3
+
+    # parallelize the per-doc md5 pipeline when the table arrives as one
+    # input split (cheap redistribution; no-op at real scale)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n, "doc_id")
+    hashes = F.array_sort(
+        F.transform(
+            F.array_distinct(shingles3(F.col("text"))),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        )
     )
-    docs = load(spark, sf_dir, "documents")
-    counts = docsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .join(sketch, "doc_id")
-        .join(counts, "doc_id")
-        .select("doc_id", "content_hash", "fingerprint", F.col("k_used").cast("int").alias("k_used"), "n_shingles")
+    d = docs.select("doc_id", F.md5("text").alias("content_hash"), hashes.alias("hs"))
+    sketch = F.concat_ws(
+        "-", F.transform(F.slice(F.col("hs"), 1, SKETCH_K), lambda x: x.cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        "content_hash",
+        sketch.alias("fingerprint"),
+        F.least(F.size("hs"), F.lit(SKETCH_K)).cast("int").alias("k_used"),
+        F.size("hs").cast("bigint").alias("n_shingles"),
     )
 
 
 DOC_FINGERPRINT_SQL = f"""
-WITH docsh AS ({DOCSH_SQL}),
-hashed AS (
-  SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM docsh
-),
-bottom AS (
-  SELECT doc_id, h
-  FROM (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rk FROM hashed)
-  WHERE rk <= {SKETCH_K}
-),
-sketch AS (
-  SELECT doc_id, string_agg(CAST(h AS VARCHAR), '-' ORDER BY h ASC) AS fingerprint,
-         CAST(COUNT(*) AS INTEGER) AS k_used
-  FROM bottom GROUP BY doc_id
-),
-counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM docsh GROUP BY doc_id)
-SELECT d.doc_id, md5(d.text) AS content_hash, s.fingerprint, s.k_used, c.n_shingles
-FROM documents d JOIN sketch s ON d.doc_id = s.doc_id JOIN counts c ON d.doc_id = c.doc_id
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         list_sort(list_transform(list_distinct({SHINGLES3_SQL}),
+                   s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS hs
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+)
+SELECT doc_id, content_hash,
+       array_to_string(list_transform(hs[1:{SKETCH_K}], x -> CAST(x AS VARCHAR)), '-') AS fingerprint,
+       CAST(LEAST(len(hs), {SKETCH_K}) AS INTEGER) AS k_used,
+       CAST(len(hs) AS BIGINT) AS n_shingles
+FROM hashed
 """
