@@ -12,7 +12,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gdalos_spark.operators import dedup, multimodal, raster, relational, similarity, text, viewshed
+from gdalos_spark.operators import (
+    dedup,
+    export,
+    multimodal,
+    raster,
+    relational,
+    similarity,
+    text,
+    viewshed,
+)
 from gdalos_spark.streaming import events as streaming_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -66,6 +75,9 @@ _QUERIES: dict[str, QueryFn] = {
     # multimodal + streaming (#40-41)
     "multimodal_decode": multimodal.multimodal_decode,
     "streaming_event_counts": streaming_events.streaming_event_counts,
+    # export + extended multimodal (#42-43)
+    "raster_to_czml": export.raster_to_czml,
+    "multimodal_frames": multimodal.multimodal_frames,
 }
 
 _ORACLES: dict[str, str] = {
@@ -108,8 +120,10 @@ _ORACLES: dict[str, str] = {
     "text_quality_score": text.TEXT_QUALITY_SCORE_SQL,
     "text_token_stats": text.TEXT_TOKEN_STATS_SQL,
     "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
-    # multimodal_decode is rows-only: the mapInPandas stage has no SQL oracle
+    # multimodal_decode / multimodal_frames are rows-only: the mapInPandas
+    # stages have no SQL oracle
     "streaming_event_counts": streaming_events.STREAMING_EVENT_COUNTS_SQL,
+    "raster_to_czml": export.RASTER_TO_CZML_SQL,
 }
 
 

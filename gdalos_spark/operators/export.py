@@ -1,0 +1,121 @@
+"""Export formatting operators — raster -> styled CZML/JSON document
+records (SURVEY §2 #42).
+
+The reference renders a whole raster to one CZML Rectangle packet with a
+base64 PNG material (calc/gdal_to_czml.py:18 `gdal_to_czml`: extent ->
+wsenDegrees, PNG via a /vsimem buffer; calc/gdal_to_json.py is the
+point-record sibling). A 100-TB raster can't be one packet: the
+distributed re-expression emits ONE PACKET PER TILE — each tile's
+geo-extent, cell stats, and palette color form a self-contained
+Rectangle packet, plus the document preamble row. Packets are built with
+pure string concatenation over DECIMAL-formatted coordinates so the
+DuckDB oracle reproduces the JSON byte-for-byte (float->string
+formatting is engine-specific; decimal->string is not). The PNG material
+itself is a codec concern (stubbed the same way as multimodal decode);
+the packet structure, extents, and styling are real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdalos_spark.datamodel import DEM_GRID_SQL, dem_grid
+from gdalos_spark.functions import palette
+from gdalos_spark.operators.raster import GT, PALETTE
+
+TILE = 16
+
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast("decimal(12,4)").cast("string")
+
+
+def raster_to_czml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile packets: groupBy tile -> extent corners through the
+    geotransform -> palette color of the mean elevation -> JSON packet
+    string. One shuffle on the tile key; packet assembly is pure string
+    projection (whole-stage codegen)."""
+    g = dem_grid(spark, sf_dir)
+    tiles = (
+        g.groupBy(
+            F.floor(F.col("px") / TILE).cast("int").alias("tile_x"),
+            F.floor(F.col("py") / TILE).cast("int").alias("tile_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max(F.col("elev").cast("double")).alias("max_elev"),
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("mean_elev"),
+        )
+    )
+    west = F.lit(GT[0]) + (F.col("tile_x") * TILE) * GT[1]
+    east = F.lit(GT[0]) + ((F.col("tile_x") + 1) * TILE) * GT[1]
+    north = F.lit(GT[2]) + (F.col("tile_y") * TILE) * GT[3]
+    south = F.lit(GT[2]) + ((F.col("tile_y") + 1) * TILE) * GT[3]
+    rgba = palette.bin_case(PALETTE, F.col("mean_elev"))
+    packet_id = F.concat_ws("_", F.lit("tile"), F.col("tile_x"), F.col("tile_y"))
+    czml = F.concat(
+        F.lit('{"id":"'), packet_id,
+        F.lit('","rectangle":{"coordinates":{"wsenDegrees":['),
+        _dec(west), F.lit(","), _dec(south), F.lit(","), _dec(east), F.lit(","), _dec(north),
+        F.lit(']},"fill":true,"material":{"solidColor":{"color":"'), rgba,
+        F.lit('"}}},"n_cells":'), F.col("n_cells").cast("string"), F.lit("}"),
+    )
+    packets = tiles.select(
+        packet_id.alias("packet_id"),
+        F.lit("rect").alias("kind"),
+        west.alias("west"), south.alias("south"), east.alias("east"), north.alias("north"),
+        F.col("n_cells"),
+        F.col("max_elev"),
+        czml.alias("czml"),
+    )
+    preamble = spark.range(1).select(
+        F.lit("document").alias("packet_id"),
+        F.lit("preamble").alias("kind"),
+        F.lit(None).cast("double").alias("west"),
+        F.lit(None).cast("double").alias("south"),
+        F.lit(None).cast("double").alias("east"),
+        F.lit(None).cast("double").alias("north"),
+        F.lit(None).cast("bigint").alias("n_cells"),
+        F.lit(None).cast("double").alias("max_elev"),
+        F.lit('{"id":"document","name":"czml","version":"1.0"}').alias("czml"),
+    )
+    return packets.unionByName(preamble)
+
+
+def _czml_sql() -> str:
+    west = f"CAST({GT[0]} AS DOUBLE) + (tile_x * {TILE}) * CAST({GT[1]} AS DOUBLE)"
+    east = f"CAST({GT[0]} AS DOUBLE) + ((tile_x + 1) * {TILE}) * CAST({GT[1]} AS DOUBLE)"
+    north = f"CAST({GT[2]} AS DOUBLE) + (tile_y * {TILE}) * CAST({GT[3]} AS DOUBLE)"
+    south = f"CAST({GT[2]} AS DOUBLE) + ((tile_y + 1) * {TILE}) * CAST({GT[3]} AS DOUBLE)"
+    rgba = palette.bin_case_sql(PALETTE, "mean_elev")
+
+    def dec(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(12,4)) AS VARCHAR)"
+
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+tiles AS (
+  SELECT CAST(FLOOR(px / {TILE}) AS INTEGER) AS tile_x, CAST(FLOOR(py / {TILE}) AS INTEGER) AS tile_y,
+         COUNT(*) AS n_cells,
+         MAX(CAST(elev AS DOUBLE)) AS max_elev,
+         CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS mean_elev
+  FROM dem GROUP BY 1, 2
+)
+SELECT concat_ws('_', 'tile', tile_x, tile_y) AS packet_id,
+       'rect' AS kind,
+       {west} AS west, {south} AS south, {east} AS east, {north} AS north,
+       n_cells, max_elev,
+       '{{"id":"' || concat_ws('_', 'tile', tile_x, tile_y)
+       || '","rectangle":{{"coordinates":{{"wsenDegrees":['
+       || {dec(west)} || ',' || {dec(south)} || ',' || {dec(east)} || ',' || {dec(north)}
+       || ']}},"fill":true,"material":{{"solidColor":{{"color":"' || {rgba}
+       || '"}}}}}},"n_cells":' || CAST(n_cells AS VARCHAR) || '}}' AS czml
+FROM tiles
+UNION ALL
+SELECT 'document', 'preamble', NULL, NULL, NULL, NULL, NULL, NULL,
+       '{{"id":"document","name":"czml","version":"1.0"}}'
+"""
+
+
+RASTER_TO_CZML_SQL = _czml_sql()

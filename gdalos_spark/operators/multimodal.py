@@ -92,3 +92,49 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, media_type string, frame_idx int, "
+    "frame_offset int, frame_bytes int, frame_mean double"
+)
+
+FRAME_SIZE = 256  # bytes per pseudo-frame
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: a one-to-many Arrow-batched pandas stage that
+    explodes each binary payload into fixed-stride frame records (every
+    other frame kept — the sampling), with per-frame byte statistics.
+    This is the mapInPandas shape a real video frame-sampler needs: rows
+    out != rows in, schema declared up front, all byte work vectorized
+    in numpy. The actual video codec is stubbed (see _decode_real); the
+    fixed-stride slicing over real bytes keeps the batch shapes and
+    distributed behavior identical."""
+    media = media_table(spark, sf_dir)
+
+    def frame_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "media_type": [], "frame_idx": [],
+                "frame_offset": [], "frame_bytes": [], "frame_mean": [],
+            }
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = (len(arr) + FRAME_SIZE - 1) // FRAME_SIZE
+                for idx in range(0, n_frames, 2):  # sample every other frame
+                    chunk = arr[idx * FRAME_SIZE:(idx + 1) * FRAME_SIZE]
+                    out["doc_id"].append(doc_id)
+                    out["media_type"].append(mtype)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(idx * FRAME_SIZE)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_mean"].append(round(float(chunk.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
