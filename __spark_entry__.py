@@ -78,6 +78,8 @@ _QUERIES: dict[str, QueryFn] = {
     # export + extended multimodal (#42-43)
     "raster_to_czml": export.raster_to_czml,
     "multimodal_frames": multimodal.multimodal_frames,
+    # custom stateful streaming (#44, rows-only)
+    "streaming_sessionize": streaming_events.streaming_sessionize,
 }
 
 _ORACLES: dict[str, str] = {

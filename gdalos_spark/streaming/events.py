@@ -83,6 +83,96 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+SESSIONIZE_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, session_value double"
+)
+SESSIONIZE_STATE_SCHEMA = "last_ts bigint, session_id bigint, n_events bigint, value_sum double"
+SESSIONIZE_QUERY_NAME = "gdalos_stream_sessionize"
+
+
+def _sessionize_state_fn(key, pdfs, state):
+    """Custom stateful operator: per-user gap sessionization. State =
+    (last event second, open session id, open session event count, open
+    session value sum). Emits a session row whenever the gap closes it;
+    the open tail session stays in state (append semantics)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_ts, sess_id, n_ev, vsum = state.get
+    else:
+        last_ts, sess_id, n_ev, vsum = None, 1, 0, 0.0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_sec", "event_id"])
+        for tsec, val in zip(pdf["ts_sec"], pdf["value"]):
+            tsec = int(tsec)
+            if last_ts is not None and tsec - last_ts > SESSION_GAP_S:
+                closed.append((user_id, sess_id, n_ev, round(vsum, 2)))
+                sess_id += 1
+                n_ev = 0
+                vsum = 0.0
+            n_ev += 1
+            vsum += float(val)
+            last_ts = tsec
+    state.update((last_ts, sess_id, n_ev, vsum))
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_id", "n_events", "session_value"]
+        )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a REAL custom stateful streaming
+    operator (applyInPandasWithState): per-user state carries the open
+    session across micro-batches; closed sessions are emitted in append
+    mode. The batch twin (relational.events_sessionize) computes the same
+    sessions with windows; tests assert this stream emits exactly the
+    batch sessions minus each user's final (still-open) session.
+    Rows-only in the driver contract — stateful streaming has no SQL
+    oracle. At scale this runs continuously with event-time timeouts
+    evicting idle users' state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == SESSIONIZE_QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    # epoch seconds computed Spark-side so the pandas stage sees plain
+    # int64 (no timezone semantics anywhere near the state function)
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000000").cast("bigint").alias("ts_sec"),
+        "value",
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_state_fn,
+        outputStructType=SESSIONIZE_OUT_SCHEMA,
+        stateStructType=SESSIONIZE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(SESSIONIZE_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(SESSIONIZE_QUERY_NAME)
+
+
 # identical semantics to the batch twin -> same oracle
 STREAMING_EVENT_COUNTS_SQL = """
 SELECT

@@ -44,3 +44,34 @@ def test_streaming_equals_batch_twin(spark):
     s = {tuple(r) for r in stream.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark):
+    """The stateful stream emits exactly the batch sessions minus each
+    user's final (still-open-in-state) session, with identical counts
+    and values."""
+    stream = entrymod.queries()["streaming_sessionize"](spark, SF_DIR).collect()
+    batch = entrymod.queries()["events_sessionize"](spark, SF_DIR).collect()
+    last_session = {}
+    for r in batch:
+        last_session[r.user_id] = max(last_session.get(r.user_id, 0), r.session_id)
+    expected = {
+        (r.user_id, r.session_id, r.n_events, round(r.session_value, 2))
+        for r in batch
+        if r.session_id != last_session[r.user_id]
+    }
+    got = {
+        (r.user_id, r.session_id, r.n_events, round(r.session_value, 2)) for r in stream
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_multimodal_frames_sampling(spark):
+    df = entrymod.queries()["multimodal_frames"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.frame_idx % 2 == 0  # every-other-frame sampling
+        assert r.frame_offset == r.frame_idx * 256
+        assert 0 < r.frame_bytes <= 256
