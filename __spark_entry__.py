@@ -66,6 +66,7 @@ _QUERIES: dict[str, QueryFn] = {
     # similarity search (#33-35)
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_lsh_topk": similarity.ann_lsh_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
     "centroid_similarity": similarity.centroid_similarity,
     # text analysis (#36-39)
     "text_language_id": text.text_language_id,
@@ -117,6 +118,7 @@ _ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": dedup.DEDUP_EMBEDDING_COSINE_SQL,
     "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
+    "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
     "centroid_similarity": similarity.CENTROID_SIMILARITY_SQL,
     "text_language_id": text.TEXT_LANGUAGE_ID_SQL,
     "text_quality_score": text.TEXT_QUALITY_SCORE_SQL,

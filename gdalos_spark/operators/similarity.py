@@ -219,3 +219,135 @@ FROM base b JOIN centroids c ON b.label = c.label
 
 
 CENTROID_SIMILARITY_SQL = _centroid_sql()
+
+# ---------------------------------------------------------------------------
+# 45. ann_ivf_topk — IVF: coarse-quantize by nearest centroid, probe the
+#     nprobe nearest inverted lists
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector scored against every coarse centroid (tiny broadcast
+    of the codebook; one map stage), ranked per vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label", "pos",
+        F.round(F.col("v").cast("double") * _SCALE, 0).cast("bigint").alias("micro"),
+    )
+    cent_flat = flat.groupBy("label", "pos").agg(
+        (F.sum("micro").cast("double") / (F.count(F.lit(1)) * F.lit(float(_SCALE)))).alias("c")
+    )
+    centroids = cent_flat.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cent")
+    ).select(F.col("label").alias("list_id"), "cent")
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb"),
+        vectors.norm2(F.col("embedding")).alias("n2"),
+    )
+    ccos = F.round(
+        vectors.dot(vectors.emb_double(F.col("emb")), F.col("cent"))
+        / (F.sqrt(F.col("n2")) * F.sqrt(vectors.fold_sum(F.transform(F.col("cent"), lambda x: x * x)))),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("list_id"))
+    return (
+        base.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "n2", "list_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(w))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: the per-label centroids act as the coarse
+    codebook; every vector lands in the inverted list of its nearest
+    centroid (crank=1), and each probe searches its IVF_NPROBE nearest
+    lists. Candidate generation is an equi-join on list_id — the scored
+    set per probe is ~nprobe/|lists| of the corpus. All centroid and
+    cosine math is the exact portable form used by centroid_similarity."""
+    scored = _ivf_scored(spark, sf_dir).persist()
+    assign = scored.filter(F.col("crank") == 1).select("vec_id", "emb", "n2", "list_id")
+    plists = (
+        scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("emb").alias("p_emb"),
+            F.col("n2").alias("p_n2"),
+            F.col("list_id"),
+        )
+    )
+    pair_cos = F.round(
+        vectors.dot(vectors.emb_double(F.col("emb")), vectors.emb_double(F.col("p_emb")))
+        / F.sqrt(F.col("n2") * F.col("p_n2")),
+        6,
+    )
+    cand = (
+        assign.join(F.broadcast(plists), "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", pair_cos.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivf_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    cent_dot = vectors.dot_sql("b.emb", "c.cent")
+    cent_n2 = vectors.norm2_sql("c.cent")
+    pair_cos = (
+        f"ROUND({vectors.dot_sql('a.emb', 'p.p_emb')} / sqrt(a.n2 * p.p_n2), 6)"
+    )
+    return f"""
+WITH flat AS (
+  SELECT label, pos,
+         CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * {_SCALE}, 0) AS BIGINT) AS micro
+  FROM embeddings, (SELECT unnest(range(1, {vectors.EMB_DIM + 1})) AS pos)
+),
+cent_flat AS (
+  SELECT label, pos,
+         CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * {float(_SCALE)}) AS c
+  FROM flat GROUP BY label, pos
+),
+centroids AS (
+  SELECT label AS list_id, list(c ORDER BY pos) AS cent FROM cent_flat GROUP BY label
+),
+base AS (
+  SELECT vec_id, embedding AS emb, {n2} AS n2 FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id, b.emb, b.n2, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY ROUND({cent_dot} / (sqrt(b.n2) * sqrt({cent_n2})), 6) DESC, c.list_id ASC
+         ) AS crank
+  FROM base b CROSS JOIN centroids c
+),
+assign AS (SELECT vec_id, emb, n2, list_id FROM scored WHERE crank = 1),
+plists AS (
+  SELECT vec_id AS probe_id, emb AS p_emb, n2 AS p_n2, list_id
+  FROM scored WHERE vec_id < {N_PROBES} AND crank <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.probe_id, a.vec_id, {pair_cos} AS cosine
+  FROM assign a JOIN plists p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM cand
+)
+SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANN_IVF_TOPK_SQL = _ivf_sql()

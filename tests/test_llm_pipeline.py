@@ -13,6 +13,7 @@ LLM_KEYS = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "centroid_similarity",
     "text_language_id",
     "text_quality_score",
