@@ -51,6 +51,7 @@ _QUERIES: dict[str, QueryFn] = {
     "viewshed_observer_count": viewshed.viewshed_observer_count,
     "free_space_loss": viewshed.free_space_loss,
     "utm_zone_convergence": viewshed.utm_zone_convergence,
+    "viewshed_los_refraction": viewshed.viewshed_los_refraction,
     # relational core (#23-27)
     "pricing_summary": relational.pricing_summary,
     "top_orders": relational.top_orders,
@@ -106,6 +107,7 @@ _ORACLES: dict[str, str] = {
     "viewshed_observer_count": viewshed.VIEWSHED_OBSERVER_COUNT_SQL,
     "free_space_loss": viewshed.FREE_SPACE_LOSS_SQL,
     "utm_zone_convergence": viewshed.UTM_ZONE_CONVERGENCE_SQL,
+    "viewshed_los_refraction": viewshed.VIEWSHED_LOS_REFRACTION_SQL,
     "pricing_summary": relational.PRICING_SUMMARY_SQL,
     "top_orders": relational.TOP_ORDERS_SQL,
     "region_volume": relational.REGION_VOLUME_SQL,

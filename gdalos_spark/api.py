@@ -1,0 +1,171 @@
+"""User-facing API mirroring the reference's public entry points.
+
+A gdalos user drives the reference through a handful of functions —
+`gdalos_trans`, `gdalos_info`, `los_calc`, `viewshed_calc`, combine,
+scale, color-relief, gdal2xyz, point sampling. This module exposes the
+same vocabulary over the distributed engine so switching is a matter of
+passing DataFrames instead of dataset paths. Each function is a thin
+composition over the operator library and returns a lazy DataFrame —
+nothing executes until the caller acts on it.
+
+Reference mapping (file:line cited per function):
+  gdalos_trans      gdalos_trans.py:82   -> crop / warp / overview / scale
+  gdalos_info       gdalos_trans.py:1220 -> raster_info / raster_histogram
+  gdalos_combine    calc/gdalos_combine.py -> combine count/max/unique
+  los_calc          viewshed/viewshed_calc.py:636 -> viewshed_los
+  viewshed_calc     viewshed/viewshed_calc.py:113 -> viewshed_observer_count
+  calc_fsl          viewshed/viewshed_calc.py:627 -> free_space_loss
+  gdal2xyz          gdal2xyz.py          -> raster_to_xyz
+  gdal_to_czml      calc/gdal_to_czml.py:18 -> raster_to_czml
+  get_pixel         calc/get_pixel_from_raster.py -> pixel_lookup
+  make_partitions   partitions.py        -> raster_partition_stats
+  DataSetSelector   gdalos_selector.py   -> extent_selector
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gdalos_spark.operators import export, raster, relational, similarity, text, viewshed
+from gdalos_spark.operators import dedup as dedup_ops
+from gdalos_spark.operators import multimodal as multimodal_ops
+from gdalos_spark.streaming import events as streaming_events
+
+
+class GdalosSpark:
+    """Session-bound facade: ``eng = GdalosSpark(spark, sf_dir)`` then
+    ``eng.info()``, ``eng.los()``, ``eng.dedup_minhash()`` ... — the
+    reference's verbs over the distributed engine."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # --- gdalos_trans family (translate = crop/warp/overview/scale) ---
+    def crop(self) -> DataFrame:
+        return raster.raster_crop(self.spark, self.sf_dir)
+
+    def warp(self) -> DataFrame:
+        return raster.raster_warp_affine(self.spark, self.sf_dir)
+
+    def overviews(self) -> DataFrame:
+        return raster.raster_overview(self.spark, self.sf_dir)
+
+    def overviews_discrete(self) -> DataFrame:
+        return raster.raster_overview_mode(self.spark, self.sf_dir)
+
+    def scale(self) -> DataFrame:
+        return raster.raster_scale(self.spark, self.sf_dir)
+
+    def color_relief(self) -> DataFrame:
+        return raster.raster_color_relief(self.spark, self.sf_dir)
+
+    # --- info / stats ---
+    def info(self) -> DataFrame:
+        return raster.raster_info(self.spark, self.sf_dir)
+
+    def histogram(self) -> DataFrame:
+        return raster.raster_histogram(self.spark, self.sf_dir)
+
+    def partition_stats(self) -> DataFrame:
+        return raster.raster_partition_stats(self.spark, self.sf_dir)
+
+    # --- combine / calc / mosaic ---
+    def calc(self) -> DataFrame:
+        return raster.raster_calc_expr(self.spark, self.sf_dir)
+
+    def combine_count(self) -> DataFrame:
+        return raster.raster_combine_count(self.spark, self.sf_dir)
+
+    def combine_max(self) -> DataFrame:
+        return raster.raster_combine_max(self.spark, self.sf_dir)
+
+    def combine_unique(self) -> DataFrame:
+        return raster.raster_combine_unique(self.spark, self.sf_dir)
+
+    def mosaic(self) -> DataFrame:
+        return raster.raster_mosaic(self.spark, self.sf_dir)
+
+    def rasterize(self) -> DataFrame:
+        return raster.rasterize_points(self.spark, self.sf_dir)
+
+    # --- viewshed / geo ---
+    def los(self, refraction: bool = False) -> DataFrame:
+        fn = viewshed.viewshed_los_refraction if refraction else viewshed.viewshed_los
+        return fn(self.spark, self.sf_dir)
+
+    def viewshed(self) -> DataFrame:
+        return viewshed.viewshed_observer_count(self.spark, self.sf_dir)
+
+    def free_space_loss(self) -> DataFrame:
+        return viewshed.free_space_loss(self.spark, self.sf_dir)
+
+    def utm_convergence(self) -> DataFrame:
+        return viewshed.utm_zone_convergence(self.spark, self.sf_dir)
+
+    # --- export / sampling ---
+    def to_xyz(self) -> DataFrame:
+        return raster.raster_to_xyz(self.spark, self.sf_dir)
+
+    def to_czml(self) -> DataFrame:
+        return export.raster_to_czml(self.spark, self.sf_dir)
+
+    def sample_points(self) -> DataFrame:
+        return raster.pixel_lookup(self.spark, self.sf_dir)
+
+    def select_datasets(self) -> DataFrame:
+        return raster.extent_selector(self.spark, self.sf_dir)
+
+    # --- LLM-pipeline extensions ---
+    def dedup_exact(self) -> DataFrame:
+        return dedup_ops.dedup_exact(self.spark, self.sf_dir)
+
+    def dedup_minhash(self) -> DataFrame:
+        return dedup_ops.dedup_minhash_lsh(self.spark, self.sf_dir)
+
+    def dedup_simhash(self) -> DataFrame:
+        return dedup_ops.dedup_simhash(self.spark, self.sf_dir)
+
+    def dedup_jaccard(self) -> DataFrame:
+        return dedup_ops.dedup_ngram_jaccard(self.spark, self.sf_dir)
+
+    def dedup_embeddings(self) -> DataFrame:
+        return dedup_ops.dedup_embedding_cosine(self.spark, self.sf_dir)
+
+    def ann(self, method: str = "brute") -> DataFrame:
+        fns = {
+            "brute": similarity.ann_cosine_topk,
+            "lsh": similarity.ann_lsh_topk,
+            "ivf": similarity.ann_ivf_topk,
+        }
+        return fns[method](self.spark, self.sf_dir)
+
+    def centroids(self) -> DataFrame:
+        return similarity.centroid_similarity(self.spark, self.sf_dir)
+
+    def language_id(self) -> DataFrame:
+        return text.text_language_id(self.spark, self.sf_dir)
+
+    def quality(self) -> DataFrame:
+        return text.text_quality_score(self.spark, self.sf_dir)
+
+    def token_stats(self) -> DataFrame:
+        return text.text_token_stats(self.spark, self.sf_dir)
+
+    def fingerprints(self) -> DataFrame:
+        return text.doc_fingerprint(self.spark, self.sf_dir)
+
+    def decode_media(self) -> DataFrame:
+        return multimodal_ops.multimodal_decode(self.spark, self.sf_dir)
+
+    def sample_frames(self) -> DataFrame:
+        return multimodal_ops.multimodal_frames(self.spark, self.sf_dir)
+
+    def stream_event_counts(self) -> DataFrame:
+        return streaming_events.streaming_event_counts(self.spark, self.sf_dir)
+
+    def stream_sessions(self) -> DataFrame:
+        return streaming_events.streaming_sessionize(self.spark, self.sf_dir)
+
+    def sessionize(self) -> DataFrame:
+        return relational.events_sessionize(self.spark, self.sf_dir)

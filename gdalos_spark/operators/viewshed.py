@@ -287,3 +287,77 @@ SELECT c_custkey, lon, lat, zone,
        CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS hemisphere
 FROM z
 """
+
+# ---------------------------------------------------------------------------
+# 46. viewshed_los_refraction — LOS with earth-curvature + atmospheric
+#     refraction correction
+# ---------------------------------------------------------------------------
+
+REFRACTION_COEFF = 1.0 / 7.0  # atmospheric_refraction_coeff, viewshed_params.py:28
+CURVE_COEFF = 1.0 - REFRACTION_COEFF  # gdal curve_coefficient (refraction_coeff.py:29)
+SPHERE_DIAMETER_M = 2.0 * 6_378_137.0  # WGS84 semi-major axis * 2
+CELL_M = 100.0  # grid cell edge in meters
+
+
+def viewshed_los_refraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOS with the GDAL/talos earth-curvature + refraction correction
+    (refraction_coeff.py:29): corrected height =
+    z - cc * d^2 / sphere_diameter with cc = 1 - 1/7. Identical ray/
+    window plan to viewshed_los; only the tangent numerator changes —
+    d^2 in meters is exact integer*constant arithmetic, so the oracle
+    stays bit-exact."""
+    g = dem_grid(spark, sf_dir)
+    dx, dy = F.col("px") - OBS_X, F.col("py") - OBS_Y
+    ray, d2 = _ray_cols(dx, dy)
+    d_m = F.sqrt(d2.cast("double") * (CELL_M * CELL_M))
+    z_corr = (
+        F.col("elev").cast("double")
+        - F.lit(CURVE_COEFF) * (d2.cast("double") * (CELL_M * CELL_M)) / F.lit(SPHERE_DIAMETER_M)
+    )
+    cells = (
+        g.filter((F.col("px") != OBS_X) | (F.col("py") != OBS_Y))
+        .select(
+            "px", "py",
+            ray.alias("ray"), d2.alias("d2"),
+            ((z_corr - OBS_Z) / d_m).alias("tan_angle"),
+        )
+    )
+    w = (
+        Window.partitionBy("ray")
+        .orderBy("d2", "px", "py")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_before = F.max("tan_angle").over(w)
+    return cells.select(
+        "px", "py", "ray",
+        F.sqrt(F.col("d2").cast("double") * (CELL_M * CELL_M)).alias("dist_m"),
+        "tan_angle",
+        F.when(max_before.isNull() | (F.col("tan_angle") >= max_before), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("visible"),
+    )
+
+
+def _los_refraction_sql() -> str:
+    ray, d2 = _ray_sql(f"(px - {OBS_X})", f"(py - {OBS_Y})")
+    d2m = f"(CAST({d2} AS DOUBLE) * {CELL_M * CELL_M})"
+    z_corr = f"(CAST(elev AS DOUBLE) - {CURVE_COEFF} * {d2m} / {SPHERE_DIAMETER_M})"
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+cells AS (
+  SELECT px, py, {ray} AS ray, {d2} AS d2,
+         ({z_corr} - {OBS_Z}) / sqrt({d2m}) AS tan_angle
+  FROM dem WHERE NOT (px = {OBS_X} AND py = {OBS_Y})
+)
+SELECT px, py, ray, sqrt(CAST(d2 AS DOUBLE) * {CELL_M * CELL_M}) AS dist_m, tan_angle,
+       CAST(CASE WHEN mb IS NULL OR tan_angle >= mb THEN 1 ELSE 0 END AS INTEGER) AS visible
+FROM (
+  SELECT *, MAX(tan_angle) OVER (PARTITION BY ray ORDER BY d2, px, py
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+  FROM cells
+)
+"""
+
+
+VIEWSHED_LOS_REFRACTION_SQL = _los_refraction_sql()

@@ -1,0 +1,28 @@
+"""Smoke test for the reference-parity API facade."""
+
+from gdalos_spark.api import GdalosSpark
+from tests.conftest import SF_DIR
+
+
+def test_facade_covers_reference_verbs(spark):
+    eng = GdalosSpark(spark, SF_DIR)
+    # lazy construction only — every verb must build a valid plan
+    verbs = [
+        eng.crop, eng.warp, eng.overviews, eng.overviews_discrete, eng.scale,
+        eng.color_relief, eng.info, eng.histogram, eng.partition_stats,
+        eng.calc, eng.combine_count, eng.combine_max, eng.combine_unique,
+        eng.mosaic, eng.rasterize, eng.los, eng.viewshed, eng.free_space_loss,
+        eng.utm_convergence, eng.to_xyz, eng.to_czml, eng.sample_points,
+        eng.select_datasets, eng.dedup_exact, eng.dedup_minhash,
+        eng.dedup_simhash, eng.dedup_jaccard, eng.dedup_embeddings,
+        eng.centroids, eng.language_id, eng.quality, eng.token_stats,
+        eng.fingerprints, eng.decode_media, eng.sample_frames, eng.sessionize,
+    ]
+    for verb in verbs:
+        df = verb()
+        assert df.columns  # plan resolved
+    assert eng.los(refraction=True).columns
+    for method in ("brute", "lsh", "ivf"):
+        assert eng.ann(method=method).columns
+    # one representative executes end-to-end
+    assert eng.info().count() > 0

@@ -10,6 +10,7 @@ VIEWSHED_KEYS = [
     "viewshed_observer_count",
     "free_space_loss",
     "utm_zone_convergence",
+    "viewshed_los_refraction",
 ]
 
 
