@@ -73,14 +73,22 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load(spark, sf_dir, t).count()
 
+    # The host is shared: a neighbor's load spike can inflate a single
+    # run 5-30x. Run each query REPS times and report the minimum — the
+    # closest observation to the true cost of the plan.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_query_wall_time",
