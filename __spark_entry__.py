@@ -16,6 +16,7 @@ from gdalos_spark.operators import (
     dedup,
     export,
     multimodal,
+    pipeline,
     raster,
     relational,
     similarity,
@@ -82,6 +83,10 @@ _QUERIES: dict[str, QueryFn] = {
     "multimodal_frames": multimodal.multimodal_frames,
     # custom stateful streaming (#44, rows-only)
     "streaming_sessionize": streaming_events.streaming_sessionize,
+    # hillshade, salted agg, composite pipeline (#47-49)
+    "raster_hillshade": raster.raster_hillshade,
+    "skewed_agg_salted": relational.skewed_agg_salted,
+    "corpus_filter": pipeline.corpus_filter,
 }
 
 _ORACLES: dict[str, str] = {
@@ -130,6 +135,9 @@ _ORACLES: dict[str, str] = {
     # stages have no SQL oracle
     "streaming_event_counts": streaming_events.STREAMING_EVENT_COUNTS_SQL,
     "raster_to_czml": export.RASTER_TO_CZML_SQL,
+    "raster_hillshade": raster.RASTER_HILLSHADE_SQL,
+    "skewed_agg_salted": relational.SKEWED_AGG_SALTED_SQL,
+    "corpus_filter": pipeline.CORPUS_FILTER_SQL,
 }
 
 

@@ -730,3 +730,98 @@ SELECT c_nationkey, min_x, max_x, min_y, max_y,
   CAST(min_x <= {AOI[1]} AND max_x >= {AOI[0]} AND min_y <= {AOI[3]} AND max_y >= {AOI[2]} AS INTEGER) AS intersects_aoi
 FROM ext
 """
+
+# ---------------------------------------------------------------------------
+# 47. raster_hillshade — Horn-kernel hillshade (gdaldem family)
+#    ref: gdal.DEMProcessing entry point at calc/gdalos_raster_color.py:68
+#         (the reference drives the gdaldem processing family through it;
+#         hillshade is the classic member, Horn 1981 kernel)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+HS_AZIMUTH_DEG = 315.0
+HS_ALTITUDE_DEG = 45.0
+HS_ZFACTOR = 0.01  # flatten derived-elevation units
+# trig of the light direction precomputed HOST-side: the engines never run
+# trig, so the gated values stay deterministic
+_SIN_ALT = _math.sin(_math.radians(HS_ALTITUDE_DEG))
+_COS_ALT = _math.cos(_math.radians(HS_ALTITUDE_DEG))
+_SIN_AZ = _math.sin(_math.radians(HS_AZIMUTH_DEG))
+_COS_AZ = _math.cos(_math.radians(HS_AZIMUTH_DEG))
+
+# Horn weights: (dx, dy, wx, wy)
+_HORN = [
+    (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1),
+    (0, -1, 0, -2), (0, 1, 0, 2),
+    (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+]
+
+
+def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade: per-cell Horn gradient from the 8-neighborhood, then
+    the standard illumination formula with precomputed light-direction
+    constants. The 2-D stencil is ONE broadcast join against the 8-row
+    offset table + ONE groupBy on the target cell — on the tiled layout
+    both sides co-partition, so the stencil never does 8 self-joins.
+    Only complete neighborhoods (all 8 neighbors present) are emitted."""
+    g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
+    offsets = spark.createDataFrame(_HORN, "dx int, dy int, wx int, wy int")
+    contrib = (
+        g.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("px") - F.col("dx")).alias("tx"),
+            (F.col("py") - F.col("dy")).alias("ty"),
+            (F.col("wx") * F.col("z")).alias("wxz"),
+            (F.col("wy") * F.col("z")).alias("wyz"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbr"),
+            F.sum("wxz").alias("sum_wx"),
+            F.sum("wyz").alias("sum_wy"),
+        )
+        .filter(F.col("n_nbr") == 8)
+    )
+    full = contrib.join(g, (F.col("tx") == F.col("px")) & (F.col("ty") == F.col("py")))
+    dzdx = F.col("sum_wx") * HS_ZFACTOR / 8.0
+    dzdy = F.col("sum_wy") * HS_ZFACTOR / 8.0
+    num = F.lit(_SIN_ALT) - F.lit(_COS_ALT) * (dzdx * F.lit(_SIN_AZ) + dzdy * F.lit(-_COS_AZ))
+    hs = F.lit(255.0) * num / F.sqrt(F.lit(1.0) + dzdx * dzdx + dzdy * dzdy)
+    hs_clamped = F.greatest(F.lit(0.0), F.least(F.lit(255.0), hs))
+    return full.select(
+        "px", "py",
+        F.round(dzdx, 6).alias("dzdx"),
+        F.round(dzdy, 6).alias("dzdy"),
+        F.floor(hs_clamped).cast("int").alias("hillshade"),
+    )
+
+
+def _hillshade_sql() -> str:
+    offs = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _HORN)
+    dzdx = f"(sum_wx * {HS_ZFACTOR} / 8.0)"
+    dzdy = f"(sum_wy * {HS_ZFACTOR} / 8.0)"
+    num = f"({_SIN_ALT!r} - {_COS_ALT!r} * ({dzdx} * {_SIN_AZ!r} + {dzdy} * {-_COS_AZ!r}))"
+    hs = f"(255.0 * {num} / sqrt(1.0 + {dzdx}*{dzdx} + {dzdy}*{dzdy}))"
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DOUBLE) AS z FROM dem),
+offsets(dx, dy, wx, wy) AS (VALUES {offs}),
+contrib AS (
+  SELECT px - dx AS tx, py - dy AS ty, wx * z AS wxz, wy * z AS wyz
+  FROM g CROSS JOIN offsets
+),
+stencil AS (
+  SELECT tx, ty, COUNT(*) AS n_nbr, SUM(wxz) AS sum_wx, SUM(wyz) AS sum_wy
+  FROM contrib GROUP BY 1, 2
+  HAVING COUNT(*) = 8
+)
+SELECT g.px, g.py,
+       ROUND({dzdx}, 6) AS dzdx,
+       ROUND({dzdy}, 6) AS dzdy,
+       CAST(FLOOR(GREATEST(0.0, LEAST(255.0, {hs}))) AS INTEGER) AS hillshade
+FROM stencil JOIN g ON stencil.tx = g.px AND stencil.ty = g.py
+"""
+
+
+RASTER_HILLSHADE_SQL = _hillshade_sql()

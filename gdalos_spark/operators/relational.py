@@ -238,3 +238,41 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
+
+# ---------------------------------------------------------------------------
+# 48. skewed_agg_salted — explicit two-phase salted aggregation
+# ---------------------------------------------------------------------------
+
+N_SALTS = 16
+
+
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user aggregation: phase 1 groups on
+    (user_id, salt = event_id % N_SALTS) so a hot user's rows spread over
+    N_SALTS reducers; phase 2 merges the partials on user_id, moving at
+    most N_SALTS rows per user. Result is identical to the direct
+    groupBy (the oracle IS the direct groupBy) — this is the salting
+    pattern for skew that AQE's skew-join handling does not cover for
+    aggregations. Decimal partials keep the merge exact."""
+    ev = load(spark, sf_dir, "events")
+    phase1 = (
+        ev.groupBy("user_id", (F.col("event_id") % N_SALTS).alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )
+
+
+SKEWED_AGG_SALTED_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""

@@ -46,3 +46,12 @@ def test_ann_lsh_subset_of_brute_force(spark):
     for r in lsh:
         if (r.probe_id, r.vec_id) in brute:
             assert brute[(r.probe_id, r.vec_id)] == r.cosine
+
+
+def test_corpus_filter_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["corpus_filter"],
+        entrymod.oracle_sql()["corpus_filter"],
+    )

@@ -32,3 +32,15 @@ def test_raster_matches_oracle(spark, ducks, key):
     q = entrymod.queries()[key]
     sql = entrymod.oracle_sql()[key]
     assert_matches_oracle(spark, ducks, q, sql)
+
+
+def test_raster_hillshade_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_hillshade"],
+        entrymod.oracle_sql()["raster_hillshade"],
+    )

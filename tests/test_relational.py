@@ -24,3 +24,12 @@ def test_relational_matches_oracle(spark, ducks, key):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_skewed_agg_salted_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["skewed_agg_salted"],
+        entrymod.oracle_sql()["skewed_agg_salted"],
+    )
