@@ -87,6 +87,8 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_hillshade": raster.raster_hillshade,
     "skewed_agg_salted": relational.skewed_agg_salted,
     "corpus_filter": pipeline.corpus_filter,
+    # sliding-window streaming (#50)
+    "streaming_sliding_counts": streaming_events.streaming_sliding_counts,
 }
 
 _ORACLES: dict[str, str] = {
@@ -138,6 +140,7 @@ _ORACLES: dict[str, str] = {
     "raster_hillshade": raster.RASTER_HILLSHADE_SQL,
     "skewed_agg_salted": relational.SKEWED_AGG_SALTED_SQL,
     "corpus_filter": pipeline.CORPUS_FILTER_SQL,
+    "streaming_sliding_counts": streaming_events.STREAMING_SLIDING_COUNTS_SQL,
 }
 
 

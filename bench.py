@@ -37,6 +37,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_score",
     "doc_fingerprint",
+    "raster_hillshade",
+    "corpus_filter",
+    "viewshed_observer_count",
 ]
 
 

@@ -183,3 +183,63 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """
+
+
+SLIDING_QUERY_NAME = "gdalos_stream_sliding_counts"
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 hour long, 30 minute slide) per
+    event_type, computed by Structured Streaming with a watermark and
+    materialized through the memory sink. Every event lands in exactly
+    two overlapping windows; the oracle reproduces that with a 2-row
+    offset cross join on the batch data. Complete mode over availableNow
+    equals the batch computation, so this is a full hash-gated entry."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == SLIDING_QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(SLIDING_QUERY_NAME)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(SLIDING_QUERY_NAME).select(
+        F.col("w").getField("start").cast("long").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# batch twin: each event belongs to the two 30-min-aligned windows
+# covering it
+STREAMING_SLIDING_COUNTS_SQL = """
+SELECT
+  CAST(FLOOR(FLOOR(epoch(ts)) / 1800) * 1800 - o AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN (VALUES (0), (1800)) offs(o)
+GROUP BY 1, 2
+"""

@@ -83,3 +83,23 @@ def test_whole_stage_codegen_covers_pricing_summary(spark):
         assert_whole_stage_codegen(q(spark, "pricing_summary"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_hillshade_stencil_is_broadcast_not_selfjoin(spark):
+    plan = assert_in_plan(q(spark, "raster_hillshade"), "BroadcastHashJoin")
+    # two dem subtrees (stencil side + center join), NOT 8 self-joins;
+    # formatted explain mentions each scan twice (tree node + detail)
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_corpus_filter_single_fused_plan(spark):
+    assert_no_cartesian(q(spark, "corpus_filter"))
+    assert_not_in_plan(q(spark, "corpus_filter"), "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_salted_agg_two_phase(spark):
+    from gdalos_spark.plans.asserts import explain_str
+
+    plan = explain_str(q(spark, "skewed_agg_salted"))
+    # two distinct hash aggregations: (user_id, salt) then (user_id)
+    assert plan.count("HashAggregate") >= 4  # partial+final per phase
