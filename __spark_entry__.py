@@ -89,6 +89,10 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_filter": pipeline.corpus_filter,
     # sliding-window streaming (#50)
     "streaming_sliding_counts": streaming_events.streaming_sliding_counts,
+    # gdaldem processing family (#51-53)
+    "raster_slope_percent": raster.raster_slope_percent,
+    "raster_aspect_sector": raster.raster_aspect_sector,
+    "raster_terrain_ruggedness": raster.raster_terrain_ruggedness,
 }
 
 _ORACLES: dict[str, str] = {
@@ -141,6 +145,9 @@ _ORACLES: dict[str, str] = {
     "skewed_agg_salted": relational.SKEWED_AGG_SALTED_SQL,
     "corpus_filter": pipeline.CORPUS_FILTER_SQL,
     "streaming_sliding_counts": streaming_events.STREAMING_SLIDING_COUNTS_SQL,
+    "raster_slope_percent": raster.RASTER_SLOPE_SQL,
+    "raster_aspect_sector": raster.RASTER_ASPECT_SQL,
+    "raster_terrain_ruggedness": raster.RASTER_RUGGEDNESS_SQL,
 }
 
 

@@ -825,3 +825,226 @@ FROM stencil JOIN g ON stencil.tx = g.px AND stencil.ty = g.py
 
 
 RASTER_HILLSHADE_SQL = _hillshade_sql()
+
+
+# ---------------------------------------------------------------------------
+# 51-53. gdaldem processing family: slope / aspect / TRI+TPI+roughness
+#    ref: gdal.DEMProcessing entry point at calc/gdalos_raster_color.py:68
+#         ('processing' selects hillshade|slope|aspect|TRI|TPI|Roughness;
+#         the reference exposes the whole family through that call)
+#
+# Determinism note: the 8-neighbor stencil sums run in exact DECIMAL
+# (elev is DECIMAL(18,2); weights are small ints), so the aggregation is
+# order-independent and bit-identical across engines. Doubles appear only
+# AFTER aggregation, in deterministic IEEE expressions (+ - * / sqrt are
+# correctly rounded). No trig: slope is emitted as percent (the gdaldem
+# `-p` variant) and aspect as an 8-sector compass class via sign/ratio
+# comparisons with a host-precomputed tan(22.5 deg) literal.
+# ---------------------------------------------------------------------------
+
+TAN_22_5 = 0.41421356237309503  # tan(pi/8), host-precomputed
+
+
+def _horn_stencil(g: DataFrame, spark: SparkSession) -> DataFrame:
+    """Exact-decimal Horn gradient sums over the 8-neighborhood.
+
+    One broadcast join against the 8-row offset table + one groupBy on
+    the target cell — never 8 self-joins. Returns (px, py, z, sum_wx,
+    sum_wy) for complete neighborhoods, with the weighted sums still
+    exact DECIMAL.
+    """
+    offsets = spark.createDataFrame(_HORN, "dx int, dy int, wx int, wy int")
+    contrib = (
+        g.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("px") - F.col("dx")).alias("tx"),
+            (F.col("py") - F.col("dy")).alias("ty"),
+            (F.col("wx") * F.col("zd")).alias("wxz"),
+            (F.col("wy") * F.col("zd")).alias("wyz"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbr"),
+            F.sum("wxz").alias("sum_wx"),
+            F.sum("wyz").alias("sum_wy"),
+        )
+        .filter(F.col("n_nbr") == 8)
+    )
+    return contrib.join(g, (F.col("tx") == F.col("px")) & (F.col("ty") == F.col("py")))
+
+
+def _dem_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dem_grid(spark, sf_dir).select(
+        "px", "py", F.col("elev").cast("decimal(18,2)").alias("zd")
+    )
+
+
+_HORN_STENCIL_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DECIMAL(18,2)) AS zd FROM dem),
+offsets(dx, dy, wx, wy) AS (VALUES {{offs}}),
+contrib AS (
+  SELECT px - dx AS tx, py - dy AS ty, wx * zd AS wxz, wy * zd AS wyz
+  FROM g CROSS JOIN offsets
+),
+stencil AS (
+  SELECT tx, ty, COUNT(*) AS n_nbr, SUM(wxz) AS sum_wx, SUM(wyz) AS sum_wy
+  FROM contrib GROUP BY 1, 2
+  HAVING COUNT(*) = 8
+)
+"""
+
+
+def _horn_cte() -> str:
+    offs = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _HORN)
+    return _HORN_STENCIL_SQL.format(offs=offs)
+
+
+def raster_slope_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope in percent (gdaldem slope -p): 100 * sqrt(dzdx^2 + dzdy^2)
+    from the Horn gradients; plus a 5-class steepness bucket. sqrt and
+    the products run on doubles AFTER the exact decimal stencil, so both
+    engines compute the identical IEEE value."""
+    full = _horn_stencil(_dem_decimal(spark, sf_dir), spark)
+    dzdx = F.col("sum_wx").cast("double") * HS_ZFACTOR / 8.0
+    dzdy = F.col("sum_wy").cast("double") * HS_ZFACTOR / 8.0
+    pct = F.lit(100.0) * F.sqrt(dzdx * dzdx + dzdy * dzdy)
+    return full.select(
+        "px", "py",
+        F.round(pct, 6).alias("slope_pct"),
+        F.least(F.lit(4), F.floor(pct / 25.0)).cast("int").alias("slope_class"),
+    )
+
+
+RASTER_SLOPE_SQL = (
+    _horn_cte()
+    + f"""
+SELECT g.px, g.py,
+       ROUND(100.0 * SQRT(POW(CAST(sum_wx AS DOUBLE) * {HS_ZFACTOR} / 8.0, 2)
+                        + POW(CAST(sum_wy AS DOUBLE) * {HS_ZFACTOR} / 8.0, 2)), 6) AS slope_pct,
+       CAST(LEAST(4, FLOOR(100.0 * SQRT(POW(CAST(sum_wx AS DOUBLE) * {HS_ZFACTOR} / 8.0, 2)
+                        + POW(CAST(sum_wy AS DOUBLE) * {HS_ZFACTOR} / 8.0, 2)) / 25.0)) AS INTEGER) AS slope_class
+FROM stencil JOIN g ON stencil.tx = g.px AND stencil.ty = g.py
+"""
+)
+
+
+def raster_aspect_sector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect as an 8-sector compass class (gdaldem aspect, discretized).
+
+    The downhill vector is (-dzdx, -dzdy); the octant comes from pure
+    sign/ratio comparisons against tan(22.5 deg) — no engine trig, so the
+    classification is bit-deterministic. FLAT when both gradients are 0
+    (exact decimal zeros, so the flat test is exact too)."""
+    full = _horn_stencil(_dem_decimal(spark, sf_dir), spark)
+    x = -F.col("sum_wx").cast("double")  # downhill east component
+    y = -F.col("sum_wy").cast("double")  # downhill north component
+    ax, ay = F.abs(x), F.abs(y)
+    t = F.lit(TAN_22_5)
+    sector = (
+        F.when((F.col("sum_wx") == 0) & (F.col("sum_wy") == 0), "FLAT")
+        .when(ay <= t * ax, F.when(x > 0, "E").otherwise("W"))
+        .when(ax <= t * ay, F.when(y > 0, "N").otherwise("S"))
+        .when((x > 0) & (y > 0), "NE")
+        .when((x > 0) & (y < 0), "SE")
+        .when((x < 0) & (y > 0), "NW")
+        .otherwise("SW")
+    )
+    return full.select("px", "py", sector.alias("aspect_sector"))
+
+
+RASTER_ASPECT_SQL = (
+    _horn_cte()
+    + f"""
+SELECT g.px, g.py,
+  CASE
+    WHEN sum_wx = 0 AND sum_wy = 0 THEN 'FLAT'
+    WHEN ABS(-CAST(sum_wy AS DOUBLE)) <= {TAN_22_5!r} * ABS(-CAST(sum_wx AS DOUBLE))
+      THEN CASE WHEN -CAST(sum_wx AS DOUBLE) > 0 THEN 'E' ELSE 'W' END
+    WHEN ABS(-CAST(sum_wx AS DOUBLE)) <= {TAN_22_5!r} * ABS(-CAST(sum_wy AS DOUBLE))
+      THEN CASE WHEN -CAST(sum_wy AS DOUBLE) > 0 THEN 'N' ELSE 'S' END
+    WHEN -CAST(sum_wx AS DOUBLE) > 0 AND -CAST(sum_wy AS DOUBLE) > 0 THEN 'NE'
+    WHEN -CAST(sum_wx AS DOUBLE) > 0 AND -CAST(sum_wy AS DOUBLE) < 0 THEN 'SE'
+    WHEN -CAST(sum_wx AS DOUBLE) < 0 AND -CAST(sum_wy AS DOUBLE) > 0 THEN 'NW'
+    ELSE 'SW'
+  END AS aspect_sector
+FROM stencil JOIN g ON stencil.tx = g.px AND stencil.ty = g.py
+"""
+)
+
+
+def raster_terrain_ruggedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRI (Riley), TPI, and roughness in ONE unweighted stencil pass
+    (gdaldem TRI / TPI / roughness modes). The neighbor sums
+    (sum z, sum z^2, min, max) aggregate exact decimals; the three
+    indices are then deterministic double expressions:
+      TRI       = sqrt(sum((z - zi)^2)) = sqrt(sum_z2 - 2 z sum_z + 8 z^2)
+      TPI       = z - sum_z / 8
+      roughness = max(all 9 cells) - min(all 9 cells)
+    """
+    g = _dem_decimal(spark, sf_dir)
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx, dy, _, _ in _HORN], "dx int, dy int"
+    )
+    nbr = (
+        g.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("px") - F.col("dx")).alias("tx"),
+            (F.col("py") - F.col("dy")).alias("ty"),
+            F.col("zd").alias("nz"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbr"),
+            F.sum("nz").alias("sum_z"),
+            F.sum((F.col("nz") * F.col("nz")).cast("decimal(38,4)")).alias("sum_z2"),
+            F.min("nz").alias("min_z"),
+            F.max("nz").alias("max_z"),
+        )
+        .filter(F.col("n_nbr") == 8)
+    )
+    full = nbr.join(g, (F.col("tx") == F.col("px")) & (F.col("ty") == F.col("py")))
+    z = F.col("zd").cast("double")
+    sz = F.col("sum_z").cast("double")
+    sz2 = F.col("sum_z2").cast("double")
+    tri = F.sqrt(F.greatest(F.lit(0.0), sz2 - 2.0 * z * sz + 8.0 * z * z))
+    tpi = z - sz / 8.0
+    rough = (
+        F.greatest(F.col("max_z"), F.col("zd")) - F.least(F.col("min_z"), F.col("zd"))
+    ).cast("double")
+    return full.select(
+        "px", "py",
+        F.round(tri, 6).alias("tri"),
+        F.round(tpi, 6).alias("tpi"),
+        F.round(rough, 2).alias("roughness"),
+    )
+
+
+def _ruggedness_sql() -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy, _, _ in _HORN)
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DECIMAL(18,2)) AS zd FROM dem),
+offsets(dx, dy) AS (VALUES {offs}),
+nbr AS (
+  SELECT px - dx AS tx, py - dy AS ty,
+         COUNT(*) AS n_nbr,
+         SUM(zd) AS sum_z,
+         SUM(CAST(zd * zd AS DECIMAL(38,4))) AS sum_z2,
+         MIN(zd) AS min_z,
+         MAX(zd) AS max_z
+  FROM g CROSS JOIN offsets
+  GROUP BY 1, 2
+  HAVING COUNT(*) = 8
+)
+SELECT g.px, g.py,
+  ROUND(SQRT(GREATEST(0.0, CAST(sum_z2 AS DOUBLE)
+        - 2.0 * CAST(g.zd AS DOUBLE) * CAST(sum_z AS DOUBLE)
+        + 8.0 * CAST(g.zd AS DOUBLE) * CAST(g.zd AS DOUBLE))), 6) AS tri,
+  ROUND(CAST(g.zd AS DOUBLE) - CAST(sum_z AS DOUBLE) / 8.0, 6) AS tpi,
+  ROUND(CAST(GREATEST(max_z, g.zd) - LEAST(min_z, g.zd) AS DOUBLE), 2) AS roughness
+FROM nbr JOIN g ON nbr.tx = g.px AND nbr.ty = g.py
+"""
+
+
+RASTER_RUGGEDNESS_SQL = _ruggedness_sql()

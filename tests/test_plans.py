@@ -103,3 +103,11 @@ def test_salted_agg_two_phase(spark):
     plan = explain_str(q(spark, "skewed_agg_salted"))
     # two distinct hash aggregations: (user_id, salt) then (user_id)
     assert plan.count("HashAggregate") >= 4  # partial+final per phase
+
+
+def test_gdaldem_stencils_are_broadcast_joins(spark):
+    for key in ("raster_slope_percent", "raster_terrain_ruggedness"):
+        # center join = BroadcastHashJoin; the 8-row offset expansion is a
+        # broadcast nested-loop (bounded side), NOT a cartesian shuffle
+        plan = assert_in_plan(q(spark, key), "BroadcastHashJoin")
+        assert "CartesianProduct" not in plan

@@ -44,3 +44,13 @@ def test_raster_hillshade_matches_oracle(spark, ducks):
         entrymod.queries()["raster_hillshade"],
         entrymod.oracle_sql()["raster_hillshade"],
     )
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["raster_slope_percent", "raster_aspect_sector", "raster_terrain_ruggedness"],
+)
+def test_gdaldem_family_matches_oracle(spark, ducks, key):
+    q = entrymod.queries()[key]
+    sql = entrymod.oracle_sql()[key]
+    assert_matches_oracle(spark, ducks, q, sql)
