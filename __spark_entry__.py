@@ -93,6 +93,11 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_slope_percent": raster.raster_slope_percent,
     "raster_aspect_sector": raster.raster_aspect_sector,
     "raster_terrain_ruggedness": raster.raster_terrain_ruggedness,
+    # duplicate-cluster resolution (#54)
+    "dedup_clusters": dedup.dedup_clusters,
+    # PII scan + stratified sampling (#55-56)
+    "text_pii_flag": text.text_pii_flag,
+    "corpus_sample_stratified": pipeline.corpus_sample_stratified,
 }
 
 _ORACLES: dict[str, str] = {
@@ -148,6 +153,9 @@ _ORACLES: dict[str, str] = {
     "raster_slope_percent": raster.RASTER_SLOPE_SQL,
     "raster_aspect_sector": raster.RASTER_ASPECT_SQL,
     "raster_terrain_ruggedness": raster.RASTER_RUGGEDNESS_SQL,
+    "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+    "text_pii_flag": text.TEXT_PII_FLAG_SQL,
+    "corpus_sample_stratified": pipeline.CORPUS_SAMPLE_STRATIFIED_SQL,
 }
 
 

@@ -425,3 +425,112 @@ WHERE ROUND({pair_dot} / (sqrt(a.n2) * sqrt(b.n2)), 6) >= {COS_TAU}
 
 
 DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()
+
+# ---------------------------------------------------------------------------
+# 54. dedup_clusters — connected components over the duplicate-pair graph
+# ---------------------------------------------------------------------------
+
+CLUSTER_MIN_EST_JACCARD = 0.5
+_CC_MAX_ITERS = 25
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: pair lists aren't actionable on their
+    own — production dedup keeps ONE doc per connected component of the
+    duplicate graph. Edges = exact-content pairs (same md5) UNION
+    minhash-LSH pairs with est_jaccard >= 0.5; each doc in the graph gets
+    cluster_id = min doc_id reachable from it, via iterative min-label
+    propagation (labels join edges -> per-vertex min, localCheckpoint per
+    round to keep lineage flat). Converges in diameter rounds; dup chains
+    are shallow, so this is 2-4 rounds in practice. At 100 TB you swap
+    the loop body for the large-star/small-star algorithm (same join
+    shape, O(log n) rounds guaranteed) — the per-round plan here IS the
+    small-star step.
+
+    Output: (doc_id, cluster_id, cluster_size) for docs in >=1 pair.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    exact_pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    near_pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    pairs = exact_pairs.union(near_pairs).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            labels.join(edges, labels.v == edges.doc_a)
+            .groupBy(F.col("doc_b").alias("v2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+  FROM documents d1 JOIN documents d2
+    ON md5(d1.text) = md5(d2.text) AND d1.doc_id < d2.doc_id
+  UNION
+  SELECT doc_a, doc_b
+  FROM ({DEDUP_MINHASH_LSH_SQL}) mh
+  WHERE est_jaccard >= {CLUSTER_MIN_EST_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u
+),
+labels AS (SELECT v, MIN(u) AS cluster_id FROM reach GROUP BY v)
+SELECT v AS doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+"""
+
+
+DEDUP_CLUSTERS_SQL = _clusters_sql()

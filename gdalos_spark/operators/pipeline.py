@@ -76,3 +76,59 @@ SELECT source,
        CAST(SUM(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM flagged GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# 56. corpus_sample_stratified — deterministic per-source hash sampling
+# ---------------------------------------------------------------------------
+
+from gdalos_spark.functions.hashing import P31, hash_base, hash_base_sql
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling, the way a training-data pipeline mixes
+    sources: each source gets a deterministic sampling rate in [10%, 50%]
+    (derived from the portable md5 hash of the source name — in real use
+    the rates come from a mixing config), and a doc is kept iff the md5
+    hash of its id falls under the rate. Hash sampling is reproducible,
+    join-free, and map-side only: the single shuffle is the tiny
+    per-source report agg. At 100 TB the same plan streams the corpus
+    once, no sort, no sample() nondeterminism."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (F.lit(10) + hash_base(F.col("source")) % 41).alias("rate_pct")
+    bucket = hash_base(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    tagged = docs.select(
+        "source",
+        rate,
+        (bucket < F.col("rate_pct")).cast("int").alias("kept"),
+    )
+    return (
+        tagged.groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "source",
+            F.col("rate_pct").cast("int").alias("rate_pct"),
+            "n_total",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total").cast("double"), 6).alias("kept_frac"),
+        )
+    )
+
+
+CORPUS_SAMPLE_STRATIFIED_SQL = f"""
+WITH tagged AS (
+  SELECT source,
+         10 + {hash_base_sql("source")} % 41 AS rate_pct,
+         CAST({hash_base_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+              < 10 + {hash_base_sql("source")} % 41 AS INTEGER) AS kept
+  FROM documents
+)
+SELECT source, CAST(rate_pct AS INTEGER) AS rate_pct,
+       COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
+FROM tagged
+GROUP BY 1, 2
+"""

@@ -241,3 +241,87 @@ SELECT doc_id, content_hash,
        CAST(len(hs) AS BIGINT) AS n_shingles
 FROM hashed
 """
+
+
+# ---------------------------------------------------------------------------
+# 55. text_pii_flag — regex PII detection + redaction
+# ---------------------------------------------------------------------------
+#
+# The synthetic corpus is plain word lists, so a deterministic fraction of
+# docs is first AUGMENTED with derived contact strings (phone/email/IP
+# built from doc_id arithmetic — identical derivation in both engines).
+# The operator itself is the real thing: portable regex detection counts +
+# ordered redaction passes, all JVM-side regexp functions (the patterns
+# avoid lookaround so Java regex and DuckDB's RE2 agree).
+
+PII_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]+"
+PII_PHONE_RE = r"555-[0-9]{4}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _augmented_text() -> "F.Column":
+    did = F.col("doc_id")
+    phone = F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0"))
+    email = F.concat(F.lit(" mail user"), (did % 97).cast("string"), F.lit("@example.com"))
+    ip = F.concat(
+        F.lit(" host 10."), (did % 223).cast("string"),
+        F.lit("."), (did % 31).cast("string"),
+        F.lit("."), (did % 254 + 1).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 5 == 0, email).otherwise(F.lit("")),
+        F.when(did % 7 == 0, ip).otherwise(F.lit("")),
+    )
+
+
+def text_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over the corpus: count emails / phone numbers / IPv4s and
+    emit the md5 of the fully-redacted text (emails -> [EMAIL] first,
+    then IPs -> [IP], then phones -> [PHONE]; that order means the IP
+    pattern can't match digits inside an already-redacted email).
+    Narrow projection, zero shuffles, whole-stage codegen end to end."""
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_IP_RE, "[IP]",
+        ),
+        PII_PHONE_RE, "[PHONE]",
+    )
+    n_email = F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).cast("bigint")
+    n_phone = F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).cast("bigint")
+    n_ip = F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).cast("bigint")
+    return aug.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+        ((n_email + n_phone + n_ip) > 0).cast("int").alias("has_pii"),
+        F.md5(red).alias("redacted_hash"),
+    )
+
+
+_AUG_SQL = """
+text
+|| CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+|| CASE WHEN doc_id % 5 = 0 THEN ' mail user' || CAST(doc_id % 97 AS VARCHAR) || '@example.com' ELSE '' END
+|| CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 223 AS VARCHAR) || '.' || CAST(doc_id % 31 AS VARCHAR) || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END
+"""
+
+TEXT_PII_FLAG_SQL = f"""
+WITH aug AS (SELECT doc_id, ({_AUG_SQL}) AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) + len(regexp_extract_all(t, '{PII_PHONE_RE}'))
+       + len(regexp_extract_all(t, '{PII_IP_RE}')) > 0 AS INTEGER) AS has_pii,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+        '{PII_IP_RE}', '[IP]', 'g'),
+        '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_hash
+FROM aug
+"""

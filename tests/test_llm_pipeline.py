@@ -19,6 +19,9 @@ LLM_KEYS = [
     "text_quality_score",
     "text_token_stats",
     "doc_fingerprint",
+    "dedup_clusters",
+    "text_pii_flag",
+    "corpus_sample_stratified",
 ]
 
 
