@@ -761,29 +761,38 @@ _HORN = [
 def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade: per-cell Horn gradient from the 8-neighborhood, then
     the standard illumination formula with precomputed light-direction
-    constants. The 2-D stencil is ONE broadcast join against the 8-row
-    offset table + ONE groupBy on the target cell — on the tiled layout
-    both sides co-partition, so the stencil never does 8 self-joins.
-    Only complete neighborhoods (all 8 neighbors present) are emitted."""
+    constants. The 2-D stencil is ONE broadcast join against a 9-row
+    offset table + ONE groupBy on the target cell — the center cell rides
+    along as a zero-weight 9th offset, so the grid is derived ONCE and
+    there is no join back (adding 0.0 to a double sum is an exact IEEE
+    identity, so the weighted sums are bit-unchanged vs an 8-row stencil
+    plus center join). Only complete neighborhoods (all 8 neighbors
+    present) are emitted."""
     g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
-    offsets = spark.createDataFrame(_HORN, "dx int, dy int, wx int, wy int")
-    contrib = (
+    offsets = spark.createDataFrame(
+        [(dx, dy, wx, wy, 0) for dx, dy, wx, wy in _HORN] + [(0, 0, 0, 0, 1)],
+        "dx int, dy int, wx int, wy int, is_c int",
+    )
+    full = (
         g.crossJoin(F.broadcast(offsets))
         .select(
             (F.col("px") - F.col("dx")).alias("tx"),
             (F.col("py") - F.col("dy")).alias("ty"),
             (F.col("wx") * F.col("z")).alias("wxz"),
             (F.col("wy") * F.col("z")).alias("wyz"),
+            F.when(F.col("is_c") == 1, F.col("z")).alias("cz"),
+            "is_c",
         )
         .groupBy("tx", "ty")
         .agg(
-            F.count(F.lit(1)).alias("n_nbr"),
+            F.sum(F.lit(1) - F.col("is_c")).alias("n_nbr"),
             F.sum("wxz").alias("sum_wx"),
             F.sum("wyz").alias("sum_wy"),
+            F.max("cz").alias("z"),
         )
-        .filter(F.col("n_nbr") == 8)
+        .filter((F.col("n_nbr") == 8) & F.col("z").isNotNull())
+        .select(F.col("tx").alias("px"), F.col("ty").alias("py"), "sum_wx", "sum_wy", "z")
     )
-    full = contrib.join(g, (F.col("tx") == F.col("px")) & (F.col("ty") == F.col("py")))
     dzdx = F.col("sum_wx") * HS_ZFACTOR / 8.0
     dzdy = F.col("sum_wy") * HS_ZFACTOR / 8.0
     num = F.lit(_SIN_ALT) - F.lit(_COS_ALT) * (dzdx * F.lit(_SIN_AZ) + dzdy * F.lit(-_COS_AZ))
@@ -848,29 +857,38 @@ TAN_22_5 = 0.41421356237309503  # tan(pi/8), host-precomputed
 def _horn_stencil(g: DataFrame, spark: SparkSession) -> DataFrame:
     """Exact-decimal Horn gradient sums over the 8-neighborhood.
 
-    One broadcast join against the 8-row offset table + one groupBy on
-    the target cell — never 8 self-joins. Returns (px, py, z, sum_wx,
-    sum_wy) for complete neighborhoods, with the weighted sums still
-    exact DECIMAL.
+    Single pass: one broadcast join against a 9-row offset table (the 8
+    Horn neighbors + the center as a zero-weight row that proves the
+    center cell exists and carries its value) + one groupBy on the target
+    cell — the grid is derived once, never 8 self-joins, no join back.
+    Returns (px, py, zd, sum_wx, sum_wy) for complete neighborhoods, with
+    the weighted sums still exact DECIMAL (the center's 0*zd term is an
+    exact zero of the same scale, so decimal sums are unchanged).
     """
-    offsets = spark.createDataFrame(_HORN, "dx int, dy int, wx int, wy int")
-    contrib = (
+    offsets = spark.createDataFrame(
+        [(dx, dy, wx, wy, 0) for dx, dy, wx, wy in _HORN] + [(0, 0, 0, 0, 1)],
+        "dx int, dy int, wx int, wy int, is_c int",
+    )
+    return (
         g.crossJoin(F.broadcast(offsets))
         .select(
             (F.col("px") - F.col("dx")).alias("tx"),
             (F.col("py") - F.col("dy")).alias("ty"),
             (F.col("wx") * F.col("zd")).alias("wxz"),
             (F.col("wy") * F.col("zd")).alias("wyz"),
+            F.when(F.col("is_c") == 1, F.col("zd")).alias("cz"),
+            "is_c",
         )
         .groupBy("tx", "ty")
         .agg(
-            F.count(F.lit(1)).alias("n_nbr"),
+            F.sum(F.lit(1) - F.col("is_c")).alias("n_nbr"),
             F.sum("wxz").alias("sum_wx"),
             F.sum("wyz").alias("sum_wy"),
+            F.max("cz").alias("zd"),
         )
-        .filter(F.col("n_nbr") == 8)
+        .filter((F.col("n_nbr") == 8) & F.col("zd").isNotNull())
+        .select(F.col("tx").alias("px"), F.col("ty").alias("py"), "zd", "sum_wx", "sum_wy")
     )
-    return contrib.join(g, (F.col("tx") == F.col("px")) & (F.col("ty") == F.col("py")))
 
 
 def _dem_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,34 +1002,43 @@ def raster_terrain_ruggedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     g = _dem_decimal(spark, sf_dir)
     offsets = spark.createDataFrame(
-        [(dx, dy) for dx, dy, _, _ in _HORN], "dx int, dy int"
+        [(dx, dy, 0) for dx, dy, _, _ in _HORN] + [(0, 0, 1)], "dx int, dy int, is_c int"
     )
-    nbr = (
+    # single pass: neighbor aggregates exclude the center via is_c-gated
+    # conditional sums; min/max run over all 9 cells (roughness wants the
+    # full 3x3 block anyway); the center's own value rides along as max(cz)
+    full = (
         g.crossJoin(F.broadcast(offsets))
         .select(
             (F.col("px") - F.col("dx")).alias("tx"),
             (F.col("py") - F.col("dy")).alias("ty"),
             F.col("zd").alias("nz"),
+            F.when(F.col("is_c") == 1, F.col("zd")).alias("cz"),
+            "is_c",
         )
         .groupBy("tx", "ty")
         .agg(
-            F.count(F.lit(1)).alias("n_nbr"),
-            F.sum("nz").alias("sum_z"),
-            F.sum((F.col("nz") * F.col("nz")).cast("decimal(38,4)")).alias("sum_z2"),
-            F.min("nz").alias("min_z"),
-            F.max("nz").alias("max_z"),
+            F.sum(F.lit(1) - F.col("is_c")).alias("n_nbr"),
+            F.sum(F.when(F.col("is_c") == 0, F.col("nz"))).alias("sum_z"),
+            F.sum(
+                F.when(F.col("is_c") == 0, (F.col("nz") * F.col("nz")).cast("decimal(38,4)"))
+            ).alias("sum_z2"),
+            F.min("nz").alias("min_all"),
+            F.max("nz").alias("max_all"),
+            F.max("cz").alias("zd"),
         )
-        .filter(F.col("n_nbr") == 8)
+        .filter((F.col("n_nbr") == 8) & F.col("zd").isNotNull())
+        .select(
+            F.col("tx").alias("px"), F.col("ty").alias("py"),
+            "zd", "sum_z", "sum_z2", "min_all", "max_all",
+        )
     )
-    full = nbr.join(g, (F.col("tx") == F.col("px")) & (F.col("ty") == F.col("py")))
     z = F.col("zd").cast("double")
     sz = F.col("sum_z").cast("double")
     sz2 = F.col("sum_z2").cast("double")
     tri = F.sqrt(F.greatest(F.lit(0.0), sz2 - 2.0 * z * sz + 8.0 * z * z))
     tpi = z - sz / 8.0
-    rough = (
-        F.greatest(F.col("max_z"), F.col("zd")) - F.least(F.col("min_z"), F.col("zd"))
-    ).cast("double")
+    rough = (F.col("max_all") - F.col("min_all")).cast("double")
     return full.select(
         "px", "py",
         F.round(tri, 6).alias("tri"),

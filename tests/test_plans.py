@@ -85,11 +85,13 @@ def test_whole_stage_codegen_covers_pricing_summary(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_hillshade_stencil_is_broadcast_not_selfjoin(spark):
-    plan = assert_in_plan(q(spark, "raster_hillshade"), "BroadcastHashJoin")
-    # two dem subtrees (stencil side + center join), NOT 8 self-joins;
-    # formatted explain mentions each scan twice (tree node + detail)
-    assert plan.count("Scan parquet") <= 4
+def test_hillshade_stencil_is_single_pass(spark):
+    # fused stencil: ONE dem derivation feeding a broadcast 9-row offset
+    # expansion + one groupBy — no join back, no 8 self-joins (formatted
+    # explain mentions each scan twice: tree node + detail)
+    plan = assert_in_plan(q(spark, "raster_hillshade"), "BroadcastNestedLoopJoin")
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
 
 
 def test_corpus_filter_single_fused_plan(spark):
@@ -107,7 +109,8 @@ def test_salted_agg_two_phase(spark):
 
 def test_gdaldem_stencils_are_broadcast_joins(spark):
     for key in ("raster_slope_percent", "raster_terrain_ruggedness"):
-        # center join = BroadcastHashJoin; the 8-row offset expansion is a
-        # broadcast nested-loop (bounded side), NOT a cartesian shuffle
-        plan = assert_in_plan(q(spark, key), "BroadcastHashJoin")
+        # fused single-pass stencil: broadcast 9-row offset expansion only,
+        # one dem derivation, NOT a cartesian shuffle or 8 self-joins
+        plan = assert_in_plan(q(spark, key), "BroadcastNestedLoopJoin")
+        assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan
