@@ -40,6 +40,9 @@ HEADLINE = [
     "raster_hillshade",
     "corpus_filter",
     "viewshed_observer_count",
+    "dedup_clusters",
+    "text_pii_flag",
+    "corpus_sample_stratified",
 ]
 
 
