@@ -98,6 +98,9 @@ _QUERIES: dict[str, QueryFn] = {
     # PII scan + stratified sampling (#55-56)
     "text_pii_flag": text.text_pii_flag,
     "corpus_sample_stratified": pipeline.corpus_sample_stratified,
+    # sector viewshed + JSON export (#57-58)
+    "viewshed_sector": viewshed.viewshed_sector,
+    "raster_to_json": export.raster_to_json,
 }
 
 _ORACLES: dict[str, str] = {
@@ -156,6 +159,8 @@ _ORACLES: dict[str, str] = {
     "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
     "text_pii_flag": text.TEXT_PII_FLAG_SQL,
     "corpus_sample_stratified": pipeline.CORPUS_SAMPLE_STRATIFIED_SQL,
+    "viewshed_sector": viewshed.VIEWSHED_SECTOR_SQL,
+    "raster_to_json": export.RASTER_TO_JSON_SQL,
 }
 
 

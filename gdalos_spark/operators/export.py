@@ -119,3 +119,85 @@ SELECT 'document', 'preamble', NULL, NULL, NULL, NULL, NULL, NULL,
 
 
 RASTER_TO_CZML_SQL = _czml_sql()
+
+
+# ---------------------------------------------------------------------------
+# 58. raster_to_json — per-tile JSON raster documents
+#    ref: calc/gdal_to_json.py:5 gdal_to_json (bbox + gt + size + data +
+#         ndv dict for the whole raster)
+# ---------------------------------------------------------------------------
+
+JSON_NDV = -32768
+
+
+def raster_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_to_json re-expressed per tile: the reference serializes ONE
+    dict {bbox, gt, size, data, ndv} for a whole raster; at scale each
+    tile becomes one self-contained JSON record with its own bbox and
+    row-major data array. Values serialize as integer cents (exact
+    decimal -> string; float formatting is engine-specific, int is not).
+    One tile-key shuffle; the JSON assembly is pure string projection."""
+    g = dem_grid(spark, sf_dir)
+    cents = (F.col("elev") * 100).cast("bigint")
+    tiles = (
+        g.select(
+            F.floor(F.col("px") / TILE).cast("int").alias("tile_x"),
+            F.floor(F.col("py") / TILE).cast("int").alias("tile_y"),
+            "px", "py", cents.alias("cents"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sort_array(F.collect_list(F.struct("py", "px", "cents"))).alias("cells"),
+        )
+    )
+    minx = F.lit(GT[0]) + (F.col("tile_x") * TILE) * GT[1]
+    maxx = F.lit(GT[0]) + ((F.col("tile_x") + 1) * TILE) * GT[1]
+    maxy = F.lit(GT[2]) + (F.col("tile_y") * TILE) * GT[3]
+    miny = F.lit(GT[2]) + ((F.col("tile_y") + 1) * TILE) * GT[3]
+    data = F.array_join(
+        F.transform(F.col("cells"), lambda c: c.getField("cents").cast("string")), ","
+    )
+    doc = F.concat(
+        F.lit('{"bbox":['),
+        _dec(miny), F.lit(","), _dec(minx), F.lit(","), _dec(maxy), F.lit(","), _dec(maxx),
+        F.lit(f'],"size":[{TILE},{TILE}],"ndv":{JSON_NDV},"data_cents":['),
+        data, F.lit("]}"),
+    )
+    return tiles.select(
+        "tile_x", "tile_y", "n_cells",
+        F.md5(doc).alias("doc_hash"),
+        doc.alias("json_doc"),
+    )
+
+
+def _json_sql() -> str:
+    minx = f"CAST({GT[0]} AS DOUBLE) + (tile_x * {TILE}) * CAST({GT[1]} AS DOUBLE)"
+    maxx = f"CAST({GT[0]} AS DOUBLE) + ((tile_x + 1) * {TILE}) * CAST({GT[1]} AS DOUBLE)"
+    maxy = f"CAST({GT[2]} AS DOUBLE) + (tile_y * {TILE}) * CAST({GT[3]} AS DOUBLE)"
+    miny = f"CAST({GT[2]} AS DOUBLE) + ((tile_y + 1) * {TILE}) * CAST({GT[3]} AS DOUBLE)"
+
+    def dec(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(12,4)) AS VARCHAR)"
+
+    doc = (
+        f"'{{\"bbox\":[' || {dec(miny)} || ',' || {dec(minx)} || ',' || {dec(maxy)} || ',' || {dec(maxx)}"
+        f" || '],\"size\":[{TILE},{TILE}],\"ndv\":{JSON_NDV},\"data_cents\":['"
+        f" || array_to_string(list(CAST(CAST(elev * 100 AS BIGINT) AS VARCHAR) ORDER BY py, px), ',')"
+        f" || ']}}'"
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+tiles AS (
+  SELECT CAST(FLOOR(px / {TILE}) AS INTEGER) AS tile_x,
+         CAST(FLOOR(py / {TILE}) AS INTEGER) AS tile_y,
+         COUNT(*) AS n_cells,
+         {doc} AS json_doc
+  FROM dem GROUP BY 1, 2
+)
+SELECT tile_x, tile_y, n_cells, md5(json_doc) AS doc_hash, json_doc
+FROM tiles
+"""
+
+
+RASTER_TO_JSON_SQL = _json_sql()

@@ -11,6 +11,7 @@ VIEWSHED_KEYS = [
     "free_space_loss",
     "utm_zone_convergence",
     "viewshed_los_refraction",
+    "viewshed_sector",
 ]
 
 
