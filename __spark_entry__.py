@@ -101,6 +101,10 @@ _QUERIES: dict[str, QueryFn] = {
     # sector viewshed + JSON export (#57-58)
     "viewshed_sector": viewshed.viewshed_sector,
     "raster_to_json": export.raster_to_json,
+    # cascaded overview pyramid (#59)
+    "raster_overview_pyramid": raster.raster_overview_pyramid,
+    # streaming dedup (#60)
+    "streaming_dedup": streaming_events.streaming_dedup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -161,6 +165,8 @@ _ORACLES: dict[str, str] = {
     "corpus_sample_stratified": pipeline.CORPUS_SAMPLE_STRATIFIED_SQL,
     "viewshed_sector": viewshed.VIEWSHED_SECTOR_SQL,
     "raster_to_json": export.RASTER_TO_JSON_SQL,
+    "raster_overview_pyramid": raster.RASTER_OVERVIEW_PYRAMID_SQL,
+    "streaming_dedup": streaming_events.STREAMING_DEDUP_SQL,
 }
 
 

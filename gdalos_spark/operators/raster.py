@@ -1075,3 +1075,70 @@ FROM nbr JOIN g ON nbr.tx = g.px AND nbr.ty = g.py
 
 
 RASTER_RUGGEDNESS_SQL = _ruggedness_sql()
+
+
+# ---------------------------------------------------------------------------
+# 59. raster_overview_pyramid — full cascaded overview pyramid
+#    ref: gdalos_trans.py:1067 add_ovr / gdalos_ovr (BuildOverviews loop,
+#         default_dst_ovr_count=10 cascaded /2 levels)
+# ---------------------------------------------------------------------------
+
+PYRAMID_LEVELS = 4
+
+
+def raster_overview_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full pyramid: level k is a 2x downsample OF LEVEL
+    k-1 (BuildOverviews cascades), not of the base — each level reads
+    half the previous one's rows, so the whole pyramid costs ~2x one
+    level instead of k full scans. Cells carry exact (sum_cents, n) so
+    the cascaded average is EXACT at every level (sum of sums), making
+    cascade-vs-from-base bit-identical — which is what the from-base
+    DuckDB oracle checks. Each level is persisted (at 100 TB each level
+    is written as its own parquet table, the .ovr analogue)."""
+    base = (
+        dem_grid(spark, sf_dir)
+        .select(
+            "px", "py",
+            (F.col("elev") * 100).cast("bigint").alias("sum_cents"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+        .persist()
+    )
+    levels = []
+    prev = base
+    for k in range(1, PYRAMID_LEVELS + 1):
+        cur = (
+            prev.groupBy(
+                F.floor(F.col("px") / 2).cast("int").alias("px"),
+                F.floor(F.col("py") / 2).cast("int").alias("py"),
+            )
+            .agg(F.sum("sum_cents").alias("sum_cents"), F.sum("n").alias("n"))
+            .persist()
+        )
+        levels.append(cur.withColumn("ovr_level", F.lit(k)))
+        prev = cur
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "ovr_level", "px", "py",
+        F.col("n").cast("bigint").alias("n_src"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.round(F.col("sum_cents") / (F.col("n") * 100.0), 6).alias("avg_elev"),
+    )
+
+
+RASTER_OVERVIEW_PYRAMID_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+base AS (SELECT px, py, CAST(elev * 100 AS BIGINT) AS sum_cents FROM dem)
+"""+ "\nUNION ALL\n".join(
+    f"""
+SELECT {k} AS ovr_level,
+       CAST(FLOOR(px / {1 << k}) AS INTEGER) AS px,
+       CAST(FLOOR(py / {1 << k}) AS INTEGER) AS py,
+       COUNT(*) AS n_src,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+       ROUND(SUM(sum_cents) / (COUNT(*) * 100.0), 6) AS avg_elev
+FROM base GROUP BY 2, 3"""
+    for k in range(1, PYRAMID_LEVELS + 1)
+)

@@ -243,3 +243,51 @@ SELECT
 FROM events CROSS JOIN (VALUES (0), (1800)) offs(o)
 GROUP BY 1, 2
 """
+
+
+DEDUP_QUERY_NAME = "gdalos_stream_dedup"
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication — the streaming twin of dedup_exact: a
+    running dropDuplicates on (user_id, event_type, day_bucket) emits
+    each key the first time it is seen (append mode), so the completed
+    availableNow run equals batch SELECT DISTINCT and the entry is fully
+    hash-gated. The key includes an integer day bucket computed from the
+    raw nanos (pure integer division — no timestamp codec in the gated
+    values). In production the same query runs with
+    dropDuplicatesWithinWatermark so state stays bounded to the
+    watermark horizon; state here is O(distinct keys)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == DEDUP_QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    keys = stream.select(
+        "user_id",
+        "event_type",
+        F.expr(f"ts div {86400 * 1_000_000_000}").cast("bigint").alias("day_bucket"),
+    ).dropDuplicates(["user_id", "event_type", "day_bucket"])
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(DEDUP_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(DEDUP_QUERY_NAME)
+
+
+STREAMING_DEDUP_SQL = f"""
+SELECT DISTINCT user_id, event_type,
+       CAST(epoch_ns(ts) // {86400 * 1_000_000_000} AS BIGINT) AS day_bucket
+FROM events
+"""

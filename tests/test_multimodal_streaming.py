@@ -75,3 +75,13 @@ def test_multimodal_frames_sampling(spark):
         assert r.frame_idx % 2 == 0  # every-other-frame sampling
         assert r.frame_offset == r.frame_idx * 256
         assert 0 < r.frame_bytes <= 256
+
+
+def test_streaming_pyramid_and_dedup_match_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    for key in ("raster_overview_pyramid", "streaming_dedup"):
+        assert_matches_oracle(
+            spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+        )
