@@ -105,6 +105,9 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_overview_pyramid": raster.raster_overview_pyramid,
     # streaming dedup (#60)
     "streaming_dedup": streaming_events.streaming_dedup,
+    # ANN recall report + extent intersection (#61-62)
+    "ann_recall_report": similarity.ann_recall_report,
+    "extent_intersection": raster.extent_intersection,
 }
 
 _ORACLES: dict[str, str] = {
@@ -167,6 +170,8 @@ _ORACLES: dict[str, str] = {
     "raster_to_json": export.RASTER_TO_JSON_SQL,
     "raster_overview_pyramid": raster.RASTER_OVERVIEW_PYRAMID_SQL,
     "streaming_dedup": streaming_events.STREAMING_DEDUP_SQL,
+    "ann_recall_report": similarity.ANN_RECALL_REPORT_SQL,
+    "extent_intersection": raster.EXTENT_INTERSECTION_SQL,
 }
 
 

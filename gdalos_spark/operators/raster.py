@@ -1142,3 +1142,74 @@ SELECT {k} AS ovr_level,
 FROM base GROUP BY 2, 3"""
     for k in range(1, PYRAMID_LEVELS + 1)
 )
+
+
+# ---------------------------------------------------------------------------
+# 62. extent_intersection — rectangle intersection/coverage math
+#    ref: rectangle.py:5 rect_contains + osgeo_utils GeoRectangle
+#         (intersect/area used throughout gdalos_trans extent handling)
+# ---------------------------------------------------------------------------
+
+
+def extent_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer extents intersected with the fixed AOI: the
+    intersection rectangle (max of mins / min of maxes), its area, and
+    the covered fraction of the nation extent — the arithmetic
+    gdalos_trans runs on every crop/warp extent. Same single-shuffle
+    extent agg as extent_selector, then pure projection."""
+    ext = (
+        customer_points(spark, sf_dir)
+        .join(_customer_nation(spark, sf_dir), "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("cx").alias("min_x"), F.max("cx").alias("max_x"),
+            F.min("cy").alias("min_y"), F.max("cy").alias("max_y"),
+        )
+    )
+    ix_min_x = F.greatest(F.col("min_x"), F.lit(float(AOI[0])))
+    ix_max_x = F.least(F.col("max_x"), F.lit(float(AOI[1])))
+    ix_min_y = F.greatest(F.col("min_y"), F.lit(float(AOI[2])))
+    ix_max_y = F.least(F.col("max_y"), F.lit(float(AOI[3])))
+    w = F.greatest(F.lit(0.0), ix_max_x - ix_min_x)
+    h = F.greatest(F.lit(0.0), ix_max_y - ix_min_y)
+    area = w * h
+    ext_area = (F.col("max_x") - F.col("min_x")) * (F.col("max_y") - F.col("min_y"))
+    return ext.select(
+        "c_nationkey",
+        F.round(ix_min_x, 6).alias("ix_min_x"),
+        F.round(ix_max_x, 6).alias("ix_max_x"),
+        F.round(ix_min_y, 6).alias("ix_min_y"),
+        F.round(ix_max_y, 6).alias("ix_max_y"),
+        F.round(area, 6).alias("ix_area"),
+        F.round(area / ext_area, 6).alias("coverage_frac"),
+        (area > 0).cast("int").alias("intersects"),
+    )
+
+
+EXTENT_INTERSECTION_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+ext AS (
+  SELECT c_nationkey,
+         MIN(cx) AS min_x, MAX(cx) AS max_x, MIN(cy) AS min_y, MAX(cy) AS max_y
+  FROM pts JOIN customer USING (c_custkey)
+  GROUP BY c_nationkey
+),
+ix AS (
+  SELECT c_nationkey, min_x, max_x, min_y, max_y,
+         GREATEST(min_x, {float(AOI[0])}) AS ix_min_x,
+         LEAST(max_x, {float(AOI[1])}) AS ix_max_x,
+         GREATEST(min_y, {float(AOI[2])}) AS ix_min_y,
+         LEAST(max_y, {float(AOI[3])}) AS ix_max_y
+  FROM ext
+)
+SELECT c_nationkey,
+       ROUND(ix_min_x, 6) AS ix_min_x,
+       ROUND(ix_max_x, 6) AS ix_max_x,
+       ROUND(ix_min_y, 6) AS ix_min_y,
+       ROUND(ix_max_y, 6) AS ix_max_y,
+       ROUND(GREATEST(0.0, ix_max_x - ix_min_x) * GREATEST(0.0, ix_max_y - ix_min_y), 6) AS ix_area,
+       ROUND(GREATEST(0.0, ix_max_x - ix_min_x) * GREATEST(0.0, ix_max_y - ix_min_y)
+             / ((max_x - min_x) * (max_y - min_y)), 6) AS coverage_frac,
+       CAST(GREATEST(0.0, ix_max_x - ix_min_x) * GREATEST(0.0, ix_max_y - ix_min_y) > 0 AS INTEGER) AS intersects
+FROM ix
+"""

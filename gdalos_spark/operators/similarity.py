@@ -351,3 +351,55 @@ SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 
 ANN_IVF_TOPK_SQL = _ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# 61. ann_recall_report — recall@k of the approximate paths vs brute force
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard ANN quality report: per probe, what fraction of the
+    brute-force top-k (ground truth) does each approximate method (sign-
+    LSH bucket, IVF nprobe=2) return? recall@k = |approx ∩ truth| / k.
+    The joins are on (probe_id, vec_id) — tiny result sets, trivially
+    broadcast; this is the evaluation harness a pipeline runs on a
+    sampled probe set before trusting the approximate path at 100 TB."""
+    truth = ann_cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
+    reports = []
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        approx = fn(spark, sf_dir).select(
+            "probe_id", "vec_id", F.lit(1).alias("hit")
+        )
+        joined = truth.join(approx, ["probe_id", "vec_id"], "left")
+        rep = joined.groupBy("probe_id").agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        reports.append(
+            rep.select(
+                F.lit(method).alias("method"),
+                "probe_id",
+                "n_truth",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6).alias("recall"),
+            )
+        )
+    return reports[0].unionByName(reports[1])
+
+
+def _recall_sql() -> str:
+    def one(method: str, sql: str) -> str:
+        return f"""
+SELECT '{method}' AS method, t.probe_id,
+       COUNT(*) AS n_truth,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM ({ANN_COSINE_TOPK_SQL}) t
+LEFT JOIN ({sql}) a ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+GROUP BY t.probe_id"""
+
+    return one("lsh", ANN_LSH_TOPK_SQL) + "\nUNION ALL\n" + one("ivf", ANN_IVF_TOPK_SQL)
+
+
+ANN_RECALL_REPORT_SQL = _recall_sql()

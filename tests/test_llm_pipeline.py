@@ -22,6 +22,7 @@ LLM_KEYS = [
     "dedup_clusters",
     "text_pii_flag",
     "corpus_sample_stratified",
+    "ann_recall_report",
 ]
 
 

@@ -56,7 +56,9 @@ def test_gdaldem_family_matches_oracle(spark, ducks, key):
     assert_matches_oracle(spark, ducks, q, sql)
 
 
-@pytest.mark.parametrize("key", ["raster_to_czml", "raster_to_json", "viewshed_sector"])
+@pytest.mark.parametrize(
+    "key", ["raster_to_czml", "raster_to_json", "viewshed_sector", "extent_intersection"]
+)
 def test_export_and_sector_match_oracle(spark, ducks, key):
     q = entrymod.queries()[key]
     sql = entrymod.oracle_sql()[key]
