@@ -108,6 +108,10 @@ _QUERIES: dict[str, QueryFn] = {
     # ANN recall report + extent intersection (#61-62)
     "ann_recall_report": similarity.ann_recall_report,
     "extent_intersection": raster.extent_intersection,
+    # discrete up/down + Q4/Q13 plan shapes (#63-65)
+    "raster_discrete_updown": raster.raster_discrete_updown,
+    "order_priority_counts": relational.order_priority_counts,
+    "customer_order_distribution": relational.customer_order_distribution,
 }
 
 _ORACLES: dict[str, str] = {
@@ -172,6 +176,9 @@ _ORACLES: dict[str, str] = {
     "streaming_dedup": streaming_events.STREAMING_DEDUP_SQL,
     "ann_recall_report": similarity.ANN_RECALL_REPORT_SQL,
     "extent_intersection": raster.EXTENT_INTERSECTION_SQL,
+    "raster_discrete_updown": raster.RASTER_DISCRETE_UPDOWN_SQL,
+    "order_priority_counts": relational.ORDER_PRIORITY_COUNTS_SQL,
+    "customer_order_distribution": relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
 }
 
 

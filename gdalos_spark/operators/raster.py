@@ -1213,3 +1213,57 @@ SELECT c_nationkey,
        CAST(GREATEST(0.0, ix_max_x - ix_min_x) * GREATEST(0.0, ix_max_y - ix_min_y) > 0 AS INTEGER) AS intersects
 FROM ix
 """
+
+
+# ---------------------------------------------------------------------------
+# 63. raster_discrete_updown — DiscreteMode.up / .down snapping
+#    ref: calc/gdalos_raster_color.py:16 cont2discrete_array (the up/down
+#         branch gdalos_raster_color takes when DiscreteMode is up|down),
+#         calc/discrete_mode.py
+# ---------------------------------------------------------------------------
+
+
+def raster_discrete_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cont2discrete_array semantics as CASE chains over
+    the palette values v0..v_{n-1} (sorted):
+      up(x)   = smallest i with x <= v_i, else n-1
+      down(x) = largest  i with x >= v_i, else 0
+    Pure projection over the grid — no shuffle beyond the grid
+    derivation; the palette is a compile-time literal chain exactly like
+    color_relief's binning."""
+    vals = sorted(v for v, _ in PALETTE)
+    g = dem_grid(spark, sf_dir)
+    x = F.col("elev").cast("double")
+    up = F.lit(len(vals) - 1)
+    for i in range(len(vals) - 2, -1, -1):
+        up = F.when(x <= vals[i], F.lit(i)).otherwise(up)
+    down = F.lit(0)
+    for i in range(1, len(vals)):
+        down = F.when(x >= vals[i], F.lit(i)).otherwise(down)
+    return g.select(
+        "px", "py",
+        x.alias("elev"),
+        up.cast("int").alias("up_idx"),
+        down.cast("int").alias("down_idx"),
+    )
+
+
+def _updown_sql() -> str:
+    vals = sorted(v for v, _ in PALETTE)
+    up = " ".join(
+        f"WHEN elev_d <= {vals[i]} THEN {i}" for i in range(len(vals) - 1)
+    )
+    down = " ".join(
+        f"WHEN elev_d >= {vals[i]} THEN {i}" for i in range(len(vals) - 1, 0, -1)
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DOUBLE) AS elev_d FROM dem)
+SELECT px, py, elev_d AS elev,
+       CAST(CASE {up} ELSE {len(vals) - 1} END AS INTEGER) AS up_idx,
+       CAST(CASE {down} ELSE 0 END AS INTEGER) AS down_idx
+FROM g
+"""
+
+
+RASTER_DISCRETE_UPDOWN_SQL = _updown_sql()

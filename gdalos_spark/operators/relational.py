@@ -276,3 +276,80 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 64. order_priority_counts — EXISTS semi-join (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+LATE_DAYS = 30
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority counts over orders having at least one late lineitem
+    (shipped > 30 days after the order date) — the TPC-H Q4 plan shape:
+    a LEFT SEMI join (EXISTS), which Spark executes without duplicating
+    or materializing the probe side, then a tiny groupBy on priority.
+    The semi-join shuffles both sides on o_orderkey once; at 100 TB AQE
+    picks shuffled-hash vs sort-merge per partition size."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 65. customer_order_distribution — outer-join histogram (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer INCLUDING zero-order customers
+    — the TPC-H Q13 double-aggregate: left outer join customer->orders,
+    count per customer (nulls count 0), then histogram the counts. Two
+    shuffles (per-customer count, then the tiny histogram agg); the
+    outer join preserves every customer row, which an inner-join
+    histogram would silently drop."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1
+"""

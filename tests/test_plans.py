@@ -114,3 +114,8 @@ def test_gdaldem_stencils_are_broadcast_joins(spark):
         plan = assert_in_plan(q(spark, key), "BroadcastNestedLoopJoin")
         assert plan.count("Scan parquet") <= 2
         assert "CartesianProduct" not in plan
+
+
+def test_order_priority_is_semi_join(spark):
+    plan = assert_in_plan(q(spark, "order_priority_counts"), "LeftSemi")
+    assert "CartesianProduct" not in plan

@@ -48,7 +48,13 @@ def test_raster_hillshade_matches_oracle(spark, ducks):
 
 @pytest.mark.parametrize(
     "key",
-    ["raster_slope_percent", "raster_aspect_sector", "raster_terrain_ruggedness"],
+    [
+        "raster_slope_percent",
+        "raster_aspect_sector",
+        "raster_terrain_ruggedness",
+        "raster_discrete_updown",
+        "raster_overview_pyramid",
+    ],
 )
 def test_gdaldem_family_matches_oracle(spark, ducks, key):
     q = entrymod.queries()[key]

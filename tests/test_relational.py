@@ -11,6 +11,9 @@ RELATIONAL_KEYS = [
     "region_volume",
     "events_sessionize",
     "events_windowed_agg",
+    "skewed_agg_salted",
+    "order_priority_counts",
+    "customer_order_distribution",
 ]
 
 
