@@ -112,6 +112,11 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_discrete_updown": raster.raster_discrete_updown,
     "order_priority_counts": relational.order_priority_counts,
     "customer_order_distribution": relational.customer_order_distribution,
+    # cutline crop, warp resolution pick, overview LOD select, fp32 study (#66-69)
+    "raster_cutline": raster.raster_cutline,
+    "transform_resolution": raster.transform_resolution,
+    "overview_level_select": raster.overview_level_select,
+    "coord_precision_report": viewshed.coord_precision_report,
 }
 
 _ORACLES: dict[str, str] = {
@@ -179,6 +184,10 @@ _ORACLES: dict[str, str] = {
     "raster_discrete_updown": raster.RASTER_DISCRETE_UPDOWN_SQL,
     "order_priority_counts": relational.ORDER_PRIORITY_COUNTS_SQL,
     "customer_order_distribution": relational.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "raster_cutline": raster.RASTER_CUTLINE_SQL,
+    "transform_resolution": raster.TRANSFORM_RESOLUTION_SQL,
+    "overview_level_select": raster.OVERVIEW_LEVEL_SELECT_SQL,
+    "coord_precision_report": viewshed.COORD_PRECISION_REPORT_SQL,
 }
 
 

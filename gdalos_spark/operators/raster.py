@@ -33,6 +33,7 @@ from gdalos_spark.datamodel import (
     customer_points,
     dem_grid,
     events_points,
+    load,
     orders_grid,
 )
 
@@ -1267,3 +1268,294 @@ FROM g
 
 
 RASTER_DISCRETE_UPDOWN_SQL = _updown_sql()
+
+
+# ---------------------------------------------------------------------------
+# 66. raster_cutline — polygon cutline crop (warp path of gdal_crop)
+#    ref: calc/gdal_dem_color_cutline.py:25 gdal_crop — the cutline branch:
+#         cropToCutline=True, dstNodata=-32768; cutline polygons come in as
+#         WKT (ogr_create_geometries_from_wkt) and GDAL masks pixels outside.
+# ---------------------------------------------------------------------------
+
+# Concave hexagon in grid coordinates (the interesting cutline case — a
+# convex one never exercises the even-odd rule's multiple crossings).
+CUTLINE_POLY = ((8, 8), (56, 16), (44, 30), (58, 46), (20, 56), (12, 36))
+CUTLINE_NDV = -32768.0  # gdal_dem_color_cutline.py:44 dstNodata
+
+
+def _cutline_bbox() -> tuple[int, int, int, int]:
+    xs = [p[0] for p in CUTLINE_POLY]
+    ys = [p[1] for p in CUTLINE_POLY]
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def raster_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop the DEM to a polygon cutline: cells inside the cutline's bbox
+    (cropToCutline) keep their value, cells outside the polygon get the
+    reference's dstNodata (-32768). Point-in-polygon is the even-odd
+    ray-cast unrolled over the literal edge list — one CASE term per edge,
+    a pure projection Catalyst folds into whole-stage codegen. On the
+    tiled layout the bbox filter prunes partitions at the scan; the
+    polygon test costs O(edges) per surviving cell, no shuffle, no UDF."""
+    minx, maxx, miny, maxy = _cutline_bbox()
+    g = dem_grid(spark, sf_dir).filter(
+        (F.col("px") >= minx) & (F.col("px") <= maxx)
+        & (F.col("py") >= miny) & (F.col("py") <= maxy)
+    )
+    px, py = F.col("px").cast("double"), F.col("py").cast("double")
+    n = len(CUTLINE_POLY)
+    crossings: F.Column = F.lit(0)
+    for i in range(n):
+        x1, y1 = CUTLINE_POLY[i]
+        x2, y2 = CUTLINE_POLY[(i + 1) % n]
+        straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+        # x of the edge at height py; small-integer vertices keep this
+        # double math identical across engines
+        x_at = F.lit(x1) + (F.lit(x2 - x1)) * (py - F.lit(y1)) / F.lit(y2 - y1)
+        crossings = crossings + F.when(straddles & (px < x_at), 1).otherwise(0)
+    inside = crossings % 2 == 1
+    return g.select(
+        "px",
+        "py",
+        F.when(inside, F.col("elev").cast("double"))
+        .otherwise(F.lit(CUTLINE_NDV))
+        .alias("val"),
+        inside.cast("int").alias("inside"),
+    )
+
+
+def _cutline_sql() -> str:
+    minx, maxx, miny, maxy = _cutline_bbox()
+    n = len(CUTLINE_POLY)
+    terms = []
+    for i in range(n):
+        x1, y1 = CUTLINE_POLY[i]
+        x2, y2 = CUTLINE_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > pyd) != ({y2} > pyd))"
+            f" AND pxd < {x1} + ({x2 - x1}) * (pyd - {y1}) / ({y2 - y1})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    crossings = " + ".join(terms)
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (
+  SELECT px, py, CAST(px AS DOUBLE) AS pxd, CAST(py AS DOUBLE) AS pyd,
+         CAST(elev AS DOUBLE) AS elev_d
+  FROM dem
+  WHERE px >= {minx} AND px <= {maxx} AND py >= {miny} AND py <= {maxy}
+),
+pip AS (SELECT px, py, elev_d, ({crossings}) % 2 = 1 AS inside FROM g)
+SELECT px, py,
+       CASE WHEN inside THEN elev_d ELSE {CUTLINE_NDV} END AS val,
+       CAST(inside AS INTEGER) AS inside
+FROM pip
+"""
+
+
+RASTER_CUTLINE_SQL = _cutline_sql()
+
+
+# ---------------------------------------------------------------------------
+# 67. transform_resolution — median sampled output resolution for a warp
+#    ref: gdalos_extent.py:68 transform_resolution (sample grid over the
+#         extent, per-point transformed resolution, median pick), :104
+#         round_to_sig; extent_utils_backport.py:10
+#         calc_dx_dy_from_extent_and_count
+# ---------------------------------------------------------------------------
+
+TR_SAMPLES = 25  # 25x25 grid = 625 sample points (reference sample_count~1000)
+TR_RES_Y = 0.25  # input_res[1]
+# round_to_sig(d, -1) without a data-dependent round() scale (Spark requires
+# the scale to be foldable): round(d / 10^k) * 10^k, k = floor(log10|d|) - 1
+_ROUND_SIG_EXPR = (
+    "round({d} / power(10.0, floor(log10(abs({d}) + 1e-20)) - 1))"
+    " * power(10.0, floor(log10(abs({d}) + 1e-20)) - 1)"
+)
+# Deterministic stand-in for the osr CoordinateTransformation: an arithmetic
+# lon/lat->meters-like map (scale shrinks with y, shears with x). Pure
+# +,*,/ so both engines produce bit-identical doubles.
+_TX = "111320.0 * {x} * (1.0 - {y} / 500.0)"
+_TY = "110540.0 * {y} * (1.0 + {x} / 800.0)"
+
+
+def transform_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference warps a raster to a new CRS and must pick the output
+    resolution: sample the extent on a fixed grid, transform each sample
+    point and its dy-neighbor, take the distance as the local resolution,
+    choose the median, round to 2 significant digits (round_to_sig
+    extra_digits=-1). The sample count is FIXED (625) regardless of raster
+    size, so this is O(1) work at any scale: one tiny agg for the extent
+    (broadcast as a 1-row dimension), a generated sample grid, and a
+    bounded 625-row sort for the exact median pick."""
+    ext = dem_grid(spark, sf_dir).agg(
+        F.min("px").cast("double").alias("min_x"),
+        F.max("px").cast("double").alias("max_x"),
+        F.min("py").cast("double").alias("min_y"),
+        F.max("py").cast("double").alias("max_y"),
+    )
+    s = spark.range(TR_SAMPLES * TR_SAMPLES).select(F.col("id").cast("int").alias("i"))
+    pts = s.crossJoin(F.broadcast(ext)).select(
+        "i",
+        F.expr(f"min_x + (max_x - min_x) * CAST(i % {TR_SAMPLES} AS DOUBLE) / {TR_SAMPLES - 1}.0").alias("x"),
+        F.expr(f"min_y + (max_y - min_y) * CAST(i DIV {TR_SAMPLES} AS DOUBLE) / {TR_SAMPLES - 1}.0").alias("y"),
+    )
+    y2 = f"(y + {TR_RES_Y})"
+    res = pts.select(
+        "i",
+        F.expr(
+            "sqrt(({p1x} - ({p2x})) * (({p1x}) - ({p2x})) + (({p1y}) - ({p2y})) * (({p1y}) - ({p2y})))".format(
+                p1x=_TX.format(x="x", y=y2), p2x=_TX.format(x="x", y="y"),
+                p1y=_TY.format(x="x", y=y2), p2y=_TY.format(x="x", y="y"),
+            )
+        ).alias("res"),
+    )
+    w = Window.orderBy("res", "i")
+    n = TR_SAMPLES * TR_SAMPLES
+    med_rank = round(n / 2) + 1  # reference: sorted[round(len/2)], 0-based
+    med = (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == med_rank)
+        .select(F.col("res").alias("res_med"))
+    )
+    return med.select(
+        F.lit(n).cast("bigint").alias("n_samples"),
+        "res_med",
+        # round_to_sig(d, -1) == round to 2 significant digits. Spark's
+        # round(x, scale) needs a CONSTANT scale, so express it as
+        # round(d / 10^k) * 10^k with k = floor(log10(|d|)) - 1 — the SQL
+        # oracle uses the identical expression so doubles stay bit-equal.
+        F.expr(_ROUND_SIG_EXPR.format(d="res_med")).alias("out_res_x"),
+        F.expr("-(" + _ROUND_SIG_EXPR.format(d="res_med") + ")").alias("out_res_y"),
+    )
+
+
+def _transform_resolution_sql() -> str:
+    y2 = f"(y + {TR_RES_Y})"
+    res_expr = (
+        "sqrt(({p1x} - ({p2x})) * (({p1x}) - ({p2x})) + (({p1y}) - ({p2y})) * (({p1y}) - ({p2y})))".format(
+            p1x=_TX.format(x="x", y=y2), p2x=_TX.format(x="x", y="y"),
+            p1y=_TY.format(x="x", y=y2), p2y=_TY.format(x="x", y="y"),
+        )
+    )
+    n = TR_SAMPLES * TR_SAMPLES
+    med_rank = round(n / 2) + 1
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+ext AS (
+  SELECT CAST(MIN(px) AS DOUBLE) AS min_x, CAST(MAX(px) AS DOUBLE) AS max_x,
+         CAST(MIN(py) AS DOUBLE) AS min_y, CAST(MAX(py) AS DOUBLE) AS max_y
+  FROM dem
+),
+s AS (SELECT CAST(range AS INTEGER) AS i FROM range({n})),
+pts AS (
+  SELECT i,
+         min_x + (max_x - min_x) * CAST(i % {TR_SAMPLES} AS DOUBLE) / {TR_SAMPLES - 1}.0 AS x,
+         min_y + (max_y - min_y) * CAST(i // {TR_SAMPLES} AS DOUBLE) / {TR_SAMPLES - 1}.0 AS y
+  FROM s CROSS JOIN ext
+),
+res AS (SELECT i, {res_expr} AS res FROM pts),
+ranked AS (SELECT res, ROW_NUMBER() OVER (ORDER BY res, i) AS rn FROM res),
+med AS (SELECT res AS res_med FROM ranked WHERE rn = {med_rank})
+SELECT CAST({n} AS BIGINT) AS n_samples, res_med,
+       {_ROUND_SIG_EXPR.format(d="res_med")} AS out_res_x,
+       -({_ROUND_SIG_EXPR.format(d="res_med")}) AS out_res_y
+FROM med
+"""
+
+
+TRANSFORM_RESOLUTION_SQL = _transform_resolution_sql()
+
+
+# ---------------------------------------------------------------------------
+# 68. overview_level_select — pick the overview level serving a requested
+#     resolution, over a containment-deduped raster catalog
+#    ref: gdalos_vrt.py:42 RasterOverview.get_level
+#         (level = 2^round(log2(resx/min_r))), gdalos_vrt.py:73 filter_ros
+#         (sort by extent area desc, drop extents contained in a kept
+#         larger one), rectangle.py:5 rect_contains
+# ---------------------------------------------------------------------------
+
+OVR_REQUEST_RES = (0.3, 0.7, 1.5, 3.0)
+
+
+def overview_level_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A raster catalog derived from nation (one overview raster per
+    nation: extent + base resolution); filter_ros drops any raster whose
+    extent is contained in a larger raster's extent (containment is
+    transitive, so the reference's greedy keep-list equals 'not contained
+    in any strictly-larger extent' — expressed as a LEFT ANTI self-join);
+    then each requested resolution picks its pyramid level with the
+    reference's 2^round(log2(resx/min_r)) rule. Catalog metadata is tiny
+    at any corpus scale -> both the anti-join and the request cross join
+    broadcast; no large-side shuffle at all."""
+    nat = load(spark, sf_dir, "nation")
+    ros = nat.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 8).cast("double").alias("min_x"),
+        (((F.col("n_nationkey") * 7) % 5) * 8).cast("double").alias("min_y"),
+        (16 + (F.col("n_nationkey") % 4) * 16).cast("double").alias("w"),
+        (16 + ((F.col("n_nationkey") / 4).cast("int") % 4) * 16).cast("double").alias("h"),
+        (F.expr("shiftleft(1, CAST(n_nationkey % 5 AS INT))").cast("double") * 0.25).alias("resx"),
+    ).select(
+        "n_nationkey", "min_x", "min_y",
+        (F.col("min_x") + F.col("w")).alias("max_x"),
+        (F.col("min_y") + F.col("h")).alias("max_y"),
+        (F.col("w") * F.col("h")).alias("area"),
+        "resx",
+    )
+    big = ros.select(
+        F.col("n_nationkey").alias("b_key"), F.col("min_x").alias("b_min_x"),
+        F.col("min_y").alias("b_min_y"), F.col("max_x").alias("b_max_x"),
+        F.col("max_y").alias("b_max_y"), F.col("area").alias("b_area"),
+    )
+    contained = (
+        (F.col("b_min_x") <= F.col("min_x")) & (F.col("b_min_y") <= F.col("min_y"))
+        & (F.col("b_max_x") >= F.col("max_x")) & (F.col("b_max_y") >= F.col("max_y"))
+        & (
+            (F.col("b_area") > F.col("area"))
+            | ((F.col("b_area") == F.col("area")) & (F.col("b_key") < F.col("n_nationkey")))
+        )
+    )
+    kept = ros.join(F.broadcast(big), contained, "left_anti")
+    reqs = spark.createDataFrame(
+        [(r,) for r in OVR_REQUEST_RES], "min_r double"
+    )
+    lvl = F.pow(F.lit(2.0), F.round(F.log2(F.col("resx") / F.col("min_r"))))
+    return (
+        kept.crossJoin(F.broadcast(reqs))
+        .select(
+            "n_nationkey",
+            F.col("area").cast("double").alias("area"),
+            "resx",
+            "min_r",
+            lvl.cast("double").alias("level"),
+        )
+    )
+
+
+OVERVIEW_LEVEL_SELECT_SQL = f"""
+WITH ros AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 8 AS DOUBLE) AS min_x,
+         CAST(((n_nationkey * 7) % 5) * 8 AS DOUBLE) AS min_y,
+         CAST((n_nationkey % 5) * 8 + 16 + (n_nationkey % 4) * 16 AS DOUBLE) AS max_x,
+         CAST(((n_nationkey * 7) % 5) * 8 + 16 + ((n_nationkey // 4) % 4) * 16 AS DOUBLE) AS max_y,
+         CAST((16 + (n_nationkey % 4) * 16) * (16 + ((n_nationkey // 4) % 4) * 16) AS DOUBLE) AS area,
+         CAST((1 << (n_nationkey % 5)) AS DOUBLE) * 0.25 AS resx
+  FROM nation
+),
+kept AS (
+  SELECT r.* FROM ros r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ros b
+    WHERE b.min_x <= r.min_x AND b.min_y <= r.min_y
+      AND b.max_x >= r.max_x AND b.max_y >= r.max_y
+      AND (b.area > r.area OR (b.area = r.area AND b.n_nationkey < r.n_nationkey))
+  )
+),
+reqs AS (SELECT unnest(ARRAY{list(OVR_REQUEST_RES)}) AS min_r)
+SELECT n_nationkey, area, resx, CAST(min_r AS DOUBLE) AS min_r,
+       power(2.0, round(log2(resx / min_r), 0)) AS level
+FROM kept CROSS JOIN reqs
+"""

@@ -24,7 +24,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import CUSTOMER_POINTS_SQL, DEM_GRID_SQL, customer_points, dem_grid
+from gdalos_spark.datamodel import (
+    CUSTOMER_POINTS_SQL,
+    DEM_GRID_SQL,
+    EVENTS_POINTS_SQL,
+    customer_points,
+    dem_grid,
+    events_points,
+)
 
 # observer for single-observer LOS (#19): grid center, antenna at z=500
 OBS_X, OBS_Y = 32, 32
@@ -453,3 +460,56 @@ FROM vis GROUP BY ox, oy
 
 
 VIEWSHED_SECTOR_SQL = _sector_sql()
+
+
+# ---------------------------------------------------------------------------
+# 69. coord_precision_report — float32 vs float64 coordinate-error study
+#    ref: coord_resolution_tester.py:42 calc_b — sweeps degree values,
+#         stores each in float32 and float64, and reports the max
+#         |f64 - f32| representation error per band and in meters (the
+#         file's header derives ~2.38 m worst-case at the equator for
+#         float32 lat/lon — the reason gdalos keeps coordinates f64).
+# ---------------------------------------------------------------------------
+
+# 2*pi*6378137/360 hardcoded so neither engine's pi() is in the hash path
+DEG_TO_METER = 111319.49079327358
+PRECISION_BAND_DEG = 8
+
+
+def coord_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 8-degree longitude band: how much error storing this band's
+    coordinates as float32 would introduce, in degrees and meters.
+    lon is derived from the events point cloud (x in [0,64) -> [-90,90));
+    the error term is |lon - float64(float32(lon))| — both engines follow
+    IEEE-754 round-to-nearest for the double->float cast, so the doubles
+    are bit-identical. Map-side partial max/count, one shuffle on the
+    25-ish band keys; scales as a plain full-scan agg."""
+    pts = events_points(spark, sf_dir)
+    lon = F.col("x") * 2.8125 - 90.0
+    err = F.abs(lon - lon.cast("float").cast("double"))
+    return (
+        pts.select(
+            F.floor(lon / PRECISION_BAND_DEG).cast("int").alias("band"),
+            err.alias("err"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("err").alias("max_err_deg"),
+            (F.max("err") * DEG_TO_METER).alias("max_err_m"),
+        )
+    )
+
+
+COORD_PRECISION_REPORT_SQL = f"""
+WITH pts AS ({EVENTS_POINTS_SQL}),
+e AS (
+  SELECT CAST(floor((x * 2.8125 - 90.0) / {PRECISION_BAND_DEG}) AS INTEGER) AS band,
+         abs((x * 2.8125 - 90.0)
+             - CAST(CAST(x * 2.8125 - 90.0 AS REAL) AS DOUBLE)) AS err
+  FROM pts
+)
+SELECT band, COUNT(*) AS n, MAX(err) AS max_err_deg,
+       MAX(err) * {DEG_TO_METER!r} AS max_err_m
+FROM e GROUP BY band
+"""

@@ -3,7 +3,7 @@
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import assert_matches_oracle
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 RASTER_KEYS = [
     "rasterize_points",
@@ -54,6 +54,9 @@ def test_raster_hillshade_matches_oracle(spark, ducks):
         "raster_terrain_ruggedness",
         "raster_discrete_updown",
         "raster_overview_pyramid",
+        "raster_cutline",
+        "transform_resolution",
+        "overview_level_select",
     ],
 )
 def test_gdaldem_family_matches_oracle(spark, ducks, key):
@@ -69,3 +72,16 @@ def test_export_and_sector_match_oracle(spark, ducks, key):
     q = entrymod.queries()[key]
     sql = entrymod.oracle_sql()[key]
     assert_matches_oracle(spark, ducks, q, sql)
+
+
+def test_cutline_nodata_semantics(spark):
+    """Outside-polygon cells carry dstNodata (-32768), inside cells carry
+    elevation; the concave cutline must leave both kinds inside the bbox."""
+    from pyspark.sql import functions as F
+
+    df = entrymod.queries()["raster_cutline"](spark, SF_DIR).cache()
+    n_in = df.filter("inside = 1").count()
+    n_out = df.filter("inside = 0").count()
+    assert n_in > 0 and n_out > 0
+    assert df.filter("(inside = 0) != (val = -32768.0)").count() == 0
+    df.unpersist()

@@ -12,6 +12,7 @@ VIEWSHED_KEYS = [
     "utm_zone_convergence",
     "viewshed_los_refraction",
     "viewshed_sector",
+    "coord_precision_report",
 ]
 
 
