@@ -117,6 +117,10 @@ _QUERIES: dict[str, QueryFn] = {
     "transform_resolution": raster.transform_resolution,
     "overview_level_select": raster.overview_level_select,
     "coord_precision_report": viewshed.coord_precision_report,
+    # LOS range, line-level dedup, df-rarity scoring (#70-72)
+    "viewshed_los_range": viewshed.viewshed_los_range,
+    "dedup_lines": dedup.dedup_lines,
+    "text_rarity_score": text.text_rarity_score,
 }
 
 _ORACLES: dict[str, str] = {
@@ -188,6 +192,9 @@ _ORACLES: dict[str, str] = {
     "transform_resolution": raster.TRANSFORM_RESOLUTION_SQL,
     "overview_level_select": raster.OVERVIEW_LEVEL_SELECT_SQL,
     "coord_precision_report": viewshed.COORD_PRECISION_REPORT_SQL,
+    "viewshed_los_range": viewshed.VIEWSHED_LOS_RANGE_SQL,
+    "dedup_lines": dedup.DEDUP_LINES_SQL,
+    "text_rarity_score": text.TEXT_RARITY_SCORE_SQL,
 }
 
 

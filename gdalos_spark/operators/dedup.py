@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdalos_spark.datamodel import load
-from gdalos_spark.functions import vectors
+from gdalos_spark.functions import hashing, vectors
 from gdalos_spark.functions.hashing import (
     MINHASH_A,
     MINHASH_B,
@@ -534,3 +534,81 @@ FROM labels
 
 
 DEDUP_CLUSTERS_SQL = _clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# 71. dedup_lines — segment-level (line/paragraph) dedup across the corpus
+#     (the CCNet-style pipeline stage: drop repeated lines corpus-wide).
+#     The synthetic corpus has no newlines, so a "line" is a fixed 8-word
+#     segment — the plan is identical for real newline-split paragraphs.
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 8
+# segment index fits well under this; packs (doc_id, seg_idx) into one
+# BIGINT occurrence key so "earliest occurrence" is a single MIN
+SEG_PACK = 1_000_000
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-segment report per document: each doc is
+    split into consecutive 8-word segments; a segment occurrence is a
+    duplicate if the same segment text appeared earlier in the corpus
+    (smaller doc_id, then smaller offset). Two shuffles, both on the
+    60-bit md5 of the segment — long strings never cross the wire. At
+    100 TB this is exactly the line-dedup shape: explode to segments,
+    min-occurrence per hash, join back, per-doc re-aggregate; every stage
+    is an equi-join/agg on the hash key with map-side partials."""
+    docs = load(spark, sf_dir, "documents")
+    seg_expr = (
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {SEG_WORDS}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i * {SEG_WORDS} + 1, {SEG_WORDS})))"
+    )
+    occ = docs.select(
+        "doc_id", F.posexplode(F.expr(seg_expr)).alias("seg_idx", "seg")
+    ).select(
+        "doc_id",
+        "seg_idx",
+        hashing.md5_int60(F.col("seg")).alias("h"),
+        (F.col("doc_id") * SEG_PACK + F.col("seg_idx")).alias("occ_key"),
+    )
+    first = occ.groupBy("h").agg(F.min("occ_key").alias("first_key"))
+    dup = occ.join(first, "h").select(
+        "doc_id", (F.col("occ_key") > F.col("first_key")).cast("int").alias("is_dup")
+    )
+    return (
+        dup.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            (F.col("n_dup_segments").cast("double") / F.col("n_segments").cast("double")).alias("dup_frac"),
+        )
+    )
+
+
+DEDUP_LINES_SQL = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+idx AS (
+  SELECT doc_id, words, CAST(unnest(range(CAST(ceil(len(words) / {SEG_WORDS}.0) AS BIGINT))) AS INTEGER) AS seg_idx
+  FROM w
+),
+occ AS (
+  SELECT doc_id, seg_idx,
+         {hashing.md5_int60_sql(f"array_to_string(words[(seg_idx * {SEG_WORDS} + 1):(seg_idx * {SEG_WORDS} + {SEG_WORDS})], ' ')")} AS h,
+         doc_id * {SEG_PACK} + seg_idx AS occ_key
+  FROM idx
+),
+first AS (SELECT h, MIN(occ_key) AS first_key FROM occ GROUP BY h),
+dup AS (
+  SELECT o.doc_id, CASE WHEN o.occ_key > f.first_key THEN 1 ELSE 0 END AS is_dup
+  FROM occ o JOIN first f USING (h)
+)
+SELECT doc_id, COUNT(*) AS n_segments,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_segments,
+       CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM dup GROUP BY doc_id
+"""

@@ -325,3 +325,56 @@ SELECT doc_id,
         '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_hash
 FROM aug
 """
+
+
+# ---------------------------------------------------------------------------
+# 72. text_rarity_score — corpus document-frequency rarity per document
+#     (the two-pass IDF pattern: learn per-token document frequency from
+#     the corpus itself, then score every document against it)
+# ---------------------------------------------------------------------------
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each document: how common its vocabulary is corpus-wide.
+    Pass 1 builds the token -> document-frequency table (distinct tokens
+    per doc, then count docs per token); pass 2 joins it back and
+    aggregates mean/min df per document. Both passes shuffle on the token
+    key with map-side partials — the df table is corpus-sized, so it is
+    NEVER broadcast (unlike the tiny language profiles in #36); at 100 TB
+    this is the standard distributed IDF build. All terminal math is
+    exact-integer division to double. Avoids log() so both engines stay
+    bit-identical; a true IDF would only add a monotone transform."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    df_tab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(df_tab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_toks"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+            F.min("df").alias("min_df"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_toks",
+            (F.col("sum_df").cast("double") / F.col("n_distinct_toks").cast("double")).alias("mean_df"),
+            "min_df",
+        )
+    )
+
+
+TEXT_RARITY_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+),
+df_tab AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_distinct_toks,
+       CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df,
+       MIN(df) AS min_df
+FROM toks JOIN df_tab USING (tok)
+GROUP BY doc_id
+"""

@@ -513,3 +513,47 @@ SELECT band, COUNT(*) AS n, MAX(err) AS max_err_deg,
        MAX(err) * {DEG_TO_METER!r} AS max_err_m
 FROM e GROUP BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# 70. viewshed_los_range — per-ray LOS range (first obstruction distance)
+#    ref: radio_params.py:14 RadioCalcType.LOSRange / :15 LOSVisRes — the
+#         reference's los_calc (viewshed_calc.py:636) can emit, instead of
+#         a boolean raster, the RANGE at which line of sight is lost.
+# ---------------------------------------------------------------------------
+
+
+def viewshed_los_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce the per-cell LOS raster to a per-ray range report: distance
+    of the first blocked cell (the LOS range — beyond it the ray has at
+    least one obstruction), visible-cell count, and the ray's full
+    extent. Distances are sqrt(int) doubles and min/max/coalesce are pure
+    selections, so values stay bit-identical to the oracle. One extra
+    tiny shuffle on the 264 ray keys after the LOS window — at scale the
+    agg is map-side-combined per (observer, ray) partition."""
+    los = viewshed_los(spark, sf_dir)
+    return (
+        los.groupBy("ray")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("visible").cast("bigint").alias("n_visible"),
+            F.min(F.when(F.col("visible") == 0, F.col("dist"))).alias("first_blocked"),
+            F.max("dist").alias("max_dist"),
+        )
+        .select(
+            "ray",
+            "n_cells",
+            "n_visible",
+            F.coalesce("first_blocked", "max_dist").alias("los_range"),
+            "max_dist",
+        )
+    )
+
+
+VIEWSHED_LOS_RANGE_SQL = f"""
+WITH los AS ({VIEWSHED_LOS_SQL})
+SELECT ray, COUNT(*) AS n_cells, CAST(SUM(visible) AS BIGINT) AS n_visible,
+       COALESCE(MIN(CASE WHEN visible = 0 THEN dist END), MAX(dist)) AS los_range,
+       MAX(dist) AS max_dist
+FROM los GROUP BY ray
+"""

@@ -21,6 +21,8 @@ LLM_KEYS = [
     "doc_fingerprint",
     "dedup_clusters",
     "text_pii_flag",
+    "dedup_lines",
+    "text_rarity_score",
     "corpus_sample_stratified",
     "ann_recall_report",
 ]

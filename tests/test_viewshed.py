@@ -13,6 +13,7 @@ VIEWSHED_KEYS = [
     "viewshed_los_refraction",
     "viewshed_sector",
     "coord_precision_report",
+    "viewshed_los_range",
 ]
 
 
