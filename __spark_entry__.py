@@ -121,6 +121,9 @@ _QUERIES: dict[str, QueryFn] = {
     "viewshed_los_range": viewshed.viewshed_los_range,
     "dedup_lines": dedup.dedup_lines,
     "text_rarity_score": text.text_rarity_score,
+    # talos angle math + empty-raster generator (#73-74)
+    "azimuth_normalize": viewshed.azimuth_normalize,
+    "empty_raster_generate": raster.empty_raster_generate,
 }
 
 _ORACLES: dict[str, str] = {
@@ -195,6 +198,8 @@ _ORACLES: dict[str, str] = {
     "viewshed_los_range": viewshed.VIEWSHED_LOS_RANGE_SQL,
     "dedup_lines": dedup.DEDUP_LINES_SQL,
     "text_rarity_score": text.TEXT_RARITY_SCORE_SQL,
+    "azimuth_normalize": viewshed.AZIMUTH_NORMALIZE_SQL,
+    "empty_raster_generate": raster.EMPTY_RASTER_GENERATE_SQL,
 }
 
 

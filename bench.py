@@ -82,7 +82,7 @@ def main() -> None:
     # The host is shared: a neighbor's load spike can inflate a single
     # run 5-30x. Run each query REPS times and report the minimum — the
     # closest observation to the true cost of the plan.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

@@ -1559,3 +1559,64 @@ SELECT n_nationkey, area, resx, CAST(min_r AS DOUBLE) AS min_r,
        power(2.0, round(log2(resx / min_r), 0)) AS level
 FROM kept CROSS JOIN reqs
 """
+
+
+# ---------------------------------------------------------------------------
+# 74. empty_raster_generate — constant-filled raster from extent + res
+#    ref: empty_raster.py:9 create_empty_raster / :40
+#         create_empty_raster_by_extent, rectangle.py:13
+#         gt_and_size_from_rect (size = ceil(extent/res), origin at
+#         (min_x, max_y), negative y pixel size)
+# ---------------------------------------------------------------------------
+
+EMPTY_EXT = (35.0, 36.0, 31.0, 32.0)  # min_x, max_x, min_y, max_y (ref test)
+EMPTY_RES = (0.025, -0.025)
+EMPTY_VAL = 0.0
+EMPTY_NDV = 0.0
+
+
+def empty_raster_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate the pixel grid of an empty raster: size from
+    ceil(extent/pixel_size), geotransform origin at the top-left
+    (min_x, max_y), fill value constant. A generator plan — spark.range
+    partitions the id space across executors, each derives (px, py, geo
+    coords) arithmetically; zero input scan, zero shuffle. At 100 TB an
+    empty target raster materializes per-tile exactly like this, with the
+    tile id folded into the range."""
+    import math as _m
+
+    min_x, max_x, min_y, max_y = EMPTY_EXT
+    size_x = _m.ceil((max_x - min_x) / EMPTY_RES[0])
+    size_y = _m.ceil((max_y - min_y) / -EMPTY_RES[1])
+    n = size_x * size_y
+    ids = spark.range(n)
+    px = (F.col("id") % size_x).cast("int")
+    py = (F.col("id") / size_x).cast("int")
+    return ids.select(
+        px.alias("px"),
+        py.alias("py"),
+        (F.lit(min_x) + px.cast("double") * EMPTY_RES[0]).alias("xgeo"),
+        (F.lit(max_y) + py.cast("double") * EMPTY_RES[1]).alias("ygeo"),
+        F.lit(EMPTY_VAL).alias("val"),
+        F.lit(EMPTY_NDV).alias("ndv"),
+    )
+
+
+def _empty_raster_sql() -> str:
+    import math as _m
+
+    min_x, max_x, min_y, max_y = EMPTY_EXT
+    size_x = _m.ceil((max_x - min_x) / EMPTY_RES[0])
+    size_y = _m.ceil((max_y - min_y) / -EMPTY_RES[1])
+    n = size_x * size_y
+    return f"""
+SELECT CAST(range % {size_x} AS INTEGER) AS px,
+       CAST(range // {size_x} AS INTEGER) AS py,
+       {min_x!r} + CAST(range % {size_x} AS DOUBLE) * {EMPTY_RES[0]!r} AS xgeo,
+       {max_y!r} + CAST(range // {size_x} AS DOUBLE) * {EMPTY_RES[1]!r} AS ygeo,
+       CAST({EMPTY_VAL!r} AS DOUBLE) AS val, CAST({EMPTY_NDV!r} AS DOUBLE) AS ndv
+FROM range({n})
+"""
+
+
+EMPTY_RASTER_GENERATE_SQL = _empty_raster_sql()

@@ -557,3 +557,137 @@ SELECT ray, COUNT(*) AS n_cells, CAST(SUM(visible) AS BIGINT) AS n_visible,
        MAX(dist) AS max_dist
 FROM los GROUP BY ray
 """
+
+
+# ---------------------------------------------------------------------------
+# 73. azimuth_normalize — talos angle-normalization family
+#    ref: talos/geom_util.py:29 NormalizeAngle (two sequential range
+#         corrections via Frac = x - trunc(x)), :49 NormalizeAngles
+#         (end < start -> end + 360), :73 direction_and_aperture_from_az,
+#         :60 GetFromToAngle (heading flip 90-dir, +-aperture/2 to
+#         radians, from > to -> from - 2pi)
+# ---------------------------------------------------------------------------
+
+M_PI_180 = 0.017453292519943295  # talos/gen_consts.py, hardcoded literal
+M_2PI = 6.283185307179586
+FULL_CIRCLE_EPS = 1e-10
+
+
+def _trunc(x: str) -> str:
+    """Numeric trunc-toward-zero, portable: Spark's 1-arg trunc is
+    date-only and DuckDB's double->BIGINT cast rounds instead of
+    truncating, so spell it with floor/ceil."""
+    return f"(CASE WHEN ({x}) >= 0 THEN floor({x}) ELSE ceil({x}) END)"
+
+
+def _norm360(x: str) -> str:
+    """NormalizeAngle(x, 360) as engine-portable SQL: the reference's two
+    SEQUENTIAL ifs (a negative input can normalize to exactly 360.0 and
+    then be caught by the second check) — mirrored bug-for-bug."""
+    frac = f"(({x}) / 360.0 - {_trunc(f'({x}) / 360.0')})"
+    r1 = f"(CASE WHEN ({x}) < 0 THEN ({frac} + 1.0) * 360.0 ELSE ({x}) END)"
+    frac1 = f"(({r1}) / 360.0 - {_trunc(f'({r1}) / 360.0')})"
+    return f"(CASE WHEN ({r1}) >= 360.0 THEN {frac1} * 360.0 ELSE ({r1}) END)"
+
+
+_AZ_RAW_S = "(CAST(value AS DOUBLE) * 7.3 - 500.0)"
+_AZ_RAW_E = "(CAST(value AS DOUBLE) * 2.9 - 100.0)"
+
+# Stage-wise expressions: each stage refers to the previous stage's columns
+# by NAME, so the expression text stays short (a single composed expression
+# re-expands every nested NormalizeAngle ~6x and overflows both parsers).
+_AZ_STAGES: tuple[tuple[tuple[str, str], ...], ...] = (
+    (("event_id", "event_id"), ("s_raw", _AZ_RAW_S), ("e_raw", _AZ_RAW_E)),
+    (
+        ("event_id", "event_id"),
+        ("az_start", "__NORM__s_raw"),
+        ("e0", "__NORM__e_raw"),
+    ),
+    (
+        ("event_id", "event_id"),
+        ("az_start", "az_start"),
+        ("az_end", "(CASE WHEN e0 < az_start THEN e0 + 360.0 ELSE e0 END)"),
+    ),
+    (
+        ("event_id", "event_id"),
+        ("az_start", "az_start"),
+        ("az_end", "az_end"),
+        ("direction", "((az_end + az_start) / 2.0)"),
+        ("aperture", "(az_end - az_start)"),
+    ),
+    (
+        ("event_id", "event_id"),
+        ("az_start", "az_start"),
+        ("az_end", "az_end"),
+        ("direction", "direction"),
+        ("aperture", "aperture"),
+        ("head", "__NORM__(90.0 - direction)"),
+    ),
+    (
+        ("event_id", "event_id"),
+        ("az_start", "az_start"),
+        ("az_end", "az_end"),
+        ("direction", "direction"),
+        ("aperture", "aperture"),
+        ("a_from0", f"(__NORM__(head - aperture * 0.5) * {M_PI_180!r})"),
+        ("a_to0", f"(__NORM__(head + aperture * 0.5) * {M_PI_180!r})"),
+    ),
+    (
+        ("event_id", "event_id"),
+        ("az_start", "az_start"),
+        ("az_end", "az_end"),
+        ("direction", "direction"),
+        ("aperture", "aperture"),
+        (
+            "a_from_rad",
+            f"(CASE WHEN aperture >= 360.0 - {FULL_CIRCLE_EPS!r} THEN 0.0 "
+            f"WHEN a_from0 > a_to0 THEN a_from0 - {M_2PI!r} ELSE a_from0 END)",
+        ),
+        (
+            "a_to_rad",
+            f"(CASE WHEN aperture >= 360.0 - {FULL_CIRCLE_EPS!r} THEN 0.0 ELSE a_to0 END)",
+        ),
+    ),
+)
+
+
+def _expand_stage_expr(expr: str) -> str:
+    """Replace the __NORM__<arg> marker with the NormalizeAngle expansion
+    of everything after the marker (arg is the full remainder string)."""
+    if expr.startswith("__NORM__"):
+        return _norm360(expr[len("__NORM__"):])
+    if expr.startswith("(__NORM__"):
+        # form "(__NORM__<arg> * C)": expand the norm over <arg>
+        inner, tail = expr[len("(__NORM__"):].rsplit(" * ", 1)
+        return f"({_norm360(inner)} * {tail}"
+    return expr
+
+
+def azimuth_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize raw (start, end) azimuth pairs derived from the events
+    stream and compute direction/aperture and the radian from/to pair the
+    viewshed backend consumes. A chain of narrow projections — zero
+    shuffles; Catalyst collapses the stages into one whole-stage-codegen
+    projection. Every stage uses the IDENTICAL expression text as the
+    oracle's nested CTEs, so every double is bit-equal."""
+    from gdalos_spark.datamodel import load as _load
+
+    df = _load(spark, sf_dir, "events")
+    for stage in _AZ_STAGES:
+        df = df.select(
+            *[F.expr(_expand_stage_expr(sql)).alias(name) for name, sql in stage]
+        )
+    return df
+
+
+def _azimuth_sql() -> str:
+    q = "events"
+    for stage in _AZ_STAGES:
+        cols = ", ".join(
+            f"{_expand_stage_expr(sql)} AS {name}" for name, sql in stage
+        )
+        q = f"(SELECT {cols} FROM {q})"
+    return f"SELECT * FROM {q} AS t"
+
+
+AZIMUTH_NORMALIZE_SQL = _azimuth_sql()

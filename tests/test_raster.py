@@ -57,6 +57,7 @@ def test_raster_hillshade_matches_oracle(spark, ducks):
         "raster_cutline",
         "transform_resolution",
         "overview_level_select",
+        "empty_raster_generate",
     ],
 )
 def test_gdaldem_family_matches_oracle(spark, ducks, key):

@@ -14,6 +14,7 @@ VIEWSHED_KEYS = [
     "viewshed_sector",
     "coord_precision_report",
     "viewshed_los_range",
+    "azimuth_normalize",
 ]
 
 
