@@ -124,6 +124,8 @@ _QUERIES: dict[str, QueryFn] = {
     # talos angle math + empty-raster generator (#73-74)
     "azimuth_normalize": viewshed.azimuth_normalize,
     "empty_raster_generate": raster.empty_raster_generate,
+    # stream-static enrichment join (#75)
+    "streaming_enrich_join": streaming_events.streaming_enrich_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -200,6 +202,7 @@ _ORACLES: dict[str, str] = {
     "text_rarity_score": text.TEXT_RARITY_SCORE_SQL,
     "azimuth_normalize": viewshed.AZIMUTH_NORMALIZE_SQL,
     "empty_raster_generate": raster.EMPTY_RASTER_GENERATE_SQL,
+    "streaming_enrich_join": streaming_events.STREAMING_ENRICH_JOIN_SQL,
 }
 
 

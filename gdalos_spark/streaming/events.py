@@ -291,3 +291,69 @@ SELECT DISTINCT user_id, event_type,
        CAST(epoch_ns(ts) // {86400 * 1_000_000_000} AS BIGINT) AS day_bucket
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# 75. streaming_enrich_join — stream-static dimension enrichment
+# ---------------------------------------------------------------------------
+
+ENRICH_QUERY_NAME = "gdalos_stream_enrich"
+ENRICH_KEY_MULT = 11  # user_id*11 reaches past max(c_custkey) -> real misses
+
+
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT OUTER join: the events stream enriched with the
+    static customer dimension (key = user_id * 11, chosen so some keys
+    miss and the outer side matters). Stream-static joins are STATELESS
+    in Structured Streaming — no watermark, no state store; each
+    micro-batch hash-joins against the (broadcastable) static side, so at
+    100 TB/day the stream never shuffles and the dim is rebroadcast per
+    batch. Append output over availableNow is row-for-row the batch LEFT
+    JOIN — full hash gate."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == ENRICH_QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+    joined = (
+        stream.withColumn("join_key", F.col("user_id") * ENRICH_KEY_MULT)
+        .join(F.broadcast(cust), F.col("join_key") == F.col("c_custkey"), "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("c_nationkey").cast("int"), F.lit(-1)).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("NONE")).alias("mktsegment"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("val"),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(ENRICH_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(ENRICH_QUERY_NAME)
+
+
+STREAMING_ENRICH_JOIN_SQL = f"""
+SELECT e.event_id, e.user_id, e.event_type,
+       COALESCE(CAST(c.c_nationkey AS INTEGER), -1) AS nation,
+       COALESCE(c.c_mktsegment, 'NONE') AS mktsegment,
+       CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS val
+FROM events e
+LEFT JOIN customer c ON e.user_id * {ENRICH_KEY_MULT} = c.c_custkey
+"""

@@ -85,3 +85,12 @@ def test_streaming_pyramid_and_dedup_match_oracle(spark, ducks):
         assert_matches_oracle(
             spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
         )
+
+
+def test_streaming_enrich_join_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["streaming_enrich_join"],
+        entrymod.oracle_sql()["streaming_enrich_join"],
+    )
