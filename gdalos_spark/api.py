@@ -169,3 +169,37 @@ class GdalosSpark:
 
     def sessionize(self) -> DataFrame:
         return relational.events_sessionize(self.spark, self.sf_dir)
+
+    # --- round-2 additions (#63-75) ---
+    def crop_cutline(self) -> DataFrame:
+        return raster.raster_cutline(self.spark, self.sf_dir)
+
+    def discrete_updown(self) -> DataFrame:
+        return raster.raster_discrete_updown(self.spark, self.sf_dir)
+
+    def warp_resolution(self) -> DataFrame:
+        return raster.transform_resolution(self.spark, self.sf_dir)
+
+    def overview_select(self) -> DataFrame:
+        return raster.overview_level_select(self.spark, self.sf_dir)
+
+    def empty_raster(self) -> DataFrame:
+        return raster.empty_raster_generate(self.spark, self.sf_dir)
+
+    def los_range(self) -> DataFrame:
+        return viewshed.viewshed_los_range(self.spark, self.sf_dir)
+
+    def normalize_azimuths(self) -> DataFrame:
+        return viewshed.azimuth_normalize(self.spark, self.sf_dir)
+
+    def coord_precision(self) -> DataFrame:
+        return viewshed.coord_precision_report(self.spark, self.sf_dir)
+
+    def dedup_lines(self) -> DataFrame:
+        return dedup_ops.dedup_lines(self.spark, self.sf_dir)
+
+    def rarity(self) -> DataFrame:
+        return text.text_rarity_score(self.spark, self.sf_dir)
+
+    def stream_enrich(self) -> DataFrame:
+        return streaming_events.streaming_enrich_join(self.spark, self.sf_dir)
