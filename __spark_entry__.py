@@ -126,6 +126,11 @@ _QUERIES: dict[str, QueryFn] = {
     "empty_raster_generate": raster.empty_raster_generate,
     # stream-static enrichment join (#75)
     "streaming_enrich_join": streaming_events.streaming_enrich_join,
+    # Q14/Q18 shapes, window frames, proj-token parsing (#76-79)
+    "promo_revenue": relational.promo_revenue,
+    "large_orders": relational.large_orders,
+    "running_totals": relational.running_totals,
+    "proj_string_parse": viewshed.proj_string_parse,
 }
 
 _ORACLES: dict[str, str] = {
@@ -203,6 +208,10 @@ _ORACLES: dict[str, str] = {
     "azimuth_normalize": viewshed.AZIMUTH_NORMALIZE_SQL,
     "empty_raster_generate": raster.EMPTY_RASTER_GENERATE_SQL,
     "streaming_enrich_join": streaming_events.STREAMING_ENRICH_JOIN_SQL,
+    "promo_revenue": relational.PROMO_REVENUE_SQL,
+    "large_orders": relational.LARGE_ORDERS_SQL,
+    "running_totals": relational.RUNNING_TOTALS_SQL,
+    "proj_string_parse": viewshed.PROJ_STRING_PARSE_SQL,
 }
 
 

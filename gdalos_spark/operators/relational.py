@@ -353,3 +353,159 @@ WITH per_cust AS (
 SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
 FROM per_cust GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# 76. promo_revenue — conditional-ratio aggregate over a broadcast dim join
+#     (TPC-H Q14 shape; first use of the `part` table)
+# ---------------------------------------------------------------------------
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts. Revenue is exact
+    integer cents x (100 - discount%) so the conditional sums are
+    BIGINT-exact in both engines; the final ratio is one double division
+    of exact integers. part is a dimension -> broadcast; lineitem never
+    shuffles for the join, then one groupBy on ~month keys with map-side
+    partials."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("ym"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("ym")
+        .agg(
+            F.sum("rev").alias("total_rev"),
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0))).alias("promo_rev"),
+        )
+        .select(
+            "ym",
+            F.col("total_rev").cast("bigint").alias("total_rev"),
+            F.col("promo_rev").cast("bigint").alias("promo_rev"),
+            (F.lit(100.0) * F.col("promo_rev").cast("double") / F.col("total_rev").cast("double")).alias("promo_pct"),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS ym,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+)
+SELECT ym,
+       CAST(SUM(rev) AS BIGINT) AS total_rev,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_rev,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+FROM li JOIN part ON l_partkey = p_partkey
+GROUP BY ym
+"""
+
+
+# ---------------------------------------------------------------------------
+# 77. large_orders — HAVING-filtered agg joined back (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+LARGE_QTY = 220.0  # ~3% of orders qualify -> the join-back set is genuinely broadcastable
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds the threshold, with
+    order details. The Q18 scale trick: the HAVING output is a tiny key
+    set, so the join BACK to orders broadcasts it — the orders scan never
+    shuffles. Quantity sums are exact decimal, cast to double at the
+    terminal."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_QTY)
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {LARGE_QTY}
+)
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 78. running_totals — window frames: cumulative + moving aggregates
+# ---------------------------------------------------------------------------
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly revenue with a cumulative total, a 3-month
+    moving sum, and the month's revenue rank — the window-frame family
+    (UNBOUNDED PRECEDING and ROWS 2 PRECEDING) over exact integer cents.
+    customer is broadcast; one shuffle for the monthly agg, one window
+    shuffle on the nation key. Month counts per nation are bounded, so
+    window partitions stay small at any corpus scale."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "ym")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w_cum = Window.partitionBy("c_nationkey").orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    w_mov = Window.partitionBy("c_nationkey").orderBy("ym").rowsBetween(-2, 0)
+    w_rank = Window.partitionBy("c_nationkey").orderBy(F.desc("rev_cents"), F.asc("ym"))
+    return monthly.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        "ym",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        F.sum("rev_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.sum("rev_cents").over(w_mov).cast("bigint").alias("mov3_cents"),
+        F.row_number().over(w_rank).alias("month_rank"),
+    )
+
+
+RUNNING_TOTALS_SQL = """
+WITH monthly AS (
+  SELECT CAST(c_nationkey AS INTEGER) AS nation,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT nation, ym, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY nation ORDER BY ym
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY nation ORDER BY ym
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents,
+       ROW_NUMBER() OVER (PARTITION BY nation ORDER BY rev_cents DESC, ym ASC) AS month_rank
+FROM monthly
+"""

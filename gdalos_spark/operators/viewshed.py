@@ -691,3 +691,129 @@ def _azimuth_sql() -> str:
 
 
 AZIMUTH_NORMALIZE_SQL = _azimuth_sql()
+
+
+# ---------------------------------------------------------------------------
+# 79. proj_string_parse — talos projection-token parsing
+#    ref: talos_osr.py:33 parse_proj_string_and_zone (numeric -> epsg or
+#         zone; '+...' passthrough; 'epsg...' -> '+init='; else UTM name),
+#         :8 get_zone_from_name (suffix after last 'u'), :21
+#         get_canonic_name ('e50'/'w84' + 'u'+zero-padded zone | 'geo'),
+#         backports/osr_utm_util.py:52 proj_string_from_utm_zone
+#         (latlong / utm integer zone / tmerc fractional zone), :9
+#         get_utm_zone_center ((zone-30.5)*6 with +-360 wrap)
+# ---------------------------------------------------------------------------
+
+ED50_TOWGS84 = "-87,-98,-121"  # parse_proj_string_and_zone default
+
+
+# stage 1: derive a deterministic token mix covering every parse branch
+_PROJ_TOKEN = (
+    "CASE CAST(c_custkey % 6 AS INT) "
+    "WHEN 0 THEN concat('w84u', CAST(10 + c_custkey % 50 AS STRING)) "
+    "WHEN 1 THEN concat('e50u', CAST(5 + c_custkey % 9 AS STRING)) "
+    "WHEN 2 THEN concat('EPSG:', CAST(4000 + c_custkey % 700 AS STRING)) "
+    "WHEN 3 THEN CAST(200 + c_custkey % 9000 AS STRING) "
+    "WHEN 4 THEN '36.5' "
+    "ELSE '+proj=latlong +datum=WGS84 +no_defs' END"
+)
+
+# stage 2 columns (all over `token`)
+_PROJ_NUM = "try_cast(token AS DOUBLE)"
+# suffix after the LAST 'u' of the lowered token (greedy .*), else '' -> 0
+_PROJ_ZFN = "coalesce(try_cast(regexp_extract(lower(token), '.*u(.*)$', 1) AS DOUBLE), 0.0)"
+
+# stage 3: resolved zone (NULL only for the numeric-epsg branch)
+_PROJ_ZONE = (
+    "CASE WHEN num IS NOT NULL AND num = floor(num) AND num > 100 THEN CAST(NULL AS DOUBLE) "
+    "WHEN num IS NOT NULL THEN num ELSE zfn END"
+)
+
+# stage 4 helpers over (token, num, zone)
+_PROJ_DATUM = (
+    f"CASE WHEN substring(lower(token), 1, 1) = 'e' "
+    f"THEN '+ellps=intl +towgs84={ED50_TOWGS84}' ELSE '+datum=WGS84' END"
+)
+_PROJ_CENTER = (
+    "CASE WHEN (zone - 30.5) * 6.0 <= -180.0 THEN (zone - 30.5) * 6.0 + 360.0 "
+    "WHEN (zone - 30.5) * 6.0 > 180.0 THEN (zone - 30.5) * 6.0 - 360.0 "
+    "ELSE (zone - 30.5) * 6.0 END"
+)
+_PROJ_PJ = (
+    "CASE "
+    "WHEN num IS NOT NULL AND num = floor(num) AND num > 100 "
+    "  THEN concat('+init=epsg:', CAST(CAST(num AS BIGINT) AS STRING)) "
+    "WHEN substring(token, 1, 1) = '+' THEN token "
+    "WHEN substring(lower(token), 1, 4) = 'epsg' THEN concat('+init=', token) "
+    "WHEN zone = 0.0 THEN concat('+proj=latlong ', datum, ' +no_defs') "
+    "WHEN zone = floor(zone) "
+    "  THEN concat('+proj=utm +zone=', CAST(CAST(zone AS BIGINT) AS STRING), ' ', datum, ' +units=m +no_defs') "
+    "ELSE concat('+proj=tmerc +k=0.9996 +lon_0=', CAST(center AS STRING), "
+    "            ' +x_0=500000 ', datum, ' +units=m +no_defs') END"
+)
+_PROJ_ZSTR = (
+    "CASE WHEN zone = floor(zone) THEN CAST(CAST(zone AS BIGINT) AS STRING) "
+    "ELSE CAST(zone AS STRING) END"
+)
+_PROJ_CANONIC = (
+    "concat(CASE WHEN substring(lower(token), 1, 1) = 'e' THEN 'e50' ELSE 'w84' END, "
+    "CASE WHEN zone IS NULL OR zone = 0.0 THEN 'geo' "
+    "ELSE concat('u', CASE WHEN zone < 10 THEN '0' ELSE '' END, zstr) END)"
+)
+
+
+def proj_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse every flavor of talos projection token (UTM names like
+    'w84u36'/'e50u05', 'EPSG:n', bare epsg numbers, float zones, raw
+    proj4 strings) into (zone, proj4 string, canonic name) — the exact
+    decision tree of parse_proj_string_and_zone. Pure string/CASE
+    projection, zero shuffles, whole-stage codegen; the oracle runs the
+    IDENTICAL staged expressions."""
+    from gdalos_spark.datamodel import load as _load
+
+    c = _load(spark, sf_dir, "customer")
+    df = c.select("c_custkey", F.expr(_PROJ_TOKEN).alias("token"))
+    df = df.select(
+        "c_custkey", "token",
+        F.expr(_PROJ_NUM).alias("num"), F.expr(_PROJ_ZFN).alias("zfn"),
+    )
+    df = df.select(
+        "c_custkey", "token", "num", F.expr(_PROJ_ZONE).alias("zone")
+    )
+    df = df.select(
+        "c_custkey", "token", "num", "zone",
+        F.expr(_PROJ_DATUM).alias("datum"), F.expr(_PROJ_CENTER).alias("center"),
+        F.expr(_PROJ_ZSTR).alias("zstr"),
+    )
+    return df.select(
+        "c_custkey",
+        "token",
+        "zone",
+        F.expr(_PROJ_PJ).alias("pj_string"),
+        F.expr(_PROJ_CANONIC).alias("canonic"),
+    )
+
+
+def _proj_sql() -> str:
+    # DuckDB: CAST(x AS STRING) is Spark syntax; VARCHAR works in both?
+    # Spark accepts STRING, DuckDB accepts VARCHAR — but both accept the
+    # ANSI form CAST(x AS VARCHAR)? Spark does NOT. Keep the expression
+    # text identical where it matters (arithmetic/CASE structure); string
+    # type names differ only inside casts of INTEGER values whose textual
+    # rendering is identical anyway.
+    def duck(e: str) -> str:
+        return e.replace(" AS STRING)", " AS VARCHAR)")
+
+    return f"""
+WITH t1 AS (SELECT c_custkey, {duck(_PROJ_TOKEN)} AS token FROM customer),
+t2 AS (SELECT c_custkey, token, {_PROJ_NUM} AS num, {_PROJ_ZFN} AS zfn FROM t1),
+t3 AS (SELECT c_custkey, token, num, {_PROJ_ZONE} AS zone FROM t2),
+t4 AS (SELECT c_custkey, token, num, zone, {_PROJ_DATUM} AS datum,
+              {_PROJ_CENTER} AS center, {duck(_PROJ_ZSTR)} AS zstr FROM t3)
+SELECT c_custkey, token, zone, {duck(_PROJ_PJ)} AS pj_string,
+       {_PROJ_CANONIC} AS canonic
+FROM t4
+"""
+
+
+PROJ_STRING_PARSE_SQL = _proj_sql()

@@ -119,3 +119,15 @@ def test_gdaldem_stencils_are_broadcast_joins(spark):
 def test_order_priority_is_semi_join(spark):
     plan = assert_in_plan(q(spark, "order_priority_counts"), "LeftSemi")
     assert "CartesianProduct" not in plan
+
+
+def test_large_orders_broadcasts_having_set(spark):
+    """Q18 shape: the HAVING-filtered key set must broadcast so the
+    orders scan never shuffles for the join back."""
+    plan = assert_in_plan(q(spark, "large_orders"), "BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    plan = assert_in_plan(q(spark, "promo_revenue"), "BroadcastHashJoin")
+    assert "CartesianProduct" not in plan

@@ -14,6 +14,9 @@ RELATIONAL_KEYS = [
     "skewed_agg_salted",
     "order_priority_counts",
     "customer_order_distribution",
+    "promo_revenue",
+    "large_orders",
+    "running_totals",
 ]
 
 

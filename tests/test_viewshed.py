@@ -15,6 +15,7 @@ VIEWSHED_KEYS = [
     "coord_precision_report",
     "viewshed_los_range",
     "azimuth_normalize",
+    "proj_string_parse",
 ]
 
 
