@@ -131,6 +131,8 @@ _QUERIES: dict[str, QueryFn] = {
     "large_orders": relational.large_orders,
     "running_totals": relational.running_totals,
     "proj_string_parse": viewshed.proj_string_parse,
+    # radio path-loss composite (#80)
+    "radio_path_report": viewshed.radio_path_report,
 }
 
 _ORACLES: dict[str, str] = {
@@ -212,6 +214,7 @@ _ORACLES: dict[str, str] = {
     "large_orders": relational.LARGE_ORDERS_SQL,
     "running_totals": relational.RUNNING_TOTALS_SQL,
     "proj_string_parse": viewshed.PROJ_STRING_PARSE_SQL,
+    "radio_path_report": viewshed.RADIO_PATH_REPORT_SQL,
 }
 
 

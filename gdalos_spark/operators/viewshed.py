@@ -817,3 +817,53 @@ FROM t4
 
 
 PROJ_STRING_PARSE_SQL = _proj_sql()
+
+
+# ---------------------------------------------------------------------------
+# 80. radio_path_report — LOS x free-space-loss composite
+#    ref: radio_params.py:11 RadioCalcType (PathLoss :18, PowerReminder
+#         :20, Mode :22), :70 power_diff = BroadcastPower - MinPower;
+#         viewshed_calc.py:627 calc_free_space_loss. The talos radio
+#         viewshed emits, per cell, path loss / remaining power / go-no-go
+#         mode; with the external rfmodel absent, path loss = FSL.
+# ---------------------------------------------------------------------------
+
+RADIO_FREQ_MHZ = 433.0
+RADIO_POWER_DIFF = 100.0  # radio_params.py:70 default
+
+
+def radio_path_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per DEM cell around the LOS observer: path loss (FSL at the cell
+    distance), remaining power (power_diff - loss), and radio mode
+    (visible AND power remains). Rides the #19 LOS window — one ray
+    shuffle, then a pure projection; log10 outputs are rounded to 6
+    decimals so both engines' libm agree bit-for-bit."""
+    los = viewshed_los(spark, sf_dir)
+    dist_m = F.col("dist") * CELL_M
+    fsl = F.round(
+        20.0 * (F.log10(dist_m) + F.log10(F.lit(RADIO_FREQ_MHZ))) - 27.55, 6
+    )
+    return los.select(
+        "px",
+        "py",
+        "visible",
+        fsl.alias("path_loss_db"),
+        F.round(F.lit(RADIO_POWER_DIFF) - fsl, 6).alias("power_rem_db"),
+        ((F.col("visible") == 1) & (F.lit(RADIO_POWER_DIFF) - fsl >= 0))
+        .cast("int")
+        .alias("mode"),
+    )
+
+
+RADIO_PATH_REPORT_SQL = f"""
+WITH los AS ({VIEWSHED_LOS_SQL}),
+r AS (
+  SELECT px, py, visible,
+         round(20.0 * (log10(dist * {CELL_M!r}) + log10({RADIO_FREQ_MHZ!r})) - 27.55, 6) AS path_loss_db
+  FROM los
+)
+SELECT px, py, visible, path_loss_db,
+       round({RADIO_POWER_DIFF!r} - path_loss_db, 6) AS power_rem_db,
+       CAST(visible = 1 AND {RADIO_POWER_DIFF!r} - path_loss_db >= 0 AS INTEGER) AS mode
+FROM r
+"""

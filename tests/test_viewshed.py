@@ -16,6 +16,7 @@ VIEWSHED_KEYS = [
     "viewshed_los_range",
     "azimuth_normalize",
     "proj_string_parse",
+    "radio_path_report",
 ]
 
 
