@@ -133,6 +133,11 @@ _QUERIES: dict[str, QueryFn] = {
     "proj_string_parse": viewshed.proj_string_parse,
     # radio path-loss composite (#80)
     "radio_path_report": viewshed.radio_path_report,
+    # JSON extraction, rollup, pivot, batch-scheduler order (#81-84)
+    "events_json_extract": relational.events_json_extract,
+    "pricing_rollup": relational.pricing_rollup,
+    "events_type_pivot": relational.events_type_pivot,
+    "job_schedule_order": relational.job_schedule_order,
 }
 
 _ORACLES: dict[str, str] = {
@@ -215,6 +220,10 @@ _ORACLES: dict[str, str] = {
     "running_totals": relational.RUNNING_TOTALS_SQL,
     "proj_string_parse": viewshed.PROJ_STRING_PARSE_SQL,
     "radio_path_report": viewshed.RADIO_PATH_REPORT_SQL,
+    "events_json_extract": relational.EVENTS_JSON_EXTRACT_SQL,
+    "pricing_rollup": relational.PRICING_ROLLUP_SQL,
+    "events_type_pivot": relational.EVENTS_TYPE_PIVOT_SQL,
+    "job_schedule_order": relational.JOB_SCHEDULE_ORDER_SQL,
 }
 
 

@@ -509,3 +509,195 @@ SELECT nation, ym, CAST(rev_cents AS BIGINT) AS rev_cents,
        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY rev_cents DESC, ym ASC) AS month_rank
 FROM monthly
 """
+
+
+# ---------------------------------------------------------------------------
+# 81. events_json_extract — semi-structured JSON property extraction
+# ---------------------------------------------------------------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the integer property from the events' JSON `props` column
+    and aggregate it per event type — the semi-structured path every
+    event pipeline needs. JSON parsing stays JVM-side (get_json_object);
+    one groupBy on the tiny type key with map-side partials; the mean is
+    an exact-integer double division."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type", "n",
+            F.col("sum_k").cast("bigint").alias("sum_k"),
+            "min_k", "max_k",
+            (F.col("sum_k").cast("double") / F.col("n").cast("double")).alias("mean_k"),
+        )
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_k
+FROM e GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 82. pricing_rollup — ROLLUP grouping sets over the pricing flags
+# ---------------------------------------------------------------------------
+
+
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing summary at every grouping level at once —
+    (flag, status), (flag), and grand total — via ROLLUP. Spark plans
+    one Expand + single shuffle (not three scans); NULL group markers
+    are replaced with 'ALL' so both engines' rollup rows align. Sums are
+    exact integer cents."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("q").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+PRICING_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 83. events_type_pivot — pivot the event-type dimension into columns
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type — the
+    DataFrame .pivot() API with an explicit value list (never the
+    implicit distinct scan, which adds a blocking job at scale). Spark
+    compiles this to one conditional aggregate — same single shuffle as
+    the oracle's CASE sums."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    out = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("day")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES
+    ]
+    return out.select(*cols)
+
+
+EVENTS_TYPE_PIVOT_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 84. job_schedule_order — the gdalos batch scheduler as a query
+#    ref: /root/reference/WHATDO.md:13-14 — "make a list of jobs to
+#         perform, with dependencies and (expected) output size; sort
+#         jobs by expected size then by dependency": overview jobs
+#         depend on their base job; run order is dependency level first,
+#         then expected size descending.
+# ---------------------------------------------------------------------------
+
+OVR_LEVELS = 3  # each base raster job spawns 3 overview jobs
+
+
+def job_schedule_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a job table (one base translate job per nation, sized by
+    that nation's order volume, plus its overview jobs at 1/4^k the
+    size), then emit the reference's execution order: dependency level
+    ascending (a base must finish before its overviews), expected size
+    descending within a level. Sizes are exact cents; one tiny window
+    over the job catalog — scheduling metadata is small at any data
+    scale."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("cents").alias("size0"))
+    )
+    lvl = spark.range(OVR_LEVELS + 1).select(F.col("id").cast("int").alias("lvl"))
+    jobs = base.crossJoin(F.broadcast(lvl)).select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        "lvl",
+        F.concat(
+            F.lit("job_n"), F.col("c_nationkey").cast("string"),
+            F.lit("_l"), F.col("lvl").cast("string"),
+        ).alias("job_id"),
+        # floor() first: Spark's double->BIGINT cast truncates but DuckDB's
+        # rounds, so the cast itself must only ever see integral doubles
+        F.floor(F.col("size0") / F.pow(F.lit(4.0), F.col("lvl").cast("double"))).cast("bigint").alias("est_size"),
+    )
+    w = Window.orderBy(F.asc("lvl"), F.desc("est_size"), F.asc("nation"))
+    return jobs.select(
+        "job_id", "nation", "lvl", "est_size",
+        F.row_number().over(w).alias("run_order"),
+    )
+
+
+JOB_SCHEDULE_ORDER_SQL = f"""
+WITH base AS (
+  SELECT CAST(c_nationkey AS INTEGER) AS nation,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS size0
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+lvl AS (SELECT CAST(range AS INTEGER) AS lvl FROM range({OVR_LEVELS + 1})),
+jobs AS (
+  SELECT nation, lvl,
+         'job_n' || CAST(nation AS VARCHAR) || '_l' || CAST(lvl AS VARCHAR) AS job_id,
+         CAST(floor(CAST(size0 AS DOUBLE) / power(4.0, CAST(lvl AS DOUBLE))) AS BIGINT) AS est_size
+  FROM base CROSS JOIN lvl
+)
+SELECT job_id, nation, lvl, est_size,
+       ROW_NUMBER() OVER (ORDER BY lvl ASC, est_size DESC, nation ASC) AS run_order
+FROM jobs
+"""

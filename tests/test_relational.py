@@ -17,6 +17,10 @@ RELATIONAL_KEYS = [
     "promo_revenue",
     "large_orders",
     "running_totals",
+    "events_json_extract",
+    "pricing_rollup",
+    "events_type_pivot",
+    "job_schedule_order",
 ]
 
 
