@@ -138,6 +138,8 @@ _QUERIES: dict[str, QueryFn] = {
     "pricing_rollup": relational.pricing_rollup,
     "events_type_pivot": relational.events_type_pivot,
     "job_schedule_order": relational.job_schedule_order,
+    # int8 embedding quantization (#85)
+    "embedding_quantize_int8": similarity.embedding_quantize_int8,
 }
 
 _ORACLES: dict[str, str] = {
@@ -224,6 +226,7 @@ _ORACLES: dict[str, str] = {
     "pricing_rollup": relational.PRICING_ROLLUP_SQL,
     "events_type_pivot": relational.EVENTS_TYPE_PIVOT_SQL,
     "job_schedule_order": relational.JOB_SCHEDULE_ORDER_SQL,
+    "embedding_quantize_int8": similarity.EMBEDDING_QUANTIZE_INT8_SQL,
 }
 
 

@@ -23,6 +23,7 @@ LLM_KEYS = [
     "text_pii_flag",
     "dedup_lines",
     "text_rarity_score",
+    "embedding_quantize_int8",
     "corpus_sample_stratified",
     "ann_recall_report",
 ]
