@@ -131,3 +131,24 @@ def test_large_orders_broadcasts_having_set(spark):
 def test_promo_revenue_broadcasts_part(spark):
     plan = assert_in_plan(q(spark, "promo_revenue"), "BroadcastHashJoin")
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_is_equi_join_on_hash(spark):
+    """Segment dedup must join on the md5 key — never a cartesian, and
+    no long-string shuffle keys."""
+    plan = assert_in_plan(q(spark, "dedup_lines"), "Join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rarity_df_join_is_equi(spark):
+    plan = assert_in_plan(q(spark, "text_rarity_score"), "Join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_has_no_shuffle(spark):
+    """Per-row array math: the int8 quantization plan must contain no
+    exchange at all."""
+    plan = q(spark, "embedding_quantize_int8")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
