@@ -140,6 +140,8 @@ _QUERIES: dict[str, QueryFn] = {
     "job_schedule_order": relational.job_schedule_order,
     # int8 embedding quantization (#85)
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
+    # nodata rewrite (#86)
+    "raster_nodata_rewrite": raster.raster_nodata_rewrite,
 }
 
 _ORACLES: dict[str, str] = {
@@ -227,6 +229,7 @@ _ORACLES: dict[str, str] = {
     "events_type_pivot": relational.EVENTS_TYPE_PIVOT_SQL,
     "job_schedule_order": relational.JOB_SCHEDULE_ORDER_SQL,
     "embedding_quantize_int8": similarity.EMBEDDING_QUANTIZE_INT8_SQL,
+    "raster_nodata_rewrite": raster.RASTER_NODATA_REWRITE_SQL,
 }
 
 

@@ -1620,3 +1620,49 @@ FROM range({n})
 
 
 EMPTY_RASTER_GENERATE_SQL = _empty_raster_sql()
+
+
+# ---------------------------------------------------------------------------
+# 86. raster_nodata_rewrite — src->dst nodata translation
+#    ref: gdalos_trans.py:486-511 (nodatavalue region): src ndv defaults
+#         to the raster MINIMUM ("assuming that the raster minimum is
+#         indeed a nodatavalue", :501-503), dst ndv to
+#         default_multi_byte_nodata_value = -32768 (:60, :489); cells at
+#         src ndv are rewritten to dst ndv via warp srcNodata/dstNodata.
+# ---------------------------------------------------------------------------
+
+DST_NDV = -32768.0  # gdalos_trans.py:60 default_multi_byte_nodata_value
+
+
+def raster_nodata_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite source-nodata cells to the destination nodata: the source
+    ndv is the global raster minimum (the reference's heuristic when the
+    band has no declared ndv), found with one tiny agg and broadcast back
+    as a 1-row dimension — the raster itself is scanned once and never
+    shuffles (same two-phase shape as raster_scale). Exact decimal MIN =
+    pure selection, so the compare is bit-safe."""
+    g = dem_grid(spark, sf_dir)
+    src = g.agg(F.min("elev").alias("src_ndv"))
+    return (
+        g.crossJoin(F.broadcast(src))
+        .select(
+            "px",
+            "py",
+            F.when(F.col("elev") == F.col("src_ndv"), F.lit(DST_NDV))
+            .otherwise(F.col("elev").cast("double"))
+            .alias("val"),
+            (F.col("elev") == F.col("src_ndv")).cast("int").alias("was_ndv"),
+            F.col("src_ndv").cast("double").alias("src_ndv"),
+        )
+    )
+
+
+RASTER_NODATA_REWRITE_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+src AS (SELECT MIN(elev) AS src_ndv FROM dem)
+SELECT px, py,
+       CASE WHEN elev = src_ndv THEN {DST_NDV!r} ELSE CAST(elev AS DOUBLE) END AS val,
+       CAST(elev = src_ndv AS INTEGER) AS was_ndv,
+       CAST(src_ndv AS DOUBLE) AS src_ndv
+FROM dem CROSS JOIN src
+"""

@@ -58,6 +58,7 @@ def test_raster_hillshade_matches_oracle(spark, ducks):
         "transform_resolution",
         "overview_level_select",
         "empty_raster_generate",
+        "raster_nodata_rewrite",
     ],
 )
 def test_gdaldem_family_matches_oracle(spark, ducks, key):
