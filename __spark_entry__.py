@@ -28,67 +28,11 @@ from gdalos_spark.streaming import events as streaming_events
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {
-    # raster core (SURVEY §2 #1-18)
-    "rasterize_points": raster.rasterize_points,
-    "raster_crop": raster.raster_crop,
-    "raster_overview": raster.raster_overview,
-    "raster_overview_mode": raster.raster_overview_mode,
-    "raster_calc_expr": raster.raster_calc_expr,
-    "raster_combine_count": raster.raster_combine_count,
-    "raster_combine_max": raster.raster_combine_max,
-    "raster_combine_unique": raster.raster_combine_unique,
-    "raster_scale": raster.raster_scale,
-    "raster_color_relief": raster.raster_color_relief,
-    "raster_to_xyz": raster.raster_to_xyz,
-    "pixel_lookup": raster.pixel_lookup,
-    "raster_mosaic": raster.raster_mosaic,
-    "raster_info": raster.raster_info,
-    "raster_histogram": raster.raster_histogram,
-    "raster_warp_affine": raster.raster_warp_affine,
-    "raster_partition_stats": raster.raster_partition_stats,
-    "extent_selector": raster.extent_selector,
-    # viewshed / geo (#19-22)
-    "viewshed_los": viewshed.viewshed_los,
-    "viewshed_observer_count": viewshed.viewshed_observer_count,
-    "free_space_loss": viewshed.free_space_loss,
-    "utm_zone_convergence": viewshed.utm_zone_convergence,
-    "viewshed_los_refraction": viewshed.viewshed_los_refraction,
-    # relational core (#23-27)
-    "pricing_summary": relational.pricing_summary,
-    "top_orders": relational.top_orders,
-    "region_volume": relational.region_volume,
-    "events_sessionize": relational.events_sessionize,
-    "events_windowed_agg": relational.events_windowed_agg,
-    # dedup family (#28-32)
-    "dedup_exact": dedup.dedup_exact,
-    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "dedup_simhash": dedup.dedup_simhash,
-    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-    # similarity search (#33-35)
-    "ann_cosine_topk": similarity.ann_cosine_topk,
-    "ann_lsh_topk": similarity.ann_lsh_topk,
-    "ann_ivf_topk": similarity.ann_ivf_topk,
-    "centroid_similarity": similarity.centroid_similarity,
-    # text analysis (#36-39)
-    "text_language_id": text.text_language_id,
-    "text_quality_score": text.text_quality_score,
-    "text_token_stats": text.text_token_stats,
-    "doc_fingerprint": text.doc_fingerprint,
-    # multimodal + streaming (#40-41)
-    "multimodal_decode": multimodal.multimodal_decode,
-    "streaming_event_counts": streaming_events.streaming_event_counts,
-    # export + extended multimodal (#42-43)
-    "raster_to_czml": export.raster_to_czml,
-    "multimodal_frames": multimodal.multimodal_frames,
-    # custom stateful streaming (#44, rows-only)
-    "streaming_sessionize": streaming_events.streaming_sessionize,
-    # hillshade, salted agg, composite pipeline (#47-49)
-    "raster_hillshade": raster.raster_hillshade,
-    "skewed_agg_salted": relational.skewed_agg_salted,
-    "corpus_filter": pipeline.corpus_filter,
-    # sliding-window streaming (#50)
-    "streaming_sliding_counts": streaming_events.streaming_sliding_counts,
+    # --- Round-3 front window -------------------------------------------
+    # The driver evaluates the first 50 entries per round; CORRECTNESS_r02
+    # certified the first 50 of the round-2 order, so the 36 keys that had
+    # no driver row yet (r02 keys 51-86) are listed FIRST this round, with
+    # round-3 additions after them. Previously-certified keys follow.
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
     "raster_aspect_sector": raster.raster_aspect_sector,
@@ -142,6 +86,68 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
     # nodata rewrite (#86)
     "raster_nodata_rewrite": raster.raster_nodata_rewrite,
+    # custom stateful streaming (#44, oracle-gated since round 3)
+    "streaming_sessionize": streaming_events.streaming_sessionize,
+    # --- Previously driver-certified in CORRECTNESS_r02 -----------------
+    # raster core (SURVEY §2 #1-18)
+    "rasterize_points": raster.rasterize_points,
+    "raster_crop": raster.raster_crop,
+    "raster_overview": raster.raster_overview,
+    "raster_overview_mode": raster.raster_overview_mode,
+    "raster_calc_expr": raster.raster_calc_expr,
+    "raster_combine_count": raster.raster_combine_count,
+    "raster_combine_max": raster.raster_combine_max,
+    "raster_combine_unique": raster.raster_combine_unique,
+    "raster_scale": raster.raster_scale,
+    "raster_color_relief": raster.raster_color_relief,
+    "raster_to_xyz": raster.raster_to_xyz,
+    "pixel_lookup": raster.pixel_lookup,
+    "raster_mosaic": raster.raster_mosaic,
+    "raster_info": raster.raster_info,
+    "raster_histogram": raster.raster_histogram,
+    "raster_warp_affine": raster.raster_warp_affine,
+    "raster_partition_stats": raster.raster_partition_stats,
+    "extent_selector": raster.extent_selector,
+    # viewshed / geo (#19-22)
+    "viewshed_los": viewshed.viewshed_los,
+    "viewshed_observer_count": viewshed.viewshed_observer_count,
+    "free_space_loss": viewshed.free_space_loss,
+    "utm_zone_convergence": viewshed.utm_zone_convergence,
+    "viewshed_los_refraction": viewshed.viewshed_los_refraction,
+    # relational core (#23-27)
+    "pricing_summary": relational.pricing_summary,
+    "top_orders": relational.top_orders,
+    "region_volume": relational.region_volume,
+    "events_sessionize": relational.events_sessionize,
+    "events_windowed_agg": relational.events_windowed_agg,
+    # dedup family (#28-32)
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    # similarity search (#33-35)
+    "ann_cosine_topk": similarity.ann_cosine_topk,
+    "ann_lsh_topk": similarity.ann_lsh_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "centroid_similarity": similarity.centroid_similarity,
+    # text analysis (#36-39)
+    "text_language_id": text.text_language_id,
+    "text_quality_score": text.text_quality_score,
+    "text_token_stats": text.text_token_stats,
+    "doc_fingerprint": text.doc_fingerprint,
+    # multimodal + streaming (#40-41)
+    "multimodal_decode": multimodal.multimodal_decode,
+    "streaming_event_counts": streaming_events.streaming_event_counts,
+    # export + extended multimodal (#42-43)
+    "raster_to_czml": export.raster_to_czml,
+    "multimodal_frames": multimodal.multimodal_frames,
+    # hillshade, salted agg, composite pipeline (#47-49)
+    "raster_hillshade": raster.raster_hillshade,
+    "skewed_agg_salted": relational.skewed_agg_salted,
+    "corpus_filter": pipeline.corpus_filter,
+    # sliding-window streaming (#50)
+    "streaming_sliding_counts": streaming_events.streaming_sliding_counts,
 }
 
 _ORACLES: dict[str, str] = {
