@@ -194,6 +194,7 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
     # multimodal_decode / multimodal_frames are rows-only: the mapInPandas
     # stages have no SQL oracle
+    "streaming_sessionize": streaming_events.STREAMING_SESSIONIZE_SQL,
     "streaming_event_counts": streaming_events.STREAMING_EVENT_COUNTS_SQL,
     "raster_to_czml": export.RASTER_TO_CZML_SQL,
     "raster_hillshade": raster.RASTER_HILLSHADE_SQL,

@@ -431,7 +431,70 @@ DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()
 # ---------------------------------------------------------------------------
 
 CLUSTER_MIN_EST_JACCARD = 0.5
-_CC_MAX_ITERS = 25
+_CC_MAX_ROUNDS = 25
+
+
+def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
+    """Connected components via the alternating large-star/small-star
+    algorithm (the MapReduce CC formulation that converges in O(log n)
+    rounds regardless of component diameter — the property simple
+    min-label propagation lacks on chain-shaped components).
+
+    ``pairs`` is an undirected edge list (doc_a, doc_b) with
+    doc_a < doc_b. Each round runs one large-star then one small-star
+    step — both plain equi-join + groupBy-min plans, localCheckpoint
+    per round to keep lineage flat — and then one convergence check
+    (edge-set fixed point), so driver round-trips are per 2 star steps.
+    At the fixed point the directed edges form stars: every non-root
+    vertex points at its component's minimum vertex.
+
+    Returns (root_map, rounds, converged): root_map is (node, root) for
+    every non-root vertex in the graph.
+    """
+    # directed large->small: (u, v) with u > v
+    edges = (
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds, converged = 0, False
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star: for each u, attach every strictly-larger neighbor to
+        # m = min(neighborhood(u) + {u}); every undirected edge is emitted
+        # by exactly one endpoint's neighborhood
+        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = und.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            und.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: for each u, attach u and all its (smaller)
+        # out-neighbors to the minimum of them
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_only = small.join(edges, ["u", "v"], "left_anti").count()
+        if new_only == 0 and small.count() == edges.count():
+            edges = small
+            converged = True
+            break
+        edges = small
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("root")),
+        rounds,
+        converged,
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,13 +502,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     own — production dedup keeps ONE doc per connected component of the
     duplicate graph. Edges = exact-content pairs (same md5) UNION
     minhash-LSH pairs with est_jaccard >= 0.5; each doc in the graph gets
-    cluster_id = min doc_id reachable from it, via iterative min-label
-    propagation (labels join edges -> per-vertex min, localCheckpoint per
-    round to keep lineage flat). Converges in diameter rounds; dup chains
-    are shallow, so this is 2-4 rounds in practice. At 100 TB you swap
-    the loop body for the large-star/small-star algorithm (same join
-    shape, O(log n) rounds guaranteed) — the per-round plan here IS the
-    small-star step.
+    cluster_id = min doc_id reachable from it, computed by the alternating
+    large-star/small-star algorithm (_cc_alternating) — O(log n) rounds
+    guaranteed even on pathological duplicate chains, vs the
+    graph-diameter rounds simple label propagation needs.
 
     Output: (doc_id, cluster_id, cluster_size) for docs in >=1 pair.
     """
@@ -461,41 +521,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     pairs = exact_pairs.union(near_pairs).distinct()
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
 
-    labels = (
-        edges.select(F.col("doc_a").alias("v"))
+    root_map, rounds, converged = _cc_alternating(pairs)
+    if not converged:  # pragma: no cover - needs >2^25-diameter data
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: star compression exited after {rounds} rounds "
+            "without reaching the edge fixed point; cluster ids may be "
+            "unconverged",
+            stacklevel=2,
+        )
+
+    verts = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("v")))
         .distinct()
-        .select("v", F.col("v").alias("label"))
-        .localCheckpoint()
     )
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            labels.join(edges, labels.v == edges.doc_a)
-            .groupBy(F.col("doc_b").alias("v2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.v == nbr_min.v2, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = verts.join(root_map, verts.v == root_map.node, "left").select(
+        F.col("v"), F.coalesce(F.col("root"), F.col("v")).alias("label")
+    )
 
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(

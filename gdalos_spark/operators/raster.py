@@ -763,39 +763,15 @@ def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade: per-cell Horn gradient from the 8-neighborhood, then
     the standard illumination formula with precomputed light-direction
     constants. The 2-D stencil is ONE broadcast join against a 9-row
-    offset table + ONE groupBy on the target cell — the center cell rides
-    along as a zero-weight 9th offset, so the grid is derived ONCE and
-    there is no join back (adding 0.0 to a double sum is an exact IEEE
-    identity, so the weighted sums are bit-unchanged vs an 8-row stencil
-    plus center join). Only complete neighborhoods (all 8 neighbors
-    present) are emitted."""
-    g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
-    offsets = spark.createDataFrame(
-        [(dx, dy, wx, wy, 0) for dx, dy, wx, wy in _HORN] + [(0, 0, 0, 0, 1)],
-        "dx int, dy int, wx int, wy int, is_c int",
-    )
-    full = (
-        g.crossJoin(F.broadcast(offsets))
-        .select(
-            (F.col("px") - F.col("dx")).alias("tx"),
-            (F.col("py") - F.col("dy")).alias("ty"),
-            (F.col("wx") * F.col("z")).alias("wxz"),
-            (F.col("wy") * F.col("z")).alias("wyz"),
-            F.when(F.col("is_c") == 1, F.col("z")).alias("cz"),
-            "is_c",
-        )
-        .groupBy("tx", "ty")
-        .agg(
-            F.sum(F.lit(1) - F.col("is_c")).alias("n_nbr"),
-            F.sum("wxz").alias("sum_wx"),
-            F.sum("wyz").alias("sum_wy"),
-            F.max("cz").alias("z"),
-        )
-        .filter((F.col("n_nbr") == 8) & F.col("z").isNotNull())
-        .select(F.col("tx").alias("px"), F.col("ty").alias("py"), "sum_wx", "sum_wy", "z")
-    )
-    dzdx = F.col("sum_wx") * HS_ZFACTOR / 8.0
-    dzdy = F.col("sum_wy") * HS_ZFACTOR / 8.0
+    offset table + ONE groupBy on the target cell (see _horn_stencil).
+    The stencil sums run in exact DECIMAL — the same order-independent
+    aggregation slope/aspect/TRI use — so the gradients are bit-identical
+    across engines regardless of partitioning; doubles appear only after
+    aggregation in deterministic IEEE expressions. Only complete
+    neighborhoods (all 8 neighbors present) are emitted."""
+    full = _horn_stencil(_dem_decimal(spark, sf_dir), spark)
+    dzdx = F.col("sum_wx").cast("double") * HS_ZFACTOR / 8.0
+    dzdy = F.col("sum_wy").cast("double") * HS_ZFACTOR / 8.0
     num = F.lit(_SIN_ALT) - F.lit(_COS_ALT) * (dzdx * F.lit(_SIN_AZ) + dzdy * F.lit(-_COS_AZ))
     hs = F.lit(255.0) * num / F.sqrt(F.lit(1.0) + dzdx * dzdx + dzdy * dzdy)
     hs_clamped = F.greatest(F.lit(0.0), F.least(F.lit(255.0), hs))
@@ -807,34 +783,8 @@ def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hillshade_sql() -> str:
-    offs = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _HORN)
-    dzdx = f"(sum_wx * {HS_ZFACTOR} / 8.0)"
-    dzdy = f"(sum_wy * {HS_ZFACTOR} / 8.0)"
-    num = f"({_SIN_ALT!r} - {_COS_ALT!r} * ({dzdx} * {_SIN_AZ!r} + {dzdy} * {-_COS_AZ!r}))"
-    hs = f"(255.0 * {num} / sqrt(1.0 + {dzdx}*{dzdx} + {dzdy}*{dzdy}))"
-    return f"""
-WITH dem AS ({DEM_GRID_SQL}),
-g AS (SELECT px, py, CAST(elev AS DOUBLE) AS z FROM dem),
-offsets(dx, dy, wx, wy) AS (VALUES {offs}),
-contrib AS (
-  SELECT px - dx AS tx, py - dy AS ty, wx * z AS wxz, wy * z AS wyz
-  FROM g CROSS JOIN offsets
-),
-stencil AS (
-  SELECT tx, ty, COUNT(*) AS n_nbr, SUM(wxz) AS sum_wx, SUM(wyz) AS sum_wy
-  FROM contrib GROUP BY 1, 2
-  HAVING COUNT(*) = 8
-)
-SELECT g.px, g.py,
-       ROUND({dzdx}, 6) AS dzdx,
-       ROUND({dzdy}, 6) AS dzdy,
-       CAST(FLOOR(GREATEST(0.0, LEAST(255.0, {hs}))) AS INTEGER) AS hillshade
-FROM stencil JOIN g ON stencil.tx = g.px AND stencil.ty = g.py
-"""
-
-
-RASTER_HILLSHADE_SQL = _hillshade_sql()
+# RASTER_HILLSHADE_SQL is defined after _horn_cte below — it shares the
+# exact-decimal stencil CTE with slope/aspect/TRI.
 
 
 # ---------------------------------------------------------------------------
@@ -917,6 +867,26 @@ stencil AS (
 def _horn_cte() -> str:
     offs = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _HORN)
     return _HORN_STENCIL_SQL.format(offs=offs)
+
+
+def _hillshade_sql() -> str:
+    dzdx = f"(CAST(sum_wx AS DOUBLE) * {HS_ZFACTOR} / 8.0)"
+    dzdy = f"(CAST(sum_wy AS DOUBLE) * {HS_ZFACTOR} / 8.0)"
+    num = f"({_SIN_ALT!r} - {_COS_ALT!r} * ({dzdx} * {_SIN_AZ!r} + {dzdy} * {-_COS_AZ!r}))"
+    hs = f"(255.0 * {num} / sqrt(1.0 + {dzdx}*{dzdx} + {dzdy}*{dzdy}))"
+    return (
+        _horn_cte()
+        + f"""
+SELECT g.px, g.py,
+       ROUND({dzdx}, 6) AS dzdx,
+       ROUND({dzdy}, 6) AS dzdy,
+       CAST(FLOOR(GREATEST(0.0, LEAST(255.0, {hs}))) AS INTEGER) AS hillshade
+FROM stencil JOIN g ON stencil.tx = g.px AND stencil.ty = g.py
+"""
+    )
+
+
+RASTER_HILLSHADE_SQL = _hillshade_sql()
 
 
 def raster_slope_percent(spark: SparkSession, sf_dir: str) -> DataFrame:

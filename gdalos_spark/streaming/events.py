@@ -36,7 +36,11 @@ def _stage_dir(path: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    # a dangling link (testdata regenerated) makes os.path.exists False but
+    # os.symlink still raise; a link to a different path is stale data
+    if os.path.islink(link) and os.readlink(link) != path:
+        os.unlink(link)
+    if not os.path.islink(link) and not os.path.exists(link):
         os.symlink(path, link)
     return d
 
@@ -87,36 +91,47 @@ SESSION_GAP_S = 1800
 SESSIONIZE_OUT_SCHEMA = (
     "user_id bigint, session_id bigint, n_events bigint, session_value double"
 )
-SESSIONIZE_STATE_SCHEMA = "last_ts bigint, session_id bigint, n_events bigint, value_sum double"
+SESSIONIZE_STATE_SCHEMA = "last_ts bigint, session_id bigint, n_events bigint, value_cents bigint"
 SESSIONIZE_QUERY_NAME = "gdalos_stream_sessionize"
 
 
 def _sessionize_state_fn(key, pdfs, state):
     """Custom stateful operator: per-user gap sessionization. State =
     (last event second, open session id, open session event count, open
-    session value sum). Emits a session row whenever the gap closes it;
-    the open tail session stays in state (append semantics)."""
+    session value sum in integer cents). Emits a session row whenever the
+    gap closes it; the open tail session stays in state (append
+    semantics). Values accumulate as integer cents (`value` is an exact
+    2-decimal double) so the emitted double is bit-identical to the batch
+    twin's exact DECIMAL(18,2) sum cast to double."""
     import pandas as pd
 
     (user_id,) = key
     if state.exists:
-        last_ts, sess_id, n_ev, vsum = state.get
+        last_ts, sess_id, n_ev, cents = state.get
     else:
-        last_ts, sess_id, n_ev, vsum = None, 1, 0, 0.0
+        last_ts, sess_id, n_ev, cents = None, 1, 0, 0
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_sec", "event_id"])
+    # one micro-batch may deliver a user's events split across several
+    # Arrow chunks; sorting each chunk independently is NOT a global time
+    # order, so materialize and sort once before gap detection
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        ).sort_values(["ts_sec", "event_id"])
         for tsec, val in zip(pdf["ts_sec"], pdf["value"]):
             tsec = int(tsec)
             if last_ts is not None and tsec - last_ts > SESSION_GAP_S:
-                closed.append((user_id, sess_id, n_ev, round(vsum, 2)))
+                closed.append((user_id, sess_id, n_ev, cents / 100.0))
                 sess_id += 1
                 n_ev = 0
-                vsum = 0.0
+                cents = 0
             n_ev += 1
-            vsum += float(val)
+            cents += int(round(float(val) * 100))
             last_ts = tsec
-    state.update((last_ts, sess_id, n_ev, vsum))
+    state.update((last_ts, sess_id, n_ev, cents))
     if closed:
         yield pd.DataFrame(
             closed, columns=["user_id", "session_id", "n_events", "session_value"]
@@ -128,11 +143,12 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (applyInPandasWithState): per-user state carries the open
     session across micro-batches; closed sessions are emitted in append
     mode. The batch twin (relational.events_sessionize) computes the same
-    sessions with windows; tests assert this stream emits exactly the
-    batch sessions minus each user's final (still-open) session.
-    Rows-only in the driver contract — stateful streaming has no SQL
-    oracle. At scale this runs continuously with event-time timeouts
-    evicting idle users' state."""
+    sessions with windows; this stream emits exactly the batch sessions
+    minus each user's final (still-open) session, which IS expressible in
+    SQL — so since round 3 this entry is fully oracle-gated
+    (STREAMING_SESSIONIZE_SQL = batch sessionization with each user's max
+    session_id filtered out). At scale this runs continuously with
+    event-time timeouts evicting idle users' state."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -171,6 +187,35 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     while q.isActive and time.time() < deadline:  # pragma: no cover
         time.sleep(0.2)
     return spark.table(SESSIONIZE_QUERY_NAME)
+
+
+# append-mode closed sessions == batch sessionization (the events_sessionize
+# oracle) minus each user's final, still-open-in-state session
+STREAMING_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, value,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_events, session_value
+FROM (
+  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid
+  FROM sessions
+)
+WHERE session_id < max_sid
+"""
 
 
 # identical semantics to the batch twin -> same oracle

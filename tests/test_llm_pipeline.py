@@ -62,3 +62,38 @@ def test_corpus_filter_matches_oracle(spark, ducks):
         entrymod.queries()["corpus_filter"],
         entrymod.oracle_sql()["corpus_filter"],
     )
+
+
+def test_cc_alternating_logn_rounds_on_chain(spark):
+    """Star compression must converge in O(log n) rounds on a
+    chain-shaped component — the pathological case where min-label
+    propagation needs diameter (= n-1) rounds. n=64 chain: diameter 63,
+    2*log2(64) = 12."""
+    import math
+
+    from gdalos_spark.operators.dedup import _cc_alternating
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    roots, rounds, converged = _cc_alternating(chain)
+    assert converged
+    assert rounds <= 2 * math.ceil(math.log2(n))
+    rows = roots.collect()
+    assert len(rows) == n - 1  # every non-root vertex mapped
+    assert all(r.root == 0 for r in rows)
+
+
+def test_cc_alternating_multiple_components(spark):
+    """Two components + a singleton pair: roots must be per-component
+    minima, never cross-linked."""
+    from gdalos_spark.operators.dedup import _cc_alternating
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 4), (100, 101)], "doc_a bigint, doc_b bigint"
+    )
+    roots, _, converged = _cc_alternating(pairs)
+    assert converged
+    got = {(r.node, r.root) for r in roots.collect()}
+    assert got == {(5, 1), (9, 1), (4, 2), (101, 100)}
