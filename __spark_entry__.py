@@ -88,6 +88,11 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_nodata_rewrite": raster.raster_nodata_rewrite,
     # custom stateful streaming (#44, oracle-gated since round 3)
     "streaming_sessionize": streaming_events.streaming_sessionize,
+    # round-3 additions (#87+)
+    "geo_distance": viewshed.geo_distance,
+    "raster_calc_multi": raster.raster_calc_multi,
+    "viewshed_polygonize": export.viewshed_polygonize,
+    "job_skip_overwrite": relational.job_skip_overwrite,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,
@@ -237,6 +242,10 @@ _ORACLES: dict[str, str] = {
     "job_schedule_order": relational.JOB_SCHEDULE_ORDER_SQL,
     "embedding_quantize_int8": similarity.EMBEDDING_QUANTIZE_INT8_SQL,
     "raster_nodata_rewrite": raster.RASTER_NODATA_REWRITE_SQL,
+    "geo_distance": viewshed.GEO_DISTANCE_SQL,
+    "raster_calc_multi": raster.RASTER_CALC_MULTI_SQL,
+    "viewshed_polygonize": export.VIEWSHED_POLYGONIZE_SQL,
+    "job_skip_overwrite": relational.JOB_SKIP_OVERWRITE_SQL,
 }
 
 

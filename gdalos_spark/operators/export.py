@@ -201,3 +201,147 @@ FROM tiles
 
 
 RASTER_TO_JSON_SQL = _json_sql()
+
+
+# ---------------------------------------------------------------------------
+# 89. viewshed_polygonize — visible-region polygon merge + polygon CZML
+#    ref: viewshed_calc.py:148 polygon_to_np (reads back the polygonized
+#         viewshed layer as vertex arrays) and :577 poly_to_czml (emits one
+#         CZML polygon per contiguous same-value region, colored by the
+#         result palette). The reference polygonizes with ogr; the
+#         distributed re-expression merges adjacent visible cells with two
+#         gaps-and-islands window passes: consecutive visible px per row ->
+#         horizontal runs, then rows with IDENTICAL (x0, x1) runs stacked
+#         on consecutive py -> rectangle regions. Every step is integer
+#         window/groupBy arithmetic (bit-portable), and the packet JSON is
+#         built from DECIMAL-formatted coordinates like raster_to_czml.
+#         Data shrinks at every stage (cells -> runs -> rects), so the
+#         extra window shuffles operate on ever-smaller keysets.
+# ---------------------------------------------------------------------------
+
+VIS_COLOR = "#00ff00c0"  # polygon fill for visible regions (single res=1)
+
+
+def viewshed_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from gdalos_spark.operators.viewshed import viewshed_los
+
+    vis = viewshed_los(spark, sf_dir).filter(F.col("visible") == 1).select("px", "py")
+
+    # pass 1: horizontal runs of consecutive visible cells per row
+    wrow = Window.partitionBy("py").orderBy("px")
+    brk = F.when(
+        F.lag("px").over(wrow).isNull() | (F.col("px") - F.lag("px").over(wrow) > 1), 1
+    ).otherwise(0)
+    runs = (
+        vis.withColumn("brk", brk)
+        .withColumn("run_id", F.sum("brk").over(wrow.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("py", "run_id")
+        .agg(F.min("px").alias("x0"), F.max("px").alias("x1"))
+    )
+
+    # pass 2: stack identical runs on consecutive rows into rectangles
+    wcol = Window.partitionBy("x0", "x1").orderBy("py")
+    brk2 = F.when(
+        F.lag("py").over(wcol).isNull() | (F.col("py") - F.lag("py").over(wcol) > 1), 1
+    ).otherwise(0)
+    rects = (
+        runs.withColumn("brk", brk2)
+        .withColumn("rect_id", F.sum("brk").over(wcol.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("x0", "x1", "rect_id")
+        .agg(F.min("py").alias("y0"), F.max("py").alias("y1"))
+    )
+
+    west = F.lit(GT[0]) + F.col("x0") * GT[1]
+    east = F.lit(GT[0]) + (F.col("x1") + 1) * GT[1]
+    north = F.lit(GT[2]) + F.col("y0") * GT[3]
+    south = F.lit(GT[2]) + (F.col("y1") + 1) * GT[3]
+    n_cells = ((F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)).cast("bigint")
+    poly_id = F.concat_ws("_", F.lit("vs"), F.col("x0"), F.col("x1"), F.col("y0"), F.col("y1"))
+    ring = F.concat(
+        _dec(west), F.lit(","), _dec(south), F.lit(",0,"),
+        _dec(east), F.lit(","), _dec(south), F.lit(",0,"),
+        _dec(east), F.lit(","), _dec(north), F.lit(",0,"),
+        _dec(west), F.lit(","), _dec(north), F.lit(",0"),
+    )
+    czml = F.concat(
+        F.lit('{"id":"'), poly_id,
+        F.lit('","polygon":{"positions":{"cartographicDegrees":['), ring,
+        F.lit(']},"material":{"solidColor":{"color":"'), F.lit(VIS_COLOR),
+        F.lit('"}}},"n_cells":'), n_cells.cast("string"), F.lit("}"),
+    )
+    return rects.select(
+        poly_id.alias("poly_id"),
+        F.col("x0").cast("int").alias("x0"), F.col("x1").cast("int").alias("x1"),
+        F.col("y0").cast("int").alias("y0"), F.col("y1").cast("int").alias("y1"),
+        n_cells.alias("n_cells"),
+        west.alias("west"), south.alias("south"), east.alias("east"), north.alias("north"),
+        czml.alias("czml"),
+    )
+
+
+def _vs_poly_sql() -> str:
+    from gdalos_spark.operators.viewshed import VIEWSHED_LOS_SQL
+
+    west = f"CAST({GT[0]} AS DOUBLE) + x0 * CAST({GT[1]} AS DOUBLE)"
+    east = f"CAST({GT[0]} AS DOUBLE) + (x1 + 1) * CAST({GT[1]} AS DOUBLE)"
+    north = f"CAST({GT[2]} AS DOUBLE) + y0 * CAST({GT[3]} AS DOUBLE)"
+    south = f"CAST({GT[2]} AS DOUBLE) + (y1 + 1) * CAST({GT[3]} AS DOUBLE)"
+
+    def dec(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(12,4)) AS VARCHAR)"
+
+    ring = (
+        f"{dec(west)} || ',' || {dec(south)} || ',0,' || {dec(east)} || ',' || {dec(south)}"
+        f" || ',0,' || {dec(east)} || ',' || {dec(north)} || ',0,' || {dec(west)} || ',' || {dec(north)} || ',0'"
+    )
+    return f"""
+WITH los AS ({VIEWSHED_LOS_SQL}),
+vis AS (SELECT px, py FROM los WHERE visible = 1),
+marked AS (
+  SELECT px, py,
+         CASE WHEN LAG(px) OVER (PARTITION BY py ORDER BY px) IS NULL
+                OR px - LAG(px) OVER (PARTITION BY py ORDER BY px) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM vis
+),
+runs0 AS (
+  SELECT px, py,
+         SUM(brk) OVER (PARTITION BY py ORDER BY px
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT py, run_id, MIN(px) AS x0, MAX(px) AS x1 FROM runs0 GROUP BY py, run_id
+),
+marked2 AS (
+  SELECT py, x0, x1,
+         CASE WHEN LAG(py) OVER (PARTITION BY x0, x1 ORDER BY py) IS NULL
+                OR py - LAG(py) OVER (PARTITION BY x0, x1 ORDER BY py) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM runs
+),
+runs2 AS (
+  SELECT py, x0, x1,
+         SUM(brk) OVER (PARTITION BY x0, x1 ORDER BY py
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rect_id
+  FROM marked2
+),
+rects AS (
+  SELECT x0, x1, rect_id, MIN(py) AS y0, MAX(py) AS y1 FROM runs2 GROUP BY x0, x1, rect_id
+)
+SELECT concat_ws('_', 'vs', x0, x1, y0, y1) AS poly_id,
+       CAST(x0 AS INTEGER) AS x0, CAST(x1 AS INTEGER) AS x1,
+       CAST(y0 AS INTEGER) AS y0, CAST(y1 AS INTEGER) AS y1,
+       CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS n_cells,
+       {west} AS west, {south} AS south, {east} AS east, {north} AS north,
+       '{{"id":"' || concat_ws('_', 'vs', x0, x1, y0, y1)
+       || '","polygon":{{"positions":{{"cartographicDegrees":[' || {ring}
+       || ']}},"material":{{"solidColor":{{"color":"{VIS_COLOR}"}}}}}},"n_cells":'
+       || CAST(CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS VARCHAR) || '}}' AS czml
+FROM rects
+"""
+
+
+VIEWSHED_POLYGONIZE_SQL = _vs_poly_sql()

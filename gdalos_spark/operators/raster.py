@@ -1636,3 +1636,140 @@ SELECT px, py,
        CAST(src_ndv AS DOUBLE) AS src_ndv
 FROM dem CROSS JOIN src
 """
+
+
+# ---------------------------------------------------------------------------
+# 88. raster_calc_multi — N-raster lettered calc (gdal_calc A..Z)
+#    ref: calc/gdal_calc.py:3 (re-exports osgeo_utils.gdal_calc, whose -A..-Z
+#         inputs + --calc expression the reference drives);
+#         gdalos_combine.py:85 make_calc_with_operand builds
+#         "(A>t)*1+(B>t)*1+..." sum-of-CASE chains over AlphaList, and
+#         :96 make_calc_with_func builds f(x for x in a) for f=max/min/sum.
+#
+# Spark-first shape: instead of k aligned in-memory arrays, the k lettered
+# rasters are UNIONed as (px, py, letter, value) and reduced with ONE
+# groupBy(px, py) of conditional aggregates — a single shuffle regardless
+# of k, no join chain, no cartesian. Cells missing from a letter
+# contribute the gdal_calc default of 0 (union extent). All letter values
+# are exact DECIMAL(18,2); expression results cast to DOUBLE / INT
+# terminals only at the end.
+# ---------------------------------------------------------------------------
+
+CALC_MULTI_THRESH = 1000  # threshold for the sum-of-CASE combine expression
+# per-letter weights for the weighted-sum expression (gdal_calc
+# "1*A + 2*B + 3*C" style)
+CALC_MULTI_WEIGHTS = (1, 2, 3)
+
+
+def _lettered_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letters: A = DEM elevation band, B = DEM price band scaled by 0.01
+    (both from lineitem), C = the orders grid. The union feeds the final
+    conditional aggregate UNAGGREGATED — SUM is associative, so skipping
+    the per-raster pre-aggregation collapses the whole k-raster calc to a
+    SINGLE shuffle (map-side partials still combine per letter), instead
+    of one shuffle per input raster plus one for the calc.
+
+    Every letter is carried at DECIMAL(18,4): scaling up is exact, and
+    price * 0.01 lands on exactly 4 decimals — so NO value is ever
+    rounded (Spark rounds casts half-up, DuckDB half-even; a scale-2
+    cast of x.xx5 would diverge between engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    li_px = (F.col("l_orderkey") % GRID_W).cast("int").alias("px")
+    li_py = ((F.col("l_suppkey") * 7 + F.col("l_linenumber")) % GRID_H).cast("int").alias("py")
+    a = li.select(
+        li_px, li_py, F.lit(0).alias("lt"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("v"),
+    )
+    b = li.select(
+        li_px, li_py, F.lit(1).alias("lt"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * F.lit("0.01").cast("decimal(4,2)"))
+        .cast("decimal(18,4)").alias("v"),
+    )
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        (F.col("o_orderkey") % GRID_W).cast("int").alias("px"),
+        ((F.col("o_custkey") * 11) % GRID_H).cast("int").alias("py"),
+        F.lit(2).alias("lt"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("v"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def raster_calc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General k-raster lettered calc over letters A, B, C: one union +
+    one conditional-aggregate groupBy evaluates four gdal_calc-style
+    expressions simultaneously:
+
+      calc_sum      = A + B + C               (operand chain, '+')
+      calc_max      = max(A, B, C)            (make_calc_with_func 'max')
+      calc_count    = (A>t)*1 + (B>t)*1 + (C>t)*1   (sum-of-CASE combine)
+      calc_weighted = 1*A + 2*B + 3*C         (weighted operand chain)
+
+    n_rasters counts which letters actually cover the cell (union
+    extent; absent letters enter the expressions as gdal_calc's 0).
+    """
+    lettered = _lettered_rasters(spark, sf_dir)
+    zero = F.lit("0.0000").cast("decimal(18,4)")
+
+    def letter(i: int):
+        return F.coalesce(
+            F.sum(F.when(F.col("lt") == i, F.col("v"))), zero
+        )
+
+    def present(i: int):
+        return (F.count(F.when(F.col("lt") == i, F.lit(1))) > 0).cast("int")
+
+    la, lb, lc = letter(0), letter(1), letter(2)
+    w0, w1, w2 = CALC_MULTI_WEIGHTS
+    return (
+        lettered.groupBy("px", "py")
+        .agg(
+            (present(0) + present(1) + present(2)).alias("n_rasters"),
+            (la + lb + lc).cast("double").alias("calc_sum"),
+            F.greatest(la, lb, lc).cast("double").alias("calc_max"),
+            (
+                (la > CALC_MULTI_THRESH).cast("int")
+                + (lb > CALC_MULTI_THRESH).cast("int")
+                + (lc > CALC_MULTI_THRESH).cast("int")
+            ).alias("calc_count"),
+            (la * w0 + lb * w1 + lc * w2).cast("double").alias("calc_weighted"),
+        )
+    )
+
+
+RASTER_CALC_MULTI_SQL = f"""
+WITH lettered AS (
+  SELECT CAST(l_orderkey % {GRID_W} AS INTEGER) AS px,
+         CAST((l_suppkey * 7 + l_linenumber) % {GRID_H} AS INTEGER) AS py,
+         0 AS lt, CAST(l_quantity AS DECIMAL(18,4)) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT CAST(l_orderkey % {GRID_W} AS INTEGER) AS px,
+         CAST((l_suppkey * 7 + l_linenumber) % {GRID_H} AS INTEGER) AS py,
+         1 AS lt,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS v
+  FROM lineitem
+  UNION ALL
+  SELECT CAST(o_orderkey % {GRID_W} AS INTEGER) AS px,
+         CAST((o_custkey * 11) % {GRID_H} AS INTEGER) AS py,
+         2 AS lt, CAST(o_totalprice AS DECIMAL(18,4)) AS v
+  FROM orders
+),
+letters AS (
+  SELECT px, py,
+    CAST(COUNT(CASE WHEN lt = 0 THEN 1 END) > 0 AS INTEGER)
+      + CAST(COUNT(CASE WHEN lt = 1 THEN 1 END) > 0 AS INTEGER)
+      + CAST(COUNT(CASE WHEN lt = 2 THEN 1 END) > 0 AS INTEGER) AS n_rasters,
+    COALESCE(SUM(CASE WHEN lt = 0 THEN v END), CAST('0.0000' AS DECIMAL(18,4))) AS la,
+    COALESCE(SUM(CASE WHEN lt = 1 THEN v END), CAST('0.0000' AS DECIMAL(18,4))) AS lb,
+    COALESCE(SUM(CASE WHEN lt = 2 THEN v END), CAST('0.0000' AS DECIMAL(18,4))) AS lc
+  FROM lettered GROUP BY px, py
+)
+SELECT px, py, n_rasters,
+  CAST(la + lb + lc AS DOUBLE) AS calc_sum,
+  CAST(GREATEST(la, lb, lc) AS DOUBLE) AS calc_max,
+  CAST(la > {CALC_MULTI_THRESH} AS INTEGER) + CAST(lb > {CALC_MULTI_THRESH} AS INTEGER)
+    + CAST(lc > {CALC_MULTI_THRESH} AS INTEGER) AS calc_count,
+  CAST(la * {CALC_MULTI_WEIGHTS[0]} + lb * {CALC_MULTI_WEIGHTS[1]} + lc * {CALC_MULTI_WEIGHTS[2]} AS DOUBLE) AS calc_weighted
+FROM letters
+"""

@@ -701,3 +701,119 @@ SELECT job_id, nation, lvl, est_size,
        ROW_NUMBER() OVER (ORDER BY lvl ASC, est_size DESC, nation ASC) AS run_order
 FROM jobs
 """
+
+
+# ---------------------------------------------------------------------------
+# 90. job_skip_overwrite — batch overwrite/skip bookkeeping
+#    ref: gdalos_util.py:69 do_skip_if_exists (output exists & !overwrite ->
+#         skip; exists & overwrite -> delete then regenerate; else run),
+#         called from gdalos_trans.py:747/:1078/:1227 before every
+#         translate/overview/info job. At 100 TB this is the idempotent-
+#         write contract: the "existing outputs" catalog is a table, the
+#         skip list is an ANTI-join against it, and regenerated outputs
+#         must be written to a temp location and committed atomically
+#         (the reference's cog 2-step at gdalos_trans.py:91/:328 is the
+#         same write-then-rename protocol).
+# ---------------------------------------------------------------------------
+
+
+def job_skip_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-job action resolution over the same nation x level job catalog
+    job_schedule_order derives: a deterministic existing-outputs table
+    (nation table x levels, every 3rd output present) is LEFT-joined to
+    the catalog; action = skip / overwrite / run per do_skip_if_exists,
+    and run_order is a conditional running count so skipped jobs never
+    occupy a slot. Catalog-sized data -> the existing-outputs side is
+    always broadcastable; the plan is one broadcast join + one window."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum("cents").alias("size0"))
+    )
+    lvl = spark.range(OVR_LEVELS + 1).select(F.col("id").cast("int").alias("lvl"))
+    jobs = base.crossJoin(F.broadcast(lvl)).select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        "lvl",
+        F.concat(
+            F.lit("job_n"), F.col("c_nationkey").cast("string"),
+            F.lit("_l"), F.col("lvl").cast("string"),
+        ).alias("job_id"),
+        F.floor(F.col("size0") / F.pow(F.lit(4.0), F.col("lvl").cast("double"))).cast("bigint").alias("est_size"),
+    )
+    # existing-outputs catalog: derived from the nation dim so it is a
+    # real second table, not a column trick; every 3rd (nation, lvl)
+    nations = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("e_nation")
+    )
+    existing = (
+        nations.crossJoin(F.broadcast(lvl.select(F.col("lvl").alias("e_lvl"))))
+        .filter((F.col("e_nation") + F.col("e_lvl")) % 3 == 0)
+    )
+    joined = jobs.join(
+        F.broadcast(existing),
+        (jobs.nation == existing.e_nation) & (jobs.lvl == existing.e_lvl),
+        "left",
+    )
+    exists_f = F.col("e_nation").isNotNull().cast("int")
+    overwrite_f = (F.col("nation") % 2 == 0).cast("int")
+    action = (
+        F.when((exists_f == 1) & (overwrite_f == 0), "skip")
+        .when((exists_f == 1) & (overwrite_f == 1), "overwrite")
+        .otherwise("run")
+    )
+    resolved = joined.select(
+        "job_id", "nation", "lvl", "est_size",
+        exists_f.alias("out_exists"),
+        overwrite_f.alias("overwrite"),
+        action.alias("action"),
+    )
+    w = (
+        Window.orderBy(F.asc("lvl"), F.desc("est_size"), F.asc("nation"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    actionable = (F.col("action") != "skip").cast("bigint")
+    return resolved.select(
+        "job_id", "nation", "lvl", "est_size", "out_exists", "overwrite", "action",
+        (F.sum(actionable).over(w) * actionable).alias("run_order"),
+    )
+
+
+JOB_SKIP_OVERWRITE_SQL = f"""
+WITH base AS (
+  SELECT CAST(c_nationkey AS INTEGER) AS nation,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS size0
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+lvl AS (SELECT CAST(range AS INTEGER) AS lvl FROM range({OVR_LEVELS + 1})),
+jobs AS (
+  SELECT nation, lvl,
+         'job_n' || CAST(nation AS VARCHAR) || '_l' || CAST(lvl AS VARCHAR) AS job_id,
+         CAST(floor(CAST(size0 AS DOUBLE) / power(4.0, CAST(lvl AS DOUBLE))) AS BIGINT) AS est_size
+  FROM base CROSS JOIN lvl
+),
+existing AS (
+  SELECT CAST(n_nationkey AS INTEGER) AS e_nation, lvl AS e_lvl
+  FROM nation CROSS JOIN lvl
+  WHERE (n_nationkey + lvl) % 3 = 0
+),
+resolved AS (
+  SELECT job_id, nation, lvl, est_size,
+         CAST(e_nation IS NOT NULL AS INTEGER) AS out_exists,
+         CAST(nation % 2 = 0 AS INTEGER) AS overwrite,
+         CASE WHEN e_nation IS NOT NULL AND nation % 2 <> 0 THEN 'skip'
+              WHEN e_nation IS NOT NULL THEN 'overwrite'
+              ELSE 'run' END AS action
+  FROM jobs LEFT JOIN existing ON nation = e_nation AND lvl = e_lvl
+)
+SELECT job_id, nation, lvl, est_size, out_exists, overwrite, action,
+       SUM(CASE WHEN action <> 'skip' THEN 1 ELSE 0 END)
+         OVER (ORDER BY lvl ASC, est_size DESC, nation ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * CASE WHEN action <> 'skip' THEN 1 ELSE 0 END AS run_order
+FROM resolved
+"""

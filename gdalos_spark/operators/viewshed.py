@@ -867,3 +867,138 @@ SELECT px, py, visible, path_loss_db,
        CAST(visible = 1 AND {RADIO_POWER_DIFF!r} - path_loss_db >= 0 AS INTEGER) AS mode
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# 87. geo_distance — geodesic observer->target distance on the globe
+#    ref: calc_dist viewshed_calc.py:620 (pyproj Geod.inv on the WGS-84
+#         ellipsoid, g_wgs84); feeds calc_free_space_loss
+#         viewshed_calc.py:627 exactly as the reference pipes Geod
+#         distances into FSPL.
+#
+# The reference calls pyproj's ellipsoidal inverse. Re-expressed for the
+# cross-engine gate: great-circle haversine on the WGS-84 mean radius,
+# with sin/cos/asin evaluated as POLYNOMIALS (Maclaurin / binomial asin
+# series) instead of engine trig. Both engines parse the IDENTICAL
+# expression text (same literals, same association), and IEEE +,*,/ and
+# sqrt are correctly rounded in both — so every double is bit-equal by
+# construction, not by rounding luck. Coordinates are derived bounded to
+# [-15, 15) degrees, which keeps every series argument under 0.27 rad
+# where the truncation error (<1e-11 rad, sub-millimeter at Earth scale)
+# is far below the spherical-vs-ellipsoidal model difference (~0.3%).
+# Pure scalar projection chain — zero shuffles, whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_GEO_RAD = 0.017453292519943295  # pi/180
+_GEO_R_M = 6371008.7714150598  # WGS-84 mean radius (2a+b)/3, meters
+# sin(x) = x * P(x^2); cos(x) = Q(x^2)   (Maclaurin, |x| <= 0.27 rad)
+_GEO_SIN_C = [1.0, -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880, -1.0 / 39916800]
+_GEO_COS_C = [1.0, -0.5, 1.0 / 24, -1.0 / 720, 1.0 / 40320, -1.0 / 3628800]
+# asin(x) = x * S(x^2), S coeffs C(2n,n)/(4^n (2n+1)); x <= 0.37 here
+_GEO_ASIN_C = [
+    1.0, 1.0 / 6, 3.0 / 40, 15.0 / 336, 105.0 / 3456, 945.0 / 42240,
+    10395.0 / 599040, 135135.0 / 9676800, 2027025.0 / 175472640,
+]
+
+
+def _geo_horner(var: str, coeffs: list[float]) -> str:
+    s = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        s = f"({c!r} + {var} * {s})"
+    return s
+
+
+def _geo_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
+    sin_p = lambda x, x2: f"({x} * {_geo_horner(x2, _GEO_SIN_C)})"  # noqa: E731
+    cos_p = lambda x2: _geo_horner(x2, _GEO_COS_C)  # noqa: E731
+    return (
+        # bounded synthetic endpoints: lon/lat in [-15, 15) degrees
+        (
+            ("c_custkey", "c_custkey"),
+            ("lon1", "(CAST(c_custkey * 7 % 30 AS DOUBLE) - 15.0 + 0.5)"),
+            ("lat1", "(CAST(c_custkey * 13 % 30 AS DOUBLE) - 15.0 + 0.25)"),
+            ("lon2", "(CAST(c_custkey * 11 % 30 AS DOUBLE) - 15.0 + 0.75)"),
+            ("lat2", "(CAST(c_custkey * 17 % 30 AS DOUBLE) - 15.0 + 0.125)"),
+        ),
+        (
+            ("c_custkey", "c_custkey"),
+            ("lon1", "lon1"), ("lat1", "lat1"),
+            ("lon2", "lon2"), ("lat2", "lat2"),
+            ("f1", f"(lat1 * {_GEO_RAD!r})"),
+            ("f2", f"(lat2 * {_GEO_RAD!r})"),
+            ("dph", f"(((lat2 - lat1) * {_GEO_RAD!r}) * 0.5)"),
+            ("dlh", f"(((lon2 - lon1) * {_GEO_RAD!r}) * 0.5)"),
+        ),
+        (
+            ("c_custkey", "c_custkey"),
+            ("lon1", "lon1"), ("lat1", "lat1"),
+            ("lon2", "lon2"), ("lat2", "lat2"),
+            ("sdph", sin_p("dph", "(dph * dph)")),
+            ("sdlh", sin_p("dlh", "(dlh * dlh)")),
+            ("cf1", cos_p("(f1 * f1)")),
+            ("cf2", cos_p("(f2 * f2)")),
+        ),
+        (
+            ("c_custkey", "c_custkey"),
+            ("lon1", "lon1"), ("lat1", "lat1"),
+            ("lon2", "lon2"), ("lat2", "lat2"),
+            ("hx", "sqrt(((sdph * sdph) + (((cf1 * cf2)) * (sdlh * sdlh))))"),
+        ),
+        (
+            ("c_custkey", "c_custkey"),
+            ("lon1", "lon1"), ("lat1", "lat1"),
+            ("lon2", "lon2"), ("lat2", "lat2"),
+            (
+                "geo_dist_m",
+                f"(({2.0 * _GEO_R_M!r}) * (hx * {_geo_horner('(hx * hx)', _GEO_ASIN_C)}))",
+            ),
+        ),
+    )
+
+
+_GEO_STAGES = _geo_stages()
+GEO_FREQ_MHZ = 433.0  # fixed link frequency for the FSPL column
+
+
+def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic distance per synthetic link (observer/target endpoints
+    derived from c_custkey) + the FSPL the reference computes from Geod
+    distances (calc_dist viewshed_calc.py:620 -> calc_free_space_loss
+    :627). Polynomial haversine — see module comment; the FSPL reuses the
+    reference's 20*(log10(d)+log10(f))-27.55 with round(6) to absorb
+    log10's last-ulp engine variance (the free_space_loss precedent)."""
+    from gdalos_spark.datamodel import load as _load
+
+    df = _load(spark, sf_dir, "customer")
+    for i, stage in enumerate(_GEO_STAGES):
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+        if i == 0:
+            # dist = 0 iff the endpoints coincide (the series sin is zero
+            # only at 0 on this bounded domain) — filtering on the
+            # endpoints keeps the pushed-down predicate tiny instead of
+            # duplicating the collapsed haversine expression in the scan
+            df = df.filter((F.col("lon1") != F.col("lon2")) | (F.col("lat1") != F.col("lat2")))
+    fsl = 20.0 * (F.log10(F.col("geo_dist_m")) + F.log10(F.lit(GEO_FREQ_MHZ))) - 27.55
+    return df.select(
+        "c_custkey", "lon1", "lat1", "lon2", "lat2",
+        F.round("geo_dist_m", 6).alias("geo_dist_m"),
+        F.round(fsl, 6).alias("fsl_db"),
+    )
+
+
+def _geo_distance_sql() -> str:
+    q = "customer"
+    for i, stage in enumerate(_GEO_STAGES):
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+        if i == 0:
+            q = f"(SELECT * FROM {q} AS t0 WHERE lon1 <> lon2 OR lat1 <> lat2)"
+    return f"""
+SELECT c_custkey, lon1, lat1, lon2, lat2,
+       ROUND(geo_dist_m, 6) AS geo_dist_m,
+       ROUND(20.0 * (log10(geo_dist_m) + log10({GEO_FREQ_MHZ!r})) - 27.55, 6) AS fsl_db
+FROM {q} AS t
+"""
+
+
+GEO_DISTANCE_SQL = _geo_distance_sql()

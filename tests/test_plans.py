@@ -152,3 +152,31 @@ def test_quantize_has_no_shuffle(spark):
     exchange at all."""
     plan = q(spark, "embedding_quantize_int8")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_calc_multi_single_shuffle(spark):
+    """k-raster lettered calc: the union of k letter inputs must reduce
+    through exactly ONE hash exchange (no per-raster pre-aggregation
+    shuffles, no joins), regardless of k."""
+    import re
+
+    from gdalos_spark.plans.asserts import explain_str
+
+    df = q(spark, "raster_calc_multi")
+    plan = explain_str(df, "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_geo_distance_no_shuffle_small_pushdown(spark):
+    """Polynomial haversine is a pure projection chain: zero exchanges,
+    and the endpoint-coincidence filter (not the collapsed multi-KB
+    haversine expression) is what reaches the scan's data filter."""
+    from gdalos_spark.plans.asserts import explain_str
+
+    df = q(spark, "geo_distance")
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan
+    scan = [ln for ln in plan.splitlines() if "DataFilters" in ln]
+    assert scan and "SQRT" not in scan[0], "haversine leaked into the scan filter"

@@ -43,3 +43,45 @@ def test_skewed_agg_salted_matches_oracle(spark, ducks):
         entrymod.queries()["skewed_agg_salted"],
         entrymod.oracle_sql()["skewed_agg_salted"],
     )
+
+
+def test_raster_calc_multi_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["raster_calc_multi"],
+        entrymod.oracle_sql()["raster_calc_multi"],
+    )
+
+
+def test_job_skip_overwrite_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["job_skip_overwrite"],
+        entrymod.oracle_sql()["job_skip_overwrite"],
+    )
+
+
+def test_job_skip_overwrite_contract(spark):
+    """do_skip_if_exists semantics: exists & !overwrite -> skip with no
+    run slot; run_order is dense 1..n over non-skipped jobs in
+    (lvl, -size, nation) order."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["job_skip_overwrite"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.out_exists and not r.overwrite:
+            assert r.action == "skip" and r.run_order == 0
+        elif r.out_exists:
+            assert r.action == "overwrite" and r.run_order > 0
+        else:
+            assert r.action == "run" and r.run_order > 0
+    orders = sorted(r.run_order for r in rows if r.run_order > 0)
+    assert orders == list(range(1, len(orders) + 1))

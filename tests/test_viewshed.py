@@ -44,3 +44,69 @@ def test_observer_count_bounds(spark):
     df = entrymod.queries()["viewshed_observer_count"](spark, SF_DIR)
     bad = df.filter((F.col("n_visible") < 0) | (F.col("n_visible") > F.col("n_obs")))
     assert bad.count() == 0
+
+
+def test_geo_distance_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["geo_distance"],
+        entrymod.oracle_sql()["geo_distance"],
+    )
+
+
+def test_geo_distance_tracks_libm_haversine(spark):
+    """The polynomial haversine must agree with the float-libm haversine
+    to sub-micrometer at these ranges (the series truncation bound)."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    R = 6371008.7714150598
+    rows = entrymod.queries()["geo_distance"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        f1, f2 = math.radians(r.lat1), math.radians(r.lat2)
+        h = (
+            math.sin((f2 - f1) / 2) ** 2
+            + math.cos(f1) * math.cos(f2) * math.sin(math.radians(r.lon2 - r.lon1) / 2) ** 2
+        )
+        ref = 2 * R * math.asin(math.sqrt(h))
+        assert abs(ref - r.geo_dist_m) < 1e-5
+
+
+def test_viewshed_polygonize_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["viewshed_polygonize"],
+        entrymod.oracle_sql()["viewshed_polygonize"],
+    )
+
+
+def test_viewshed_polygonize_covers_all_visible_cells(spark):
+    """Rectangle regions must partition the visible set exactly: cell
+    count sum equals the number of visible LOS cells, and no two
+    rectangles overlap."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    vis = {
+        (r.px, r.py)
+        for r in entrymod.queries()["viewshed_los"](spark, SF_DIR).collect()
+        if r.visible == 1
+    }
+    rects = entrymod.queries()["viewshed_polygonize"](spark, SF_DIR).collect()
+    covered = []
+    for r in rects:
+        for x in range(r.x0, r.x1 + 1):
+            for y in range(r.y0, r.y1 + 1):
+                covered.append((x, y))
+    assert len(covered) == len(set(covered)) == len(vis)
+    assert set(covered) == vis
+    assert sum(r.n_cells for r in rects) == len(vis)
