@@ -72,6 +72,13 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    # SPARK_GRAFT_BENCH_QUERIES: optional comma-separated subset for ad-hoc
+    # runs at other scale factors (e.g. the sf1 upscale in BASELINE.md).
+    # The default HEADLINE set is the recorded contract — never change it
+    # without re-recording BASELINE.md totals in the same commit.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [s.strip() for s in subset.split(",") if s.strip()] if subset else HEADLINE
+
     # Untimed warmup: JVM/codegen/parquet-footer costs are session-scoped,
     # not per-query; steady-state latency is what scales to a real cluster.
     from gdalos_spark.datamodel import load
@@ -84,7 +91,7 @@ def main() -> None:
     # closest observation to the true cost of the plan.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs.get(name)
         if fn is None:
             continue
