@@ -93,6 +93,12 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_calc_multi": raster.raster_calc_multi,
     "viewshed_polygonize": export.viewshed_polygonize,
     "job_skip_overwrite": relational.job_skip_overwrite,
+    "benchmark_contamination": pipeline.benchmark_contamination,
+    "corpus_mix_sample": pipeline.corpus_mix_sample,
+    "text_ngram_topk": text.text_ngram_topk,
+    "viewshed_contour_polygons": export.viewshed_contour_polygons,
+    "map_scale_zoom": viewshed.map_scale_zoom,
+    "sector_ring_points": viewshed.sector_ring_points,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,
@@ -246,6 +252,12 @@ _ORACLES: dict[str, str] = {
     "raster_calc_multi": raster.RASTER_CALC_MULTI_SQL,
     "viewshed_polygonize": export.VIEWSHED_POLYGONIZE_SQL,
     "job_skip_overwrite": relational.JOB_SKIP_OVERWRITE_SQL,
+    "benchmark_contamination": pipeline.BENCHMARK_CONTAMINATION_SQL,
+    "corpus_mix_sample": pipeline.CORPUS_MIX_SAMPLE_SQL,
+    "text_ngram_topk": text.TEXT_NGRAM_TOPK_SQL,
+    "viewshed_contour_polygons": export.VIEWSHED_CONTOUR_POLYGONS_SQL,
+    "map_scale_zoom": viewshed.MAP_SCALE_ZOOM_SQL,
+    "sector_ring_points": viewshed.SECTOR_RING_POINTS_SQL,
 }
 
 

@@ -345,3 +345,166 @@ FROM rects
 
 
 VIEWSHED_POLYGONIZE_SQL = _vs_poly_sql()
+
+
+# ---------------------------------------------------------------------------
+# 94. viewshed_contour_polygons — per-class (contour) polygon export
+#    ref: viewshed_calc.py:89 CalcOperation.count produces the 0..N
+#         observer-count raster; :577 poly_to_czml emits one colored
+#         polygon per contiguous same-value region (color looked up from
+#         the result palette via ordered_dict_get :560). Same two-pass
+#         gaps-and-islands merge as viewshed_polygonize, with the class
+#         value joining the partition keys — so each observer-count level
+#         gets its own rectangle set and palette color, the distributed
+#         equivalent of the reference's contour-interval polygon layers.
+# ---------------------------------------------------------------------------
+
+# observer-count palette, index = n_visible (talos-style opaque ramp)
+CONTOUR_COLORS = (
+    "#00000000", "#2c7bb680", "#abd9e980", "#ffffbf80", "#fdae6180", "#d7191c80",
+)
+
+
+def viewshed_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from gdalos_spark.operators.viewshed import viewshed_observer_count
+
+    counts = (
+        viewshed_observer_count(spark, sf_dir)
+        .filter(F.col("n_visible") > 0)
+        .select("px", "py", F.col("n_visible").cast("int").alias("vclass"))
+    )
+
+    wrow = Window.partitionBy("vclass", "py").orderBy("px")
+    brk = F.when(
+        F.lag("px").over(wrow).isNull() | (F.col("px") - F.lag("px").over(wrow) > 1), 1
+    ).otherwise(0)
+    runs = (
+        counts.withColumn("brk", brk)
+        .withColumn("run_id", F.sum("brk").over(wrow.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("vclass", "py", "run_id")
+        .agg(F.min("px").alias("x0"), F.max("px").alias("x1"))
+    )
+    wcol = Window.partitionBy("vclass", "x0", "x1").orderBy("py")
+    brk2 = F.when(
+        F.lag("py").over(wcol).isNull() | (F.col("py") - F.lag("py").over(wcol) > 1), 1
+    ).otherwise(0)
+    rects = (
+        runs.withColumn("brk", brk2)
+        .withColumn("rect_id", F.sum("brk").over(wcol.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("vclass", "x0", "x1", "rect_id")
+        .agg(F.min("py").alias("y0"), F.max("py").alias("y1"))
+    )
+
+    color = F.col("vclass")
+    color_case = F.when(color == 1, CONTOUR_COLORS[1])
+    for i in range(2, len(CONTOUR_COLORS)):
+        color_case = color_case.when(color == i, CONTOUR_COLORS[i])
+    color_case = color_case.otherwise(CONTOUR_COLORS[-1])
+
+    west = F.lit(GT[0]) + F.col("x0") * GT[1]
+    east = F.lit(GT[0]) + (F.col("x1") + 1) * GT[1]
+    north = F.lit(GT[2]) + F.col("y0") * GT[3]
+    south = F.lit(GT[2]) + (F.col("y1") + 1) * GT[3]
+    n_cells = ((F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)).cast("bigint")
+    poly_id = F.concat_ws(
+        "_", F.lit("vc"), F.col("vclass"), F.col("x0"), F.col("x1"), F.col("y0"), F.col("y1")
+    )
+    ring = F.concat(
+        _dec(west), F.lit(","), _dec(south), F.lit(",0,"),
+        _dec(east), F.lit(","), _dec(south), F.lit(",0,"),
+        _dec(east), F.lit(","), _dec(north), F.lit(",0,"),
+        _dec(west), F.lit(","), _dec(north), F.lit(",0"),
+    )
+    czml = F.concat(
+        F.lit('{"id":"'), poly_id,
+        F.lit('","polygon":{"positions":{"cartographicDegrees":['), ring,
+        F.lit(']},"material":{"solidColor":{"color":"'), color_case,
+        F.lit('"}}},"n_cells":'), n_cells.cast("string"), F.lit("}"),
+    )
+    return rects.select(
+        poly_id.alias("poly_id"),
+        F.col("vclass"),
+        F.col("x0").cast("int").alias("x0"), F.col("x1").cast("int").alias("x1"),
+        F.col("y0").cast("int").alias("y0"), F.col("y1").cast("int").alias("y1"),
+        n_cells.alias("n_cells"),
+        color_case.alias("color"),
+        czml.alias("czml"),
+    )
+
+
+def _vs_contour_sql() -> str:
+    from gdalos_spark.operators.viewshed import VIEWSHED_OBSERVER_COUNT_SQL
+
+    west = f"CAST({GT[0]} AS DOUBLE) + x0 * CAST({GT[1]} AS DOUBLE)"
+    east = f"CAST({GT[0]} AS DOUBLE) + (x1 + 1) * CAST({GT[1]} AS DOUBLE)"
+    north = f"CAST({GT[2]} AS DOUBLE) + y0 * CAST({GT[3]} AS DOUBLE)"
+    south = f"CAST({GT[2]} AS DOUBLE) + (y1 + 1) * CAST({GT[3]} AS DOUBLE)"
+
+    def dec(e: str) -> str:
+        return f"CAST(CAST({e} AS DECIMAL(12,4)) AS VARCHAR)"
+
+    whens = " ".join(
+        f"WHEN vclass = {i} THEN '{CONTOUR_COLORS[i]}'"
+        for i in range(1, len(CONTOUR_COLORS))
+    )
+    color = f"(CASE {whens} ELSE '{CONTOUR_COLORS[-1]}' END)"
+    ring = (
+        f"{dec(west)} || ',' || {dec(south)} || ',0,' || {dec(east)} || ',' || {dec(south)}"
+        f" || ',0,' || {dec(east)} || ',' || {dec(north)} || ',0,' || {dec(west)} || ',' || {dec(north)} || ',0'"
+    )
+    return f"""
+WITH oc AS ({VIEWSHED_OBSERVER_COUNT_SQL}),
+counts AS (
+  SELECT px, py, CAST(n_visible AS INTEGER) AS vclass FROM oc WHERE n_visible > 0
+),
+marked AS (
+  SELECT vclass, px, py,
+         CASE WHEN LAG(px) OVER (PARTITION BY vclass, py ORDER BY px) IS NULL
+                OR px - LAG(px) OVER (PARTITION BY vclass, py ORDER BY px) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM counts
+),
+runs0 AS (
+  SELECT vclass, px, py,
+         SUM(brk) OVER (PARTITION BY vclass, py ORDER BY px
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT vclass, py, run_id, MIN(px) AS x0, MAX(px) AS x1
+  FROM runs0 GROUP BY vclass, py, run_id
+),
+marked2 AS (
+  SELECT vclass, py, x0, x1,
+         CASE WHEN LAG(py) OVER (PARTITION BY vclass, x0, x1 ORDER BY py) IS NULL
+                OR py - LAG(py) OVER (PARTITION BY vclass, x0, x1 ORDER BY py) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM runs
+),
+runs2 AS (
+  SELECT vclass, py, x0, x1,
+         SUM(brk) OVER (PARTITION BY vclass, x0, x1 ORDER BY py
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rect_id
+  FROM marked2
+),
+rects AS (
+  SELECT vclass, x0, x1, rect_id, MIN(py) AS y0, MAX(py) AS y1
+  FROM runs2 GROUP BY vclass, x0, x1, rect_id
+)
+SELECT concat_ws('_', 'vc', vclass, x0, x1, y0, y1) AS poly_id,
+       vclass,
+       CAST(x0 AS INTEGER) AS x0, CAST(x1 AS INTEGER) AS x1,
+       CAST(y0 AS INTEGER) AS y0, CAST(y1 AS INTEGER) AS y1,
+       CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS n_cells,
+       {color} AS color,
+       '{{"id":"' || concat_ws('_', 'vc', vclass, x0, x1, y0, y1)
+       || '","polygon":{{"positions":{{"cartographicDegrees":[' || {ring}
+       || ']}},"material":{{"solidColor":{{"color":"' || {color}
+       || '"}}}}}},"n_cells":' || CAST(CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS BIGINT) AS VARCHAR) || '}}' AS czml
+FROM rects
+"""
+
+
+VIEWSHED_CONTOUR_POLYGONS_SQL = _vs_contour_sql()

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gdalos_spark.functions import hashing
 from gdalos_spark.operators.text import TEXT_QUALITY_SCORE_SQL, text_quality_score
 from gdalos_spark.datamodel import load
 
@@ -131,4 +132,182 @@ SELECT source, CAST(rate_pct AS INTEGER) AS rate_pct,
        ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac
 FROM tagged
 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 91. benchmark_contamination — eval-set n-gram decontamination scan
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8  # overlapping word 8-grams, the common decontamination unit
+CONTAM_EVAL_MOD = 101  # doc_id % 101 == 0 -> held-out "benchmark" docs
+CONTAM_FLAG_FRAC = 0.05
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing word
+    8-grams with a held-out benchmark set (here: every 101st doc stands
+    in for the eval benchmark). Both sides explode to OVERLAPPING 8-grams
+    hashed to 60-bit md5 ints, so the contamination check is one
+    equi-join on the hash — long strings never shuffle, and the
+    benchmark-side distinct gram table is orders of magnitude smaller
+    than the corpus (broadcastable in practice; left as an equi-join so
+    the plan also holds when the eval suite is huge). Docs shorter than
+    8 words have no grams and report 0/0.
+    """
+    docs = load(spark, sf_dir, "documents")
+    gram_expr = (
+        "CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        "transform(sequence(0, size(split(text, ' ')) - {n}), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
+        "ELSE array() END"
+    ).format(n=CONTAM_NGRAM)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    evals = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+    corpus_grams = corpus.select(
+        "doc_id", F.explode_outer(F.expr(gram_expr)).alias("gram")
+    ).select("doc_id", hashing.md5_int60(F.col("gram")).alias("h"))
+    eval_hashes = (
+        evals.select(F.explode(F.expr(gram_expr)).alias("gram"))
+        .select(hashing.md5_int60(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    hit = corpus_grams.join(
+        eval_hashes.select(F.col("h").alias("eh")), corpus_grams.h == F.col("eh"), "left"
+    ).select(
+        "doc_id",
+        F.col("h").isNotNull().cast("int").alias("is_gram"),
+        F.col("eh").isNotNull().cast("int").alias("is_hit"),
+    )
+    frac = F.when(
+        F.sum("is_gram") > 0, F.sum("is_hit") / F.sum("is_gram").cast("double")
+    ).otherwise(F.lit(0.0))
+    return hit.groupBy("doc_id").agg(
+        F.sum("is_gram").cast("bigint").alias("n_grams"),
+        F.sum("is_hit").cast("bigint").alias("n_contaminated"),
+        F.round(frac, 6).alias("contam_frac"),
+        (frac > CONTAM_FLAG_FRAC).cast("int").alias("contaminated"),
+    )
+
+
+def _contam_sql() -> str:
+    gram = f"array_to_string(words[(i + 1):(i + {CONTAM_NGRAM})], ' ')"
+    return f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+corpus_grams AS (
+  SELECT doc_id, {hashing.md5_int60_sql(gram)} AS h
+  FROM (
+    SELECT doc_id, words,
+           CAST(unnest(range(GREATEST(len(words) - {CONTAM_NGRAM} + 1, 0))) AS INTEGER) AS i
+    FROM w WHERE doc_id % {CONTAM_EVAL_MOD} <> 0
+  )
+),
+corpus_docs AS (SELECT doc_id FROM w WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+eval_hashes AS (
+  SELECT DISTINCT {hashing.md5_int60_sql(gram)} AS h
+  FROM (
+    SELECT doc_id, words,
+           CAST(unnest(range(GREATEST(len(words) - {CONTAM_NGRAM} + 1, 0))) AS INTEGER) AS i
+    FROM w WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+  )
+),
+hits AS (
+  SELECT g.doc_id, 1 AS is_gram,
+         CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+  FROM corpus_grams g LEFT JOIN eval_hashes e USING (h)
+),
+agg AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(is_gram), 0) AS n_grams,
+         COALESCE(SUM(is_hit), 0) AS n_contaminated
+  FROM corpus_docs d LEFT JOIN hits USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       ROUND(CASE WHEN n_grams > 0
+                  THEN n_contaminated / CAST(n_grams AS DOUBLE) ELSE 0.0 END, 6) AS contam_frac,
+       CAST(CASE WHEN n_grams > 0
+                 THEN n_contaminated / CAST(n_grams AS DOUBLE) ELSE 0.0 END
+            > {CONTAM_FLAG_FRAC} AS INTEGER) AS contaminated
+FROM agg
+"""
+
+
+BENCHMARK_CONTAMINATION_SQL = _contam_sql()
+
+
+# ---------------------------------------------------------------------------
+# 92. corpus_mix_sample — weighted source-mixture sampling to a target size
+# ---------------------------------------------------------------------------
+
+MIX_TARGET_DOCS = 3000
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: sample each source at a rate that realizes a target
+    mixture (relative weight 1 + src_num % 4 per source, the stand-in for
+    a real mixing config) over a MIX_TARGET_DOCS budget. rate_s =
+    min(1, (w_s / W) * target / n_s) is computed from one tiny per-source
+    agg + a 1-row broadcast total; docs are then kept by deterministic
+    md5-bucket < rate — reproducible, join-free on the corpus side,
+    map-side sampling exactly like corpus_sample_stratified. The report
+    emits planned rate vs achieved fraction per source."""
+    docs = load(spark, sf_dir, "documents")
+    src_w = (1 + F.substring(F.col("source"), 4, 10).cast("int") % 4).alias("w_rel")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+    ).select("source", src_w.cast("double").alias("w_rel"), "n_total")
+    total = per_src.agg(F.sum("w_rel").alias("w_total"))
+    rated = per_src.crossJoin(F.broadcast(total)).select(
+        "source", "n_total",
+        F.least(
+            F.lit(1.0),
+            (F.col("w_rel") / F.col("w_total")) * MIX_TARGET_DOCS / F.col("n_total").cast("double"),
+        ).alias("rate"),
+    )
+    bucket = (
+        hashing.hash_base(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1_000_000
+    )
+    kept = docs.select("source", bucket.alias("b")).join(
+        F.broadcast(rated), "source"
+    ).select(
+        "source", "n_total", "rate",
+        (F.col("b") < F.floor(F.col("rate") * 1_000_000)).cast("int").alias("kept"),
+    )
+    return (
+        kept.groupBy("source", "n_total", "rate")
+        .agg(F.sum("kept").cast("bigint").alias("n_kept"))
+        .select(
+            "source", "n_total",
+            F.round("rate", 6).alias("rate"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total").cast("double"), 6).alias("achieved_frac"),
+        )
+    )
+
+
+CORPUS_MIX_SAMPLE_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(1 + CAST(substring(source, 4) AS INTEGER) % 4 AS DOUBLE) AS w_rel,
+         COUNT(*) AS n_total
+  FROM documents GROUP BY source
+),
+total AS (SELECT SUM(w_rel) AS w_total FROM per_src),
+rated AS (
+  SELECT source, n_total,
+         LEAST(1.0, (w_rel / w_total) * {MIX_TARGET_DOCS} / CAST(n_total AS DOUBLE)) AS rate
+  FROM per_src CROSS JOIN total
+),
+kept AS (
+  SELECT d.source, r.n_total, r.rate,
+         CAST({hashing.hash_base_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+              < FLOOR(r.rate * 1000000) AS INTEGER) AS kept
+  FROM documents d JOIN rated r USING (source)
+)
+SELECT source, n_total, ROUND(rate, 6) AS rate,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(kept) / CAST(n_total AS DOUBLE), 6) AS achieved_frac
+FROM kept GROUP BY source, n_total, rate
 """

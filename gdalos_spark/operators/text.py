@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gdalos_spark.datamodel import load
+from gdalos_spark.functions import hashing
 from gdalos_spark.operators.dedup import DOCSH_SQL, SHINGLES3_SQL, doc_shingles
 
 # ---------------------------------------------------------------------------
@@ -377,4 +378,64 @@ SELECT doc_id, COUNT(*) AS n_distinct_toks,
        MIN(df) AS min_df
 FROM toks JOIN df_tab USING (tok)
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 93. text_ngram_topk — corpus-wide top-k word trigrams
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_TOPK = 20
+
+
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency analysis: the NGRAM_TOPK most frequent
+    overlapping word trigrams with occurrence and document counts.
+    Aggregation keys on the 60-bit md5 of the gram (fixed 8-byte compare
+    instead of variable-length strings; the gram text rides along as
+    min() — identical for all rows of a hash, so the agg stays
+    deterministic), then TakeOrderedAndProject picks the top k with a
+    per-partition partial limit — no global sort materializes. Ties
+    break on gram text, so the cut at rank k is total-ordered and
+    engine-independent."""
+    docs = load(spark, sf_dir, "documents")
+    gram_expr = (
+        "CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        "transform(sequence(0, size(split(text, ' ')) - {n}), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
+        "ELSE array() END"
+    ).format(n=NGRAM_N)
+    grams = docs.select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+    counted = (
+        grams.select("doc_id", "gram", hashing.md5_int60(F.col("gram")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("gram").alias("gram"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    return (
+        counted.select("gram", "n_occ", F.col("n_docs").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_occ"), F.asc("gram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+TEXT_NGRAM_TOPK_SQL = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(words[(i + 1):(i + {NGRAM_N})], ' ') AS gram
+  FROM (
+    SELECT doc_id, words,
+           CAST(unnest(range(GREATEST(len(words) - {NGRAM_N} + 1, 0))) AS INTEGER) AS i
+    FROM w
+  )
+)
+SELECT gram, COUNT(*) AS n_occ, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY gram
+ORDER BY n_occ DESC, gram ASC
+LIMIT {NGRAM_TOPK}
 """

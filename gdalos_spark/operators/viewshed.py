@@ -1002,3 +1002,174 @@ FROM {q} AS t
 
 
 GEO_DISTANCE_SQL = _geo_distance_sql()
+
+
+# ---------------------------------------------------------------------------
+# 95. map_scale_zoom — web-map scale denominator per zoom level
+#    ref: scale_calc.py:4 calc_dot_pitch (physical pixel size of a
+#         24" 1920x1080 display) and :16 calc_scale
+#         (perimeter / (pixels_at_zoom * dot_pitch), web-mercator
+#         pixels_at_zoom0=256, earth_r=6378137).
+#
+# Host-side precomputes dot pitch and the WGS-84 equatorial perimeter
+# (the reference's math.* calls); the per-zoom table is pure integer
+# powers + one double division, identical expression text on both
+# engines. Catalog-sized — zero shuffles.
+# ---------------------------------------------------------------------------
+
+import math as _m
+
+_SCALE_DIAG_IN = 24
+_SCALE_W_PX, _SCALE_H_PX = 1920, 1080
+_SCALE_DOT_PITCH = _m.sqrt(
+    (_SCALE_DIAG_IN * 0.0254) ** 2 / (_SCALE_W_PX**2 + _SCALE_H_PX**2)
+)
+_SCALE_PERIMETER = 2 * _m.pi * 6378137
+_SCALE_PX0 = 256
+MAX_ZOOM = 20
+
+
+def map_scale_zoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = spark.range(MAX_ZOOM + 1).select(F.col("id").cast("int").alias("zoom"))
+    pixels = (F.lit(_SCALE_PX0).cast("bigint") * F.pow(F.lit(2.0), F.col("zoom").cast("double")).cast("bigint")).alias("pixels_at_zoom")
+    scale = F.lit(_SCALE_PERIMETER) / (F.col("pixels_at_zoom").cast("double") * F.lit(_SCALE_DOT_PITCH))
+    return z.select("zoom", pixels).select(
+        "zoom", "pixels_at_zoom",
+        F.round(scale, 6).alias("scale"),
+        F.round(scale).cast("bigint").alias("map_scale"),
+    )
+
+
+MAP_SCALE_ZOOM_SQL = f"""
+WITH z AS (SELECT CAST(range AS INTEGER) AS zoom FROM range({MAX_ZOOM + 1})),
+px AS (
+  SELECT zoom,
+         CAST({_SCALE_PX0} AS BIGINT) * CAST(power(2.0, CAST(zoom AS DOUBLE)) AS BIGINT) AS pixels_at_zoom
+  FROM z
+)
+SELECT zoom, pixels_at_zoom,
+       ROUND({_SCALE_PERIMETER!r} / (CAST(pixels_at_zoom AS DOUBLE) * {_SCALE_DOT_PITCH!r}), 6) AS scale,
+       CAST(ROUND({_SCALE_PERIMETER!r} / (CAST(pixels_at_zoom AS DOUBLE) * {_SCALE_DOT_PITCH!r})) AS BIGINT) AS map_scale
+FROM px
+"""
+
+
+# ---------------------------------------------------------------------------
+# 96. sector_ring_points — sector polygon ring vertices (PolygonizeSector)
+#    ref: talos/geom_arc.py:9 PolygonizeSector (ring = center point, then
+#         PointCount-1 arc vertices at angle I*Factor + AFromRad with
+#         Factor = (ATo-AFrom)/(PointCount-2), then the closing center
+#         point; x = px + rx*cos, y = py + ry*sin at Theta=0),
+#         talos/math0.py SinCos. Sector from/to radians come from the
+#         SAME GetFromToAngle chain azimuth_normalize mirrors.
+#
+# Trig is polynomial like geo_distance, but arc angles span [-2pi, 2pi],
+# so each angle is range-reduced to [-pi, pi) with one floor(), HALVED
+# into the polynomials' high-precision domain [-pi/2, pi/2), and
+# reconstructed with the double-angle identities sin=2*s*c,
+# cos=1-2*s^2 — every step is IEEE +,*,floor with identical literals on
+# both engines, so ring vertices are bit-exact. Pure projection over a
+# tiny broadcast index table: zero data shuffles beyond the sector scan.
+# ---------------------------------------------------------------------------
+
+ARC_POINT_COUNT = 50
+ARC_SECTOR_MOD = 997  # event_id % 997 == 0 -> the sampled sector specs
+M_PI = 3.141592653589793
+# sin(x) = x * P(x^2) through x^15; cos(x) = Q(x^2) through x^14
+_ARC_SIN_C = [
+    1.0, -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880,
+    -1.0 / 39916800, 1.0 / 6227020800, -1.0 / 1307674368000,
+]
+_ARC_COS_C = [
+    1.0, -0.5, 1.0 / 24, -1.0 / 720, 1.0 / 40320,
+    -1.0 / 3628800, 1.0 / 479001600, -1.0 / 87178291200,
+]
+
+
+def _arc_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
+    pc = ARC_POINT_COUNT
+    keep = (("event_id", "event_id"), ("point_idx", "point_idx"), ("kind", "kind"),
+            ("px", "px"), ("py", "py"), ("r", "r"))
+    return (
+        (
+            ("event_id", "event_id"),
+            ("point_idx", "point_idx"),
+            (
+                "kind",
+                f"(CASE WHEN point_idx = 0 OR point_idx = {pc} THEN 'center' ELSE 'arc' END)",
+            ),
+            ("px", "((event_id * 7919 % 6400) / 100.0)"),
+            ("py", "((event_id * 104729 % 6400) / 100.0)"),
+            ("r", "(5.0 + CAST(event_id % 7 AS DOUBLE))"),
+            (
+                "angle",
+                f"(a_from_rad + (point_idx - 1) * ((a_to_rad - a_from_rad) / {pc - 2}.0))",
+            ),
+        ),
+        keep + (
+            ("half", f"((angle - {M_2PI!r} * floor((angle + {M_PI!r}) / {M_2PI!r})) * 0.5)"),
+        ),
+        keep + (
+            ("sh", f"(half * {_geo_horner('(half * half)', _ARC_SIN_C)})"),
+            ("ch", _geo_horner("(half * half)", _ARC_COS_C)),
+        ),
+        keep + (
+            ("sin_t", "(2.0 * (sh * ch))"),
+            ("cos_t", "(1.0 - 2.0 * (sh * sh))"),
+        ),
+    )
+
+
+_ARC_STAGES = _arc_stages()
+
+
+def sector_ring_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring vertices for every sampled sector spec (event_id %
+    ARC_SECTOR_MOD == 0): point 0 and point ARC_POINT_COUNT are the
+    sector center, points 1..ARC_POINT_COUNT-1 sweep the arc exactly as
+    PolygonizeSector does at Theta=0 (the reference default). Centers
+    and radii derive from event arithmetic (the events_points mapping);
+    from/to radians from the azimuth_normalize chain."""
+    specs = (
+        azimuth_normalize(spark, sf_dir)
+        .filter(F.col("event_id") % ARC_SECTOR_MOD == 0)
+        .select("event_id", "a_from_rad", "a_to_rad")
+    )
+    idx = spark.range(ARC_POINT_COUNT + 1).select(
+        F.col("id").cast("int").alias("point_idx")
+    )
+    df = specs.crossJoin(F.broadcast(idx))
+    for stage in _ARC_STAGES:
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    x = F.when(F.col("kind") == "center", F.col("px")).otherwise(
+        F.col("px") + F.col("r") * F.col("cos_t")
+    )
+    y = F.when(F.col("kind") == "center", F.col("py")).otherwise(
+        F.col("py") + F.col("r") * F.col("sin_t")
+    )
+    return df.select(
+        "event_id", "point_idx", "kind",
+        F.round(x, 6).alias("x"),
+        F.round(y, 6).alias("y"),
+    )
+
+
+def _sector_ring_sql() -> str:
+    q = (
+        f"(SELECT event_id, a_from_rad, a_to_rad FROM ({AZIMUTH_NORMALIZE_SQL}) az"
+        f" WHERE event_id % {ARC_SECTOR_MOD} = 0)"
+        f" CROSS JOIN (SELECT CAST(range AS INTEGER) AS point_idx"
+        f" FROM range({ARC_POINT_COUNT + 1})) ix"
+    )
+    for stage in _ARC_STAGES:
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    return f"""
+SELECT event_id, point_idx, kind,
+       ROUND(CASE WHEN kind = 'center' THEN px ELSE px + r * cos_t END, 6) AS x,
+       ROUND(CASE WHEN kind = 'center' THEN py ELSE py + r * sin_t END, 6) AS y
+FROM {q} AS t
+"""
+
+
+SECTOR_RING_POINTS_SQL = _sector_ring_sql()

@@ -97,3 +97,27 @@ def test_cc_alternating_multiple_components(spark):
     assert converged
     got = {(r.node, r.root) for r in roots.collect()}
     assert got == {(5, 1), (9, 1), (4, 2), (101, 100)}
+
+
+def test_round3_llm_additions_match_oracle(spark, ducks):
+    for key in ("benchmark_contamination", "corpus_mix_sample", "text_ngram_topk"):
+        assert_matches_oracle(
+            spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+        )
+
+
+def test_corpus_mix_sample_rates_realize_budget(spark):
+    """Planned rates must sum to about the target budget (exact when no
+    source saturates at rate=1.0), and achieved fractions track rates."""
+    from gdalos_spark.operators.pipeline import MIX_TARGET_DOCS
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["corpus_mix_sample"](spark, SF_DIR).collect()
+    assert rows
+    planned = sum(r.rate * r.n_total for r in rows)
+    capped = any(r.rate >= 1.0 for r in rows)
+    if not capped:
+        assert abs(planned - MIX_TARGET_DOCS) < 1.0
+    for r in rows:
+        assert 0.0 <= r.rate <= 1.0
+        assert abs(r.achieved_frac - r.rate) < 0.25  # hash-sample variance

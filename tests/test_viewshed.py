@@ -110,3 +110,51 @@ def test_viewshed_polygonize_covers_all_visible_cells(spark):
     assert len(covered) == len(set(covered)) == len(vis)
     assert set(covered) == vis
     assert sum(r.n_cells for r in rects) == len(vis)
+
+
+def test_round3_geo_additions_match_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    for key in ("viewshed_contour_polygons", "map_scale_zoom", "sector_ring_points"):
+        assert_matches_oracle(
+            spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+        )
+
+
+def test_sector_rings_close_and_track_libm(spark):
+    """Every sampled sector ring starts and ends at its center, has
+    ARC_POINT_COUNT+1 points, and the polynomial vertices agree with
+    float-libm trig to < 1e-5 (series + rounding bound)."""
+    import collections
+    import math
+
+    import __spark_entry__ as entrymod
+    from gdalos_spark.operators.viewshed import ARC_POINT_COUNT
+    from tests.conftest import SF_DIR
+
+    az = {
+        r.event_id: r
+        for r in entrymod.queries()["azimuth_normalize"](spark, SF_DIR).collect()
+    }
+    rows = entrymod.queries()["sector_ring_points"](spark, SF_DIR).collect()
+    rings = collections.defaultdict(list)
+    for r in rows:
+        rings[r.event_id].append(r)
+    assert rings
+    for ev, pts in rings.items():
+        pts.sort(key=lambda r: r.point_idx)
+        assert len(pts) == ARC_POINT_COUNT + 1
+        assert (pts[0].x, pts[0].y) == (pts[-1].x, pts[-1].y)
+        spec = az[ev]
+        for p in pts:
+            if p.kind != "arc":
+                continue
+            ang = spec.a_from_rad + (p.point_idx - 1) * (
+                (spec.a_to_rad - spec.a_from_rad) / (ARC_POINT_COUNT - 2)
+            )
+            px = (ev * 7919 % 6400) / 100.0
+            py = (ev * 104729 % 6400) / 100.0
+            rr = 5.0 + ev % 7
+            assert abs(px + rr * math.cos(ang) - p.x) < 1e-5
+            assert abs(py + rr * math.sin(ang) - p.y) < 1e-5
