@@ -1173,3 +1173,112 @@ FROM {q} AS t
 
 
 SECTOR_RING_POINTS_SQL = _sector_ring_sql()
+
+
+# ---------------------------------------------------------------------------
+# 97. point_to_point_los — multi-point observer->target LOS verdicts
+#    ref: viewshed_calc.py:636 los_calc with MultiPointParams (ox/oy/oz vs
+#         tx/ty/tz arrays -> per-pair visibility), the API the reference's
+#         radio tools call for link planning. Re-expression: each
+#         (observer, target) pair samples N_LOS_STEPS points along the
+#         segment with pure integer rounding, joins the DEM once on the
+#         cell key, and reduces per pair: blocked iff any interior
+#         sample's elevation tangent reaches the target's tangent.
+#         Pair x step fan-out is a broadcast of two tiny tables; the only
+#         data join is the equi-join against the DEM — at 100 TB that is
+#         one shuffle co-partitioned with the tiled raster layout.
+# ---------------------------------------------------------------------------
+
+N_LOS_STEPS = 64
+LOS_TARGET_MOD = 23  # c_custkey % 23 == 0 -> sampled link targets
+
+
+def point_to_point_los(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = spark.createDataFrame(list(OBSERVERS), "ox int, oy int")
+    tgts = (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % LOS_TARGET_MOD == 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("cx")).cast("int").alias("tx"),
+            F.floor(F.col("cy")).cast("int").alias("ty"),
+        )
+    )
+    steps = spark.range(1, N_LOS_STEPS + 1).select(F.col("id").cast("int").alias("i"))
+    n = N_LOS_STEPS
+    # integer segment sampling: cell_i = round((o*(N-i) + t*i) / N),
+    # spelled floor((o*(N-i) + t*i) + N/2) div N so both engines floor-div
+    px_i = F.expr(f"(ox * ({n} - i) + tx * i + {n // 2}) div {n}").cast("int")
+    py_i = F.expr(f"(oy * ({n} - i) + ty * i + {n // 2}) div {n}").cast("int")
+    samples = (
+        tgts.crossJoin(F.broadcast(obs))
+        .filter((F.col("ox") != F.col("tx")) | (F.col("oy") != F.col("ty")))
+        .crossJoin(F.broadcast(steps))
+        .select(
+            "c_custkey", "ox", "oy", "tx", "ty", "i",
+            px_i.alias("px"), py_i.alias("py"),
+        )
+    )
+    g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
+    scored = samples.join(g, ["px", "py"]).select(
+        "c_custkey", "ox", "oy", "tx", "ty", "i",
+        ((F.col("z") - OBS_Z) / F.col("i").cast("double")).alias("tan_i"),
+    )
+    tgt_tan = scored.filter(F.col("i") == n).select(
+        "c_custkey", "ox", "oy",
+        F.col("tan_i").alias("tan_t"),
+    )
+    joined = scored.filter(F.col("i") < n).join(tgt_tan, ["c_custkey", "ox", "oy"])
+    blocked_i = F.when(F.col("tan_i") >= F.col("tan_t"), F.col("i"))
+    return (
+        joined.groupBy("c_custkey", "ox", "oy", "tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min(blocked_i).alias("first_block"),
+        )
+        .select(
+            "c_custkey", "ox", "oy", "tx", "ty", "n_samples",
+            F.col("first_block").isNull().cast("int").alias("visible"),
+            F.coalesce(F.col("first_block"), F.lit(0)).cast("int").alias("first_block_step"),
+        )
+    )
+
+
+def _p2p_los_sql() -> str:
+    n = N_LOS_STEPS
+    values = ", ".join(f"({x}, {y})" for x, y in OBSERVERS)
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+pts AS ({CUSTOMER_POINTS_SQL}),
+obs(ox, oy) AS (VALUES {values}),
+tgts AS (
+  SELECT c_custkey, CAST(FLOOR(cx) AS INTEGER) AS tx, CAST(FLOOR(cy) AS INTEGER) AS ty
+  FROM pts WHERE c_custkey % {LOS_TARGET_MOD} = 0
+),
+steps AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, {n} + 1)),
+samples AS (
+  SELECT c_custkey, ox, oy, tx, ty, i,
+         CAST((ox * ({n} - i) + tx * i + {n // 2}) // {n} AS INTEGER) AS px,
+         CAST((oy * ({n} - i) + ty * i + {n // 2}) // {n} AS INTEGER) AS py
+  FROM tgts CROSS JOIN obs CROSS JOIN steps
+  WHERE NOT (ox = tx AND oy = ty)
+),
+scored AS (
+  SELECT c_custkey, ox, oy, tx, ty, i,
+         (CAST(elev AS DOUBLE) - {OBS_Z}) / CAST(i AS DOUBLE) AS tan_i
+  FROM samples JOIN dem USING (px, py)
+),
+tgt_tan AS (
+  SELECT c_custkey, ox, oy, tan_i AS tan_t FROM scored WHERE i = {n}
+)
+SELECT s.c_custkey, s.ox, s.oy, s.tx, s.ty,
+       COUNT(*) AS n_samples,
+       CAST(MIN(CASE WHEN s.tan_i >= t.tan_t THEN s.i END) IS NULL AS INTEGER) AS visible,
+       CAST(COALESCE(MIN(CASE WHEN s.tan_i >= t.tan_t THEN s.i END), 0) AS INTEGER) AS first_block_step
+FROM scored s JOIN tgt_tan t USING (c_custkey, ox, oy)
+WHERE s.i < {n}
+GROUP BY s.c_custkey, s.ox, s.oy, s.tx, s.ty
+"""
+
+
+POINT_TO_POINT_LOS_SQL = _p2p_los_sql()

@@ -20,13 +20,45 @@ def test_multimodal_decode_contract(spark):
         assert r.n_frames == r.byte_len // 1024 + 1
 
 
-def test_multimodal_real_codec_is_stubbed():
+def test_multimodal_real_codec_uncompressed_formats():
+    """_decode_real genuinely decodes the codec-library-free formats:
+    PPM, 24-bit BMP, 16-bit PCM WAV — verified against hand-built
+    payloads; compressed formats still raise NotImplementedError."""
+    import struct
+
+    import numpy as np
     import pytest
 
     from gdalos_spark.operators.multimodal import _decode_real
 
+    # P6 PPM, 2x2, pixel values 0..11
+    ppm = b"P6\n# c\n2 2\n255\n" + bytes(range(12))
+    d = _decode_real(ppm, "image")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("pnm", 2, 2, 3)
+    assert d["feat_mean"] == float(np.arange(12).mean())
+
+    # 24-bit BI_RGB BMP, 2x2 (rows padded to 4 bytes: stride 8)
+    px = bytes(range(6)) + b"\x00\x00" + bytes(range(6, 12)) + b"\x00\x00"
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 14 + 40)
+    d = _decode_real(head + info + px, "image")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("bmp", 2, 2, 3)
+    assert d["feat_mean"] == float(np.arange(12).mean())
+
+    # 16-bit PCM WAV, mono, samples [-2, 3]
+    samples = np.array([-2, 3], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    d = _decode_real(wav, "audio")
+    assert (d["kind"], d["channels"], d["n_samples"]) == ("wav", 1, 2)
+    assert d["feat_mean"] == 2.5  # mean |amplitude|
+
     with pytest.raises(NotImplementedError):
-        _decode_real(b"bytes", "image")
+        _decode_real(b"\xff\xd8\xff\xe0jpeg-ish", "image")
 
 
 def test_streaming_matches_batch_oracle(spark, ducks):

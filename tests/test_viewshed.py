@@ -158,3 +158,14 @@ def test_sector_rings_close_and_track_libm(spark):
             rr = 5.0 + ev % 7
             assert abs(px + rr * math.cos(ang) - p.x) < 1e-5
             assert abs(py + rr * math.sin(ang) - p.y) < 1e-5
+
+
+def test_point_to_point_los_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["point_to_point_los"],
+        entrymod.oracle_sql()["point_to_point_los"],
+    )
