@@ -100,6 +100,7 @@ _QUERIES: dict[str, QueryFn] = {
     "map_scale_zoom": viewshed.map_scale_zoom,
     "sector_ring_points": viewshed.sector_ring_points,
     "point_to_point_los": viewshed.point_to_point_los,
+    "embedding_pq": similarity.embedding_pq,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,
@@ -260,6 +261,7 @@ _ORACLES: dict[str, str] = {
     "map_scale_zoom": viewshed.MAP_SCALE_ZOOM_SQL,
     "sector_ring_points": viewshed.SECTOR_RING_POINTS_SQL,
     "point_to_point_los": viewshed.POINT_TO_POINT_LOS_SQL,
+    "embedding_pq": similarity.EMBEDDING_PQ_SQL,
 }
 
 

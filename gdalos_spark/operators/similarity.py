@@ -483,3 +483,122 @@ SELECT vec_id, amax, scale, err2, n_saturated,
        CASE WHEN nrm2 > 0.0 THEN sqrt(err2 / nrm2) ELSE 0.0 END AS rel_err
 FROM t3
 """
+
+
+# ---------------------------------------------------------------------------
+# 98. embedding_pq — product quantization codes + reconstruction report
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subvectors
+PQ_SUB = vectors.EMB_DIM // PQ_M  # dims per subvector (16)
+PQ_K = 16  # codewords per subspace
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, the memory-side half of a production ANN
+    index (IVF gives the candidate lists, PQ compresses residents to
+    M log2(K) bits): the 64-dim embedding splits into PQ_M 16-dim
+    subvectors, each assigned its nearest of PQ_K codewords by exact L2.
+    The codebook is deterministic — the subvectors of the first PQ_K
+    vectors (a real pipeline k-means-trains it; assignment, storage, and
+    reconstruction mechanics are identical). Plan: one M*K-row broadcast
+    codebook join + one (vec, sub) window argmin + one per-vector
+    re-agg; the embedding table is scanned once and never shuffled at
+    full width — only (vec_id, sub_id, code, partial error) rows move.
+
+    Output per vector: the M code ids, compressed bits, and relative
+    reconstruction error ||x - q(x)||^2 / ||x||^2 (round 6).
+    """
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.emb_double(F.col("embedding")).alias("emb")
+    )
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    # (vec, sub) rows: 16-dim slices
+    sliced = base.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "sub_id",
+        F.slice(F.col("emb"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sx"),
+    )
+    codebook = (
+        sliced.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("sub_id").alias("c_sub"),
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("sx").alias("cx"),
+        )
+    )
+    d2 = vectors.fold_sum(
+        F.zip_with(F.col("sx"), F.col("cx"), lambda a, b: (a - b) * (a - b))
+    )
+    # micro-unit integers: the per-(vec, sub) distance is rounded once to
+    # 1e-6 and summed as BIGINT, so the cross-subspace error total never
+    # sums raw doubles through an unordered groupBy
+    scored = sliced.join(
+        F.broadcast(codebook), sliced.sub_id == codebook.c_sub
+    ).select(
+        "vec_id", "sub_id", "code",
+        F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    norms = base.select("vec_id", vectors.fold_sum(
+        F.transform(F.col("emb"), lambda x: x * x)
+    ).alias("n2"))
+    agg = best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub_id") == i, F.col("code"))).cast("int").alias(f"code{i}")
+            for i in range(PQ_M)
+        ],
+        F.sum("d2u").alias("err2u"),
+    )
+    return agg.join(norms, "vec_id").select(
+        "vec_id", *[f"code{i}" for i in range(PQ_M)],
+        F.lit(PQ_M * 4).cast("int").alias("code_bits"),
+        F.round((F.col("err2u").cast("double") / 1_000_000.0) / F.col("n2"), 6).alias("rel_err"),
+    )
+
+
+def _pq_sql() -> str:
+    sub_slice = f"list_transform(range(1, {PQ_SUB + 1}), j -> CAST(embedding[sub_id * {PQ_SUB} + j] AS DOUBLE))"
+    d2 = (
+        f"list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+        f"j -> (sx[j] - cx[j]) * (sx[j] - cx[j])))"
+    )
+    return f"""
+WITH subs AS (SELECT CAST(range AS INTEGER) AS sub_id FROM range({PQ_M})),
+sliced AS (
+  SELECT vec_id, sub_id, {sub_slice} AS sx
+  FROM embeddings CROSS JOIN subs
+),
+codebook AS (
+  SELECT sub_id AS c_sub, CAST(vec_id AS INTEGER) AS code, sx AS cx
+  FROM sliced WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT vec_id, sub_id, code,
+         CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
+  FROM sliced s JOIN codebook c ON s.sub_id = c.c_sub
+),
+best AS (
+  SELECT vec_id, sub_id, code, d2u FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                 ORDER BY d2u ASC, code ASC) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+),
+norms AS (
+  SELECT vec_id, {vectors.norm2_sql("embedding")} AS n2 FROM embeddings
+),
+agg AS (
+  SELECT vec_id,
+         {", ".join(f"CAST(MAX(CASE WHEN sub_id = {i} THEN code END) AS INTEGER) AS code{i}" for i in range(PQ_M))},
+         SUM(d2u) AS err2u
+  FROM best GROUP BY vec_id
+)
+SELECT a.vec_id, {", ".join(f"code{i}" for i in range(PQ_M))},
+       CAST({PQ_M * 4} AS INTEGER) AS code_bits,
+       ROUND((CAST(err2u AS DOUBLE) / 1000000.0) / n2, 6) AS rel_err
+FROM agg a JOIN norms n ON a.vec_id = n.vec_id
+"""
+
+
+EMBEDDING_PQ_SQL = _pq_sql()

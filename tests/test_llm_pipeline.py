@@ -121,3 +121,27 @@ def test_corpus_mix_sample_rates_realize_budget(spark):
     for r in rows:
         assert 0.0 <= r.rate <= 1.0
         assert abs(r.achieved_frac - r.rate) < 0.25  # hash-sample variance
+
+
+def test_embedding_pq_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["embedding_pq"],
+        entrymod.oracle_sql()["embedding_pq"],
+    )
+
+
+def test_embedding_pq_codebook_reconstructs_exactly(spark):
+    """Vectors that ARE codewords must quantize to themselves: code_i =
+    vec_id in every subspace and rel_err = 0."""
+    from gdalos_spark.operators.similarity import PQ_K
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["embedding_pq"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.vec_id < PQ_K:
+            assert (r.code0, r.code1, r.code2, r.code3) == (r.vec_id,) * 4
+            assert r.rel_err == 0.0
+        assert 0 <= min(r.code0, r.code1, r.code2, r.code3)
+        assert max(r.code0, r.code1, r.code2, r.code3) < PQ_K
