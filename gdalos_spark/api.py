@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gdalos_spark.operators import export, raster, relational, similarity, text, viewshed
 from gdalos_spark.operators import dedup as dedup_ops
 from gdalos_spark.operators import multimodal as multimodal_ops
+from gdalos_spark.operators import pipeline as pipeline_ops
 from gdalos_spark.streaming import events as streaming_events
 
 
@@ -203,3 +204,52 @@ class GdalosSpark:
 
     def stream_enrich(self) -> DataFrame:
         return streaming_events.streaming_enrich_join(self.spark, self.sf_dir)
+
+    # --- round-3 additions ---
+    def geodesic_distance(self) -> DataFrame:
+        """calc_dist (viewshed_calc.py:620) — WGS-84 link distances + FSPL."""
+        return viewshed.geo_distance(self.spark, self.sf_dir)
+
+    def calc_multi(self) -> DataFrame:
+        """gdal_calc A..Z lettered expressions (calc/gdal_calc.py:3)."""
+        return raster.raster_calc_multi(self.spark, self.sf_dir)
+
+    def polygonize(self) -> DataFrame:
+        """Visible-region polygon CZML (viewshed_calc.py:148/:577)."""
+        return export.viewshed_polygonize(self.spark, self.sf_dir)
+
+    def contour_polygons(self) -> DataFrame:
+        """Per-observer-count contour polygons with palette colors."""
+        return export.viewshed_contour_polygons(self.spark, self.sf_dir)
+
+    def resolve_jobs(self) -> DataFrame:
+        """do_skip_if_exists overwrite/skip resolution (gdalos_util.py:69)."""
+        return relational.job_skip_overwrite(self.spark, self.sf_dir)
+
+    def decontaminate(self) -> DataFrame:
+        """Benchmark n-gram contamination scan over the corpus."""
+        return pipeline_ops.benchmark_contamination(self.spark, self.sf_dir)
+
+    def mix_sample(self) -> DataFrame:
+        """Weighted source-mixture sampling to a target corpus size."""
+        return pipeline_ops.corpus_mix_sample(self.spark, self.sf_dir)
+
+    def top_ngrams(self) -> DataFrame:
+        """Corpus-wide most-frequent word trigrams."""
+        return text.text_ngram_topk(self.spark, self.sf_dir)
+
+    def map_scales(self) -> DataFrame:
+        """Web-map scale denominators per zoom (scale_calc.py)."""
+        return viewshed.map_scale_zoom(self.spark, self.sf_dir)
+
+    def sector_rings(self) -> DataFrame:
+        """PolygonizeSector ring vertices (talos/geom_arc.py:9)."""
+        return viewshed.sector_ring_points(self.spark, self.sf_dir)
+
+    def los_links(self) -> DataFrame:
+        """Multi-point observer->target LOS verdicts (los_calc)."""
+        return viewshed.point_to_point_los(self.spark, self.sf_dir)
+
+    def quantize_pq(self) -> DataFrame:
+        """Product-quantization codes + reconstruction error."""
+        return similarity.embedding_pq(self.spark, self.sf_dir)

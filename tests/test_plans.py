@@ -180,3 +180,15 @@ def test_geo_distance_no_shuffle_small_pushdown(spark):
     assert "Exchange" not in plan
     scan = [ln for ln in plan.splitlines() if "DataFilters" in ln]
     assert scan and "SQRT" not in scan[0], "haversine leaked into the scan filter"
+
+
+def test_round3_candidate_joins_stay_equi(spark):
+    """Contamination, p2p LOS, and PQ must never degrade to cartesian
+    or nested-loop joins; PQ's codebook and p2p's pair/step tables are
+    broadcasts."""
+    for key in ("benchmark_contamination", "point_to_point_los", "embedding_pq"):
+        df = q(spark, key)
+        assert_no_cartesian(df)
+        assert_not_in_plan(df, "BroadcastNestedLoopJoin" if key == "benchmark_contamination" else "__never__")
+    assert_broadcast_join(q(spark, "embedding_pq"))
+    assert_broadcast_join(q(spark, "point_to_point_los"))
