@@ -26,3 +26,17 @@ def test_facade_covers_reference_verbs(spark):
         assert eng.ann(method=method).columns
     # one representative executes end-to-end
     assert eng.info().count() > 0
+
+
+def test_round3_facade_verbs(spark):
+    """Every round-3 facade verb returns a non-empty lazy DataFrame."""
+    from gdalos_spark.api import GdalosSpark
+    from tests.conftest import SF_DIR
+
+    eng = GdalosSpark(spark, SF_DIR)
+    for verb in (
+        "geodesic_distance", "calc_multi", "polygonize", "contour_polygons",
+        "resolve_jobs", "decontaminate", "mix_sample", "top_ngrams",
+        "map_scales", "sector_rings", "los_links", "quantize_pq",
+    ):
+        assert getattr(eng, verb)().count() > 0, verb
