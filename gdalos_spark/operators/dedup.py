@@ -606,12 +606,18 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is exactly the line-dedup shape: explode to segments,
     min-occurrence per hash, join back, per-doc re-aggregate; every stage
     is an equi-join/agg on the hash key with map-side partials."""
-    docs = load(spark, sf_dir, "documents")
+    # parallelize the segment pipeline when the table arrives as one
+    # input split (cheap redistribution; no-op at real scale)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    # words staged as a column: split() inside the transform lambda would
+    # re-split the document once per segment index (O(words^2) per doc)
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     seg_expr = (
-        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {SEG_WORDS}.0) AS INT) - 1),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i * {SEG_WORDS} + 1, {SEG_WORDS})))"
+        f"transform(sequence(0, CAST(ceil(size(words) / {SEG_WORDS}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(words, i * {SEG_WORDS} + 1, {SEG_WORDS})))"
     )
-    occ = docs.select(
+    occ = words.select(
         "doc_id", F.posexplode(F.expr(seg_expr)).alias("seg_idx", "seg")
     ).select(
         "doc_id",

@@ -155,15 +155,21 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan also holds when the eval suite is huge). Docs shorter than
     8 words have no grams and report 0/0.
     """
-    docs = load(spark, sf_dir, "documents")
+    # parallelize the gram pipeline when the table arrives as one input
+    # split (cheap redistribution; no-op at real scale)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    # words staged as a column: split() inside the transform lambda would
+    # re-split the document once per gram index (O(words^2) per doc)
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     gram_expr = (
-        "CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        "transform(sequence(0, size(split(text, ' ')) - {n}), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
+        "CASE WHEN size(words) >= {n} THEN "
+        "transform(sequence(0, size(words) - {n}), "
+        "i -> concat_ws(' ', slice(words, i + 1, {n}))) "
         "ELSE array() END"
     ).format(n=CONTAM_NGRAM)
-    corpus = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    evals = docs.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+    corpus = words.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    evals = words.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
     corpus_grams = corpus.select(
         "doc_id", F.explode_outer(F.expr(gram_expr)).alias("gram")
     ).select("doc_id", hashing.md5_int60(F.col("gram")).alias("h"))

@@ -399,22 +399,33 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition partial limit — no global sort materializes. Ties
     break on gram text, so the cut at rank k is total-ordered and
     engine-independent."""
-    docs = load(spark, sf_dir, "documents")
+    # parallelize the gram pipeline when the table arrives as one input
+    # split (cheap redistribution; no-op at real scale)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    # words staged as a column: split() inside the transform lambda would
+    # re-split the document once per gram index (O(words^2) per doc);
+    # with >1 reference Catalyst keeps the non-cheap split materialized
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     gram_expr = (
-        "CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        "transform(sequence(0, size(split(text, ' ')) - {n}), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))) "
+        "CASE WHEN size(words) >= {n} THEN "
+        "transform(sequence(0, size(words) - {n}), "
+        "i -> concat_ws(' ', slice(words, i + 1, {n}))) "
         "ELSE array() END"
     ).format(n=NGRAM_N)
-    grams = docs.select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
-    counted = (
+    grams = words.select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+    # two sequential aggs instead of countDistinct: (h, doc_id) partials
+    # combine map-side, avoiding the distinct-expand that doubles the
+    # shuffled agg volume
+    per_doc = (
         grams.select("doc_id", "gram", hashing.md5_int60(F.col("gram")).alias("h"))
-        .groupBy("h")
-        .agg(
-            F.min("gram").alias("gram"),
-            F.count(F.lit(1)).alias("n_occ"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
+        .groupBy("h", "doc_id")
+        .agg(F.min("gram").alias("gram"), F.count(F.lit(1)).alias("n"))
+    )
+    counted = per_doc.groupBy("h").agg(
+        F.min("gram").alias("gram"),
+        F.sum("n").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     return (
         counted.select("gram", "n_occ", F.col("n_docs").cast("bigint").alias("n_docs"))
