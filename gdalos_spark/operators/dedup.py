@@ -382,23 +382,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id, never an all-pairs cross join. Dot products are ordered
     array folds, bit-identical across engines."""
     emb = load(spark, sf_dir, "embeddings")
+    # the double-cast array and the norm root are per-VECTOR quantities:
+    # computing them once in the persisted base (instead of inside the
+    # pair expression) removes two 64-element array allocations and two
+    # sqrts from every candidate pair — value-identical (float->double
+    # is exact, sqrt is correctly rounded either way)
     base = emb.select(
         "vec_id",
-        F.col("embedding").alias("emb"),
-        vectors.norm2(F.col("embedding")).alias("n2"),
+        vectors.emb_double(F.col("embedding")).alias("emb"),
+        F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
         vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
     ).persist()
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
-        F.col("n2").alias("n2_a"), "bucket",
+        F.col("sn").alias("sn_a"), "bucket",
     )
     b = base.select(
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
-        F.col("n2").alias("n2_b"), "bucket",
+        F.col("sn").alias("sn_b"), "bucket",
     )
     cos = F.round(
-        vectors.dot(vectors.emb_double(F.col("emb_a")), vectors.emb_double(F.col("emb_b")))
-        / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
+        vectors.dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("sn_a") * F.col("sn_b")),
         6,
     )
     return (
