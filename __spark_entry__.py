@@ -101,6 +101,10 @@ _QUERIES: dict[str, QueryFn] = {
     "sector_ring_points": viewshed.sector_ring_points,
     "point_to_point_los": viewshed.point_to_point_los,
     "embedding_pq": similarity.embedding_pq,
+    # round-3 late additions: #99 takes the one remaining front-window
+    # slot (position 50); the rest are appended after the certified keys
+    "text_repetition_score": text.text_repetition_score,
+    "sequence_packing": pipeline.sequence_packing,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,
@@ -262,6 +266,8 @@ _ORACLES: dict[str, str] = {
     "sector_ring_points": viewshed.SECTOR_RING_POINTS_SQL,
     "point_to_point_los": viewshed.POINT_TO_POINT_LOS_SQL,
     "embedding_pq": similarity.EMBEDDING_PQ_SQL,
+    "text_repetition_score": text.TEXT_REPETITION_SCORE_SQL,
+    "sequence_packing": pipeline.SEQUENCE_PACKING_SQL,
 }
 
 

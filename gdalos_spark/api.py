@@ -253,3 +253,11 @@ class GdalosSpark:
     def quantize_pq(self) -> DataFrame:
         """Product-quantization codes + reconstruction error."""
         return similarity.embedding_pq(self.spark, self.sf_dir)
+
+    def repetition(self) -> DataFrame:
+        """Gopher-style repetition signals + repetitive flag."""
+        return text.text_repetition_score(self.spark, self.sf_dir)
+
+    def pack_sequences(self) -> DataFrame:
+        """Concat-and-chunk context-window packing per (source, shard)."""
+        return pipeline_ops.sequence_packing(self.spark, self.sf_dir)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gdalos_spark.functions import hashing
 from gdalos_spark.operators.text import TEXT_QUALITY_SCORE_SQL, text_quality_score
@@ -316,4 +317,79 @@ SELECT source, n_total, ROUND(rate, 6) AS rate,
        CAST(SUM(kept) AS BIGINT) AS n_kept,
        ROUND(SUM(kept) / CAST(n_total AS DOUBLE), 6) AS achieved_frac
 FROM kept GROUP BY source, n_total, rate
+"""
+
+# ---------------------------------------------------------------------------
+# 100. sequence_packing — concat-and-chunk context-window packing
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 128  # tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing streams per source
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing: documents are concatenated in
+    a deterministic order and chunked into fixed PACK_CTX-token
+    sequences (documents may span a chunk boundary). Each (source,
+    shard) pair is an independent packing stream — the shard is a
+    portable hash of the doc id, so at 100 TB the prefix sum never
+    serializes a whole source onto one task; each stream is one window
+    partition, exactly how a per-worker packer behaves in production.
+
+    Per document: its shard, token count, stream offset, the first/last
+    sequence ids it lands in, and whether it straddles a boundary. All
+    arithmetic is integer (cumulative BIGINT sums + integer division);
+    one window shuffle on (source, shard), nothing else.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shard = hash_base(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % PACK_SHARDS
+    d = docs.select(
+        "doc_id",
+        "source",
+        shard.cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("offset"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_CTX).cast("bigint").alias("first_seq"),
+        F.floor((F.col("cum_tokens") - 1) / PACK_CTX).cast("bigint").alias("last_seq"),
+        (
+            F.floor((F.col("cum_tokens") - 1) / PACK_CTX)
+            - F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_CTX)
+            > 0
+        ).cast("int").alias("spans_boundary"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST({hash_base_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT *, SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, shard, n_tokens,
+       cum_tokens - n_tokens AS offset,
+       CAST(FLOOR((cum_tokens - n_tokens) / {PACK_CTX}.0) AS BIGINT) AS first_seq,
+       CAST(FLOOR((cum_tokens - 1) / {PACK_CTX}.0) AS BIGINT) AS last_seq,
+       CAST(FLOOR((cum_tokens - 1) / {PACK_CTX}.0)
+            - FLOOR((cum_tokens - n_tokens) / {PACK_CTX}.0) > 0 AS INTEGER) AS spans_boundary
+FROM cum
 """

@@ -450,3 +450,155 @@ GROUP BY gram
 ORDER BY n_occ DESC, gram ASC
 LIMIT {NGRAM_TOPK}
 """
+
+# ---------------------------------------------------------------------------
+# 99. text_repetition_score — Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+# Thresholds follow the published Gopher repetition-removal rules
+# (Rae et al. 2021, "Scaling Language Models: Methods, Analysis &
+# Insights from Training Gopher", Appendix A1.1): a document is
+# repetitive when the most frequent 2-gram covers > 20% of its
+# characters, duplicated 3-grams cover > 18%, or the most frequent
+# single token is > 30% of all tokens.
+REP_TOP2_THRESH = 0.20
+REP_DUP3_THRESH = 0.18
+REP_TOPTOK_THRESH = 0.30
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for corpus filtering (the Gopher repetition
+    rules): per document, the token-share of the most frequent token,
+    the character-coverage of the most frequent word 2-gram, and the
+    character-coverage of all duplicated (count >= 2) word 3-grams.
+
+    Plan: one scan stages the split once, one explode emits 1/2/3-grams
+    together (each prefixed with its order n), and the per-(doc, gram)
+    count aggregates on the gram's 60-bit md5 so only integers shuffle —
+    gram strings never leave the map side. A (doc, n) window picks the
+    top gram per order (ties: longer gram, then smaller hash), then one
+    conditional agg folds the three signals into a per-doc row joined
+    back to the doc's token/char totals. Coverage uses overlapping-gram
+    counts, so it is clamped at 1.0 (documented approximation; the
+    thresholds are far below the clamp).
+
+    All ratios are single IEEE divisions of integers (deterministic on
+    both engines); terminals are BIGINT / DOUBLE / INT only.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    words = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.split(F.col("text"), " ").alias("words"),
+    )
+    totals = words.select("doc_id", "n_chars", F.size("words").cast("bigint").alias("n_tokens"))
+
+    def gram_arr(n: int) -> str:
+        if n == 1:
+            return "transform(words, t -> concat('1 ', t))"
+        return (
+            "CASE WHEN size(words) >= {n} THEN "
+            "transform(sequence(0, size(words) - {n}), "
+            "i -> concat('{n} ', concat_ws(' ', slice(words, i + 1, {n})))) "
+            "ELSE array() END"
+        ).format(n=n)
+
+    grams = words.select(
+        "doc_id",
+        F.explode(F.expr(f"concat({gram_arr(1)}, {gram_arr(2)}, {gram_arr(3)})")).alias("key"),
+    ).select(
+        "doc_id",
+        F.substring("key", 1, 1).cast("int").alias("gn"),
+        hashing.md5_int60(F.col("key")).alias("h"),
+        (F.length("key") - 2).cast("bigint").alias("glen"),
+    )
+    counted = grams.groupBy("doc_id", "gn", "h").agg(
+        F.min("glen").alias("glen"), F.count(F.lit(1)).alias("cnt")
+    )
+    w_top = Window.partitionBy("doc_id", "gn").orderBy(
+        F.desc("cnt"), F.desc("glen"), F.asc("h")
+    )
+    ranked = counted.withColumn("rk", F.row_number().over(w_top))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.max(F.when((F.col("gn") == 1) & (F.col("rk") == 1), F.col("cnt"))).alias("top1_cnt"),
+        F.max(F.when((F.col("gn") == 2) & (F.col("rk") == 1), F.col("cnt") * F.col("glen"))).alias("top2_cover"),
+        F.sum(
+            F.when((F.col("gn") == 3) & (F.col("cnt") >= 2), F.col("cnt") * F.col("glen")).otherwise(F.lit(0))
+        ).alias("dup3_cover"),
+    )
+    j = totals.join(per_doc, "doc_id")
+    top_tok_frac = F.col("top1_cnt").cast("double") / F.col("n_tokens").cast("double")
+    top2_frac = F.least(
+        F.lit(1.0), F.coalesce(F.col("top2_cover").cast("double") / F.col("n_chars").cast("double"), F.lit(0.0))
+    )
+    dup3_frac = F.least(F.lit(1.0), F.col("dup3_cover").cast("double") / F.col("n_chars").cast("double"))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_tok_frac, 6).alias("top_tok_frac"),
+        F.round(top2_frac, 6).alias("top_2gram_frac"),
+        F.round(dup3_frac, 6).alias("dup_3gram_frac"),
+        (
+            (top_tok_frac > REP_TOPTOK_THRESH)
+            | (top2_frac > REP_TOP2_THRESH)
+            | (dup3_frac > REP_DUP3_THRESH)
+        ).cast("int").alias("repetitive"),
+    )
+
+
+def _repetition_sql() -> str:
+    h = hashing.md5_int60_sql("key")
+    return f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, str_split(text, ' ') AS words
+  FROM documents
+),
+totals AS (SELECT doc_id, n_chars, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
+grams AS (
+  SELECT doc_id,
+         CAST(substring(key, 1, 1) AS INTEGER) AS gn,
+         {h} AS h,
+         CAST(length(key) - 2 AS BIGINT) AS glen
+  FROM (
+    SELECT doc_id, unnest(
+      list_concat(
+        list_transform(words, t -> '1 ' || t),
+        list_concat(
+          list_transform(range(GREATEST(len(words) - 1, 0)), i -> '2 ' || array_to_string(words[(i + 1):(i + 2)], ' ')),
+          list_transform(range(GREATEST(len(words) - 2, 0)), i -> '3 ' || array_to_string(words[(i + 1):(i + 3)], ' '))
+        )
+      )
+    ) AS key
+    FROM w
+  )
+),
+counted AS (
+  SELECT doc_id, gn, h, MIN(glen) AS glen, COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, gn ORDER BY cnt DESC, glen DESC, h ASC) AS rk
+  FROM counted
+),
+per_doc AS (
+  SELECT doc_id,
+         MAX(CASE WHEN gn = 1 AND rk = 1 THEN cnt END) AS top1_cnt,
+         MAX(CASE WHEN gn = 2 AND rk = 1 THEN cnt * glen END) AS top2_cover,
+         SUM(CASE WHEN gn = 3 AND cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup3_cover
+  FROM ranked GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       ROUND(CAST(top1_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_tok_frac,
+       ROUND(LEAST(1.0, COALESCE(CAST(top2_cover AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0)), 6) AS top_2gram_frac,
+       ROUND(LEAST(1.0, CAST(dup3_cover AS DOUBLE) / CAST(n_chars AS DOUBLE)), 6) AS dup_3gram_frac,
+       CAST(
+         (CAST(top1_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) > {REP_TOPTOK_THRESH})
+         OR (LEAST(1.0, COALESCE(CAST(top2_cover AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0)) > {REP_TOP2_THRESH})
+         OR (LEAST(1.0, CAST(dup3_cover AS DOUBLE) / CAST(n_chars AS DOUBLE)) > {REP_DUP3_THRESH})
+       AS INTEGER) AS repetitive
+FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+TEXT_REPETITION_SCORE_SQL = _repetition_sql()

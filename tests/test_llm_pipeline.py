@@ -145,3 +145,58 @@ def test_embedding_pq_codebook_reconstructs_exactly(spark):
             assert r.rel_err == 0.0
         assert 0 <= min(r.code0, r.code1, r.code2, r.code3)
         assert max(r.code0, r.code1, r.code2, r.code3) < PQ_K
+
+
+def test_text_repetition_score_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["text_repetition_score"],
+        entrymod.oracle_sql()["text_repetition_score"],
+    )
+
+
+def test_text_repetition_score_signal_bounds(spark):
+    """Signals are valid fractions; a doc whose top token share exceeds
+    the Gopher threshold is flagged."""
+    from gdalos_spark.operators.text import REP_TOPTOK_THRESH
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["text_repetition_score"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.top_tok_frac <= 1.0
+        assert 0.0 <= r.top_2gram_frac <= 1.0
+        assert 0.0 <= r.dup_3gram_frac <= 1.0
+        if r.top_tok_frac > REP_TOPTOK_THRESH:
+            assert r.repetitive == 1
+
+
+def test_sequence_packing_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["sequence_packing"],
+        entrymod.oracle_sql()["sequence_packing"],
+    )
+
+
+def test_sequence_packing_streams_are_gapless(spark):
+    """Within every (source, shard) stream the offsets tile the token
+    stream exactly: sorted docs satisfy offset[i+1] = offset[i] + n_tokens[i],
+    and sequence ids are consistent with the offsets."""
+    from gdalos_spark.operators.pipeline import PACK_CTX
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["sequence_packing"](spark, SF_DIR).collect()
+    assert rows
+    streams = {}
+    for r in rows:
+        streams.setdefault((r.source, r.shard), []).append(r)
+    for docs in streams.values():
+        docs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in docs:
+            assert r.offset == run
+            assert r.first_seq == r.offset // PACK_CTX
+            assert r.last_seq == (r.offset + r.n_tokens - 1) // PACK_CTX
+            assert r.spans_boundary == int(r.last_seq > r.first_seq)
+            run += r.n_tokens
