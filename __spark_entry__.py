@@ -105,6 +105,7 @@ _QUERIES: dict[str, QueryFn] = {
     # slot (position 50); the rest are appended after the certified keys
     "text_repetition_score": text.text_repetition_score,
     "sequence_packing": pipeline.sequence_packing,
+    "kmeans_refine": similarity.kmeans_refine,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,
@@ -268,6 +269,7 @@ _ORACLES: dict[str, str] = {
     "embedding_pq": similarity.EMBEDDING_PQ_SQL,
     "text_repetition_score": text.TEXT_REPETITION_SCORE_SQL,
     "sequence_packing": pipeline.SEQUENCE_PACKING_SQL,
+    "kmeans_refine": similarity.KMEANS_REFINE_SQL,
 }
 
 

@@ -261,3 +261,7 @@ class GdalosSpark:
     def pack_sequences(self) -> DataFrame:
         """Concat-and-chunk context-window packing per (source, shard)."""
         return pipeline_ops.sequence_packing(self.spark, self.sf_dir)
+
+    def kmeans_step(self) -> DataFrame:
+        """One exact Lloyd iteration: counts, inertia, centroid shift."""
+        return similarity.kmeans_refine(self.spark, self.sf_dir)

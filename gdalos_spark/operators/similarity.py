@@ -602,3 +602,119 @@ FROM agg a JOIN norms n ON a.vec_id = n.vec_id
 
 
 EMBEDDING_PQ_SQL = _pq_sql()
+
+# ---------------------------------------------------------------------------
+# 101. kmeans_refine — one exact Lloyd iteration (codebook training step)
+# ---------------------------------------------------------------------------
+
+KM_K = 8  # clusters
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embeddings — the training
+    step that produces the coarse/IVF centroids and PQ codebooks the ANN
+    operators consume (a production pipeline runs this a few dozen times;
+    each iteration is this exact plan). Seeds are the first KM_K vectors.
+
+    Plan: assignment is a KM_K-row broadcast join + per-vector window
+    argmin on the integer micro-unit distance (the embedding table is
+    scanned once, never shuffled at full width); the update step
+    posexplodes assigned vectors to (cluster, dim) rows and sums element
+    micro-units as BIGINT — exact under any aggregation order, so the
+    recomputed means are engine-identical without float-sum luck.
+
+    Per cluster: member count, inertia (sum of member distances^2), and
+    the L1 shift between seed and recomputed centroid — the convergence
+    signal a driver loop would test.
+    """
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.emb_double(F.col("embedding")).alias("emb")
+    )
+    cents = base.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("cx")
+    )
+    d2 = vectors.fold_sum(F.zip_with(F.col("emb"), F.col("cx"), lambda a, b: (a - b) * (a - b)))
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "emb", "cid", F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2u"), F.asc("cid"))
+    assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    # update step: exact BIGINT micro-unit sums per (cluster, dim)
+    dims = assigned.select(
+        "cid", "d2u", F.posexplode(F.col("emb")).alias("dim", "x")
+    ).select("cid", "d2u", "dim", F.round(F.col("x") * 1_000_000.0).cast("bigint").alias("xu"))
+    per_dim = dims.groupBy("cid", "dim").agg(
+        F.sum("xu").alias("sum_xu"), F.count(F.lit(1)).alias("n")
+    )
+    old = cents.select(
+        "cid", F.posexplode(F.col("cx")).alias("dim", "ox")
+    ).select("cid", "dim", F.round(F.col("ox") * 1_000_000.0).cast("bigint").alias("oxu"))
+    # n * |mean_new - old| in micro-units stays integer: |sum_xu - oxu*n|
+    shift = per_dim.join(old, ["cid", "dim"]).groupBy("cid").agg(
+        F.sum(F.abs(F.col("sum_xu") - F.col("oxu") * F.col("n"))).alias("shift_nu"),
+        F.max("n").alias("n_members"),
+    )
+    inertia = assigned.groupBy("cid").agg(F.sum("d2u").alias("inertia_u"))
+    return shift.join(inertia, "cid").select(
+        F.col("cid").alias("cluster"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.round(F.col("inertia_u").cast("double") / 1_000_000.0, 6).alias("inertia"),
+        F.round(
+            F.col("shift_nu").cast("double") / (F.col("n_members") * 1_000_000.0), 6
+        ).alias("shift_l1"),
+    )
+
+
+def _kmeans_sql() -> str:
+    dim = vectors.EMB_DIM
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"j -> (CAST(emb[j] AS DOUBLE) - CAST(cx[j] AS DOUBLE)) * "
+        f"(CAST(emb[j] AS DOUBLE) - CAST(cx[j] AS DOUBLE))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, emb AS cx FROM base WHERE vec_id < {KM_K}
+),
+scored AS (
+  SELECT vec_id, emb, cid, CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
+  FROM base CROSS JOIN cents
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2u ASC, cid ASC) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+),
+dims AS (
+  SELECT cid, d2u, CAST(j - 1 AS INTEGER) AS dim,
+         CAST(ROUND(CAST(emb[j] AS DOUBLE) * 1000000.0) AS BIGINT) AS xu
+  FROM assigned CROSS JOIN (SELECT CAST(range AS INTEGER) + 1 AS j FROM range({dim}))
+),
+per_dim AS (
+  SELECT cid, dim, SUM(xu) AS sum_xu, COUNT(*) AS n FROM dims GROUP BY 1, 2
+),
+old AS (
+  SELECT cid, CAST(j - 1 AS INTEGER) AS dim,
+         CAST(ROUND(CAST(cx[j] AS DOUBLE) * 1000000.0) AS BIGINT) AS oxu
+  FROM cents CROSS JOIN (SELECT CAST(range AS INTEGER) + 1 AS j FROM range({dim}))
+),
+shift AS (
+  SELECT p.cid, SUM(ABS(p.sum_xu - o.oxu * p.n)) AS shift_nu, MAX(p.n) AS n_members
+  FROM per_dim p JOIN old o ON p.cid = o.cid AND p.dim = o.dim
+  GROUP BY 1
+),
+inertia AS (SELECT cid, SUM(d2u) AS inertia_u FROM assigned GROUP BY 1)
+SELECT s.cid AS cluster,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       ROUND(CAST(i.inertia_u AS DOUBLE) / 1000000.0, 6) AS inertia,
+       ROUND(CAST(s.shift_nu AS DOUBLE) / (s.n_members * 1000000.0), 6) AS shift_l1
+FROM shift s JOIN inertia i ON s.cid = i.cid
+"""
+
+
+KMEANS_REFINE_SQL = _kmeans_sql()

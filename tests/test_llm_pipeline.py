@@ -200,3 +200,29 @@ def test_sequence_packing_streams_are_gapless(spark):
             assert r.last_seq == (r.offset + r.n_tokens - 1) // PACK_CTX
             assert r.spans_boundary == int(r.last_seq > r.first_seq)
             run += r.n_tokens
+
+
+def test_kmeans_refine_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["kmeans_refine"],
+        entrymod.oracle_sql()["kmeans_refine"],
+    )
+
+
+def test_kmeans_refine_partitions_all_vectors(spark):
+    """Every vector lands in exactly one cluster (counts sum to the table
+    size), each seed keeps itself (distance 0 => own cluster nonempty),
+    and inertia/shift are non-negative."""
+    from tests.conftest import SF_DIR
+    from gdalos_spark.datamodel import load
+    from gdalos_spark.operators.similarity import KM_K
+
+    rows = entrymod.queries()["kmeans_refine"](spark, SF_DIR).collect()
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == KM_K
+    assert sum(r.n_members for r in rows) == n_vecs
+    for r in rows:
+        assert r.n_members >= 1
+        assert r.inertia >= 0.0
+        assert r.shift_l1 >= 0.0
