@@ -106,6 +106,7 @@ _QUERIES: dict[str, QueryFn] = {
     "text_repetition_score": text.text_repetition_score,
     "sequence_packing": pipeline.sequence_packing,
     "kmeans_refine": similarity.kmeans_refine,
+    "raster_zorder_index": raster.raster_zorder_index,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,
@@ -270,6 +271,7 @@ _ORACLES: dict[str, str] = {
     "text_repetition_score": text.TEXT_REPETITION_SCORE_SQL,
     "sequence_packing": pipeline.SEQUENCE_PACKING_SQL,
     "kmeans_refine": similarity.KMEANS_REFINE_SQL,
+    "raster_zorder_index": raster.RASTER_ZORDER_INDEX_SQL,
 }
 
 

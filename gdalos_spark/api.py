@@ -265,3 +265,7 @@ class GdalosSpark:
     def kmeans_step(self) -> DataFrame:
         """One exact Lloyd iteration: counts, inertia, centroid shift."""
         return similarity.kmeans_refine(self.spark, self.sf_dir)
+
+    def zorder_layout(self) -> DataFrame:
+        """Morton-tile layout index + per-tile locality bounds."""
+        return raster.raster_zorder_index(self.spark, self.sf_dir)

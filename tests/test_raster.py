@@ -87,3 +87,29 @@ def test_cutline_nodata_semantics(spark):
     assert n_in > 0 and n_out > 0
     assert df.filter("(inside = 0) != (val = -32768.0)").count() == 0
     df.unpersist()
+
+
+def test_raster_zorder_index_matches_oracle(spark, ducks):
+    import __spark_entry__ as entrymod
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["raster_zorder_index"],
+        entrymod.oracle_sql()["raster_zorder_index"],
+    )
+
+
+def test_raster_zorder_tiles_are_aligned_blocks(spark):
+    """Every Morton tile is an axis-aligned 16x16 block: bounds span at
+    most 16 cells per axis and the bbox area equals the cell count when
+    the tile is full — the locality property the layout exists for."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["raster_zorder_index"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_px - r.min_px <= 15
+        assert r.max_py - r.min_py <= 15
+        assert (r.min_px // 16) == (r.max_px // 16)
+        assert (r.min_py // 16) == (r.max_py // 16)
+        assert r.n_cells <= 256
