@@ -28,11 +28,25 @@ from gdalos_spark.streaming import events as streaming_events
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {
-    # --- Round-3 front window -------------------------------------------
-    # The driver evaluates the first 50 entries per round; CORRECTNESS_r02
-    # certified the first 50 of the round-2 order, so the 36 keys that had
-    # no driver row yet (r02 keys 51-86) are listed FIRST this round, with
-    # round-3 additions after them. Previously-certified keys follow.
+    # --- Round-4 front window -------------------------------------------
+    # The driver evaluates the first 50 entries per round. r02+r03 between
+    # them certified every key EXCEPT: the 8 keys that hit the TIMESTAMP_NTZ
+    # load crash in r03 (fixed in datamodel.epoch_micros), and the 3 late
+    # round-3 additions past the 50-entry cutoff. Those 11 come first so
+    # CORRECTNESS_r04 closes the union; new round-4 keys follow them;
+    # previously-certified keys trail.
+    "streaming_dedup": streaming_events.streaming_dedup,
+    "coord_precision_report": viewshed.coord_precision_report,
+    "azimuth_normalize": viewshed.azimuth_normalize,
+    "events_json_extract": relational.events_json_extract,
+    "events_type_pivot": relational.events_type_pivot,
+    "streaming_sessionize": streaming_events.streaming_sessionize,
+    "sector_ring_points": viewshed.sector_ring_points,
+    "job_skip_overwrite": relational.job_skip_overwrite,
+    "sequence_packing": pipeline.sequence_packing,
+    "kmeans_refine": similarity.kmeans_refine,
+    "raster_zorder_index": raster.raster_zorder_index,
+    # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
     "raster_aspect_sector": raster.raster_aspect_sector,
@@ -47,8 +61,6 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_to_json": export.raster_to_json,
     # cascaded overview pyramid (#59)
     "raster_overview_pyramid": raster.raster_overview_pyramid,
-    # streaming dedup (#60)
-    "streaming_dedup": streaming_events.streaming_dedup,
     # ANN recall report + extent intersection (#61-62)
     "ann_recall_report": similarity.ann_recall_report,
     "extent_intersection": raster.extent_intersection,
@@ -60,13 +72,11 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_cutline": raster.raster_cutline,
     "transform_resolution": raster.transform_resolution,
     "overview_level_select": raster.overview_level_select,
-    "coord_precision_report": viewshed.coord_precision_report,
     # LOS range, line-level dedup, df-rarity scoring (#70-72)
     "viewshed_los_range": viewshed.viewshed_los_range,
     "dedup_lines": dedup.dedup_lines,
     "text_rarity_score": text.text_rarity_score,
     # talos angle math + empty-raster generator (#73-74)
-    "azimuth_normalize": viewshed.azimuth_normalize,
     "empty_raster_generate": raster.empty_raster_generate,
     # stream-static enrichment join (#75)
     "streaming_enrich_join": streaming_events.streaming_enrich_join,
@@ -78,35 +88,24 @@ _QUERIES: dict[str, QueryFn] = {
     # radio path-loss composite (#80)
     "radio_path_report": viewshed.radio_path_report,
     # JSON extraction, rollup, pivot, batch-scheduler order (#81-84)
-    "events_json_extract": relational.events_json_extract,
     "pricing_rollup": relational.pricing_rollup,
-    "events_type_pivot": relational.events_type_pivot,
     "job_schedule_order": relational.job_schedule_order,
     # int8 embedding quantization (#85)
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
     # nodata rewrite (#86)
     "raster_nodata_rewrite": raster.raster_nodata_rewrite,
-    # custom stateful streaming (#44, oracle-gated since round 3)
-    "streaming_sessionize": streaming_events.streaming_sessionize,
     # round-3 additions (#87+)
     "geo_distance": viewshed.geo_distance,
     "raster_calc_multi": raster.raster_calc_multi,
     "viewshed_polygonize": export.viewshed_polygonize,
-    "job_skip_overwrite": relational.job_skip_overwrite,
     "benchmark_contamination": pipeline.benchmark_contamination,
     "corpus_mix_sample": pipeline.corpus_mix_sample,
     "text_ngram_topk": text.text_ngram_topk,
     "viewshed_contour_polygons": export.viewshed_contour_polygons,
     "map_scale_zoom": viewshed.map_scale_zoom,
-    "sector_ring_points": viewshed.sector_ring_points,
     "point_to_point_los": viewshed.point_to_point_los,
     "embedding_pq": similarity.embedding_pq,
-    # round-3 late additions: #99 takes the one remaining front-window
-    # slot (position 50); the rest are appended after the certified keys
     "text_repetition_score": text.text_repetition_score,
-    "sequence_packing": pipeline.sequence_packing,
-    "kmeans_refine": similarity.kmeans_refine,
-    "raster_zorder_index": raster.raster_zorder_index,
     # --- Previously driver-certified in CORRECTNESS_r02 -----------------
     # raster core (SURVEY §2 #1-18)
     "rasterize_points": raster.rasterize_points,

@@ -18,8 +18,9 @@ schema, not the derivation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -40,18 +41,44 @@ GRID_W = 64
 GRID_H = 64
 
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_micros_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL expression for the epoch-microseconds of an event-time column,
+    branching on the ACTUAL scan schema rather than any session conf —
+    parquet writers and Spark versions disagree on how the column arrives:
+
+    * ``long``          — raw TIMESTAMP(NANOS) int64 (older Spark with
+      ``spark.sql.legacy.parquet.nanosAsLong=true``). Integer ``div``, not
+      ``/``: epoch-nanos (~1.7e18) exceed double's 2^53 exact range.
+    * ``timestamp_ntz`` — Spark 4.1+ reads non-UTC-adjusted MICROS (and
+      truncated NANOS) this way and IGNORES the legacy conf.
+      ``timestampdiff`` against an NTZ epoch literal is pure wall-clock
+      arithmetic, so the value is independent of the session time zone
+      (a plain cast to ``timestamp`` is NOT — it shifts by the zone).
+    * ``timestamp``     — already zone-adjusted; ``unix_micros`` is exact.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return f"({col} div 1000)"
+    if isinstance(dt, TimestampNTZType):
+        return f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col})"
+    if isinstance(dt, TimestampType):
+        return f"unix_micros({col})"
+    raise TypeError(f"unsupported event-time type for column {col}: {dt}")
+
+
+def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
+    return F.expr(epoch_micros_sql(df, col))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # set here too so driver-owned sessions (not built by our factory)
-        # can read the TIMESTAMP(NANOS) column
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # TIMESTAMP(NANOS) arrives as long (see session.py); convert to a
-        # proper timestamp column at microsecond precision. Integer `div`,
-        # not `/`: epoch-nanos (~1.7e18) exceed double's 2^53 exact range,
-        # so float division would perturb ~12% of values by ±1µs.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and not isinstance(df.schema["ts"].dataType, TimestampType):
+        # normalize ts to a zone-adjusted TIMESTAMP whose internal micros
+        # equal the stored epoch value, whatever type the scan produced
+        df = df.withColumn("ts", F.timestamp_micros(epoch_micros(df)))
     return df
 
 

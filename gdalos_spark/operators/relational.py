@@ -811,9 +811,9 @@ resolved AS (
   FROM jobs LEFT JOIN existing ON nation = e_nation AND lvl = e_lvl
 )
 SELECT job_id, nation, lvl, est_size, out_exists, overwrite, action,
-       SUM(CASE WHEN action <> 'skip' THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN action <> 'skip' THEN 1 ELSE 0 END)
          OVER (ORDER BY lvl ASC, est_size DESC, nation ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         * CASE WHEN action <> 'skip' THEN 1 ELSE 0 END AS run_order
+         * CASE WHEN action <> 'skip' THEN 1 ELSE 0 END AS BIGINT) AS run_order
 FROM resolved
 """

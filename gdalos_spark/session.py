@@ -29,8 +29,5 @@ def get_spark(app_name: str = "gdalos_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
-        # read as long and convert to micros in the loader.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

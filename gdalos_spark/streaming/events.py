@@ -24,6 +24,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..datamodel import epoch_micros, epoch_micros_sql
+
 QUERY_NAME = "gdalos_stream_event_counts"
 
 
@@ -49,9 +51,8 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window counts per event_type, computed
     by Structured Streaming (availableNow) and materialized through the
     memory sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    schema = spark.read.parquet(path).schema
 
     # a previous invocation in the same session may still own the sink name
     for q in spark.streams.active:
@@ -59,7 +60,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
 
     stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = stream.withColumn("ts", F.timestamp_micros(epoch_micros(stream)))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -151,7 +152,6 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time timeouts evicting idle users' state."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
@@ -165,7 +165,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream.select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000000000").cast("bigint").alias("ts_sec"),
+        F.expr(f"({epoch_micros_sql(stream)}) div 1000000").cast("bigint").alias("ts_sec"),
         "value",
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
@@ -240,7 +240,6 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     two overlapping windows; the oracle reproduces that with a 2-row
     offset cross join on the batch data. Complete mode over availableNow
     equals the batch computation, so this is a full hash-gated entry."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
@@ -249,7 +248,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
 
     stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = stream.withColumn("ts", F.timestamp_micros(epoch_micros(stream)))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
@@ -299,11 +298,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each key the first time it is seen (append mode), so the completed
     availableNow run equals batch SELECT DISTINCT and the entry is fully
     hash-gated. The key includes an integer day bucket computed from the
-    raw nanos (pure integer division — no timestamp codec in the gated
+    epoch micros (pure integer division — no timestamp codec in the gated
     values). In production the same query runs with
     dropDuplicatesWithinWatermark so state stays bounded to the
     watermark horizon; state here is O(distinct keys)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
@@ -315,7 +313,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = stream.select(
         "user_id",
         "event_type",
-        F.expr(f"ts div {86400 * 1_000_000_000}").cast("bigint").alias("day_bucket"),
+        F.expr(f"({epoch_micros_sql(stream)}) div {86400 * 1_000_000}").cast("bigint").alias("day_bucket"),
     ).dropDuplicates(["user_id", "event_type", "day_bucket"])
     q = (
         keys.writeStream.format("memory")
@@ -355,7 +353,6 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB/day the stream never shuffles and the dim is rebroadcast per
     batch. Append output over availableNow is row-for-row the batch LEFT
     JOIN — full hash gate."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
