@@ -46,6 +46,13 @@ _QUERIES: dict[str, QueryFn] = {
     "sequence_packing": pipeline.sequence_packing,
     "kmeans_refine": similarity.kmeans_refine,
     "raster_zorder_index": raster.raster_zorder_index,
+    # round-4 additions (#103+)
+    "text_c4_filters": text.text_c4_filters,
+    "semantic_dedup": dedup.semantic_dedup,
+    "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+    "streaming_stream_join": streaming_events.streaming_stream_join,
+    # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
+    "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
@@ -61,8 +68,7 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_to_json": export.raster_to_json,
     # cascaded overview pyramid (#59)
     "raster_overview_pyramid": raster.raster_overview_pyramid,
-    # ANN recall report + extent intersection (#61-62)
-    "ann_recall_report": similarity.ann_recall_report,
+    # extent intersection (#62)
     "extent_intersection": raster.extent_intersection,
     # discrete up/down + Q4/Q13 plan shapes (#63-65)
     "raster_discrete_updown": raster.raster_discrete_updown,
@@ -271,6 +277,10 @@ _ORACLES: dict[str, str] = {
     "sequence_packing": pipeline.SEQUENCE_PACKING_SQL,
     "kmeans_refine": similarity.KMEANS_REFINE_SQL,
     "raster_zorder_index": raster.RASTER_ZORDER_INDEX_SQL,
+    "text_c4_filters": text.TEXT_C4_FILTERS_SQL,
+    "semantic_dedup": dedup.SEMANTIC_DEDUP_SQL,
+    "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
+    "streaming_stream_join": streaming_events.STREAMING_STREAM_JOIN_SQL,
 }
 
 

@@ -671,3 +671,105 @@ SELECT doc_id, COUNT(*) AS n_segments,
        CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
 FROM dup GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 104. semantic_dedup — SemDeDup cluster-scoped embedding dedup
+#     (Abbas et al. 2023: k-means-cluster the embeddings, call members of
+#     a cluster semantic duplicates when their cosine exceeds tau, keep
+#     the member with the LOWEST cosine to the cluster centroid). The
+#     kmeans_refine operator is the training step behind the clusters;
+#     here the `label` column plays the converged assignment.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.2  # duplicate threshold within a cluster (synthetic embeddings
+               # are near-orthogonal, so the workable range is low)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup report: for every vector, how many same-cluster semantic
+    duplicates (cosine >= SEM_TAU) outrank it for the keeper slot —
+    SemDeDup keeps the duplicate-group member FARTHEST from the cluster
+    centroid (lowest cos_centroid; vec_id breaks ties), so is_dup=1 means
+    some duplicate has a strictly better keeper claim. Candidate pairs
+    come from an equi-join on the cluster id, never an all-pairs cross
+    join: with production k-means (k ~ n/1000, the SemDeDup paper's
+    regime) each cluster is a few thousand rows, so the pair stage is
+    n*cluster_size, embarrassingly parallel across clusters at 100 TB.
+    Centroid cosines are computed once (exact integer-unit centroid sums,
+    broadcast join) and both the pair cosine and the keeper rule compare
+    6-dp-rounded values — deterministic across engines."""
+    from gdalos_spark.operators import similarity as sim
+
+    cc = sim.centroid_similarity(spark, sf_dir)  # vec_id, label, cos_centroid
+    emb = load(spark, sf_dir, "embeddings")
+    base = (
+        emb.select(
+            "vec_id",
+            "label",
+            vectors.emb_double(F.col("embedding")).alias("emb"),
+            F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
+        )
+        .join(cc, ["vec_id", "label"])
+        .persist()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl"),
+        F.col("emb").alias("emb_a"), F.col("sn").alias("sn_a"),
+        F.col("cos_centroid").alias("cc_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl"),
+        F.col("emb").alias("emb_b"), F.col("sn").alias("sn_b"),
+        F.col("cos_centroid").alias("cc_b"),
+    )
+    cos = F.round(vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("sn_a") * F.col("sn_b")), 6)
+    better = a.join(b, "lbl").filter(
+        (F.col("vec_a") != F.col("vec_b"))
+        & (cos >= SEM_TAU)
+        & (
+            (F.col("cc_b") < F.col("cc_a"))
+            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("vec_b") < F.col("vec_a")))
+        )
+    ).groupBy(F.col("vec_a").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_better_dups")
+    )
+    return (
+        cc.join(better, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cos_centroid",
+            F.coalesce(F.col("n_better_dups"), F.lit(0)).cast("bigint").alias("n_better_dups"),
+            (F.coalesce(F.col("n_better_dups"), F.lit(0)) > 0).cast("int").alias("is_dup"),
+        )
+    )
+
+
+def _semantic_sql() -> str:
+    from gdalos_spark.operators.similarity import CENTROID_SIMILARITY_SQL
+
+    n2 = vectors.norm2_sql("embedding")
+    pair_dot = vectors.dot_sql("a.emb", "b.emb")
+    return f"""
+WITH cs AS ({CENTROID_SIMILARITY_SQL}),
+base AS (
+  SELECT e.vec_id, e.label, e.embedding AS emb, sqrt({n2.replace('embedding', 'e.embedding')}) AS sn,
+         cs.cos_centroid AS cc
+  FROM embeddings e JOIN cs ON e.vec_id = cs.vec_id AND e.label = cs.label
+),
+better AS (
+  SELECT a.vec_id, COUNT(*) AS n_better_dups
+  FROM base a JOIN base b ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE ROUND({pair_dot} / (a.sn * b.sn), 6) >= {SEM_TAU}
+    AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+  GROUP BY a.vec_id
+)
+SELECT cs.vec_id, cs.label, cs.cos_centroid,
+       CAST(COALESCE(t.n_better_dups, 0) AS BIGINT) AS n_better_dups,
+       CAST(CASE WHEN COALESCE(t.n_better_dups, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+FROM cs LEFT JOIN better t ON cs.vec_id = t.vec_id
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_sql()

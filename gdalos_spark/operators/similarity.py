@@ -367,7 +367,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled probe set before trusting the approximate path at 100 TB."""
     truth = ann_cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
     reports = []
-    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+    for method, fn in (
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("ivfpq", ann_ivfpq_topk),
+    ):
         approx = fn(spark, sf_dir).select(
             "probe_id", "vec_id", F.lit(1).alias("hit")
         )
@@ -385,12 +389,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6).alias("recall"),
             )
         )
-    return reports[0].unionByName(reports[1])
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
-def _recall_sql() -> str:
-    def one(method: str, sql: str) -> str:
-        return f"""
+def _recall_one(method: str, sql: str) -> str:
+    return f"""
 SELECT '{method}' AS method, t.probe_id,
        COUNT(*) AS n_truth,
        CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
@@ -399,10 +405,13 @@ FROM ({ANN_COSINE_TOPK_SQL}) t
 LEFT JOIN ({sql}) a ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
 GROUP BY t.probe_id"""
 
-    return one("lsh", ANN_LSH_TOPK_SQL) + "\nUNION ALL\n" + one("ivf", ANN_IVF_TOPK_SQL)
 
-
-ANN_RECALL_REPORT_SQL = _recall_sql()
+# the ivfpq arm is appended once ANN_IVFPQ_TOPK_SQL exists (end of module)
+ANN_RECALL_REPORT_SQL = (
+    _recall_one("lsh", ANN_LSH_TOPK_SQL)
+    + "\nUNION ALL\n"
+    + _recall_one("ivf", ANN_IVF_TOPK_SQL)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +503,50 @@ PQ_SUB = vectors.EMB_DIM // PQ_M  # dims per subvector (16)
 PQ_K = 16  # codewords per subspace
 
 
+def _pq_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_id, sx): every embedding cut into PQ_M 16-dim
+    double-cast subvector slices."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.emb_double(F.col("embedding")).alias("emb")
+    )
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    return base.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "sub_id",
+        F.slice(F.col("emb"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sx"),
+    )
+
+
+def _pq_codebook(sliced: DataFrame) -> DataFrame:
+    """Deterministic codebook: the subvectors of the first PQ_K vectors
+    (kmeans_refine is the training step that would refine these seeds)."""
+    return sliced.filter(F.col("vec_id") < PQ_K).select(
+        F.col("sub_id").alias("c_sub"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sx").alias("cx"),
+    )
+
+
+def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (vec_id, sub_id): the argmin codeword assignment and its
+    micro-unit squared distance — the stored PQ codes of the index.
+    Micro-unit integers: the per-(vec, sub) distance is rounded once to
+    1e-6 and summed as BIGINT downstream, so cross-subspace totals never
+    sum raw doubles through an unordered groupBy."""
+    sliced = _pq_sliced(spark, sf_dir)
+    codebook = _pq_codebook(sliced)
+    d2 = vectors.fold_sum(
+        F.zip_with(F.col("sx"), F.col("cx"), lambda a, b: (a - b) * (a - b))
+    )
+    scored = sliced.join(
+        F.broadcast(codebook), sliced.sub_id == codebook.c_sub
+    ).select(
+        "vec_id", "sub_id", "code",
+        F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+
+
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization, the memory-side half of a production ANN
     index (IVF gives the candidate lists, PQ compresses residents to
@@ -512,34 +565,7 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", vectors.emb_double(F.col("embedding")).alias("emb")
     )
-    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_id"))
-    # (vec, sub) rows: 16-dim slices
-    sliced = base.crossJoin(F.broadcast(subs)).select(
-        "vec_id", "sub_id",
-        F.slice(F.col("emb"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sx"),
-    )
-    codebook = (
-        sliced.filter(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("sub_id").alias("c_sub"),
-            F.col("vec_id").cast("int").alias("code"),
-            F.col("sx").alias("cx"),
-        )
-    )
-    d2 = vectors.fold_sum(
-        F.zip_with(F.col("sx"), F.col("cx"), lambda a, b: (a - b) * (a - b))
-    )
-    # micro-unit integers: the per-(vec, sub) distance is rounded once to
-    # 1e-6 and summed as BIGINT, so the cross-subspace error total never
-    # sums raw doubles through an unordered groupBy
-    scored = sliced.join(
-        F.broadcast(codebook), sliced.sub_id == codebook.c_sub
-    ).select(
-        "vec_id", "sub_id", "code",
-        F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u"),
-    )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
-    best = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    best = _pq_best(spark, sf_dir)
     norms = base.select("vec_id", vectors.fold_sum(
         F.transform(F.col("emb"), lambda x: x * x)
     ).alias("n2"))
@@ -718,3 +744,168 @@ FROM shift s JOIN inertia i ON s.cid = i.cid
 
 
 KMEANS_REFINE_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# 105. ann_ivfpq_topk — IVF candidate lists scanned with PQ asymmetric
+#     distance (ADC): the production ANN combination (Jegou et al. 2011).
+#     IVF bounds WHICH vectors are scored; PQ bounds WHAT is read to score
+#     them — the scan touches only (vec_id, list_id, M codes), never the
+#     full vectors, which is what makes a 100-TB index memory-feasible.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by IVF + PQ/ADC: probes search their IVF_NPROBE
+    nearest inverted lists (equi-join on list_id, same candidate set as
+    ann_ivf_topk), but candidates are scored from their stored PQ codes
+    instead of their raw vectors. Each probe precomputes its ADC table —
+    the exact squared distance from each of its PQ_M subvectors to each
+    of the PQ_K codewords (M*K*n_probes rows, broadcast) — and a
+    candidate's distance is the sum of M table lookups keyed on its
+    stored codes. Per-(probe,sub) distances are rounded once to 1e-6
+    micro-units, so the cross-subspace sum is a BIGINT and the ranking
+    (adc_u ASC, vec_id ASC) is a pure integer sort — deterministic on
+    both engines with no float-order luck. At scale: codes co-live with
+    the list assignment in the index (one table, partitioned by
+    list_id), so candidate scoring is one broadcast-hash lookup per
+    sub — the inverted lists are scanned once, 16 bytes of codes per
+    row, zero full-vector reads outside probe-side prep."""
+    scored = _ivf_scored(spark, sf_dir).persist()
+    assign = scored.filter(F.col("crank") == 1).select("vec_id", "list_id")
+    plists = (
+        scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("probe_id"), F.col("list_id"))
+    )
+    # probe-side ADC tables: slice probes, score against the broadcast
+    # codebook exactly as the encoder did
+    sliced = _pq_sliced(spark, sf_dir)
+    codebook = _pq_codebook(sliced)
+    psub = sliced.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("sub_id"), F.col("sx").alias("px")
+    )
+    pd2 = vectors.fold_sum(
+        F.zip_with(F.col("px"), F.col("cx"), lambda a, b: (a - b) * (a - b))
+    )
+    dtab = psub.join(F.broadcast(codebook), psub.sub_id == codebook.c_sub).select(
+        "probe_id", "sub_id", "code",
+        F.round(pd2 * 1_000_000.0).cast("bigint").alias("pd2u"),
+    )
+    codes = _pq_best(spark, sf_dir).select("vec_id", "sub_id", "code")
+    cand = (
+        assign.join(F.broadcast(plists), "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    pair_sub = cand.join(codes, "vec_id").join(
+        F.broadcast(dtab), ["probe_id", "sub_id", "code"]
+    )
+    adc = pair_sub.groupBy("probe_id", "vec_id").agg(
+        F.sum("pd2u").alias("adc_u")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_u"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "vec_id",
+            F.round(F.col("adc_u").cast("double") / 1_000_000.0, 6).alias("adc_dist2"),
+            "rank",
+        )
+    )
+
+
+def _ivfpq_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    cent_dot = vectors.dot_sql("b.emb", "c.cent")
+    cent_n2 = vectors.norm2_sql("c.cent")
+    sub_slice = f"list_transform(range(1, {PQ_SUB + 1}), j -> CAST(embedding[sub_id * {PQ_SUB} + j] AS DOUBLE))"
+    d2 = "list_sum(list_transform(range(1, %d), j -> (sx[j] - cx[j]) * (sx[j] - cx[j])))" % (PQ_SUB + 1)
+    pd2 = "list_sum(list_transform(range(1, %d), j -> (px[j] - cx[j]) * (px[j] - cx[j])))" % (PQ_SUB + 1)
+    return f"""
+WITH flat AS (
+  SELECT label, pos,
+         CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * {_SCALE}, 0) AS BIGINT) AS micro
+  FROM embeddings, (SELECT unnest(range(1, {vectors.EMB_DIM + 1})) AS pos)
+),
+cent_flat AS (
+  SELECT label, pos,
+         CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * {float(_SCALE)}) AS c
+  FROM flat GROUP BY label, pos
+),
+centroids AS (
+  SELECT label AS list_id, list(c ORDER BY pos) AS cent FROM cent_flat GROUP BY label
+),
+vbase AS (
+  SELECT vec_id, embedding AS emb, {n2} AS n2 FROM embeddings
+),
+cscored AS (
+  SELECT b.vec_id, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY ROUND({cent_dot} / (sqrt(b.n2) * sqrt({cent_n2})), 6) DESC, c.list_id ASC
+         ) AS crank
+  FROM vbase b CROSS JOIN centroids c
+),
+assign AS (SELECT vec_id, list_id FROM cscored WHERE crank = 1),
+plists AS (
+  SELECT vec_id AS probe_id, list_id FROM cscored
+  WHERE vec_id < {N_PROBES} AND crank <= {IVF_NPROBE}
+),
+subs AS (SELECT CAST(range AS INTEGER) AS sub_id FROM range({PQ_M})),
+sliced AS (
+  SELECT vec_id, sub_id, {sub_slice} AS sx
+  FROM embeddings CROSS JOIN subs
+),
+codebook AS (
+  SELECT sub_id AS c_sub, CAST(vec_id AS INTEGER) AS code, sx AS cx
+  FROM sliced WHERE vec_id < {PQ_K}
+),
+cod_scored AS (
+  SELECT vec_id, sub_id, code,
+         CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
+  FROM sliced s JOIN codebook c ON s.sub_id = c.c_sub
+),
+codes AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                 ORDER BY d2u ASC, code ASC) AS rnk
+    FROM cod_scored
+  ) WHERE rnk = 1
+),
+psub AS (
+  SELECT vec_id AS probe_id, sub_id, sx AS px FROM sliced WHERE vec_id < {N_PROBES}
+),
+dtab AS (
+  SELECT probe_id, c.c_sub AS sub_id, c.code,
+         CAST(ROUND({pd2} * 1000000.0) AS BIGINT) AS pd2u
+  FROM psub p JOIN codebook c ON p.sub_id = c.c_sub
+),
+cand AS (
+  SELECT p.probe_id, a.vec_id
+  FROM assign a JOIN plists p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.probe_id
+),
+adc AS (
+  SELECT cd.probe_id, cd.vec_id, SUM(t.pd2u) AS adc_u
+  FROM cand cd
+  JOIN codes k ON k.vec_id = cd.vec_id
+  JOIN dtab t ON t.probe_id = cd.probe_id AND t.sub_id = k.sub_id AND t.code = k.code
+  GROUP BY cd.probe_id, cd.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, adc_u,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_u ASC, vec_id ASC) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT probe_id, vec_id,
+       ROUND(CAST(adc_u AS DOUBLE) / 1000000.0, 6) AS adc_dist2, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ANN_IVFPQ_TOPK_SQL = _ivfpq_sql()
+
+ANN_RECALL_REPORT_SQL = (
+    ANN_RECALL_REPORT_SQL + "\nUNION ALL\n" + _recall_one("ivfpq", ANN_IVFPQ_TOPK_SQL)
+)

@@ -602,3 +602,101 @@ FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
 
 
 TEXT_REPETITION_SCORE_SQL = _repetition_sql()
+
+
+# ---------------------------------------------------------------------------
+# 103. text_c4_filters — C4-style line-level corpus cleaning report
+#     (Raffel et al. 2020 §2.2: keep lines with enough words / a stopword /
+#     no blocklisted word; drop pages with too few clean lines or any
+#     blocklisted hit). The reference's nearest analogue is its per-dataset
+#     skip/filter bookkeeping (gdalos_util.py:69 do_skip_if_exists); the
+#     line-filter mechanics are the LLM-pipeline extension.
+# ---------------------------------------------------------------------------
+
+C4_LINE_WORDS = 8     # synthetic corpus has no newlines: a "line" is a fixed
+                      # 8-word segment, same convention as dedup_lines
+C4_MIN_WORDS = 5      # C4: retain lines with at least N words
+C4_MIN_KEPT = 3       # C4: drop pages with fewer than N clean lines
+C4_STOPWORDS = ("the", "a")   # stand-in for C4's English stopword check
+C4_BLOCKLIST = ("slow",)      # stand-in for the C4 word blocklist
+
+
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 cleaning report: segment the text into fixed
+    8-word lines, test each line against the three C4 line rules
+    (>= C4_MIN_WORDS words; contains a stopword; no blocklisted word),
+    and keep the document iff >= C4_MIN_KEPT lines survive and no line is
+    blocklisted. The word lists here are tiny deterministic stand-ins for
+    C4's real English stopword/blocklist tables — the plan is what
+    matters: every rule is evaluated inside ONE projection with
+    transform/aggregate array folds over the line index, so the operator
+    is map-side only (zero shuffles, embarrassingly parallel at 100 TB)
+    and the document text never leaves the scan task."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    n_lines = f"CAST(ceil(size(words) / {C4_LINE_WORDS}.0) AS INT)"
+    # one array of per-line rule codes: bit0 short, bit1 no-stopword,
+    # bit2 blocklisted (a line can fail several rules at once)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in C4_STOPWORDS) + ")"
+    block_arr = "array(" + ", ".join(f"'{w}'" for w in C4_BLOCKLIST) + ")"
+    line_codes = (
+        f"transform(sequence(0, {n_lines} - 1), i -> "
+        f"  CASE WHEN size(slice(words, i * {C4_LINE_WORDS} + 1, {C4_LINE_WORDS})) < {C4_MIN_WORDS} THEN 1 ELSE 0 END"
+        f"  + CASE WHEN NOT arrays_overlap(slice(words, i * {C4_LINE_WORDS} + 1, {C4_LINE_WORDS}), {stop_arr}) THEN 2 ELSE 0 END"
+        f"  + CASE WHEN arrays_overlap(slice(words, i * {C4_LINE_WORDS} + 1, {C4_LINE_WORDS}), {block_arr}) THEN 4 ELSE 0 END)"
+    )
+    coded = words.select("doc_id", F.expr(line_codes).alias("codes"))
+
+    def _count(pred: str) -> F.Column:
+        return F.expr(
+            f"CAST(size(filter(codes, c -> {pred})) AS BIGINT)"
+        )
+
+    rep = coded.select(
+        "doc_id",
+        F.expr("CAST(size(codes) AS BIGINT)").alias("n_lines"),
+        _count("c % 2 = 1").alias("n_short"),
+        _count("(c div 2) % 2 = 1").alias("n_no_stopword"),
+        _count("c >= 4").alias("n_blocked"),
+        _count("c = 0").alias("n_kept"),
+    )
+    return rep.select(
+        "doc_id", "n_lines", "n_short", "n_no_stopword", "n_blocked", "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_lines").cast("double")).alias("kept_frac"),
+        (
+            (F.col("n_kept") >= C4_MIN_KEPT) & (F.col("n_blocked") == 0)
+        ).cast("int").alias("keep_doc"),
+    )
+
+
+def _c4_sql() -> str:
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in C4_STOPWORDS) + "]"
+    block_arr = "[" + ", ".join(f"'{w}'" for w in C4_BLOCKLIST) + "]"
+    seg = f"words[(i * {C4_LINE_WORDS} + 1):(i * {C4_LINE_WORDS} + {C4_LINE_WORDS})]"
+    return f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+coded AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(words) / {C4_LINE_WORDS}.0) AS BIGINT)), i ->
+           CASE WHEN len({seg}) < {C4_MIN_WORDS} THEN 1 ELSE 0 END
+           + CASE WHEN NOT list_has_any({seg}, {stop_arr}) THEN 2 ELSE 0 END
+           + CASE WHEN list_has_any({seg}, {block_arr}) THEN 4 ELSE 0 END) AS codes
+  FROM w
+),
+rep AS (
+  SELECT doc_id,
+         CAST(len(codes) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(codes, c -> c % 2 = 1)) AS BIGINT) AS n_short,
+         CAST(len(list_filter(codes, c -> (c // 2) % 2 = 1)) AS BIGINT) AS n_no_stopword,
+         CAST(len(list_filter(codes, c -> c >= 4)) AS BIGINT) AS n_blocked,
+         CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_kept
+  FROM coded
+)
+SELECT doc_id, n_lines, n_short, n_no_stopword, n_blocked, n_kept,
+       CAST(n_kept AS DOUBLE) / CAST(n_lines AS DOUBLE) AS kept_frac,
+       CAST(CASE WHEN n_kept >= {C4_MIN_KEPT} AND n_blocked = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep_doc
+FROM rep
+"""
+
+
+TEXT_C4_FILTERS_SQL = _c4_sql()

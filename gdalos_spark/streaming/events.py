@@ -399,3 +399,87 @@ SELECT e.event_id, e.user_id, e.event_type,
 FROM events e
 LEFT JOIN customer c ON e.user_id * {ENRICH_KEY_MULT} = c.c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# 106. streaming_stream_join — stream-stream event-time range join
+# ---------------------------------------------------------------------------
+
+SSJOIN_QUERY_NAME = "gdalos_stream_ssjoin"
+SSJOIN_RANGE_H = 4  # purchase matches clicks in the preceding 4 hours
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition — the
+    attribution query (purchase joined to the same user's clicks in the
+    preceding SSJOIN_RANGE_H hours) as two Structured Streaming sides of
+    the same source. Both sides carry a watermark and the join condition
+    bounds event time, which is exactly what lets Spark expire buffered
+    rows: a click older than (click watermark - range) can never match a
+    future purchase, so join state is O(rate x range), not O(stream).
+    Here the watermark is set beyond the dataset's span so the completed
+    availableNow run is row-for-row the batch range join regardless of
+    how the file source batches its input (watermarks only advance
+    between micro-batches) — the full hash gate; production uses a tight
+    watermark and the same plan. Only integer-derived columns are
+    emitted."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == SSJOIN_QUERY_NAME:
+            q.stop()
+
+    def side(name: str, typ: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(_stage_dir(path))
+        us = F.expr(epoch_micros_sql(s)).cast("bigint")
+        return (
+            s.filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{name}_user"),
+                F.col("event_id").alias(f"{name}_id"),
+                us.alias(f"{name}_us"),
+                F.timestamp_micros(us).alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", "60 days")
+        )
+
+    clicks = side("c", "click")
+    buys = side("p", "purchase")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {SSJOIN_RANGE_H} HOURS")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("buy_id"),
+        ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint").alias("gap_sec"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(SSJOIN_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(SSJOIN_QUERY_NAME)
+
+
+STREAMING_STREAM_JOIN_SQL = f"""
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS buy_id,
+       CAST((epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000) // 1000000 AS BIGINT) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {SSJOIN_RANGE_H} HOUR
+"""

@@ -226,3 +226,56 @@ def test_kmeans_refine_partitions_all_vectors(spark):
         assert r.n_members >= 1
         assert r.inertia >= 0.0
         assert r.shift_l1 >= 0.0
+
+
+def test_round4_llm_additions_match_oracle(spark, ducks):
+    for key in ("text_c4_filters", "semantic_dedup", "ann_ivfpq_topk",
+                "ann_recall_report"):
+        assert_matches_oracle(
+            spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+        )
+
+
+def test_text_c4_filters_rule_consistency(spark):
+    """Per-line rule counts must be internally consistent: kept lines are
+    exactly those failing no rule, and a blocked doc is never kept."""
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["text_c4_filters"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_lines
+        assert r.n_short + r.n_no_stopword + r.n_blocked >= r.n_lines - r.n_kept
+        if r.keep_doc:
+            assert r.n_blocked == 0 and r.n_kept >= 3
+
+
+def test_semantic_dedup_keeps_one_per_dup_group(spark):
+    """In every cluster, at least one member is kept (the global keeper
+    has no better duplicate), and is_dup implies a positive count."""
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["semantic_dedup"](spark, SF_DIR).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        assert (r.is_dup == 1) == (r.n_better_dups > 0)
+        by_label.setdefault(r.label, []).append(r)
+    for members in by_label.values():
+        assert any(m.is_dup == 0 for m in members)
+
+
+def test_ann_ivfpq_ranks_are_dense_topk(spark):
+    """Every probe returns at most TOP_K rows with dense ranks 1..n."""
+    from gdalos_spark.operators.similarity import TOP_K
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    assert rows
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r.probe_id, []).append(r.rank)
+        assert r.adc_dist2 >= 0.0
+    for ranks in per_probe.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TOP_K

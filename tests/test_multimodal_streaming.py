@@ -126,3 +126,14 @@ def test_streaming_enrich_join_matches_oracle(spark, ducks):
         entrymod.queries()["streaming_enrich_join"],
         entrymod.oracle_sql()["streaming_enrich_join"],
     )
+
+
+def test_streaming_stream_join_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["streaming_stream_join"],
+        E.oracle_sql()["streaming_stream_join"],
+    )

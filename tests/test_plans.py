@@ -192,3 +192,18 @@ def test_round3_candidate_joins_stay_equi(spark):
         assert_not_in_plan(df, "BroadcastNestedLoopJoin" if key == "benchmark_contamination" else "__never__")
     assert_broadcast_join(q(spark, "embedding_pq"))
     assert_broadcast_join(q(spark, "point_to_point_los"))
+
+
+def test_c4_filters_has_no_shuffle(spark):
+    """Line-rule evaluation is one projection chain: zero exchanges."""
+    plan = q(spark, "text_c4_filters")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_round4_candidate_joins_stay_equi(spark):
+    """SemDeDup pairs come from the cluster equi-join and IVF+PQ scoring
+    from broadcast lookups — never a cartesian product."""
+    for key in ("semantic_dedup", "ann_ivfpq_topk"):
+        df = q(spark, key)
+        assert_no_cartesian(df)
+    assert_broadcast_join(q(spark, "ann_ivfpq_topk"))
