@@ -51,6 +51,9 @@ _QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": dedup.semantic_dedup,
     "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
     "streaming_stream_join": streaming_events.streaming_stream_join,
+    "raster_proximity": raster.raster_proximity,
+    "text_unigram_logprob": text.text_unigram_logprob,
+    "corpus_curation_report": pipeline.corpus_curation_report,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -281,6 +284,9 @@ _ORACLES: dict[str, str] = {
     "semantic_dedup": dedup.SEMANTIC_DEDUP_SQL,
     "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
     "streaming_stream_join": streaming_events.STREAMING_STREAM_JOIN_SQL,
+    "raster_proximity": raster.RASTER_PROXIMITY_SQL,
+    "text_unigram_logprob": text.TEXT_UNIGRAM_LOGPROB_SQL,
+    "corpus_curation_report": pipeline.CORPUS_CURATION_REPORT_SQL,
 }
 
 

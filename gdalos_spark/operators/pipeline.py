@@ -393,3 +393,127 @@ SELECT doc_id, source, shard, n_tokens,
             - FLOOR((cum_tokens - n_tokens) / {PACK_CTX}.0) > 0 AS INTEGER) AS spans_boundary
 FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# 109. corpus_curation_report — the end-to-end keep/drop decision table
+#     (what a training-data pipeline actually materializes before
+#     tokenization: every per-doc curation signal joined into one row
+#     with the final keep bit and the first drop reason by precedence)
+# ---------------------------------------------------------------------------
+
+PPL_MAX_BITS = 4.95  # unigram-surprise ceiling (mean -log2 p per token)
+
+
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation decision per document, composed from the operator
+    library in one lazy plan: exact dedup (corpus-wide md5 first-
+    occurrence), benchmark membership + 8-gram contamination, SemDeDup
+    semantic duplicates (embeddings keyed by doc_id), C4 line-filter
+    page rule, and the unigram perplexity-proxy ceiling. keep=1 iff no
+    signal fires; drop_reason is the FIRST firing signal by the standard
+    pipeline precedence (benchmark > exact_dup > contaminated >
+    semantic_dup > c4_fail > high_ppl). Every input is itself an
+    oracle-gated operator, so this row is reproducible end to end; the
+    joins are all equi-joins on doc_id and Catalyst fuses the shared
+    document scans."""
+    from gdalos_spark.operators.dedup import semantic_dedup
+    from gdalos_spark.operators.text import text_c4_filters, text_unigram_logprob
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    hashes = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    exact = hashes.join(firsts, "h").select(
+        "doc_id", (F.col("doc_id") > F.col("first_id")).cast("int").alias("is_exact_dup")
+    )
+    c4 = text_c4_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep_doc").alias("c4_keep")
+    )
+    ppl = text_unigram_logprob(spark, sf_dir).select("doc_id", "mean_bits")
+    ct = benchmark_contamination(spark, sf_dir).select("doc_id", "contaminated")
+    sd = semantic_dedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("is_dup").alias("semantic_dup")
+    )
+    j = (
+        docs.join(exact, "doc_id")
+        .join(c4, "doc_id")
+        .join(ppl, "doc_id")
+        .join(ct, "doc_id", "left")
+        .join(sd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % CONTAM_EVAL_MOD == 0).cast("int").alias("is_benchmark"),
+            "is_exact_dup",
+            F.coalesce(F.col("contaminated"), F.lit(0)).alias("contaminated"),
+            F.coalesce(F.col("semantic_dup"), F.lit(0)).alias("semantic_dup"),
+            "c4_keep",
+            "mean_bits",
+            (F.col("mean_bits") > PPL_MAX_BITS).cast("int").alias("high_ppl"),
+        )
+    )
+    reason = (
+        F.when(F.col("is_benchmark") == 1, "benchmark")
+        .when(F.col("is_exact_dup") == 1, "exact_dup")
+        .when(F.col("contaminated") == 1, "contaminated")
+        .when(F.col("semantic_dup") == 1, "semantic_dup")
+        .when(F.col("c4_keep") == 0, "c4_fail")
+        .when(F.col("high_ppl") == 1, "high_ppl")
+        .otherwise("kept")
+    )
+    return j.select(
+        "doc_id", "source", "is_benchmark", "is_exact_dup", "contaminated",
+        "semantic_dup", "c4_keep", "high_ppl", "mean_bits",
+        reason.alias("drop_reason"),
+        (reason == "kept").cast("int").alias("keep"),
+    )
+
+
+def _curation_sql() -> str:
+    from gdalos_spark.operators.dedup import SEMANTIC_DEDUP_SQL
+    from gdalos_spark.operators.text import TEXT_C4_FILTERS_SQL, TEXT_UNIGRAM_LOGPROB_SQL
+
+    return f"""
+WITH exact AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_exact_dup
+  FROM documents
+),
+c4 AS (SELECT doc_id, keep_doc AS c4_keep FROM ({TEXT_C4_FILTERS_SQL})),
+ppl AS (SELECT doc_id, mean_bits FROM ({TEXT_UNIGRAM_LOGPROB_SQL})),
+ct AS (SELECT doc_id, contaminated FROM ({BENCHMARK_CONTAMINATION_SQL})),
+sd AS (SELECT vec_id AS doc_id, is_dup AS semantic_dup FROM ({SEMANTIC_DEDUP_SQL})),
+j AS (
+  SELECT d.doc_id, d.source,
+         CAST(CASE WHEN d.doc_id % {CONTAM_EVAL_MOD} = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_benchmark,
+         e.is_exact_dup,
+         CAST(COALESCE(ct.contaminated, 0) AS INTEGER) AS contaminated,
+         CAST(COALESCE(sd.semantic_dup, 0) AS INTEGER) AS semantic_dup,
+         c4.c4_keep, ppl.mean_bits,
+         CAST(CASE WHEN ppl.mean_bits > {PPL_MAX_BITS} THEN 1 ELSE 0 END AS INTEGER) AS high_ppl
+  FROM documents d
+  JOIN exact e ON d.doc_id = e.doc_id
+  JOIN c4 ON d.doc_id = c4.doc_id
+  JOIN ppl ON d.doc_id = ppl.doc_id
+  LEFT JOIN ct ON d.doc_id = ct.doc_id
+  LEFT JOIN sd ON d.doc_id = sd.doc_id
+)
+SELECT doc_id, source, is_benchmark, is_exact_dup, contaminated, semantic_dup,
+       c4_keep, high_ppl, mean_bits,
+       CASE WHEN is_benchmark = 1 THEN 'benchmark'
+            WHEN is_exact_dup = 1 THEN 'exact_dup'
+            WHEN contaminated = 1 THEN 'contaminated'
+            WHEN semantic_dup = 1 THEN 'semantic_dup'
+            WHEN c4_keep = 0 THEN 'c4_fail'
+            WHEN high_ppl = 1 THEN 'high_ppl'
+            ELSE 'kept' END AS drop_reason,
+       CAST(CASE WHEN is_benchmark = 0 AND is_exact_dup = 0 AND contaminated = 0
+                  AND semantic_dup = 0 AND c4_keep = 1 AND high_ppl = 0
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM j
+"""
+
+
+CORPUS_CURATION_REPORT_SQL = _curation_sql()

@@ -1840,3 +1840,96 @@ GROUP BY 1
 
 
 RASTER_ZORDER_INDEX_SQL = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
+# 107. raster_proximity — bounded-radius distance transform
+#     (gdal_proximity with -maxdist: per cell, distance to the nearest
+#     target cell, nodata beyond the radius; the reference wraps the same
+#     osgeo_utils family its calc/ tools come from)
+# ---------------------------------------------------------------------------
+
+PROX_RADIUS = 3  # Chebyshev window radius -> (2R+1)^2 = 49 offsets
+
+
+def raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-nearest-target within a bounded window: targets are
+    the cells whose elevation exceeds 1.5x the grid mean (the threshold
+    is evaluated as the cross-multiplied exact-decimal comparison
+    elev * 2n > 3 * total, so no division or float ever decides
+    membership). Each target expands through a broadcast 49-row offset
+    table to the cells it can serve, and each cell keeps the MIN squared
+    euclidean distance — one equi-join groupBy, then one equi-join back
+    to the full grid; cells with no target in the window get -1 (the
+    gdal_proximity -maxdist nodata contract). At 100 TB the expansion is
+    O(targets x 49) rows of three ints, and an UNBOUNDED transform would
+    instead iterate this same plan as a BFS wavefront (R rounds of the
+    identical join), so the bounded op is the building block."""
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", F.col("elev").cast("decimal(18,2)").alias("elev")
+    )
+    tot = g.agg(
+        F.sum("elev").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    flagged = g.crossJoin(F.broadcast(tot)).select(
+        "px", "py",
+        (
+            F.col("elev") * (F.lit(2) * F.col("n")) > F.lit(3) * F.col("tot")
+        ).cast("int").alias("is_target"),
+    )
+    offsets = spark.createDataFrame(
+        [
+            (dx, dy, dx * dx + dy * dy)
+            for dx in range(-PROX_RADIUS, PROX_RADIUS + 1)
+            for dy in range(-PROX_RADIUS, PROX_RADIUS + 1)
+        ],
+        "dx int, dy int, d2 int",
+    )
+    cand = (
+        flagged.filter(F.col("is_target") == 1)
+        .crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("px") + F.col("dx")).alias("tx"),
+            (F.col("py") + F.col("dy")).alias("ty"),
+            "d2",
+        )
+    )
+    near = cand.groupBy("tx", "ty").agg(F.min("d2").alias("d2min"))
+    return flagged.join(
+        near,
+        (F.col("px") == F.col("tx")) & (F.col("py") == F.col("ty")),
+        "left",
+    ).select(
+        "px", "py", "is_target",
+        F.coalesce(F.col("d2min"), F.lit(-1)).cast("int").alias("nearest_d2"),
+    )
+
+
+def _proximity_sql() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy}, {dx * dx + dy * dy})"
+        for dx in range(-PROX_RADIUS, PROX_RADIUS + 1)
+        for dy in range(-PROX_RADIUS, PROX_RADIUS + 1)
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DECIMAL(18,2)) AS elev FROM dem),
+tot AS (SELECT SUM(elev) AS tot, COUNT(*) AS n FROM g),
+flagged AS (
+  SELECT px, py,
+         CAST(CASE WHEN elev * (2 * n) > 3 * tot THEN 1 ELSE 0 END AS INTEGER) AS is_target
+  FROM g CROSS JOIN tot
+),
+offsets(dx, dy, d2) AS (VALUES {offs}),
+cand AS (
+  SELECT px + dx AS tx, py + dy AS ty, d2
+  FROM flagged CROSS JOIN offsets WHERE is_target = 1
+),
+near AS (SELECT tx, ty, MIN(d2) AS d2min FROM cand GROUP BY 1, 2)
+SELECT f.px, f.py, f.is_target,
+       CAST(COALESCE(n.d2min, -1) AS INTEGER) AS nearest_d2
+FROM flagged f LEFT JOIN near n ON f.px = n.tx AND f.py = n.ty
+"""
+
+
+RASTER_PROXIMITY_SQL = _proximity_sql()

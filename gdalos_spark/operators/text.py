@@ -700,3 +700,138 @@ FROM rep
 
 
 TEXT_C4_FILTERS_SQL = _c4_sql()
+
+
+# ---------------------------------------------------------------------------
+# 108. text_unigram_logprob — unigram LM surprise (perplexity-proxy filter)
+#     (the CCNet/KenLM-style quality gate: score each document by its mean
+#     per-token -log2 p(token) under the corpus unigram model; high mean
+#     bits = out-of-distribution text). log2 is engine-trig-free: the
+#     integer bit length supplies the exponent exactly and an atanh Horner
+#     polynomial (identical IEEE expression text on both engines, error
+#     < 2e-8) supplies the mantissa — the same no-engine-libm discipline
+#     as the polynomial sin/cos ops, because ln/log are NOT correctly
+#     rounded and differ across libms.
+# ---------------------------------------------------------------------------
+
+_LOG2_C = "2.885390081777927"  # 2/ln(2), host-precomputed literal
+
+
+def _log2_stages(x: str, shift: str) -> dict[str, str]:
+    """Staged expression fragments computing log2(x) for an integer
+    expression x >= 1: exponent from bit length, mantissa via
+    log2(m) = (2/ln2) * atanh((m-1)/(m+1)) with a 7-term Horner series
+    (z <= 1/3 so the truncation error is < 2e-8). `shift` is the
+    engine-specific 1 << (bl) spelling over the staged column names."""
+    return {
+        "bl": f"(length(bin({x})) - 1)",
+        "m": f"(CAST({x} AS DOUBLE) / CAST({shift} AS DOUBLE))",
+        "z": "((m - 1.0) / (m + 1.0))",
+        "z2": "(z * z)",
+        "poly": "(((((((1.0/13.0)*z2 + 1.0/11.0)*z2 + 1.0/9.0)*z2 + 1.0/7.0)*z2"
+                " + 1.0/5.0)*z2 + 1.0/3.0)*z2 + 1.0)",
+        "lg": f"(CAST(bl AS DOUBLE) + {_LOG2_C} * z * poly)",
+    }
+
+
+def _log2_col(df, x: str, out: str, shift_fn) -> "DataFrame":
+    """Append column `out` = log2 of integer column `x` via staged
+    projections (each stage a named column, so no multi-KB collapsed
+    expression reaches the parser)."""
+    s = _log2_stages(x, shift_fn("bl"))
+    df = df.withColumn("bl", F.expr(s["bl"]))
+    df = df.withColumn("m", F.expr(s["m"]))
+    df = df.withColumn("z", F.expr(s["z"]))
+    df = df.withColumn("z2", F.expr(s["z2"]))
+    df = df.withColumn("poly", F.expr(s["poly"]))
+    df = df.withColumn(out, F.expr(s["lg"]))
+    return df.drop("bl", "m", "z", "z2", "poly")
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass unigram-LM scoring: (1) corpus term frequencies (one
+    shuffle keyed on the token) plus the 1-row corpus total, broadcast;
+    (2) every token occurrence joins its tf and accumulates
+    -log2(tf/N) = log2(N) - log2(tf). Per-token bits are rounded once to
+    1e-6 micro-units and summed as BIGINT, so the per-doc totals are
+    exact under any aggregation order. The tf table is a real corpus-wide
+    table JOINED (never broadcast — at 100 TB it's billions of rows, the
+    same shape as text_rarity_score's df table); only the tiny N row is
+    broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    occ = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    scored = occ.join(tf, "tok").crossJoin(F.broadcast(total))
+    scored = _log2_col(scored, "n_total", "lg_n", spark_shift)
+    scored = _log2_col(scored, "tf", "lg_tf", spark_shift)
+    scored = scored.select(
+        "doc_id",
+        F.round((F.col("lg_n") - F.col("lg_tf")) * 1_000_000.0).cast("bigint").alias("bits_u"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits_u").alias("bits_u"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("bits_u").cast("double") / 1_000_000.0, 6).alias("bits_total"),
+        F.round(
+            F.col("bits_u").cast("double") / (F.col("n_tokens") * 1_000_000.0), 6
+        ).alias("mean_bits"),
+    )
+
+
+def _unigram_sql() -> str:
+    def lg(x: str) -> str:
+        s = _log2_stages(x, "(CAST(1 AS BIGINT) << bl)")
+        # inline the stages as nested parenthesized SELECT-free text via
+        # LATERAL-style chained CTE columns is overkill in DuckDB: stage
+        # through scalar subexpression aliases in successive CTEs instead
+        return s
+
+    sn = lg("n_total")
+    sf_ = lg("tf")
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS tf FROM occ GROUP BY tok),
+total AS (SELECT SUM(tf) AS n_total FROM tf),
+j AS (SELECT o.doc_id, t.tf, n_total FROM occ o JOIN tf t USING (tok) CROSS JOIN total),
+s1 AS (SELECT doc_id, tf, n_total,
+              {sn['bl']} AS bl FROM j),
+s2 AS (SELECT doc_id, tf, n_total, {sn['m']} AS m FROM s1),
+s3 AS (SELECT doc_id, tf, n_total, m, {sn['z']} AS z FROM s2),
+s4 AS (SELECT doc_id, tf, n_total, z, {sn['z2']} AS z2 FROM s3),
+s5 AS (SELECT doc_id, tf, n_total, z, z2, {sn['poly']} AS poly FROM s4),
+s5b AS (SELECT doc_id, tf, n_total, z, poly,
+               (length(bin(n_total)) - 1) AS bl FROM s5),
+s6 AS (SELECT doc_id, tf, {sn['lg']} AS lg_n FROM s5b),
+t1 AS (SELECT doc_id, tf, lg_n, {sf_['bl']} AS bl FROM s6),
+t2 AS (SELECT doc_id, tf, lg_n, bl, {sf_['m']} AS m FROM t1),
+t3 AS (SELECT doc_id, lg_n, bl, m, {sf_['z']} AS z FROM t2),
+t4 AS (SELECT doc_id, lg_n, bl, z, {sf_['z2']} AS z2 FROM t3),
+t5 AS (SELECT doc_id, lg_n, bl, z, z2, {sf_['poly']} AS poly FROM t4),
+t6 AS (SELECT doc_id, lg_n, {sf_['lg']} AS lg_tf FROM t5),
+scored AS (
+  SELECT doc_id, CAST(ROUND((lg_n - lg_tf) * 1000000.0) AS BIGINT) AS bits_u FROM t6
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits_u) AS bits_u FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(bits_u AS DOUBLE) / 1000000.0, 6) AS bits_total,
+       ROUND(CAST(bits_u AS DOUBLE) / (n_tokens * 1000000.0), 6) AS mean_bits
+FROM per_doc
+"""
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = _unigram_sql()

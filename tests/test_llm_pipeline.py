@@ -279,3 +279,48 @@ def test_ann_ivfpq_ranks_are_dense_topk(spark):
     for ranks in per_probe.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= TOP_K
+
+
+def test_round4_scoring_additions_match_oracle(spark, ducks):
+    for key in ("text_unigram_logprob", "corpus_curation_report"):
+        assert_matches_oracle(
+            spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+        )
+
+
+def test_unigram_logprob_matches_native_log2(spark):
+    """The polynomial log2 must track IEEE log2 to well under the 1e-6
+    micro-unit: recompute one document's mean bits in Python."""
+    import math
+
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["text_unigram_logprob"](spark, SF_DIR).collect()
+    docs = {r.doc_id: r for r in rows}
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    tf: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            tf[w] = tf.get(w, 0) + 1
+    n = sum(tf.values())
+    did = min(texts)
+    toks = texts[did].split(" ")
+    want = sum(math.log2(n / tf[w]) for w in toks) / len(toks)
+    assert abs(docs[did].mean_bits - want) < 1e-5
+
+
+def test_curation_report_precedence_and_keep(spark):
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["corpus_curation_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r.keep == 1) == (r.drop_reason == "kept")
+        if r.is_benchmark:
+            assert r.drop_reason == "benchmark"
+        if r.keep:
+            assert (r.is_exact_dup, r.contaminated, r.semantic_dup) == (0, 0, 0)
+            assert r.c4_keep == 1 and r.high_ppl == 0

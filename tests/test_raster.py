@@ -113,3 +113,31 @@ def test_raster_zorder_tiles_are_aligned_blocks(spark):
         assert (r.min_px // 16) == (r.max_px // 16)
         assert (r.min_py // 16) == (r.max_py // 16)
         assert r.n_cells <= 256
+
+
+def test_raster_proximity_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["raster_proximity"],
+        E.oracle_sql()["raster_proximity"],
+    )
+
+
+def test_raster_proximity_semantics(spark):
+    """Targets are distance 0 from themselves; non-targets with a target
+    in the window report a positive d2 bounded by the window diagonal."""
+    import __spark_entry__ as E
+    from gdalos_spark.operators.raster import PROX_RADIUS
+    from tests.conftest import SF_DIR
+
+    rows = E.queries()["raster_proximity"](spark, SF_DIR).collect()
+    assert rows
+    lim = 2 * PROX_RADIUS * PROX_RADIUS
+    for r in rows:
+        if r.is_target:
+            assert r.nearest_d2 == 0
+        else:
+            assert r.nearest_d2 == -1 or 0 < r.nearest_d2 <= lim
