@@ -138,6 +138,7 @@ class GdalosSpark:
             "brute": similarity.ann_cosine_topk,
             "lsh": similarity.ann_lsh_topk,
             "ivf": similarity.ann_ivf_topk,
+            "ivfpq": similarity.ann_ivfpq_topk,
         }
         return fns[method](self.spark, self.sf_dir)
 
@@ -269,3 +270,32 @@ class GdalosSpark:
     def zorder_layout(self) -> DataFrame:
         """Morton-tile layout index + per-tile locality bounds."""
         return raster.raster_zorder_index(self.spark, self.sf_dir)
+
+    # --- round-4 additions ---
+    def c4_filters(self) -> DataFrame:
+        """C4-style line-level cleaning report + page keep rule."""
+        return text.text_c4_filters(self.spark, self.sf_dir)
+
+    def dedup_semantic(self) -> DataFrame:
+        """SemDeDup cluster-scoped embedding dedup report."""
+        return dedup_ops.semantic_dedup(self.spark, self.sf_dir)
+
+    def ann_recall(self) -> DataFrame:
+        """recall@k of lsh/ivf/ivfpq vs the brute-force ground truth."""
+        return similarity.ann_recall_report(self.spark, self.sf_dir)
+
+    def stream_attribution(self) -> DataFrame:
+        """Stream-stream click->purchase range join (append mode)."""
+        return streaming_events.streaming_stream_join(self.spark, self.sf_dir)
+
+    def proximity(self) -> DataFrame:
+        """Bounded-radius distance transform (gdal_proximity -maxdist)."""
+        return raster.raster_proximity(self.spark, self.sf_dir)
+
+    def perplexity(self) -> DataFrame:
+        """Unigram-LM surprise per document (perplexity-proxy gate)."""
+        return text.text_unigram_logprob(self.spark, self.sf_dir)
+
+    def curate(self) -> DataFrame:
+        """End-to-end keep/drop decision table over every signal."""
+        return pipeline_ops.corpus_curation_report(self.spark, self.sf_dir)

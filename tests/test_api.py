@@ -40,3 +40,17 @@ def test_round3_facade_verbs(spark):
         "map_scales", "sector_rings", "los_links", "quantize_pq",
     ):
         assert getattr(eng, verb)().count() > 0, verb
+
+
+def test_round4_facade_verbs(spark):
+    """Every round-4 facade verb returns a non-empty DataFrame."""
+    from gdalos_spark.api import GdalosSpark
+    from tests.conftest import SF_DIR
+
+    eng = GdalosSpark(spark, SF_DIR)
+    for verb in (
+        "c4_filters", "dedup_semantic", "ann_recall", "stream_attribution",
+        "proximity", "perplexity", "curate",
+    ):
+        assert getattr(eng, verb)().count() > 0, verb
+    assert eng.ann("ivfpq").count() > 0
