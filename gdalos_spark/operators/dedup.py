@@ -703,6 +703,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cc = sim.centroid_similarity(spark, sf_dir)  # vec_id, label, cos_centroid
     emb = load(spark, sf_dir, "embeddings")
+    # spread the probe side across the full core count BEFORE the pair
+    # stage: the embeddings table often arrives as one input split, and
+    # with the candidate side broadcast there is no shuffle left to
+    # redistribute it — without this the 2.5M-pair fold at the sf1
+    # upscale ran on one core (135s; 6.5s repartitioned). Cheap: slim
+    # rows, no-op at real scale where the scan is already wide.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (
         emb.select(
             "vec_id",
@@ -710,6 +717,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             vectors.emb_double(F.col("embedding")).alias("emb"),
             F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
         )
+        .repartition(n_part, "vec_id")
         .join(cc, ["vec_id", "label"])
         .persist()
     )
@@ -724,13 +732,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_centroid").alias("cc_b"),
     )
     cos = F.round(vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("sn_a") * F.col("sn_b")), 6)
-    better = a.join(b, "lbl").filter(
+    # the candidate side is BROADCAST: an equi-join on a handful of
+    # cluster ids caps parallelism at |clusters| under sort-merge (10
+    # tasks on a 32-core host — measured 53s at the sf1 upscale) and
+    # shuffles full vectors on both sides; the broadcast keeps the probe
+    # scan at full width (6.5s same data). At production SemDeDup k
+    # (~n/1000) the per-cluster side is small and this hint generalizes
+    # to broadcasting the cluster's members. The cheap keeper-rule
+    # predicate precedes the 64-dim cosine so most pairs never fold.
+    better = a.join(F.broadcast(b), "lbl").filter(
         (F.col("vec_a") != F.col("vec_b"))
-        & (cos >= SEM_TAU)
         & (
             (F.col("cc_b") < F.col("cc_a"))
             | ((F.col("cc_b") == F.col("cc_a")) & (F.col("vec_b") < F.col("vec_a")))
         )
+        & (cos >= SEM_TAU)
     ).groupBy(F.col("vec_a").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_better_dups")
     )
