@@ -54,6 +54,7 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_proximity": raster.raster_proximity,
     "text_unigram_logprob": text.text_unigram_logprob,
     "corpus_curation_report": pipeline.corpus_curation_report,
+    "dsir_importance": text.dsir_importance,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -287,6 +288,7 @@ _ORACLES: dict[str, str] = {
     "raster_proximity": raster.RASTER_PROXIMITY_SQL,
     "text_unigram_logprob": text.TEXT_UNIGRAM_LOGPROB_SQL,
     "corpus_curation_report": pipeline.CORPUS_CURATION_REPORT_SQL,
+    "dsir_importance": text.TEXT_DSIR_IMPORTANCE_SQL,
 }
 
 

@@ -299,3 +299,7 @@ class GdalosSpark:
     def curate(self) -> DataFrame:
         """End-to-end keep/drop decision table over every signal."""
         return pipeline_ops.corpus_curation_report(self.spark, self.sf_dir)
+
+    def dsir_weights(self) -> DataFrame:
+        """DSIR importance weights toward the target-source distribution."""
+        return text.dsir_importance(self.spark, self.sf_dir)

@@ -728,8 +728,13 @@ def _log2_stages(x: str, shift: str) -> dict[str, str]:
         "m": f"(CAST({x} AS DOUBLE) / CAST({shift} AS DOUBLE))",
         "z": "((m - 1.0) / (m + 1.0))",
         "z2": "(z * z)",
-        "poly": "(((((((1.0/13.0)*z2 + 1.0/11.0)*z2 + 1.0/9.0)*z2 + 1.0/7.0)*z2"
-                " + 1.0/5.0)*z2 + 1.0/3.0)*z2 + 1.0)",
+        # Horner series coefficients 1/(2k+1) as host-precomputed DOUBLE
+        # literals: the spelling `1.0/13.0` is DECIMAL/DECIMAL division
+        # in Spark SQL (scale-truncated to ~1e-7!) but double in DuckDB —
+        # a cross-engine trap that poisoned every downstream bit
+        "poly": "(((((((0.07692307692307693)*z2 + 0.09090909090909091)*z2"
+                " + 0.1111111111111111)*z2 + 0.14285714285714285)*z2"
+                " + 0.2)*z2 + 0.3333333333333333)*z2 + 1.0)",
         "lg": f"(CAST(bl AS DOUBLE) + {_LOG2_C} * z * poly)",
     }
 
@@ -779,12 +784,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("bits_u").alias("bits_u"),
     )
+    # no ROUND on the terminal doubles: both are correctly-rounded IEEE
+    # divisions of exact integers, so they are engine-identical as-is,
+    # whereas ROUND(x, 6) can land on an exact 7th-digit-5 tie where
+    # Spark (shortest-repr HALF_UP) and DuckDB (binary) disagree
     return per_doc.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("bits_u").cast("double") / 1_000_000.0, 6).alias("bits_total"),
-        F.round(
-            F.col("bits_u").cast("double") / (F.col("n_tokens") * 1_000_000.0), 6
+        (F.col("bits_u").cast("double") / 1_000_000.0).alias("bits_total"),
+        (
+            F.col("bits_u").cast("double") / (F.col("n_tokens") * 1_000_000.0).cast("double")
         ).alias("mean_bits"),
     )
 
@@ -828,10 +837,162 @@ per_doc AS (
   SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits_u) AS bits_u FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       ROUND(CAST(bits_u AS DOUBLE) / 1000000.0, 6) AS bits_total,
-       ROUND(CAST(bits_u AS DOUBLE) / (n_tokens * 1000000.0), 6) AS mean_bits
+       CAST(bits_u AS DOUBLE) / 1000000.0 AS bits_total,
+       CAST(bits_u AS DOUBLE) / CAST(n_tokens * 1000000.0 AS DOUBLE) AS mean_bits
 FROM per_doc
 """
 
 
 TEXT_UNIGRAM_LOGPROB_SQL = _unigram_sql()
+
+
+# ---------------------------------------------------------------------------
+# 110. dsir_importance — DSIR-style importance weighting for data selection
+#     (Xie et al. 2023: weight each raw document by how much more likely
+#     its tokens are under the TARGET distribution than under the raw
+#     corpus; sample high-weight docs to shift the mix toward the target)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the target slice whose distribution we want
+
+
+def _log2_lateral_sql(x: str, out: str) -> str:
+    """One-SELECT log2 of an integer expression via DuckDB lateral column
+    aliases — the same staged polynomial arithmetic as _log2_stages, but
+    with stage aliases SUFFIXED by the output name: lateral aliases lose
+    to real columns of the FROM relation on name conflicts, so
+    re-exported stage columns from a previous log2 CTE would silently
+    shadow the new stages and corrupt the value."""
+    bl, m, z, z2, poly = (f"{k}_{out}" for k in ("bl", "m", "z", "z2", "poly"))
+    return (
+        f"(length(bin({x})) - 1) AS {bl}, "
+        f"(CAST({x} AS DOUBLE) / CAST((CAST(1 AS BIGINT) << {bl}) AS DOUBLE)) AS {m}, "
+        f"(({m} - 1.0) / ({m} + 1.0)) AS {z}, "
+        f"({z} * {z}) AS {z2}, "
+        f"(((((((0.07692307692307693)*{z2} + 0.09090909090909091)*{z2}"
+        f" + 0.1111111111111111)*{z2} + 0.14285714285714285)*{z2}"
+        f" + 0.2)*{z2} + 0.3333333333333333)*{z2} + 1.0) AS {poly}, "
+        f"(CAST({bl} AS DOUBLE) + {_LOG2_C} * {z} * {poly}) AS {out}"
+    )
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight in bits:
+    log2 w(x) = sum_tokens [log2 p_target(tok) - log2 p_raw(tok)] with
+    add-one smoothing over the shared vocabulary, where the target model
+    is the unigram LM of the DSIR_TARGET_SOURCE slice and the raw model
+    is the whole corpus. All four log2s per token are integer-argument
+    polynomial log2s (no engine libm); per-token bits are micro-unit
+    BIGINTs so document sums are exact under any aggregation order.
+    Plan: one tf table per model (two aggs over the same exploded scan),
+    1-row model-size table broadcast, candidate tokens equi-join the tf
+    tables — the same two-pass shape as text_rarity_score, doubled.
+    selected=1 marks docs whose mean per-token bits favor the target
+    (the DSIR resampling step keeps these with high probability)."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    occ = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf_r = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_r"))
+    tf_t = (
+        occ.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf_t"))
+    )
+    sizes = (
+        tf_r.join(tf_t, "tok", "left")
+        .agg(
+            F.sum("tf_r").alias("n_r"),
+            F.sum(F.coalesce(F.col("tf_t"), F.lit(0))).alias("n_t"),
+            F.count(F.lit(1)).alias("v"),
+        )
+    )
+    j = (
+        occ.join(tf_r, "tok")
+        .join(tf_t, "tok", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("tf_t"), F.lit(0)) + 1).alias("a"),
+            (F.col("n_t") + F.col("v")).alias("b"),
+            (F.col("tf_r") + 1).alias("c"),
+            (F.col("n_r") + F.col("v")).alias("d"),
+        )
+    )
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    for x, out in (("a", "lg_a"), ("b", "lg_b"), ("c", "lg_c"), ("d", "lg_d")):
+        j = _log2_col(j, x, out, spark_shift)
+    scored = j.select(
+        "doc_id",
+        F.round(
+            ((F.col("lg_a") - F.col("lg_b")) - (F.col("lg_c") - F.col("lg_d")))
+            * 1_000_000.0
+        ).cast("bigint").alias("bits_u"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("bits_u").alias("bits_u")
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            # unrounded for the same tie-avoidance reason as
+            # text_unigram_logprob's terminal columns
+            (F.col("bits_u").cast("double") / 1_000_000.0).alias("logw_bits"),
+            (
+                F.col("bits_u").cast("double")
+                / (F.col("n_tokens") * 1_000_000.0).cast("double")
+            ).alias("mean_logw_bits"),
+            (F.col("bits_u") > 0).cast("int").alias("selected"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+tf_r AS (SELECT tok, COUNT(*) AS tf_r FROM occ GROUP BY tok),
+tf_t AS (
+  SELECT tok, COUNT(*) AS tf_t FROM occ
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY tok
+),
+sizes AS (
+  SELECT SUM(r.tf_r) AS n_r, SUM(COALESCE(t.tf_t, 0)) AS n_t, COUNT(*) AS v
+  FROM tf_r r LEFT JOIN tf_t t USING (tok)
+),
+j AS (
+  SELECT o.doc_id,
+         COALESCE(t.tf_t, 0) + 1 AS a,
+         n_t + v AS b,
+         r.tf_r + 1 AS c,
+         n_r + v AS d
+  FROM occ o JOIN tf_r r USING (tok) LEFT JOIN tf_t t USING (tok)
+  CROSS JOIN sizes
+),
+la AS (SELECT doc_id, b, c, d, {_log2_lateral_sql('a', 'lg_a')} FROM j),
+lb AS (SELECT doc_id, c, d, lg_a, {_log2_lateral_sql('b', 'lg_b')} FROM la),
+lc AS (SELECT doc_id, d, lg_a, lg_b, {_log2_lateral_sql('c', 'lg_c')} FROM lb),
+ld AS (SELECT doc_id, lg_a, lg_b, lg_c, {_log2_lateral_sql('d', 'lg_d')} FROM lc),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(((lg_a - lg_b) - (lg_c - lg_d)) * 1000000.0) AS BIGINT) AS bits_u
+  FROM ld
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits_u) AS bits_u FROM scored GROUP BY doc_id
+)
+SELECT p.doc_id, d.source, p.n_tokens,
+       CAST(p.bits_u AS DOUBLE) / 1000000.0 AS logw_bits,
+       CAST(p.bits_u AS DOUBLE) / CAST(p.n_tokens * 1000000.0 AS DOUBLE) AS mean_logw_bits,
+       CAST(CASE WHEN p.bits_u > 0 THEN 1 ELSE 0 END AS INTEGER) AS selected
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+
+TEXT_DSIR_IMPORTANCE_SQL = _dsir_sql()

@@ -324,3 +324,26 @@ def test_curation_report_precedence_and_keep(spark):
         if r.keep:
             assert (r.is_exact_dup, r.contaminated, r.semantic_dup) == (0, 0, 0)
             assert r.c4_keep == 1 and r.high_ppl == 0
+
+
+def test_dsir_importance_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["dsir_importance"],
+        entrymod.oracle_sql()["dsir_importance"],
+    )
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    """The target source's documents must average a higher importance
+    weight than the rest of the corpus — the whole point of DSIR."""
+    from gdalos_spark.operators.text import DSIR_TARGET_SOURCE
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["dsir_importance"](spark, SF_DIR).collect()
+    tgt = [r.mean_logw_bits for r in rows if r.source == DSIR_TARGET_SOURCE]
+    oth = [r.mean_logw_bits for r in rows if r.source != DSIR_TARGET_SOURCE]
+    assert tgt and oth
+    assert sum(tgt) / len(tgt) > sum(oth) / len(oth)
+    for r in rows:
+        assert (r.selected == 1) == (r.logw_bits > 0)
