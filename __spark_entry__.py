@@ -55,6 +55,9 @@ _QUERIES: dict[str, QueryFn] = {
     "text_unigram_logprob": text.text_unigram_logprob,
     "corpus_curation_report": pipeline.corpus_curation_report,
     "dsir_importance": text.dsir_importance,
+    "raster_sieve": raster.raster_sieve,
+    "export_jsonl_shards": export.export_jsonl_shards,
+    "disjunctive_revenue": relational.disjunctive_revenue,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -289,6 +292,9 @@ _ORACLES: dict[str, str] = {
     "text_unigram_logprob": text.TEXT_UNIGRAM_LOGPROB_SQL,
     "corpus_curation_report": pipeline.CORPUS_CURATION_REPORT_SQL,
     "dsir_importance": text.TEXT_DSIR_IMPORTANCE_SQL,
+    "raster_sieve": raster.RASTER_SIEVE_SQL,
+    "export_jsonl_shards": export.EXPORT_JSONL_SHARDS_SQL,
+    "disjunctive_revenue": relational.DISJUNCTIVE_REVENUE_SQL,
 }
 
 

@@ -303,3 +303,15 @@ class GdalosSpark:
     def dsir_weights(self) -> DataFrame:
         """DSIR importance weights toward the target-source distribution."""
         return text.dsir_importance(self.spark, self.sf_dir)
+
+    def sieve(self) -> DataFrame:
+        """gdal_sieve: flag small 4-connected regions for removal."""
+        return raster.raster_sieve(self.spark, self.sf_dir)
+
+    def export_shards(self) -> DataFrame:
+        """Deterministic JSONL shard manifest (counts + content digests)."""
+        return export.export_jsonl_shards(self.spark, self.sf_dir)
+
+    def disjunctive_revenue(self) -> DataFrame:
+        """TPC-H Q19-shape OR-of-AND revenue bands."""
+        return relational.disjunctive_revenue(self.spark, self.sf_dir)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gdalos_spark.datamodel import DEM_GRID_SQL, dem_grid
+from gdalos_spark.datamodel import DEM_GRID_SQL, dem_grid, load
 from gdalos_spark.functions import palette
 from gdalos_spark.operators.raster import GT, PALETTE
 
@@ -508,3 +508,85 @@ FROM rects
 
 
 VIEWSHED_CONTOUR_POLYGONS_SQL = _vs_contour_sql()
+
+
+# ---------------------------------------------------------------------------
+# 112. export_jsonl_shards — training-shard JSONL export plan
+#     (the sink side of the curation pipeline: deterministic shard
+#     assignment + per-shard JSONL manifest, the step that materializes
+#     tokenizer-ready shards at 100 TB)
+# ---------------------------------------------------------------------------
+
+EXPORT_N_SHARDS = 8
+
+
+def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export manifest: every document is assigned a shard by md5
+    bucket (reproducible — rerunning the export writes identical
+    shards, the idempotent-write property job_skip_overwrite's commit
+    protocol needs), serialized to a JSONL record built by PURE STRING
+    CONCATENATION of integer/enum fields (engine-neutral, unlike
+    to_json whose spacing/key-order is engine-specific), and each
+    shard reports line count, byte count, and the md5 digest of its
+    doc_id-ordered content — exactly what a writer commits next to the
+    shard file for integrity checks. One shuffle on the shard id; the
+    digest aggregation is an ordered array fold so the manifest is
+    deterministic under any partitioning."""
+    from gdalos_spark.functions import hashing
+
+    docs = load(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id"),
+        F.lit(',"source":"'), F.col("source"),
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('","n_chars":'), F.col("n_chars"), F.lit("}"),
+    )
+    assigned = docs.select(
+        "doc_id",
+        (hashing.md5_int60(F.col("doc_id").cast("string")) % EXPORT_N_SHARDS)
+        .cast("int").alias("shard"),
+        line.alias("line"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("content"),
+    )
+    return per_shard.select(
+        "shard",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def _jsonl_sql() -> str:
+    from gdalos_spark.functions import hashing
+
+    h = hashing.md5_int60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST({h} % {EXPORT_N_SHARDS} AS INTEGER) AS shard,
+         '{{"doc_id":' || doc_id || ',"source":"' || source ||
+         '","lang":"' || lang || '","n_chars":' || n_chars || '}}' AS line
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, COUNT(*) AS n_lines,
+         string_agg(line, chr(10) ORDER BY doc_id) AS content
+  FROM assigned GROUP BY shard
+)
+SELECT shard, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(length(content) AS BIGINT) AS n_bytes,
+       md5(content) AS content_md5
+FROM per_shard
+"""
+
+
+EXPORT_JSONL_SHARDS_SQL = _jsonl_sql()

@@ -1933,3 +1933,111 @@ FROM flagged f LEFT JOIN near n ON f.px = n.tx AND f.py = n.ty
 
 
 RASTER_PROXIMITY_SQL = _proximity_sql()
+
+
+# ---------------------------------------------------------------------------
+# 111. raster_sieve — remove/flag small connected regions
+#     (gdal_sieve: polygons smaller than the size threshold are merged
+#     into their neighbors; same osgeo_utils family as gdal_proximity.
+#     Here each cell reports its 4-connected same-class region id/size
+#     and whether the sieve would rewrite it.)
+# ---------------------------------------------------------------------------
+
+SIEVE_MIN_SIZE = 6  # regions smaller than this are sieved (gdal -st)
+
+
+def raster_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component sieve over the binarized DEM (class = elev
+    above/below the grid mean, decided by the exact-decimal
+    cross-multiplied comparison): 4-adjacent same-class cells form
+    regions via the alternating large-star/small-star CC used by
+    dedup_clusters (O(log n) rounds, plain equi-join/groupBy-min plans);
+    region size joins back and cells in regions under SIEVE_MIN_SIZE are
+    flagged as sieved (gdal_sieve would rewrite them to the dominant
+    neighbor class — the flag is the decision, the rewrite is a second
+    map join). At 100 TB the CC runs tile-local first and only
+    tile-boundary regions enter the global rounds — the same two-level
+    shape as the reference's per-tile processing."""
+    from gdalos_spark.operators.dedup import _cc_alternating
+
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", F.col("elev").cast("decimal(18,2)").alias("elev")
+    )
+    tot = g.agg(F.sum("elev").alias("tot"), F.count(F.lit(1)).alias("n"))
+    cells = g.crossJoin(F.broadcast(tot)).select(
+        "px", "py",
+        (F.col("elev") * F.col("n") > F.col("tot")).cast("int").alias("cls"),
+        (F.col("px").cast("bigint") * GRID_H + F.col("py")).alias("id"),
+    ).persist()
+    right = cells.alias("a").join(
+        cells.alias("b"),
+        (F.col("b.px") == F.col("a.px") + 1)
+        & (F.col("b.py") == F.col("a.py"))
+        & (F.col("b.cls") == F.col("a.cls")),
+    ).select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    down = cells.alias("a").join(
+        cells.alias("b"),
+        (F.col("b.px") == F.col("a.px"))
+        & (F.col("b.py") == F.col("a.py") + 1)
+        & (F.col("b.cls") == F.col("a.cls")),
+    ).select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    roots, _, converged = _cc_alternating(right.unionByName(down))
+    assert converged
+    labeled = cells.join(
+        roots.withColumnRenamed("node", "id"), "id", "left"
+    ).select(
+        "px", "py", "cls",
+        F.coalesce(F.col("root"), F.col("id")).alias("region_id"),
+    )
+    sizes = labeled.groupBy("region_id").agg(F.count(F.lit(1)).alias("region_size"))
+    return labeled.join(sizes, "region_id").select(
+        "px", "py", "cls", "region_id",
+        F.col("region_size").cast("bigint").alias("region_size"),
+        (F.col("region_size") < SIEVE_MIN_SIZE).cast("int").alias("sieved"),
+    )
+
+
+def _sieve_sql() -> str:
+    return f"""
+WITH RECURSIVE dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DECIMAL(18,2)) AS elev FROM dem),
+tot AS (SELECT SUM(elev) AS tot, COUNT(*) AS n FROM g),
+cells AS (
+  SELECT px, py,
+         CAST(CASE WHEN elev * n > tot THEN 1 ELSE 0 END AS INTEGER) AS cls,
+         CAST(px AS BIGINT) * {GRID_H} + py AS id
+  FROM g CROSS JOIN tot
+),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b
+  FROM cells a JOIN cells b
+    ON b.px = a.px + 1 AND b.py = a.py AND b.cls = a.cls
+  UNION ALL
+  SELECT a.id AS doc_a, b.id AS doc_b
+  FROM cells a JOIN cells b
+    ON b.px = a.px AND b.py = a.py + 1 AND b.cls = a.cls
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(v, u) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.u
+),
+labels AS (SELECT v, MIN(u) AS region_id FROM reach GROUP BY v),
+labeled AS (
+  SELECT c.px, c.py, c.cls, COALESCE(l.region_id, c.id) AS region_id
+  FROM cells c LEFT JOIN labels l ON c.id = l.v
+),
+sizes AS (SELECT region_id, COUNT(*) AS region_size FROM labeled GROUP BY region_id)
+SELECT t.px, t.py, t.cls, t.region_id,
+       CAST(s.region_size AS BIGINT) AS region_size,
+       CAST(CASE WHEN s.region_size < {SIEVE_MIN_SIZE} THEN 1 ELSE 0 END AS INTEGER) AS sieved
+FROM labeled t JOIN sizes s USING (region_id)
+"""
+
+
+RASTER_SIEVE_SQL = _sieve_sql()

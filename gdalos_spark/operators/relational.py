@@ -817,3 +817,97 @@ SELECT job_id, nation, lvl, est_size, out_exists, overwrite, action,
          * CASE WHEN action <> 'skip' THEN 1 ELSE 0 END AS BIGINT) AS run_order
 FROM resolved
 """
+
+
+# ---------------------------------------------------------------------------
+# 113. disjunctive_revenue — TPC-H Q19 shape: OR-of-AND predicate bands
+#     across a fact⋈dim join (the classic test of disjunctive predicate
+#     handling: the engine must evaluate the disjunction post-join
+#     without expanding to a union of three scans)
+# ---------------------------------------------------------------------------
+
+Q19_ARMS = (
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style disjunctive revenue: three (brand, size-band,
+    quantity-band) arms OR-ed across the lineitem⋈part join. The dim is
+    broadcast; Catalyst keeps ONE scan of each table and evaluates the
+    disjunction as a single post-join filter (no 3-way union of scans),
+    while the common `p_size >= 1` conjunct and the partkey join key
+    still push to the scans. Revenue is an exact integer-cents sum
+    reported per arm plus the total row — the oracle is the same CASE
+    bucketing."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)") * 100
+            * (F.lit(100) - (F.col("l_discount").cast("decimal(18,2)") * 100))
+        ).cast("bigint").alias("rev_microcents"),
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm_cases = [
+        (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("qty").between(q0, q1)
+        )
+        for (b, s0, s1, q0, q1) in Q19_ARMS
+    ]
+    joined = li.join(
+        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(arm_cases[0] | arm_cases[1] | arm_cases[2])
+    arm = (
+        F.when(arm_cases[0], 1).when(arm_cases[1], 2).otherwise(3)
+    )
+    # ROLLUP emits the per-arm rows AND the grand total from ONE pass
+    # over the join (a union-with-reaggregate would re-execute the join
+    # subtree); the NULL super-aggregate marker folds to arm=0
+    per = joined.select(arm.alias("arm"), "rev_microcents").rollup("arm").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_microcents").alias("rev_u"),
+    )
+    return per.select(
+        F.coalesce(F.col("arm"), F.lit(0)).cast("int").alias("arm"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+        (F.col("rev_u").cast("double") / 1_000_000.0).alias("revenue"),
+    )
+
+
+def _q19_sql() -> str:
+    def arm_pred(b, s0, s1, q0, q1):
+        return (
+            f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1}"
+            f" AND qty BETWEEN {q0} AND {q1})"
+        )
+
+    arms = [arm_pred(*a) for a in Q19_ARMS]
+    return f"""
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+              * (100 - CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_microcents
+  FROM lineitem
+),
+joined AS (
+  SELECT CASE WHEN {arms[0]} THEN 1 WHEN {arms[1]} THEN 2 ELSE 3 END AS arm,
+         rev_microcents
+  FROM li JOIN part ON l_partkey = p_partkey
+  WHERE {arms[0]} OR {arms[1]} OR {arms[2]}
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n_items, SUM(rev_microcents) AS rev_u
+  FROM joined GROUP BY ROLLUP(arm)
+)
+SELECT CAST(COALESCE(arm, 0) AS INTEGER) AS arm, CAST(n_items AS BIGINT) AS n_items,
+       CAST(rev_u AS DOUBLE) / 1000000.0 AS revenue
+FROM per_arm
+"""
+
+
+DISJUNCTIVE_REVENUE_SQL = _q19_sql()

@@ -141,3 +141,31 @@ def test_raster_proximity_semantics(spark):
             assert r.nearest_d2 == 0
         else:
             assert r.nearest_d2 == -1 or 0 < r.nearest_d2 <= lim
+
+
+def test_raster_sieve_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["raster_sieve"],
+        E.oracle_sql()["raster_sieve"],
+    )
+
+
+def test_raster_sieve_regions_are_consistent(spark):
+    """Region ids partition the grid; every member of a region shares its
+    class, and region_size equals the member count."""
+    import collections
+
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    rows = E.queries()["raster_sieve"](spark, SF_DIR).collect()
+    by_region = collections.defaultdict(list)
+    for r in rows:
+        by_region[r.region_id].append(r)
+    for members in by_region.values():
+        assert len({m.cls for m in members}) == 1
+        assert all(m.region_size == len(members) for m in members)

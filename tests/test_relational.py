@@ -85,3 +85,33 @@ def test_job_skip_overwrite_contract(spark):
             assert r.action == "run" and r.run_order > 0
     orders = sorted(r.run_order for r in rows if r.run_order > 0)
     assert orders == list(range(1, len(orders) + 1))
+
+
+def test_disjunctive_revenue_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["disjunctive_revenue"],
+        E.oracle_sql()["disjunctive_revenue"],
+    )
+
+
+def test_export_jsonl_shards_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["export_jsonl_shards"],
+        E.oracle_sql()["export_jsonl_shards"],
+    )
+
+
+def test_disjunctive_revenue_total_is_arm_sum(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    rows = {r.arm: r for r in E.queries()["disjunctive_revenue"](spark, SF_DIR).collect()}
+    assert rows[0].n_items == sum(r.n_items for a, r in rows.items() if a != 0)
