@@ -58,6 +58,8 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_sieve": raster.raster_sieve,
     "export_jsonl_shards": export.export_jsonl_shards,
     "disjunctive_revenue": relational.disjunctive_revenue,
+    "streaming_session_window": streaming_events.streaming_session_window,
+    "events_funnel": relational.events_funnel,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -295,6 +297,8 @@ _ORACLES: dict[str, str] = {
     "raster_sieve": raster.RASTER_SIEVE_SQL,
     "export_jsonl_shards": export.EXPORT_JSONL_SHARDS_SQL,
     "disjunctive_revenue": relational.DISJUNCTIVE_REVENUE_SQL,
+    "streaming_session_window": streaming_events.STREAMING_SESSION_WINDOW_SQL,
+    "events_funnel": relational.EVENTS_FUNNEL_SQL,
 }
 
 

@@ -315,3 +315,11 @@ class GdalosSpark:
     def disjunctive_revenue(self) -> DataFrame:
         """TPC-H Q19-shape OR-of-AND revenue bands."""
         return relational.disjunctive_revenue(self.spark, self.sf_dir)
+
+    def stream_sessions_native(self) -> DataFrame:
+        """Built-in session_window sessionization (JVM state)."""
+        return streaming_events.streaming_session_window(self.spark, self.sf_dir)
+
+    def funnel(self) -> DataFrame:
+        """Ordered signup->click->purchase conversion funnel."""
+        return relational.events_funnel(self.spark, self.sf_dir)

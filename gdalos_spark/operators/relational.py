@@ -911,3 +911,87 @@ FROM per_arm
 
 
 DISJUNCTIVE_REVENUE_SQL = _q19_sql()
+
+
+# ---------------------------------------------------------------------------
+# 115. events_funnel — ordered multi-step conversion funnel
+#     (the standard product-analytics query: per user, earliest signup,
+#     then earliest click AFTER it, then earliest purchase after that;
+#     stage reached + step latencies)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: step k's timestamp is the MIN event time
+    of its type that falls AFTER step k-1's timestamp — three
+    conditional-min aggregations, each a groupBy on user_id, chained by
+    equi-joins on user_id. At scale all three aggs and joins share the
+    user_id partitioning, so the chain is one shuffle followed by
+    co-partitioned stages; no windows over whole-user event lists are
+    materialized. Unreached steps report -1; stage counts how many steps
+    completed."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr(
+        "unix_micros(ts)"
+    ).cast("bigint")
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    s1 = (
+        base.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id").agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        base.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        base.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    out = (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        (F.col("t1") / 1_000_000).cast("bigint").alias("t1_sec"),
+        F.coalesce((F.col("t2") / 1_000_000).cast("bigint"), F.lit(-1)).alias("t2_sec"),
+        F.coalesce((F.col("t3") / 1_000_000).cast("bigint"), F.lit(-1)).alias("t3_sec"),
+        stage.cast("int").alias("stage"),
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM base
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT b.user_id, MIN(us) AS t2 FROM base b JOIN s1 USING (user_id)
+  WHERE b.event_type = '{FUNNEL_STEPS[1]}' AND b.us > s1.t1 GROUP BY b.user_id
+),
+s3 AS (
+  SELECT b.user_id, MIN(us) AS t3 FROM base b JOIN s2 USING (user_id)
+  WHERE b.event_type = '{FUNNEL_STEPS[2]}' AND b.us > s2.t2 GROUP BY b.user_id
+)
+SELECT s1.user_id,
+       CAST(t1 // 1000000 AS BIGINT) AS t1_sec,
+       CAST(COALESCE(t2 // 1000000, -1) AS BIGINT) AS t2_sec,
+       CAST(COALESCE(t3 // 1000000, -1) AS BIGINT) AS t3_sec,
+       CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""

@@ -483,3 +483,96 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND c.ts <= p.ts
  AND c.ts >= p.ts - INTERVAL {SSJOIN_RANGE_H} HOUR
 """
+
+
+# ---------------------------------------------------------------------------
+# 114. streaming_session_window — built-in session windows (JVM state)
+# ---------------------------------------------------------------------------
+
+SW_QUERY_NAME = "gdalos_stream_session_window"
+SW_GAP_SEC = 1800  # same 30-minute gap as the sessionize family
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN session_window — the
+    declarative JVM-state twin of streaming_sessionize's
+    applyInPandasWithState: merging, state layout, and eviction all
+    happen inside the native streaming aggregation (no Python in the
+    loop), which is the first choice at 100 TB; the custom-state op
+    remains for semantics session_window can't express. Append mode
+    emits a session once the watermark passes its end (last event +
+    gap); with a zero watermark over availableNow that is every session
+    whose end <= max event time, which the oracle reproduces as a
+    gaps-and-islands aggregation with the same tail filter. Only
+    integer-epoch and exact-decimal columns are emitted."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == SW_QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    ev = stream.select(
+        "user_id",
+        "value",
+        F.timestamp_micros(epoch_micros(stream)).alias("ts"),
+    ).withWatermark("ts", "0 seconds")
+    agg = ev.groupBy(
+        F.session_window("ts", f"{SW_GAP_SEC} seconds"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    ).select(
+        "user_id",
+        F.expr("unix_micros(session_window.start) div 1000000").cast("bigint").alias("start_sec"),
+        F.expr("unix_micros(session_window.end) div 1000000").cast("bigint").alias("end_sec"),
+        "n_events",
+        "session_value",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(SW_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(SW_QUERY_NAME)
+
+
+STREAMING_SESSION_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT user_id, value, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, value, us,
+    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > {SW_GAP_SEC} * 1000000
+           OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, value, us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id,
+         MIN(us) // 1000000 AS start_sec,
+         (MAX(us) + {SW_GAP_SEC} * 1000000) // 1000000 AS end_sec,
+         MAX(us) + {SW_GAP_SEC} * 1000000 AS end_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM sess GROUP BY user_id, sid
+),
+horizon AS (SELECT MAX(us) AS max_us FROM e)
+SELECT user_id, CAST(start_sec AS BIGINT) AS start_sec,
+       CAST(end_sec AS BIGINT) AS end_sec, n_events, session_value
+FROM sessions CROSS JOIN horizon
+WHERE end_us <= max_us
+"""

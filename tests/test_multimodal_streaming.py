@@ -137,3 +137,14 @@ def test_streaming_stream_join_matches_oracle(spark, ducks):
         E.queries()["streaming_stream_join"],
         E.oracle_sql()["streaming_stream_join"],
     )
+
+
+def test_streaming_session_window_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["streaming_session_window"],
+        E.oracle_sql()["streaming_session_window"],
+    )

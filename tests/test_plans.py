@@ -207,3 +207,24 @@ def test_round4_candidate_joins_stay_equi(spark):
         df = q(spark, key)
         assert_no_cartesian(df)
     assert_broadcast_join(q(spark, "ann_ivfpq_topk"))
+
+
+def test_q19_single_pass_rollup(spark):
+    """Disjunctive arms must not expand to a union of scans: one Expand
+    (rollup) node, broadcast dim join, no cartesian."""
+    df = q(spark, "disjunctive_revenue")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+
+
+def test_export_shards_single_shuffle(spark):
+    """Shard manifest: exactly one hash exchange (on the shard id)."""
+    import re
+
+    from gdalos_spark.plans.asserts import explain_str
+
+    plan = explain_str(q(spark, "export_jsonl_shards"), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

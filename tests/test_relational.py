@@ -115,3 +115,28 @@ def test_disjunctive_revenue_total_is_arm_sum(spark):
 
     rows = {r.arm: r for r in E.queries()["disjunctive_revenue"](spark, SF_DIR).collect()}
     assert rows[0].n_items == sum(r.n_items for a, r in rows.items() if a != 0)
+
+
+def test_events_funnel_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["events_funnel"],
+        E.oracle_sql()["events_funnel"],
+    )
+
+
+def test_events_funnel_step_ordering(spark):
+    """Step timestamps must be strictly increasing where reached."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    for r in E.queries()["events_funnel"](spark, SF_DIR).collect():
+        if r.stage >= 2:
+            assert r.t2_sec >= r.t1_sec
+        if r.stage == 3:
+            assert r.t3_sec >= r.t2_sec
+        if r.stage < 3:
+            assert r.t3_sec == -1
