@@ -60,6 +60,7 @@ _QUERIES: dict[str, QueryFn] = {
     "disjunctive_revenue": relational.disjunctive_revenue,
     "streaming_session_window": streaming_events.streaming_session_window,
     "events_funnel": relational.events_funnel,
+    "multimodal_manifest": multimodal.multimodal_manifest,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -299,6 +300,7 @@ _ORACLES: dict[str, str] = {
     "disjunctive_revenue": relational.DISJUNCTIVE_REVENUE_SQL,
     "streaming_session_window": streaming_events.STREAMING_SESSION_WINDOW_SQL,
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
+    "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
 }
 
 

@@ -323,3 +323,7 @@ class GdalosSpark:
     def funnel(self) -> DataFrame:
         """Ordered signup->click->purchase conversion funnel."""
         return relational.events_funnel(self.spark, self.sf_dir)
+
+    def media_manifest(self) -> DataFrame:
+        """Magic-byte + size manifest over the media lake's binary column."""
+        return multimodal_ops.multimodal_manifest(self.spark, self.sf_dir)

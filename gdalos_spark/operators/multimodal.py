@@ -229,3 +229,72 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 116. multimodal_manifest — media-lake manifest over the binary column
+#     (the first fully oracle-gated entry of the multimodal family: the
+#     scan that inventories a media lake before any decode — per
+#     (media_type, magic-byte signature): counts and payload size stats.
+#     Magic-byte sniffing is the same dispatch _decode_real uses, done
+#     JVM-side on the binary column.)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest aggregation over the opaque payload column: group by
+    (media_type, first-2-bytes hex signature) and report item count and
+    byte-size stats. Everything is JVM-side binary functions (substring
+    on BINARY, hex, octet length) — the payload is never decoded and
+    never leaves the scan stage except as its 2-byte prefix and its
+    length, which is what makes this viable as the FIRST pass over a
+    100 TB media lake. avg_bytes is the exact integer-sum division."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            "media_type",
+            F.hex(F.expr("substring(payload, 1, 2)")).alias("magic_hex"),
+            F.length("payload").cast("bigint").alias("blen"),
+        )
+        .groupBy("media_type", "magic_hex")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("blen").alias("total_bytes"),
+            F.min("blen").alias("min_bytes"),
+            F.max("blen").alias("max_bytes"),
+        )
+        .select(
+            "media_type", "magic_hex",
+            F.col("n_items").cast("bigint").alias("n_items"),
+            "total_bytes", "min_bytes", "max_bytes",
+            (F.col("total_bytes").cast("double") / F.col("n_items").cast("double")).alias("avg_bytes"),
+        )
+    )
+
+
+MULTIMODAL_MANIFEST_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         encode(text) AS payload,
+         -- DuckDB substring() has no BLOB overload; the corpus is ASCII,
+         -- so the first 2 payload bytes == the first 2 text chars encoded
+         upper(to_hex(encode(substr(text, 1, 2)))) AS magic_hex
+  FROM documents
+),
+sized AS (
+  SELECT media_type, magic_hex,
+         CAST(octet_length(payload) AS BIGINT) AS blen
+  FROM media
+)
+SELECT media_type, magic_hex,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(blen) AS BIGINT) AS total_bytes,
+       MIN(blen) AS min_bytes,
+       MAX(blen) AS max_bytes,
+       CAST(SUM(blen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bytes
+FROM sized
+GROUP BY media_type, magic_hex
+"""

@@ -148,3 +148,29 @@ def test_streaming_session_window_matches_oracle(spark, ducks):
         E.queries()["streaming_session_window"],
         E.oracle_sql()["streaming_session_window"],
     )
+
+
+def test_multimodal_manifest_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["multimodal_manifest"],
+        E.oracle_sql()["multimodal_manifest"],
+    )
+
+
+def test_multimodal_manifest_partitions_the_lake(spark):
+    """Every media row lands in exactly one manifest group and totals
+    reconcile with the underlying table."""
+    import __spark_entry__ as E
+    from gdalos_spark.operators.multimodal import media_table
+    from tests.conftest import SF_DIR
+
+    rows = E.queries()["multimodal_manifest"](spark, SF_DIR).collect()
+    n = media_table(spark, SF_DIR).count()
+    assert sum(r.n_items for r in rows) == n
+    for r in rows:
+        assert r.min_bytes <= r.max_bytes
+        assert r.min_bytes * r.n_items <= r.total_bytes <= r.max_bytes * r.n_items
