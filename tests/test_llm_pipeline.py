@@ -347,3 +347,28 @@ def test_dsir_target_slice_scores_higher(spark):
     assert sum(tgt) / len(tgt) > sum(oth) / len(oth)
     for r in rows:
         assert (r.selected == 1) == (r.logw_bits > 0)
+
+
+def test_polynomial_log2_property(spark):
+    """Property check of the engine-neutral log2: for random integers
+    the staged bit-length + atanh-Horner polynomial must track
+    math.log2 to well inside the 1e-6 micro-unit, across the whole
+    magnitude range the tf/N counts can take."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.operators.text import _log2_col
+
+    sh = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**52))
+    def check(n):
+        df = spark.range(1).select(F.lit(n).cast("bigint").alias("a"))
+        got = _log2_col(df, "a", "lg", sh).collect()[0]["lg"]
+        assert abs(got - math.log2(n)) < 2e-8, (n, got)
+
+    check()
