@@ -61,6 +61,7 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_session_window": streaming_events.streaming_session_window,
     "events_funnel": relational.events_funnel,
     "multimodal_manifest": multimodal.multimodal_manifest,
+    "text_bm25_topk": text.text_bm25_topk,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -301,6 +302,7 @@ _ORACLES: dict[str, str] = {
     "streaming_session_window": streaming_events.STREAMING_SESSION_WINDOW_SQL,
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
     "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
+    "text_bm25_topk": text.TEXT_BM25_TOPK_SQL,
 }
 
 

@@ -327,3 +327,7 @@ class GdalosSpark:
     def media_manifest(self) -> DataFrame:
         """Magic-byte + size manifest over the media lake's binary column."""
         return multimodal_ops.multimodal_manifest(self.spark, self.sf_dir)
+
+    def bm25(self) -> DataFrame:
+        """BM25 top-k relevance ranking against the fixed query set."""
+        return text.text_bm25_topk(self.spark, self.sf_dir)

@@ -996,3 +996,139 @@ FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 
 
 TEXT_DSIR_IMPORTANCE_SQL = _dsir_sql()
+
+
+# ---------------------------------------------------------------------------
+# 117. text_bm25_topk — BM25 relevance ranking against a query term set
+#     (the classic IR scoring function — Robertson/Sparck Jones; the
+#     retrieval side of a data pipeline: rank corpus docs for a query)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "window", "join")
+BM25_K1_X10 = 12  # k1 = 1.2, kept as integers so literals stay exact
+BM25_B_X100 = 75  # b = 0.75
+BM25_TOPK = 25
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k: score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    idf uses the exact odd-integer trick: (N−df+0.5)/(df+0.5) =
+    (2N−2df+1)/(2df+1), both odd integers, so idf = lg2(2N−2df+1) −
+    lg2(2df+1) comes from the engine-neutral polynomial log2 (log base
+    only rescales scores — ranking is unchanged). The saturation term is
+    one IEEE expression over exact integers (k1/b spelled as
+    CAST(12 AS DOUBLE)/10 etc. — never bare decimal literals, which
+    Spark parses as DECIMAL). Per-term scores round once to micro-units
+    and sum as BIGINT; final ranking is (score_u DESC, doc_id) — an
+    integer sort. Plan: doc tokens filtered to the tiny query set before
+    any aggregation (the scan's data filter), df/sizes broadcast,
+    TakeOrderedAndProject for the top-k."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    occ = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    sizes = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qset = list(BM25_QUERY)
+    qocc = occ.filter(F.col("tok").isin(qset))
+    tf = qocc.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = qocc.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    j = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id", "tok", "tf",
+            (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1)).alias("idf_num"),
+            (F.lit(2) * F.col("df") + F.lit(1)).alias("idf_den"),
+            "dl", "n_docs", "total_len",
+        )
+    )
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    j = _log2_col(j, "idf_num", "lg_num", spark_shift)
+    j = _log2_col(j, "idf_den", "lg_den", spark_shift)
+    sat = (
+        "(CAST(tf AS DOUBLE) * (CAST({k1} AS DOUBLE) / 10.0 + 1.0)) / "
+        "(CAST(tf AS DOUBLE) + (CAST({k1} AS DOUBLE) / 10.0) * "
+        "(1.0 - CAST({b} AS DOUBLE) / 100.0 + (CAST({b} AS DOUBLE) / 100.0) * "
+        "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))))"
+    ).format(k1=BM25_K1_X10, b=BM25_B_X100)
+    scored = j.select(
+        "doc_id",
+        F.round(
+            (F.col("lg_num") - F.col("lg_den")) * F.expr(sat) * 1_000_000.0
+        ).cast("bigint").alias("score_u"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("score_u").alias("score_u"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.desc("score_u"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "rank", "doc_id",
+            (F.col("score_u").cast("double") / 1_000_000.0).alias("bm25"),
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    sat = (
+        "(CAST(tf AS DOUBLE) * (CAST({k1} AS DOUBLE) / 10.0 + 1.0)) / "
+        "(CAST(tf AS DOUBLE) + (CAST({k1} AS DOUBLE) / 10.0) * "
+        "(1.0 - CAST({b} AS DOUBLE) / 100.0 + (CAST({b} AS DOUBLE) / 100.0) * "
+        "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(total_len AS DOUBLE))))"
+    ).format(k1=BM25_K1_X10, b=BM25_B_X100)
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+sizes AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+qocc AS (SELECT doc_id, tok FROM occ WHERE tok IN ({qlist})),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qocc GROUP BY doc_id, tok),
+df_t AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qocc GROUP BY tok),
+j AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         2 * n_docs - 2 * df + 1 AS idf_num,
+         2 * df + 1 AS idf_den,
+         dl.dl, n_docs, total_len
+  FROM tf t JOIN df_t USING (tok) JOIN dl ON t.doc_id = dl.doc_id
+  CROSS JOIN sizes
+),
+ln_ AS (SELECT doc_id, tok, tf, idf_den, dl, n_docs, total_len,
+               {_log2_lateral_sql('idf_num', 'lg_num')} FROM j),
+ld_ AS (SELECT doc_id, tok, tf, dl, n_docs, total_len, lg_num,
+               {_log2_lateral_sql('idf_den', 'lg_den')} FROM ln_),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND((lg_num - lg_den) * {sat} * 1000000.0) AS BIGINT) AS score_u
+  FROM ld_
+),
+per_doc AS (
+  SELECT doc_id, SUM(score_u) AS score_u, COUNT(*) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score_u, n_terms_hit,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS INTEGER) AS rank
+  FROM per_doc
+)
+SELECT rank, doc_id,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS bm25,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+
+TEXT_BM25_TOPK_SQL = _bm25_sql()

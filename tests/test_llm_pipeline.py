@@ -372,3 +372,24 @@ def test_polynomial_log2_property(spark):
         assert abs(got - math.log2(n)) < 2e-8, (n, got)
 
     check()
+
+
+def test_bm25_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["text_bm25_topk"],
+        entrymod.oracle_sql()["text_bm25_topk"],
+    )
+
+
+def test_bm25_ranks_are_dense_and_score_ordered(spark):
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        entrymod.queries()["text_bm25_topk"](spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.bm25 > b.bm25 or (a.bm25 == b.bm25 and a.doc_id < b.doc_id)
