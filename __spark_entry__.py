@@ -62,6 +62,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_funnel": relational.events_funnel,
     "multimodal_manifest": multimodal.multimodal_manifest,
     "text_bm25_topk": text.text_bm25_topk,
+    "split_leakage_report": pipeline.split_leakage_report,
+    "events_retention": relational.events_retention,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -303,6 +305,8 @@ _ORACLES: dict[str, str] = {
     "events_funnel": relational.EVENTS_FUNNEL_SQL,
     "multimodal_manifest": multimodal.MULTIMODAL_MANIFEST_SQL,
     "text_bm25_topk": text.TEXT_BM25_TOPK_SQL,
+    "split_leakage_report": pipeline.SPLIT_LEAKAGE_REPORT_SQL,
+    "events_retention": relational.EVENTS_RETENTION_SQL,
 }
 
 

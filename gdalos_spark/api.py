@@ -331,3 +331,11 @@ class GdalosSpark:
     def bm25(self) -> DataFrame:
         """BM25 top-k relevance ranking against the fixed query set."""
         return text.text_bm25_topk(self.spark, self.sf_dir)
+
+    def audit_split(self) -> DataFrame:
+        """Train/val split with near-duplicate leakage audit."""
+        return pipeline_ops.split_leakage_report(self.spark, self.sf_dir)
+
+    def retention(self) -> DataFrame:
+        """Cohort retention matrix over the events stream."""
+        return relational.events_retention(self.spark, self.sf_dir)

@@ -517,3 +517,103 @@ FROM j
 
 
 CORPUS_CURATION_REPORT_SQL = _curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# 118. split_leakage_report — train/val split + near-dup leakage audit
+#     (the step every training pipeline must run: a deterministic holdout
+#     split is only valid if no near-duplicate pair straddles it — a
+#     leaked twin inflates eval scores exactly like benchmark
+#     contamination does)
+# ---------------------------------------------------------------------------
+
+SPLIT_VAL_BUCKETS = 2  # md5 bucket < 2 of 10 -> ~20% validation
+SPLIT_MOD = 10
+SPLIT_LEAK_JACCARD = 0.5  # near-dup threshold for a leaked pair
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split (md5(doc_id) bucket — reproducible
+    across runs, the corpus_sample_stratified discipline) audited for
+    near-duplicate leakage: every MinHash-LSH candidate pair with
+    est_jaccard >= SPLIT_LEAK_JACCARD whose endpoints land in different
+    splits is a leak. Output is one row per (split_a, split_b) pair
+    class with doc/pair counts — the go/no-go summary a pipeline gates
+    its eval on. Reuses the persisted signature table's band equi-join;
+    the split assignment is a map-side hash, so the audit adds ONE
+    small join on doc ids to the dedup pass it piggybacks on."""
+    from gdalos_spark.functions import hashing
+    from gdalos_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        F.when(
+            hashing.md5_int60(F.col("doc_id").cast("string")) % SPLIT_MOD
+            < SPLIT_VAL_BUCKETS,
+            "val",
+        ).otherwise("train").alias("split"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= SPLIT_LEAK_JACCARD
+    )
+    labeled = (
+        pairs.join(split.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("split", "split_a"), "doc_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("split", "split_b"), "doc_b")
+    )
+    pair_counts = labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = split.groupBy(F.col("split").alias("split_a")).agg(
+        F.count(F.lit(1)).alias("n_docs_a")
+    )
+    return (
+        pair_counts.join(doc_counts, "split_a", "left")
+        .select(
+            "split_a", "split_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_docs_a").cast("bigint").alias("n_docs_a"),
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("is_leak"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from gdalos_spark.functions import hashing
+    from gdalos_spark.operators.dedup import DEDUP_MINHASH_LSH_SQL
+
+    h = hashing.md5_int60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN {h} % {SPLIT_MOD} < {SPLIT_VAL_BUCKETS}
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+  WHERE est_jaccard >= {SPLIT_LEAK_JACCARD}
+),
+labeled AS (
+  SELECT sa.split AS split_a, sb.split AS split_b
+  FROM pairs p
+  JOIN split sa ON p.doc_a = sa.doc_id
+  JOIN split sb ON p.doc_b = sb.doc_id
+),
+pair_counts AS (
+  SELECT split_a, split_b, COUNT(*) AS n_pairs FROM labeled GROUP BY 1, 2
+),
+doc_counts AS (
+  SELECT split AS split_a, COUNT(*) AS n_docs_a FROM split GROUP BY 1
+)
+SELECT p.split_a, p.split_b,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(d.n_docs_a AS BIGINT) AS n_docs_a,
+       CAST(CASE WHEN p.split_a <> p.split_b THEN 1 ELSE 0 END AS INTEGER) AS is_leak
+FROM pair_counts p LEFT JOIN doc_counts d USING (split_a)
+"""
+
+
+SPLIT_LEAKAGE_REPORT_SQL = _split_leakage_sql()

@@ -995,3 +995,63 @@ SELECT s1.user_id,
 FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
 LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 119. events_retention — cohort retention matrix
+#     (the standard growth-analytics rollup: users grouped by first-seen
+#     week, activity counted per week offset)
+# ---------------------------------------------------------------------------
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: each user's cohort is the ISO week-bucket of
+    their first event; for every (cohort, week offset) the matrix counts
+    distinct active users. Two aggs: first-seen per user (groupBy user),
+    then distinct users per (cohort, offset) — both shuffle on bounded
+    keys; weeks are integer epoch-week buckets so everything is exact
+    integer math."""
+    ev = load(spark, sf_dir, "events")
+    wk = (F.expr("unix_micros(ts)") / F.lit(604_800_000_000)).cast("bigint")
+    base = ev.select("user_id", wk.alias("wk"))
+    first = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = base.join(first, "user_id").select(
+        "user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk")
+    )
+    cohort_sizes = first.groupBy("cohort_wk").agg(
+        F.countDistinct("user_id").alias("cohort_n")
+    )
+    cells = joined.groupBy("cohort_wk", "offset_wk").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return cells.join(cohort_sizes, "cohort_wk").select(
+        "cohort_wk", "offset_wk",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_n").cast("bigint").alias("cohort_n"),
+        (F.col("n_active").cast("double") / F.col("cohort_n").cast("double")).alias("retention"),
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH base AS (
+  SELECT user_id, CAST((epoch_ns(ts) // 1000) // 604800000000 AS BIGINT) AS wk
+  FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM base GROUP BY user_id),
+joined AS (
+  SELECT b.user_id, f.cohort_wk, b.wk - f.cohort_wk AS offset_wk
+  FROM base b JOIN first f USING (user_id)
+),
+cohort_sizes AS (
+  SELECT cohort_wk, COUNT(DISTINCT user_id) AS cohort_n FROM first GROUP BY cohort_wk
+),
+cells AS (
+  SELECT cohort_wk, offset_wk, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_wk, offset_wk
+)
+SELECT c.cohort_wk, c.offset_wk,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_n AS BIGINT) AS cohort_n,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE) AS retention
+FROM cells c JOIN cohort_sizes s USING (cohort_wk)
+"""

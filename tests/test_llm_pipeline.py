@@ -393,3 +393,21 @@ def test_bm25_ranks_are_dense_and_score_ordered(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     for a, b in zip(rows, rows[1:]):
         assert a.bm25 > b.bm25 or (a.bm25 == b.bm25 and a.doc_id < b.doc_id)
+
+
+def test_split_leakage_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark, ducks,
+        entrymod.queries()["split_leakage_report"],
+        entrymod.oracle_sql()["split_leakage_report"],
+    )
+
+
+def test_split_leakage_flags_cross_split_pairs(spark):
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["split_leakage_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r.is_leak == 1) == (r.split_a != r.split_b)
+        assert r.n_pairs > 0 and r.n_docs_a > 0

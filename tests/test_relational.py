@@ -140,3 +140,26 @@ def test_events_funnel_step_ordering(spark):
             assert r.t3_sec >= r.t2_sec
         if r.stage < 3:
             assert r.t3_sec == -1
+
+
+def test_events_retention_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["events_retention"],
+        E.oracle_sql()["events_retention"],
+    )
+
+
+def test_events_retention_bounds(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    rows = E.queries()["events_retention"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_n
+        assert 0.0 < r.retention <= 1.0
+        assert r.offset_wk >= 0
