@@ -42,6 +42,15 @@ class GdalosSpark:
         self.spark = spark
         self.sf_dir = sf_dir
 
+    def register_views(self) -> None:
+        """Register every testdata table as a temp view so users can run
+        plain ``spark.sql(...)`` against the same data the operator
+        library reads — the SQL front door next to the verb API."""
+        from gdalos_spark.datamodel import TABLES, load
+
+        for name in TABLES:
+            load(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
+
     # --- gdalos_trans family (translate = crop/warp/overview/scale) ---
     def crop(self) -> DataFrame:
         return raster.raster_crop(self.spark, self.sf_dir)

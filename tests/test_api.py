@@ -54,3 +54,16 @@ def test_round4_facade_verbs(spark):
     ):
         assert getattr(eng, verb)().count() > 0, verb
     assert eng.ann("ivfpq").count() > 0
+
+
+def test_register_views_enables_plain_sql(spark):
+    from gdalos_spark.api import GdalosSpark
+    from tests.conftest import SF_DIR
+
+    GdalosSpark(spark, SF_DIR).register_views()
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]
+    assert row.n > 0
+    # events view carries the normalized zone-stable timestamp
+    assert spark.sql("SELECT MIN(ts) AS t FROM events").collect()[0].t is not None
