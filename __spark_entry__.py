@@ -64,6 +64,7 @@ _QUERIES: dict[str, QueryFn] = {
     "text_bm25_topk": text.text_bm25_topk,
     "split_leakage_report": pipeline.split_leakage_report,
     "events_retention": relational.events_retention,
+    "raster_flow_direction": raster.raster_flow_direction,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -307,6 +308,7 @@ _ORACLES: dict[str, str] = {
     "text_bm25_topk": text.TEXT_BM25_TOPK_SQL,
     "split_leakage_report": pipeline.SPLIT_LEAKAGE_REPORT_SQL,
     "events_retention": relational.EVENTS_RETENTION_SQL,
+    "raster_flow_direction": raster.RASTER_FLOW_DIRECTION_SQL,
 }
 
 

@@ -348,3 +348,7 @@ class GdalosSpark:
     def retention(self) -> DataFrame:
         """Cohort retention matrix over the events stream."""
         return relational.events_retention(self.spark, self.sf_dir)
+
+    def flow_direction(self) -> DataFrame:
+        """D8 steepest-descent flow direction over the DEM grid."""
+        return raster.raster_flow_direction(self.spark, self.sf_dir)

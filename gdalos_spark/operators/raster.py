@@ -2041,3 +2041,101 @@ FROM labeled t JOIN sizes s USING (region_id)
 
 
 RASTER_SIEVE_SQL = _sieve_sql()
+
+
+# ---------------------------------------------------------------------------
+# 120. raster_flow_direction — D8 steepest-descent flow direction
+#     (the hydrology companion of the gdaldem stencil family: each cell
+#     drains toward the neighbor with the steepest drop; direction codes
+#     are the ESRI/D8 powers of two)
+# ---------------------------------------------------------------------------
+
+# (dx, dy, code): D8 code is 2^k clockwise from east
+_D8 = (
+    (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+    (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128),
+)
+
+
+def raster_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction: one broadcast 8-row offset join + one groupBy
+    on the center cell (identical shape to the Horn stencil — never 8
+    self-joins). The drop to each neighbor stays exact DECIMAL; diagonal
+    distance is handled by comparing CROSS-MULTIPLIED integer-scaled
+    drops (drop_straight * 99 vs drop_diag * 70, the 1/sqrt(2) ~ 70/99
+    rational approximation) so the argmax never touches a float. Ties
+    and flat/pit cells resolve to the smallest code / code 0 — the D8
+    contract. Only complete 8-neighborhoods are emitted."""
+    g = _dem_decimal(spark, sf_dir)
+    offsets = spark.createDataFrame(
+        [(dx, dy, code, 1 if dx * dy != 0 else 0) for dx, dy, code in _D8],
+        "dx int, dy int, code int, is_diag int",
+    )
+    contrib = (
+        g.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("px") - F.col("dx")).alias("tx"),
+            (F.col("py") - F.col("dy")).alias("ty"),
+            F.col("zd").alias("nz"),
+            "code", "is_diag",
+        )
+    )
+    center = g.select(
+        F.col("px").alias("tx"), F.col("py").alias("ty"), F.col("zd").alias("cz")
+    )
+    # scaled drop: straight neighbors x99, diagonals x70 (99/70 ~ sqrt 2)
+    joined = contrib.join(center, ["tx", "ty"]).select(
+        "tx", "ty", "code",
+        (
+            (F.col("cz") - F.col("nz"))
+            * F.when(F.col("is_diag") == 1, 70).otherwise(99)
+        ).alias("sdrop"),
+    )
+    agg = joined.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_nbr"),
+        F.max(F.struct(F.col("sdrop"), (-F.col("code")).alias("neg_code"))).alias("best"),
+    )
+    best_drop = F.col("best.sdrop")
+    best_code = (-F.col("best.neg_code")).cast("int")
+    return (
+        agg.filter(F.col("n_nbr") == 8)
+        .select(
+            F.col("tx").alias("px"),
+            F.col("ty").alias("py"),
+            F.when(best_drop > 0, best_code).otherwise(F.lit(0)).alias("flow_dir"),
+            (best_drop.cast("double") / 99.0).alias("scaled_drop"),
+        )
+    )
+
+
+def _flow_sql() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy}, {code}, {1 if dx * dy != 0 else 0})" for dx, dy, code in _D8
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DECIMAL(18,2)) AS zd FROM dem),
+offsets(dx, dy, code, is_diag) AS (VALUES {offs}),
+contrib AS (
+  SELECT px - dx AS tx, py - dy AS ty, zd AS nz, code, is_diag
+  FROM g CROSS JOIN offsets
+),
+joined AS (
+  SELECT c.tx, c.ty, c.code,
+         (g.zd - c.nz) * CASE WHEN c.is_diag = 1 THEN 70 ELSE 99 END AS sdrop
+  FROM contrib c JOIN g ON c.tx = g.px AND c.ty = g.py
+),
+agg AS (
+  SELECT tx, ty, COUNT(*) AS n_nbr,
+         MAX(struct_pack(sdrop := sdrop, neg_code := -code)) AS best
+  FROM joined GROUP BY tx, ty
+)
+SELECT tx AS px, ty AS py,
+       CASE WHEN best['sdrop'] > 0 THEN CAST(-best['neg_code'] AS INTEGER) ELSE 0 END AS flow_dir,
+       CAST(best['sdrop'] AS DOUBLE) / 99.0 AS scaled_drop
+FROM agg
+WHERE n_nbr = 8
+"""
+
+
+RASTER_FLOW_DIRECTION_SQL = _flow_sql()

@@ -169,3 +169,27 @@ def test_raster_sieve_regions_are_consistent(spark):
     for members in by_region.values():
         assert len({m.cls for m in members}) == 1
         assert all(m.region_size == len(members) for m in members)
+
+
+def test_raster_flow_direction_matches_oracle(spark, ducks):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks,
+        E.queries()["raster_flow_direction"],
+        E.oracle_sql()["raster_flow_direction"],
+    )
+
+
+def test_raster_flow_direction_codes_valid(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    valid = {0, 1, 2, 4, 8, 16, 32, 64, 128}
+    for r in E.queries()["raster_flow_direction"](spark, SF_DIR).collect():
+        assert r.flow_dir in valid
+        if r.flow_dir == 0:
+            assert r.scaled_drop <= 0
+        else:
+            assert r.scaled_drop > 0
