@@ -20,6 +20,8 @@ from gdalos_spark.operators import (
     raster,
     relational,
     similarity,
+    sketch,
+    temporal,
     text,
     viewshed,
 )
@@ -65,6 +67,16 @@ _QUERIES: dict[str, QueryFn] = {
     "split_leakage_report": pipeline.split_leakage_report,
     "events_retention": relational.events_retention,
     "raster_flow_direction": raster.raster_flow_direction,
+    # round-5 additions: temporal joins, sketches, substring dedup,
+    # Q21/Q22 shapes, bilinear resample
+    "asof_join_enrich": temporal.asof_join_enrich,
+    "interval_range_join": temporal.interval_range_join,
+    "sketch_hll_distinct": sketch.sketch_hll_distinct,
+    "sketch_kmv_distinct": sketch.sketch_kmv_distinct,
+    "dedup_substring": dedup.dedup_substring,
+    "late_supplier_blame": relational.late_supplier_blame,
+    "idle_customer_balance": relational.idle_customer_balance,
+    "raster_resample_bilinear": raster.raster_resample_bilinear,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -309,6 +321,14 @@ _ORACLES: dict[str, str] = {
     "split_leakage_report": pipeline.SPLIT_LEAKAGE_REPORT_SQL,
     "events_retention": relational.EVENTS_RETENTION_SQL,
     "raster_flow_direction": raster.RASTER_FLOW_DIRECTION_SQL,
+    "asof_join_enrich": temporal.ASOF_JOIN_ENRICH_SQL,
+    "interval_range_join": temporal.INTERVAL_RANGE_JOIN_SQL,
+    "sketch_hll_distinct": sketch.SKETCH_HLL_DISTINCT_SQL,
+    "sketch_kmv_distinct": sketch.SKETCH_KMV_DISTINCT_SQL,
+    "dedup_substring": dedup.DEDUP_SUBSTRING_SQL,
+    "late_supplier_blame": relational.LATE_SUPPLIER_BLAME_SQL,
+    "idle_customer_balance": relational.IDLE_CUSTOMER_BALANCE_SQL,
+    "raster_resample_bilinear": raster.RASTER_RESAMPLE_BILINEAR_SQL,
 }
 
 

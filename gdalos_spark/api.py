@@ -352,3 +352,53 @@ class GdalosSpark:
     def flow_direction(self) -> DataFrame:
         """D8 steepest-descent flow direction over the DEM grid."""
         return raster.raster_flow_direction(self.spark, self.sf_dir)
+
+    # --- round-5 verbs ---------------------------------------------------
+
+    def asof_enrich(self) -> DataFrame:
+        """Point-in-time-correct as-of join: latest prior click per
+        purchase (the join DuckDB spells ASOF JOIN; here one shuffle +
+        a running window)."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.asof_join_enrich(self.spark, self.sf_dir)
+
+    def range_attribution(self) -> DataFrame:
+        """Event-time range join: views within the hour before each
+        purchase, as a bucketed equi-join."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.interval_range_join(self.spark, self.sf_dir)
+
+    def distinct_hll(self) -> DataFrame:
+        """HyperLogLog distinct user-days per event type (deterministic
+        md5 registers, exact count alongside)."""
+        from gdalos_spark.operators import sketch
+
+        return sketch.sketch_hll_distinct(self.spark, self.sf_dir)
+
+    def distinct_kmv(self) -> DataFrame:
+        """KMV (k-minimum-values) distinct estimator next to the exact
+        count."""
+        from gdalos_spark.operators import sketch
+
+        return sketch.sketch_kmv_distinct(self.spark, self.sf_dir)
+
+    def dedup_spans(self) -> DataFrame:
+        """ExactSubstr-style duplicated-span report (Lee et al. 2021)."""
+        return dedup_ops.dedup_substring(self.spark, self.sf_dir)
+
+    def blame_late_suppliers(self) -> DataFrame:
+        """TPC-H Q21 shape: suppliers solely responsible for late
+        multi-supplier orders."""
+        return relational.late_supplier_blame(self.spark, self.sf_dir)
+
+    def idle_customers(self) -> DataFrame:
+        """TPC-H Q22 shape: above-average balances with no recent
+        orders, per nation."""
+        return relational.idle_customer_balance(self.spark, self.sf_dir)
+
+    def resample_bilinear(self) -> DataFrame:
+        """Bilinear warp of the DEM to a 96x96 grid (gdal 'bilinear'
+        resampleAlg) in exact rational arithmetic."""
+        return raster.raster_resample_bilinear(self.spark, self.sf_dir)

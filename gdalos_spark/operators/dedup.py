@@ -789,3 +789,141 @@ FROM cs LEFT JOIN better t ON cs.vec_id = t.vec_id
 
 
 SEMANTIC_DEDUP_SQL = _semantic_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring — ExactSubstr-style duplicated-span detection
+# ---------------------------------------------------------------------------
+
+SUB_NGRAM = 8  # word-gram granularity of the span scan
+SUB_SPAN_TOKENS = 50  # Lee et al. 2021 flag threshold (tokens)
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span report (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, find maximal runs of overlapping word 8-grams that occur
+    more than once in the corpus, and flag documents whose longest
+    duplicated span reaches 50 tokens.
+
+    The suffix-array of the paper is replaced by the shape Spark executes
+    well: overlapping grams with their position, hashed to 60-bit md5
+    ints (strings never shuffle), a self-frequency table (one hash-agg),
+    and a gaps-and-islands window per document to merge consecutive
+    duplicated positions into maximal spans — span_tokens = run + 7.
+
+    At 100 TB: the gram table is the same persisted artifact the
+    MinHash/contamination ops key on; the frequency agg and the
+    position window each shuffle once, on the 60-bit key and doc_id
+    respectively. Pair expansion never happens — frequency > 1 is a
+    property of the gram, not of a pair join.
+    """
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    gram_expr = (
+        "CASE WHEN size(words) >= {n} THEN "
+        "transform(sequence(0, size(words) - {n}), "
+        "i -> concat_ws(' ', slice(words, i + 1, {n}))) "
+        "ELSE array() END"
+    ).format(n=SUB_NGRAM)
+    grams = words.select(
+        "doc_id", F.posexplode_outer(F.expr(gram_expr)).alias("pos", "gram")
+    ).select("doc_id", "pos", hashing.md5_int60(F.col("gram")).alias("h"))
+    freq = grams.filter(F.col("h").isNotNull()).groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    flagged = grams.join(
+        freq.select(F.col("h").alias("fh"), "occ"), grams.h == F.col("fh"), "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("h").isNotNull().cast("int").alias("is_gram"),
+        (F.coalesce(F.col("occ"), F.lit(0)) > 1).cast("int").alias("is_dup"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    dup = flagged.filter(F.col("is_dup") == 1)
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum("is_gram").cast("bigint").alias("n_grams"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_grams"),
+    )
+    out = per_doc.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.when(
+            F.col("max_run").isNotNull(), F.col("max_run") + F.lit(SUB_NGRAM - 1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("longest_dup_span_tokens"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("longest_dup_span_tokens") >= SUB_SPAN_TOKENS).cast("int"),
+    )
+
+
+def _substring_sql() -> str:
+    gram = f"array_to_string(words[(i + 1):(i + {SUB_NGRAM})], ' ')"
+    return f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, {hashing.md5_int60_sql(gram)} AS h
+  FROM (
+    SELECT doc_id, words,
+           CAST(unnest(range(GREATEST(len(words) - {SUB_NGRAM} + 1, 0))) AS INTEGER) AS i
+    FROM w
+  )
+),
+freq AS (SELECT h, COUNT(*) AS occ FROM grams GROUP BY 1),
+flagged AS (
+  SELECT g.doc_id, g.pos, 1 AS is_gram,
+         CASE WHEN f.occ > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM grams g JOIN freq f USING (h)
+),
+runs AS (
+  SELECT doc_id, MAX(run_len) AS max_run FROM (
+    SELECT doc_id, island, COUNT(*) AS run_len FROM (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flagged WHERE is_dup = 1
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(is_gram), 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(SUM(is_dup), 0) AS BIGINT) AS n_dup_grams
+  FROM (SELECT doc_id FROM w) d
+  LEFT JOIN flagged f ON d.doc_id = f.doc_id
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams, p.n_dup_grams,
+       CAST(CASE WHEN r.max_run IS NOT NULL THEN r.max_run + {SUB_NGRAM - 1}
+                 ELSE 0 END AS BIGINT) AS longest_dup_span_tokens,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(p.n_dup_grams AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_gram_frac,
+       CAST(CASE WHEN CASE WHEN r.max_run IS NOT NULL THEN r.max_run + {SUB_NGRAM - 1} ELSE 0 END
+                  >= {SUB_SPAN_TOKENS} THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM per_doc p LEFT JOIN runs r ON p.doc_id = r.doc_id
+"""
+
+
+DEDUP_SUBSTRING_SQL = _substring_sql()

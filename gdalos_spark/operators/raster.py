@@ -2139,3 +2139,134 @@ WHERE n_nbr = 8
 
 
 RASTER_FLOW_DIRECTION_SQL = _flow_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_resample_bilinear — bilinear warp (gdal 'bilinear' resampleAlg)
+#    ref: /root/reference/src/gdalos/gdalos_trans.py:82 warp path takes a
+#    resampling alg; overview/warp 'bilinear' is the continuous-data
+#    default next to the 'average'/'mode' variants already covered.
+# ---------------------------------------------------------------------------
+
+BILIN_T = 96  # target size: 64 -> 96 (scale 2/3 source-per-target)
+
+
+def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resample of the DEM to a 96x96 grid, all-rational
+    arithmetic so both engines agree to the last bit.
+
+    Target center tx maps to source coordinate (4*tx - 1)/6 (the
+    standard (t+0.5)*src/dst - 0.5 center mapping at ratio 2/3), i.e.
+    fractional positions in SIXTHS: x0 = floor, fx in [0,6). The four
+    corner weights are the integer products (6-fx|fx) x (6-fy|fy) of a
+    /36 denominator, so value = sum(w * elev_cents) / 3600.0 is ONE
+    division of exact integers — no float interpolation anywhere.
+
+    Plan: the target grid (metadata-sized per tile) explodes to its <=4
+    corner contributions, equi-joins the DEM on the cell key (the same
+    co-partitioned join every stencil op uses; no cartesian), and one
+    groupBy on the target key sums the weighted cents. Edge handling is
+    GDAL's replicate-clamp; two corners clamping to one cell just sum
+    their weights. Cells absent from the sparse grid contribute 0
+    (nodata=0 fill), identical in the oracle by construction.
+    """
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
+    )
+    targets = spark.range(BILIN_T * BILIN_T).select(
+        F.expr(f"cast(id div {BILIN_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {BILIN_T} as int)").alias("ty"),
+    )
+    # shift keeps the dividend positive so integer div == floor
+    corners = (
+        targets.withColumn("x0", F.expr("(4*tx - 1 + 600) div 6 - 100"))
+        .withColumn("y0", F.expr("(4*ty - 1 + 600) div 6 - 100"))
+        .withColumn("fx", F.expr("(4*tx - 1) - 6*x0"))
+        .withColumn("fy", F.expr("(4*ty - 1) - 6*y0"))
+        .select(
+            "tx",
+            "ty",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x0").alias("cx"),
+                        F.col("y0").alias("cy"),
+                        ((F.lit(6) - F.col("fx")) * (F.lit(6) - F.col("fy"))).alias("w"),
+                    ),
+                    F.struct(
+                        (F.col("x0") + 1).alias("cx"),
+                        F.col("y0").alias("cy"),
+                        (F.col("fx") * (F.lit(6) - F.col("fy"))).alias("w"),
+                    ),
+                    F.struct(
+                        F.col("x0").alias("cx"),
+                        (F.col("y0") + 1).alias("cy"),
+                        ((F.lit(6) - F.col("fx")) * F.col("fy")).alias("w"),
+                    ),
+                    F.struct(
+                        (F.col("x0") + 1).alias("cx"),
+                        (F.col("y0") + 1).alias("cy"),
+                        (F.col("fx") * F.col("fy")).alias("w"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "tx",
+            "ty",
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("c.cx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("c.cy"))).alias("cy"),
+            F.col("c.w").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    joined = corners.join(
+        dem, (corners.cx == dem.px) & (corners.cy == dem.py), "inner"
+    )
+    return (
+        joined.groupBy("tx", "ty")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double") / F.lit(3600.0)
+            ).alias("elev_bilinear")
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def _bilinear_sql() -> str:
+    return f"""
+WITH dem AS (
+  SELECT px, py, CAST(ROUND(elev * 100, 0) AS BIGINT) AS cents
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
+  FROM range({BILIN_T}) x, range({BILIN_T}) y
+),
+base AS (
+  SELECT tx, ty,
+         (4*tx - 1 + 600) // 6 - 100 AS x0,
+         (4*ty - 1 + 600) // 6 - 100 AS y0,
+         (4*tx - 1) - 6*((4*tx - 1 + 600) // 6 - 100) AS fx,
+         (4*ty - 1) - 6*((4*ty - 1 + 600) // 6 - 100) AS fy
+  FROM t
+),
+corners AS (
+  SELECT tx, ty,
+         GREATEST(0, LEAST(63, x0 + dx)) AS cx,
+         GREATEST(0, LEAST(63, y0 + dy)) AS cy,
+         (CASE WHEN dx = 0 THEN 6 - fx ELSE fx END)
+         * (CASE WHEN dy = 0 THEN 6 - fy ELSE fy END) AS w
+  FROM base, (VALUES (0,0),(1,0),(0,1),(1,1)) AS d(dx, dy)
+),
+nz AS (SELECT * FROM corners WHERE w > 0)
+SELECT nz.tx, nz.ty,
+       CAST(SUM(nz.w * dem.cents) AS DOUBLE) / 3600.0 AS elev_bilinear
+FROM nz JOIN dem ON nz.cx = dem.px AND nz.cy = dem.py
+GROUP BY 1, 2
+ORDER BY tx, ty
+"""
+
+
+RASTER_RESAMPLE_BILINEAR_SQL = _bilinear_sql()

@@ -1055,3 +1055,146 @@ SELECT c.cohort_wk, c.offset_wk,
        CAST(c.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE) AS retention
 FROM cells c JOIN cohort_sizes s USING (cohort_wk)
 """
+
+
+# ---------------------------------------------------------------------------
+# late_supplier_blame — TPC-H Q21 shape (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+LATE_CUTOFF = "2000-07-01"
+BLAME_TOPK = 25
+
+
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely to blame for late multi-supplier orders (the
+    TPC-H Q21 plan shape: one fact scan driving a LEFT SEMI *and* a LEFT
+    ANTI self-join, then a broadcast dim join).
+
+    late = shipped on/after LATE_CUTOFF (the testdata lineitem carries
+    only l_shipdate). A supplier is blamed for a lineitem when some OTHER
+    supplier also contributed to the order (semi) and NO other supplier
+    was late on it (anti). Both correlated subqueries become self-joins
+    on l_orderkey — the fact shuffles on its natural key once, reused by
+    both joins; supplier is broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    late = li.filter(F.col("l_shipdate") >= F.lit(LATE_CUTOFF)).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = li.filter(F.col("l_shipdate") >= F.lit(LATE_CUTOFF)).select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    blamed = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_key"))
+            & (F.col("l_suppkey") != F.col("o_supp")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("lo_key"))
+            & (F.col("l_suppkey") != F.col("lo_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(sup), blamed.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(BLAME_TOPK)
+    )
+
+
+LATE_SUPPLIER_BLAME_SQL = f"""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_shipdate >= TIMESTAMP '{LATE_CUTOFF} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate >= TIMESTAMP '{LATE_CUTOFF} 00:00:00'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT {BLAME_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# idle_customer_balance — TPC-H Q22 shape (anti-join + scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+IDLE_SINCE = "2000-01-01"
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no RECENT orders (none since
+    IDLE_SINCE), grouped by nation — the TPC-H Q22 shape: scalar
+    aggregate subquery + LEFT ANTI join.
+
+    The positive-balance average is compared WITHOUT any float: balances
+    become exact cents, and c_cents * n > total_cents cross-multiplies
+    the average away — the 1-row (total, n) aggregate is broadcast via a
+    crossJoin, the orders anti-join shuffles on the customer key. At
+    scale the anti-join is the only data-sized shuffle.
+    """
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "c_cents", F.round(F.col("c_acctbal").cast("double") * 100, 0).cast("bigint")
+    )
+    avg_row = (
+        cust.filter(F.col("c_cents") > 0)
+        .agg(
+            F.sum("c_cents").cast("bigint").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IDLE_SINCE))
+        .select(F.col("o_custkey").alias("ok"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_row)).filter(
+        F.col("c_cents") * F.col("n_pos") > F.col("total_cents")
+    )
+    idle = rich.join(orders, rich.c_custkey == F.col("ok"), "left_anti")
+    return (
+        idle.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("c_cents").cast("double") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+IDLE_CUSTOMER_BALANCE_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100, 0) AS BIGINT) AS c_cents
+  FROM customer
+),
+avg_row AS (
+  SELECT CAST(SUM(c_cents) AS BIGINT) AS total_cents, COUNT(*) AS n_pos
+  FROM c WHERE c_cents > 0
+)
+SELECT CAST(c.c_nationkey AS INTEGER) AS nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(c.c_cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM c, avg_row
+WHERE c.c_cents * avg_row.n_pos > avg_row.total_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{IDLE_SINCE} 00:00:00')
+GROUP BY 1
+ORDER BY nationkey
+"""

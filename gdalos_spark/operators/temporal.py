@@ -1,0 +1,188 @@
+"""Temporal join operators Spark has no native form of: as-of join and
+event-time range join.
+
+The reference's job engine lines work up against each other by timestamp
+(`/root/reference/WHATDO.md` job ordering; `gdalos_trans.py` batch runs
+keyed by file mtime), and every training-data pipeline needs
+click->purchase attribution joins. DuckDB grew a native ASOF JOIN for
+exactly this; Spark did not — but both semantics decompose into shapes
+Catalyst executes well:
+
+* **as-of join** = union the state (click) and probe (purchase) streams,
+  sort within the key partition, carry the latest state forward with
+  ``last(..., ignorenulls=True)`` over a running row frame. ONE shuffle on
+  the join key, a within-partition sort, zero row fan-out — the merge-join
+  shape an as-of join wants at 100 TB. No range predicate ever reaches a
+  nested-loop join.
+* **range join** = coarse-bucket equi-join: the probe explodes to the
+  (ceil(range/bucket)+1 = 2) hour buckets its window can touch, the build
+  side keeps its own bucket, the join is a plain equi-join on
+  (key, bucket) refined by the exact bound afterwards. Candidate fan-out
+  is bounded by construction (2x probe rows), so the plan stays
+  BNLJ-free however large either side grows.
+
+Both operators keep event-time as exact epoch-microsecond BIGINTs
+(`unix_micros` / `epoch_us`) so no float ever orders or bounds a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import load
+
+# Attribution window for the range join: views within the hour before a
+# purchase. Bucket width equals the range so each probe touches 2 buckets.
+RANGE_US = 3_600_000_000
+
+
+def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, attach the most recent at-or-before click by the
+    same user (classic as-of / point-in-time-correct enrichment).
+
+    Plan: union state+probe rows -> one shuffle on user_id -> sorted
+    window carries (click event_id, ts, value) forward via three
+    last-ignore-nulls over the same running frame (null-gated together,
+    so all three come from the same latest click row). Probes with no
+    prior click keep NULLs — the LEFT semantics of an as-of join.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
+        "value",
+    )
+    # state rows sort before probe rows at equal ts => "at or before" is
+    # inclusive; event_id makes the order total.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click = lambda c: F.when(F.col("is_probe") == 0, F.col(c))  # noqa: E731
+    carried = base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "is_probe",
+        F.last(click("event_id"), ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(click("ts_us"), ignorenulls=True).over(w).alias("click_ts_us"),
+        F.last(click("value"), ignorenulls=True).over(w).alias("click_value"),
+    )
+    # no-prior-click probes keep LEFT semantics; NULLs surface as the
+    # documented -1 sentinels so every terminal column stays typed and
+    # order-comparable in downstream tooling
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.coalesce("click_ts_us", F.lit(-1)).alias("click_ts_us"),
+        F.coalesce(F.col("ts_us") - F.col("click_ts_us"), F.lit(-1)).alias("gap_us"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+    )
+
+
+ASOF_JOIN_ENRICH_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT event_id, user_id, ts_us, is_probe,
+    last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+      OVER win AS click_event_id,
+    last_value(CASE WHEN is_probe = 0 THEN ts_us END IGNORE NULLS)
+      OVER win AS click_ts_us,
+    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+      OVER win AS click_value
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, is_probe, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts_us AS purchase_ts_us,
+       COALESCE(click_event_id, -1) AS click_event_id,
+       COALESCE(click_ts_us, -1) AS click_ts_us,
+       COALESCE(ts_us - click_ts_us, -1) AS gap_us,
+       COALESCE(click_value, -1.0) AS click_value
+FROM w
+WHERE is_probe = 1
+"""
+
+
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views by the same user within the hour before each purchase
+    (event-time range join, the attribution-window shape).
+
+    Plan: probe side explodes to the 2 hour-buckets its window spans;
+    equi-join on (user_id, bucket); exact bound refined post-join; one
+    aggregation back to the probe grain. Left semantics (purchases with
+    zero views kept) survive because the exploded probe side drives a
+    LEFT join and COUNT counts only matched rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+    )
+    exploded = probes.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"(p_ts_us - {RANGE_US}) div {RANGE_US}"),
+                F.expr(f"p_ts_us div {RANGE_US}"),
+            )
+        ),
+    ).dropDuplicates(["purchase_event_id", "bucket"])
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("v_value"),
+        F.unix_micros("ts").alias("_vt"),
+    ).withColumn("v_bucket", F.expr(f"_vt div {RANGE_US}")).drop("_vt")
+    joined = exploded.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("bucket") == F.col("v_bucket"))
+        & (F.col("v_ts_us") >= F.col("p_ts_us") - RANGE_US)
+        & (F.col("v_ts_us") < F.col("p_ts_us")),
+        "left",
+    )
+    return joined.groupBy("purchase_event_id", "user_id", "p_ts_us").agg(
+        F.count("v_ts_us").alias("n_views_1h"),
+        F.coalesce(F.sum("v_value"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("views_value_1h"),
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        F.col("p_ts_us").alias("purchase_ts_us"),
+        "n_views_1h",
+        "views_value_1h",
+    )
+
+
+INTERVAL_RANGE_JOIN_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_ts_us
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, epoch_us(ts) AS v_ts_us,
+         CAST(value AS DECIMAL(18,2)) AS v_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_event_id, p.user_id, p.p_ts_us AS purchase_ts_us,
+       COUNT(v.v_ts_us) AS n_views_1h,
+       CAST(COALESCE(SUM(v.v_value), 0) AS DOUBLE) AS views_value_1h
+FROM p LEFT JOIN v
+  ON v.v_user = p.user_id
+ AND v.v_ts_us >= p.p_ts_us - {RANGE_US}
+ AND v.v_ts_us < p.p_ts_us
+GROUP BY 1, 2, 3
+"""

@@ -228,3 +228,56 @@ def test_export_shards_single_shuffle(spark):
 
     plan = explain_str(q(spark, "export_jsonl_shards"), "simple")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must be the union+window shape: exactly one
+    Exchange (on user_id) and NO join operator at all — the state is
+    carried by a running window, never by a range join that could
+    degenerate to BNLJ."""
+    df = q(spark, "asof_join_enrich")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct",
+                       "SortMergeJoin", "BroadcastHashJoin")
+
+
+def test_interval_range_join_is_equi_join(spark):
+    """The range join must run as a bucketed equi-join (hash/sort-merge
+    on (user, bucket)), never a nested-loop over the raw range bound."""
+    df = q(spark, "interval_range_join")
+    assert_no_cartesian(df)
+    assert_not_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_q21_q22_shapes(spark):
+    """Q21: both correlated EXISTS become semi/anti joins, supplier dim
+    broadcast. Q22: anti-join on orders, 1-row aggregate broadcast."""
+    assert_no_cartesian(q(spark, "late_supplier_blame"))
+    assert_not_in_plan(q(spark, "late_supplier_blame"), "BroadcastNestedLoopJoin")
+    assert_broadcast_join(q(spark, "late_supplier_blame"))
+    # Q22's scalar-average compare is a 1-ROW broadcast (the accepted
+    # bounded-build BNLJ shape); the data-sized orders anti-join must
+    # still be a hash join.
+    plan = assert_broadcast_join(q(spark, "idle_customer_balance"))
+    assert "LeftAnti" in plan, plan
+    assert_no_cartesian(q(spark, "idle_customer_balance"))
+
+
+def test_bilinear_resample_no_cartesian(spark):
+    assert_no_cartesian(q(spark, "raster_resample_bilinear"))
+    assert_not_in_plan(q(spark, "raster_resample_bilinear"),
+                       "BroadcastNestedLoopJoin")
+
+
+def test_hll_sketch_single_data_shuffle(spark):
+    """The HLL sketch at 100 TB: one data-sized shuffle (the partial-
+    deduped (type, bucket, h) pass feeding the exact-count comparison
+    column), then register-table-sized rollups only ((type, bucket) =
+    256 rows/group, then type). Pure HLL without the exact column would
+    be a single map-side-combined shuffle; the bound here pins that no
+    ADDITIONAL data-sized exchange (join, resort) sneaks in."""
+    df = q(spark, "sketch_hll_distinct")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Join" not in plan, plan
