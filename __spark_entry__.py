@@ -77,6 +77,9 @@ _QUERIES: dict[str, QueryFn] = {
     "late_supplier_blame": relational.late_supplier_blame,
     "idle_customer_balance": relational.idle_customer_balance,
     "raster_resample_bilinear": raster.raster_resample_bilinear,
+    "quantile_report": relational.quantile_report,
+    "sketch_kmv_jaccard": sketch.sketch_kmv_jaccard,
+    "raster_flow_path_length": raster.raster_flow_path_length,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
@@ -329,6 +332,9 @@ _ORACLES: dict[str, str] = {
     "late_supplier_blame": relational.LATE_SUPPLIER_BLAME_SQL,
     "idle_customer_balance": relational.IDLE_CUSTOMER_BALANCE_SQL,
     "raster_resample_bilinear": raster.RASTER_RESAMPLE_BILINEAR_SQL,
+    "quantile_report": relational.QUANTILE_REPORT_SQL,
+    "sketch_kmv_jaccard": sketch.SKETCH_KMV_JACCARD_SQL,
+    "raster_flow_path_length": raster.RASTER_FLOW_PATH_LENGTH_SQL,
 }
 
 

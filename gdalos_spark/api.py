@@ -402,3 +402,20 @@ class GdalosSpark:
         """Bilinear warp of the DEM to a 96x96 grid (gdal 'bilinear'
         resampleAlg) in exact rational arithmetic."""
         return raster.raster_resample_bilinear(self.spark, self.sf_dir)
+
+    def quantiles(self) -> DataFrame:
+        """Exact p50/p90/p99 value quantiles per event type (sort-based,
+        no engine percentile function)."""
+        return relational.quantile_report(self.spark, self.sf_dir)
+
+    def audience_jaccard(self) -> DataFrame:
+        """KMV-sketch Jaccard similarity between event-type audiences,
+        next to the exact value."""
+        from gdalos_spark.operators import sketch
+
+        return sketch.sketch_kmv_jaccard(self.spark, self.sf_dir)
+
+    def flow_path_length(self) -> DataFrame:
+        """Downstream flow path length per DEM cell via pointer jumping
+        (O(log path) rounds)."""
+        return raster.raster_flow_path_length(self.spark, self.sf_dir)

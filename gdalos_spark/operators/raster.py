@@ -2270,3 +2270,166 @@ ORDER BY tx, ty
 
 
 RASTER_RESAMPLE_BILINEAR_SQL = _bilinear_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_flow_path_length — downstream path length via pointer jumping
+#    (hydrology sibling of flow accumulation: how far does water from each
+#    cell travel before reaching a pit or leaving the grid; the parallel
+#    pointer-jumping trick makes the rounds O(log path), not O(path))
+# ---------------------------------------------------------------------------
+
+
+def raster_flow_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steps each cell's flow takes before terminating, plus the terminal
+    cell — computed in O(log longest-path) rounds by POINTER JUMPING:
+    every round, each cell's pointer jumps to its pointer's pointer and
+    accumulates its step count, doubling the distance covered. A
+    64-step path resolves in 6 rounds; a 100k-cell river at 100 TB in
+    ~17 — the same trick behind the large-star/small-star CC loop
+    (dedup_clusters), applied to a functional graph.
+
+    Terminals: flow_dir = 0 (pit/flat) or next cell outside the
+    flow_dir domain (drains off the tile edge). Each round is one
+    equi-join of the state table with itself on the pointer key +
+    localCheckpoint to cut lineage; convergence = no undone rows.
+
+    Oracle: recursive CTE walking ONE step at a time over the same
+    flow field (fine at 4k cells; the point of the Spark side is that
+    it never walks one step at a time).
+    """
+    fd = raster_flow_direction(spark, sf_dir).select("px", "py", "flow_dir")
+    step = {code: (dx, dy) for dx, dy, code in _D8}
+    dx_expr = F.create_map(
+        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
+    )[F.col("flow_dir")]
+    dy_expr = F.create_map(
+        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
+    )[F.col("flow_dir")]
+    nxt = fd.select(
+        "px",
+        "py",
+        "flow_dir",
+        F.when(F.col("flow_dir") == 0, F.col("px"))
+        .otherwise(F.col("px") + dx_expr)
+        .alias("nx"),
+        F.when(F.col("flow_dir") == 0, F.col("py"))
+        .otherwise(F.col("py") + dy_expr)
+        .alias("ny"),
+    )
+    domain = fd.select(F.col("px").alias("dpx"), F.col("py").alias("dpy"))
+    state = (
+        nxt.join(
+            domain,
+            (nxt.nx == domain.dpx) & (nxt.ny == domain.dpy),
+            "left",
+        )
+        .select(
+            "px",
+            "py",
+            # terminal: pit OR next off-domain -> pointer stays home
+            F.when(
+                (F.col("flow_dir") == 0) | F.col("dpx").isNull(), F.col("px")
+            ).otherwise(F.col("nx")).alias("cx"),
+            F.when(
+                (F.col("flow_dir") == 0) | F.col("dpx").isNull(), F.col("py")
+            ).otherwise(F.col("ny")).alias("cy"),
+            F.when(
+                (F.col("flow_dir") == 0) | F.col("dpx").isNull(), F.lit(0)
+            ).otherwise(F.lit(1)).cast("bigint").alias("steps"),
+            ((F.col("flow_dir") == 0) | F.col("dpx").isNull())
+            .cast("int")
+            .alias("done"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(24):  # 2^24 steps >> any grid diameter we run
+        if state.filter(F.col("done") == 0).limit(1).count() == 0:
+            break
+        ptr = state.select(
+            F.col("px").alias("t_px"),
+            F.col("py").alias("t_py"),
+            F.col("cx").alias("t_cx"),
+            F.col("cy").alias("t_cy"),
+            F.col("steps").alias("t_steps"),
+            F.col("done").alias("t_done"),
+        )
+        state = (
+            state.join(
+                ptr, (state.cx == ptr.t_px) & (state.cy == ptr.t_py), "left"
+            )
+            .select(
+                "px",
+                "py",
+                F.when(F.col("done") == 1, F.col("cx"))
+                .otherwise(F.col("t_cx"))
+                .alias("cx"),
+                F.when(F.col("done") == 1, F.col("cy"))
+                .otherwise(F.col("t_cy"))
+                .alias("cy"),
+                F.when(F.col("done") == 1, F.col("steps"))
+                .otherwise(F.col("steps") + F.col("t_steps"))
+                .alias("steps"),
+                F.when(F.col("done") == 1, F.lit(1))
+                .otherwise(F.col("t_done"))
+                .alias("done"),
+            )
+            .localCheckpoint()
+        )
+    is_pit = fd.select(
+        F.col("px").alias("q_px"), F.col("py").alias("q_py"),
+        (F.col("flow_dir") == 0).cast("int").alias("term_is_pit"),
+    )
+    return (
+        state.join(
+            is_pit, (state.cx == is_pit.q_px) & (state.cy == is_pit.q_py)
+        )
+        .select(
+            "px",
+            "py",
+            F.col("steps").alias("path_steps"),
+            F.col("cx").cast("int").alias("term_x"),
+            F.col("cy").cast("int").alias("term_y"),
+            "term_is_pit",
+        )
+    )
+
+
+def _flow_path_sql() -> str:
+    steps = ", ".join(f"({code}, {dx}, {dy})" for dx, dy, code in _D8)
+    return f"""
+WITH RECURSIVE fd AS ({RASTER_FLOW_DIRECTION_SQL.replace('WITH dem AS', 'WITH dem AS')}),
+stepmap(code, sdx, sdy) AS (VALUES {steps}),
+nxt AS (
+  SELECT f.px, f.py, f.flow_dir,
+         CASE WHEN f.flow_dir = 0 THEN f.px ELSE f.px + s.sdx END AS nx,
+         CASE WHEN f.flow_dir = 0 THEN f.py ELSE f.py + s.sdy END AS ny
+  FROM fd f LEFT JOIN stepmap s ON f.flow_dir = s.code
+),
+term AS (
+  SELECT n.px, n.py, n.nx, n.ny,
+         CASE WHEN n.flow_dir = 0 OR d.px IS NULL THEN 1 ELSE 0 END AS is_term
+  FROM nxt n LEFT JOIN fd d ON n.nx = d.px AND n.ny = d.py
+),
+walk(px, py, cx, cy, steps) AS (
+  SELECT px, py, px, py, CAST(0 AS BIGINT) FROM term
+  UNION ALL
+  SELECT w.px, w.py, t.nx, t.ny, w.steps + 1
+  FROM walk w JOIN term t ON w.cx = t.px AND w.cy = t.py
+  WHERE t.is_term = 0
+),
+final AS (
+  SELECT px, py, MAX(steps) AS path_steps FROM walk GROUP BY 1, 2
+),
+landing AS (
+  SELECT w.px, w.py, w.cx, w.cy, w.steps
+  FROM walk w JOIN final f ON w.px = f.px AND w.py = f.py AND w.steps = f.path_steps
+)
+SELECT l.px, l.py, l.steps AS path_steps,
+       CAST(l.cx AS INTEGER) AS term_x, CAST(l.cy AS INTEGER) AS term_y,
+       CASE WHEN f2.flow_dir = 0 THEN 1 ELSE 0 END AS term_is_pit
+FROM landing l JOIN fd f2 ON l.cx = f2.px AND l.cy = f2.py
+"""
+
+
+RASTER_FLOW_PATH_LENGTH_SQL = _flow_path_sql()

@@ -1198,3 +1198,63 @@ WHERE c.c_cents * avg_row.n_pos > avg_row.total_cents
 GROUP BY 1
 ORDER BY nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile_report — exact distributed quantiles (sort-based)
+# ---------------------------------------------------------------------------
+
+
+def quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per event_type, plus min/max/count
+    — percentile_disc semantics (value at rank ceil(p*n)) computed with
+    NO engine percentile function: engines disagree on interpolation, so
+    the rank arithmetic is explicit integers ((n*p + 99) div 100) and
+    the picked value is carried untouched.
+
+    Plan: one shuffle on event_type, one window sort within the group,
+    conditional agg folds the three rank hits into columns. This is the
+    sort-based exact path — at 100 TB the same semantics come from
+    range-partitioned sort (quantiles of quantile-partition boundaries),
+    and the approximate path is a t-digest/GK sketch, which is NOT
+    cross-engine deterministic and therefore not oracle-gated here.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value", "event_id").select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # rank_p = ceil(n*p/100) in pure integers: (n*p + 99) div 100
+    r = lambda p: F.expr(f"(n * {p} + 99) div 100")  # noqa: E731
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.max(F.when(F.col("rn") == r(50), F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("rn") == r(90), F.col("value"))).alias("p90"),
+        F.max(F.when(F.col("rn") == r(99), F.col("value"))).alias("p99"),
+    ).orderBy("event_type")
+
+
+QUANTILE_REPORT_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+       MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+       MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -241,3 +241,105 @@ SELECT s.event_type, CAST(s.n_exact AS BIGINT) AS n_exact,
         - CAST(s.n_exact AS DOUBLE)) / CAST(s.n_exact AS DOUBLE) AS rel_err
 FROM stats s JOIN kth k USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_jaccard — KMV set-operation estimates between groups
+# ---------------------------------------------------------------------------
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between the user-day audiences of every pair of
+    event types — estimated from KMV sketches, next to the exact value.
+
+    The KMV theta-sketch trick: for a pair (A, B), keep the k smallest
+    distinct hashes of A ∪ B; with K the k-th smallest, the fraction of
+    those k that belong to BOTH sets is an unbiased Jaccard estimate.
+    Set ops on sketches never touch the raw key space — at 100 TB the
+    per-group sketches are k integers, and every pairwise similarity in
+    a catalog of segments costs O(pairs * k), not O(pairs * |keys|).
+
+    Fan-out is bounded by construction: a (type, h) row joins the
+    |types|-1 pairs containing its type (equi-joins on the type columns,
+    unioned), so candidate size is rows * (groups-1) — never quadratic
+    in keys. The exact intersection/union ride along for the error
+    report, same pattern as the other sketch ops.
+    """
+    keyed = _keyed(spark, sf_dir).distinct()
+    types = keyed.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.crossJoin(types.select(F.col("t").alias("t2")))
+        .filter(F.col("t") < F.col("t2"))
+        .select(F.col("t").alias("type_a"), F.col("t2").alias("type_b"))
+    )
+    side_a = keyed.join(
+        pairs, keyed.event_type == pairs.type_a
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = keyed.join(
+        pairs, keyed.event_type == pairs.type_b
+    ).select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    member = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    out = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_inter"),
+        F.sum(F.when(F.col("rn") <= KMV_K, 1).otherwise(0)).alias("k_eff"),
+        F.sum(
+            F.when((F.col("rn") <= KMV_K) & (F.col("in_a") * F.col("in_b") == 1), 1)
+            .otherwise(0)
+        ).alias("k_both"),
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_union",
+        "n_inter",
+        (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
+            "jaccard_exact"
+        ),
+        (F.col("k_both").cast("double") / F.col("k_eff").cast("double")).alias(
+            "jaccard_kmv"
+        ),
+    ).withColumn("err", F.col("jaccard_kmv") - F.col("jaccard_exact"))
+
+
+SKETCH_KMV_JACCARD_SQL = f"""
+WITH keyed AS (SELECT DISTINCT event_type, h FROM ({_KEYED_SQL})),
+types AS (SELECT DISTINCT event_type AS t FROM keyed),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM types a JOIN types b ON a.t < b.t
+),
+member AS (
+  SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.type_a, p.type_b, k.h, 1 AS in_a, 0 AS in_b
+    FROM keyed k JOIN pairs p ON k.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, k.h, 0 AS in_a, 1 AS in_b
+    FROM keyed k JOIN pairs p ON k.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM member
+),
+agg AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+         SUM(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS k_eff,
+         SUM(CASE WHEN rn <= {KMV_K} AND in_a * in_b = 1 THEN 1 ELSE 0 END) AS k_both
+  FROM ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_union, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact,
+       CAST(k_both AS DOUBLE) / CAST(k_eff AS DOUBLE) AS jaccard_kmv,
+       CAST(k_both AS DOUBLE) / CAST(k_eff AS DOUBLE)
+         - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS err
+FROM agg
+"""

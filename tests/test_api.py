@@ -122,3 +122,30 @@ def test_hll_and_kmv_estimates_close(spark):
         assert abs(row.rel_err) < 0.15, row
     for row in eng.distinct_kmv().collect():
         assert abs(row.rel_err) < 0.35, row
+
+
+def test_quantile_flowpath_jaccard_verbs(spark):
+    from gdalos_spark.api import GdalosSpark
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    eng = GdalosSpark(spark, SF_DIR)
+    qr = eng.quantiles().collect()
+    assert len(qr) > 0
+    for r in qr:
+        assert r.min_value <= r.p50 <= r.p90 <= r.p99 <= r.max_value, r
+    aj = eng.audience_jaccard().collect()
+    assert len(aj) == 10  # C(5,2) event-type pairs
+    for r in aj:
+        assert 0.0 <= r.jaccard_exact <= 1.0 and 0.0 <= r.jaccard_kmv <= 1.0
+
+    fp = eng.flow_path_length()
+    rows = fp.count()
+    assert rows > 0
+    # every terminal must be a pit or a domain-edge cell, and a path of
+    # length 0 must be its own terminal
+    self_term = fp.filter(
+        (F.col("path_steps") == 0)
+        & ((F.col("px") != F.col("term_x")) | (F.col("py") != F.col("term_y")))
+    ).count()
+    assert self_term == 0
