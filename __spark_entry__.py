@@ -82,6 +82,18 @@ _QUERIES: dict[str, QueryFn] = {
     "raster_flow_path_length": raster.raster_flow_path_length,
     # ann_recall_report gained an ivfpq arm in round 4 -> re-certify
     "ann_recall_report": similarity.ann_recall_report,
+    # round-4 session additions: TPC-H plan-shape completion (#132+)
+    "forecast_revenue": relational.forecast_revenue,
+    "nation_trade_volume": relational.nation_trade_volume,
+    "market_share": relational.market_share,
+    "product_profit": relational.product_profit,
+    "returned_item_losses": relational.returned_item_losses,
+    "important_part_share": relational.important_part_share,
+    "top_supplier_revenue": relational.top_supplier_revenue,
+    "part_supplier_variety": relational.part_supplier_variety,
+    "small_quantity_revenue": relational.small_quantity_revenue,
+    "min_cost_supplier": relational.min_cost_supplier,
+    "excess_shipper": relational.excess_shipper,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
@@ -335,6 +347,17 @@ _ORACLES: dict[str, str] = {
     "quantile_report": relational.QUANTILE_REPORT_SQL,
     "sketch_kmv_jaccard": sketch.SKETCH_KMV_JACCARD_SQL,
     "raster_flow_path_length": raster.RASTER_FLOW_PATH_LENGTH_SQL,
+    "forecast_revenue": relational.FORECAST_REVENUE_SQL,
+    "nation_trade_volume": relational.NATION_TRADE_VOLUME_SQL,
+    "market_share": relational.MARKET_SHARE_SQL,
+    "product_profit": relational.PRODUCT_PROFIT_SQL,
+    "returned_item_losses": relational.RETURNED_ITEM_LOSSES_SQL,
+    "important_part_share": relational.IMPORTANT_PART_SHARE_SQL,
+    "top_supplier_revenue": relational.TOP_SUPPLIER_REVENUE_SQL,
+    "part_supplier_variety": relational.PART_SUPPLIER_VARIETY_SQL,
+    "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_SQL,
+    "min_cost_supplier": relational.MIN_COST_SUPPLIER_SQL,
+    "excess_shipper": relational.EXCESS_SHIPPER_SQL,
 }
 
 
