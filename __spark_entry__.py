@@ -24,6 +24,7 @@ from gdalos_spark.operators import (
     temporal,
     text,
     viewshed,
+    vocab,
 )
 from gdalos_spark.streaming import events as streaming_events
 
@@ -94,6 +95,12 @@ _QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": relational.small_quantity_revenue,
     "min_cost_supplier": relational.min_cost_supplier,
     "excess_shipper": relational.excess_shipper,
+    # round-4 session additions: vocabulary / token-statistics family
+    "bpe_merge_step": vocab.bpe_merge_step,
+    "zipf_law_report": vocab.zipf_law_report,
+    "cms_heavy_hitters": vocab.cms_heavy_hitters,
+    "bloom_blocklist": vocab.bloom_blocklist,
+    "quality_classifier_score": vocab.quality_classifier_score,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
@@ -358,6 +365,11 @@ _ORACLES: dict[str, str] = {
     "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_SQL,
     "min_cost_supplier": relational.MIN_COST_SUPPLIER_SQL,
     "excess_shipper": relational.EXCESS_SHIPPER_SQL,
+    "bpe_merge_step": vocab.BPE_MERGE_STEP_SQL,
+    "zipf_law_report": vocab.ZIPF_LAW_REPORT_SQL,
+    "cms_heavy_hitters": vocab.CMS_HEAVY_HITTERS_SQL,
+    "bloom_blocklist": vocab.BLOOM_BLOCKLIST_SQL,
+    "quality_classifier_score": vocab.QUALITY_CLASSIFIER_SCORE_SQL,
 }
 
 

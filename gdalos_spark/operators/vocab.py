@@ -1,0 +1,523 @@
+"""Vocabulary / token-statistics operators for the LLM-data pipeline.
+
+The tokenizer-side of a training-data pipeline: the pair-count stage of a
+BPE merge iteration, a Zipf rank-frequency fit (the sanity check that a
+corpus looks like natural language), Count-Min-sketch heavy hitters (the
+bounded-memory frequent-token path at 100 TB), a Bloom-filter token
+blocklist probe (membership without a join), and a linear quality
+classifier (the fasttext-style keep/drop gate).
+
+Cross-engine discipline (shared with text.py): every hash is the portable
+md5 family from functions/hashing.py, every log2 is the staged polynomial
+(engine libm banned), every float the driver hashes is either a ratio /
+product of exact integers evaluated with identical expression text on
+both engines, or a division of micro-unit BIGINT sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gdalos_spark.datamodel import load
+from gdalos_spark.functions import hashing
+from gdalos_spark.operators.text import _STOP_IN, _log2_col, _log2_lateral_sql
+
+_SPARK_SHIFT = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_step — the pair-count stage of one BPE training iteration
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of byte-pair-encoding training, the distributed
+    way: adjacent symbol-pair counts over the corpus, top candidates
+    ranked. The count factors through the WORD-FREQUENCY table — pairs
+    explode from each DISTINCT word once and weight by its corpus count,
+    so the expensive explode runs on |vocab| rows, not |corpus tokens|
+    (Sennrich et al. 2016 train on exactly this word-frequency dict).
+    The argmax row of the output IS the merge the iteration would apply.
+
+    Tokens are restricted to ASCII [a-z0-9]+ so per-character substring
+    semantics cannot diverge between engines on multibyte input. Two
+    shuffles total: word agg, pair agg; top-k via TakeOrderedAndProject
+    with a total (count desc, pair) order."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    words = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    pairs = wf.select(
+        "w",
+        "wn",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    # (pair, word) partial first so n_words is a plain count, not a
+    # distinct-expand over the occurrence stream
+    per_word = pairs.groupBy("pair", "w").agg(
+        F.sum("wn").alias("n_occ"), F.count(F.lit(1)).alias("n_in_word")
+    )
+    return (
+        per_word.groupBy("pair")
+        .agg(
+            F.sum("n_occ").alias("n_occ"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occ"), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+BPE_MERGE_STEP_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS wn FROM words GROUP BY w),
+pairs AS (
+  SELECT w, wn, substring(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT w, wn, unnest(range(1, length(w))) AS i FROM wf)
+)
+SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY n_occ DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_law_report — rank-frequency power-law fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 1000
+
+
+def zipf_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of log2(count) against log2(rank) over the top
+    ZIPF_TOP vocabulary entries — natural text sits near slope -1; a
+    corpus that doesn't is machine-generated, deduplicated wrong, or
+    tokenized wrong. The top-k comes from TakeOrderedAndProject (partial
+    per-partition top-k, no global sort); only then does a single-
+    partition window assign ranks to the k surviving rows (k = 1000 —
+    the window input is constant-bounded, not data-sized). log2 is the
+    staged polynomial; per-row x, y, xy, x2, y2 are rounded once to
+    micro-units and summed as BIGINT, so the five regression sums are
+    exact under any aggregation order and the closed-form slope/
+    intercept/r2 are identical IEEE expressions of identical inputs."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tf = (
+        docs.repartition(n_part, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(ZIPF_TOP)
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("tf"), "tok")).cast("bigint")
+    )
+    ranked = _log2_col(ranked, "rank", "x", _SPARK_SHIFT)
+    ranked = _log2_col(ranked, "tf", "y", _SPARK_SHIFT)
+    u = lambda c: F.round(c * 1_000_000.0).cast("bigint")  # noqa: E731
+    sums = ranked.select(
+        u(F.col("x")).alias("x_u"),
+        u(F.col("y")).alias("y_u"),
+        u(F.col("x") * F.col("y")).alias("xy_u"),
+        u(F.col("x") * F.col("x")).alias("xx_u"),
+        u(F.col("y") * F.col("y")).alias("yy_u"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x_u").alias("sx_u"),
+        F.sum("y_u").alias("sy_u"),
+        F.sum("xy_u").alias("sxy_u"),
+        F.sum("xx_u").alias("sxx_u"),
+        F.sum("yy_u").alias("syy_u"),
+    )
+    d = lambda c: F.col(c).cast("double") / 1_000_000.0  # noqa: E731
+    n = F.col("n_ranks").cast("double")
+    cov = n * d("sxy_u") - d("sx_u") * d("sy_u")
+    varx = n * d("sxx_u") - d("sx_u") * d("sx_u")
+    vary = n * d("syy_u") - d("sy_u") * d("sy_u")
+    return sums.select(
+        "n_ranks",
+        (cov / varx).alias("slope"),
+        ((d("sy_u") - (cov / varx) * d("sx_u")) / n).alias("intercept"),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+ZIPF_LAW_REPORT_SQL = f"""
+WITH tf AS (
+  SELECT tok, COUNT(*) AS tf
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok ORDER BY tf DESC, tok LIMIT {ZIPF_TOP}
+),
+ranked AS (
+  SELECT tf, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank
+  FROM tf
+),
+lg AS (
+  SELECT {_log2_lateral_sql('rank', 'x')}, {_log2_lateral_sql('tf', 'y')}
+  FROM ranked
+),
+urows AS (
+  SELECT CAST(ROUND(x * 1000000.0) AS BIGINT) AS x_u,
+         CAST(ROUND(y * 1000000.0) AS BIGINT) AS y_u,
+         CAST(ROUND(x * y * 1000000.0) AS BIGINT) AS xy_u,
+         CAST(ROUND(x * x * 1000000.0) AS BIGINT) AS xx_u,
+         CAST(ROUND(y * y * 1000000.0) AS BIGINT) AS yy_u
+  FROM lg
+),
+sums AS (
+  SELECT COUNT(*) AS n_ranks,
+         CAST(SUM(x_u) AS BIGINT) AS sx_u, CAST(SUM(y_u) AS BIGINT) AS sy_u,
+         CAST(SUM(xy_u) AS BIGINT) AS sxy_u, CAST(SUM(xx_u) AS BIGINT) AS sxx_u,
+         CAST(SUM(yy_u) AS BIGINT) AS syy_u
+  FROM urows
+)
+SELECT n_ranks,
+       (CAST(n_ranks AS DOUBLE) * (CAST(sxy_u AS DOUBLE) / 1000000.0)
+        - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sy_u AS DOUBLE) / 1000000.0))
+       / (CAST(n_ranks AS DOUBLE) * (CAST(sxx_u AS DOUBLE) / 1000000.0)
+          - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sx_u AS DOUBLE) / 1000000.0)) AS slope,
+       ((CAST(sy_u AS DOUBLE) / 1000000.0)
+        - ((CAST(n_ranks AS DOUBLE) * (CAST(sxy_u AS DOUBLE) / 1000000.0)
+            - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sy_u AS DOUBLE) / 1000000.0))
+           / (CAST(n_ranks AS DOUBLE) * (CAST(sxx_u AS DOUBLE) / 1000000.0)
+              - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sx_u AS DOUBLE) / 1000000.0)))
+          * (CAST(sx_u AS DOUBLE) / 1000000.0)) / CAST(n_ranks AS DOUBLE) AS intercept,
+       ((CAST(n_ranks AS DOUBLE) * (CAST(sxy_u AS DOUBLE) / 1000000.0)
+         - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sy_u AS DOUBLE) / 1000000.0))
+        * (CAST(n_ranks AS DOUBLE) * (CAST(sxy_u AS DOUBLE) / 1000000.0)
+           - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sy_u AS DOUBLE) / 1000000.0)))
+       / ((CAST(n_ranks AS DOUBLE) * (CAST(sxx_u AS DOUBLE) / 1000000.0)
+           - (CAST(sx_u AS DOUBLE) / 1000000.0) * (CAST(sx_u AS DOUBLE) / 1000000.0))
+          * (CAST(n_ranks AS DOUBLE) * (CAST(syy_u AS DOUBLE) / 1000000.0)
+             - (CAST(sy_u AS DOUBLE) / 1000000.0) * (CAST(sy_u AS DOUBLE) / 1000000.0))) AS r2
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters — Count-Min sketch frequent-token estimation
+# ---------------------------------------------------------------------------
+
+CMS_W = 256  # counters per row
+CMS_D = 4  # hash rows
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built
+    distributively: every token's count lands in CMS_D counters chosen
+    by the portable universal-hash family, the sketch is the d×w
+    counter table (1024 cells — mergeable across 1000 executors by plain
+    cell-wise sum, which IS the groupBy here). Estimates = min over the
+    d cells, compared against true counts for the top-k tokens: the
+    overcount column demonstrates the one-sided error bound (estimate >=
+    truth, within eps*N with probability 1-delta). At 100 TB the sketch
+    replaces the full vocabulary shuffle when only heavy hitters are
+    needed; the true-count join here is the verification harness."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tf = (
+        docs.repartition(n_part, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("base", hashing.hash_base(F.col("tok")))
+    )
+    cells = tf.select(
+        "tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (hashing.perm_hash(F.col("base"), i) % CMS_W).alias("pos"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("cell.row_i", "cell.pos", "tf")
+    sketch = cells.groupBy("row_i", "pos").agg(F.sum("tf").alias("counter"))
+    top = tf.orderBy(F.desc("tf"), "tok").limit(CMS_TOPK)
+    probes = top.select(
+        "tok",
+        "tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (hashing.perm_hash(F.col("base"), i) % CMS_W).alias("pos"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "tf", "cell.row_i", "cell.pos")
+    est = (
+        probes.join(F.broadcast(sketch), ["row_i", "pos"])
+        .groupBy("tok", "tf")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("tf").alias("true_count"),
+        "cms_est",
+        (F.col("cms_est") - F.col("tf")).alias("overcount"),
+    ).orderBy(F.desc("true_count"), "tok")
+
+
+def _cms_sql() -> str:
+    pos = lambda i: f"({hashing.perm_hash_sql('base', i)}) % {CMS_W}"  # noqa: E731
+    cell_rows = " UNION ALL ".join(
+        f"SELECT tf, {i} AS row_i, {pos(i)} AS pos FROM tf" for i in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, tf, {i} AS row_i, {pos(i)} AS pos FROM top" for i in range(CMS_D)
+    )
+    return f"""
+WITH occ AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+tf0 AS (SELECT tok, COUNT(*) AS tf FROM occ GROUP BY tok),
+tf AS (SELECT tok, tf, {hashing.hash_base_sql('tok')} AS base FROM tf0),
+cells AS ({cell_rows}),
+sketch AS (SELECT row_i, pos, CAST(SUM(tf) AS BIGINT) AS counter FROM cells GROUP BY 1, 2),
+top AS (SELECT tok, tf, base FROM tf ORDER BY tf DESC, tok LIMIT {CMS_TOPK}),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.tok, p.tf, MIN(s.counter) AS cms_est
+  FROM probes p JOIN sketch s ON p.row_i = s.row_i AND p.pos = s.pos
+  GROUP BY 1, 2
+)
+SELECT tok, tf AS true_count, cms_est, cms_est - tf AS overcount
+FROM est ORDER BY true_count DESC, tok
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# bloom_blocklist — Bloom-filter membership probe (blocklist without a join)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # filter bits
+BLOOM_K = 3  # hash functions
+BLOOM_BAN_MOD = 97  # docs with doc_id % MOD == 0 define the banned vocabulary
+
+
+def bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter token blocklist: the banned vocabulary (every token
+    of the doc_id % 97 == 0 docs) sets BLOOM_K bits each in an M-bit
+    filter; every corpus token probes the filter. A token is flagged
+    when ALL k bits are set — supersets the truth, never misses (the
+    Bloom guarantee), and the per-source report counts the false
+    positives explicitly, the measurement that sizes m/k for a real
+    blocklist. The set-bits table (<= M rows) is broadcast — membership
+    costs three broadcast-hash lookups and NO shuffle of the corpus
+    tokens; truth (for the FP audit only) is one hash-key semi-join."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    occ = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("base", hashing.hash_base(F.col("tok")))
+    )
+    banned = (
+        occ.filter(F.col("doc_id") % BLOOM_BAN_MOD == 0)
+        .select("base")
+        .distinct()
+    )
+    bits = (
+        banned.select(
+            F.explode(
+                F.array(
+                    *[
+                        (hashing.perm_hash(F.col("base"), i) % BLOOM_M)
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = occ
+    for i in range(BLOOM_K):
+        b = bits.withColumnRenamed("bit", f"b{i}")
+        probe = probe.join(
+            F.broadcast(b),
+            hashing.perm_hash(F.col("base"), i) % BLOOM_M == F.col(f"b{i}"),
+            "left",
+        )
+    flagged = F.lit(True)
+    for i in range(BLOOM_K):
+        flagged = flagged & F.col(f"b{i}").isNotNull()
+    truth = banned.withColumnRenamed("base", "t_base")
+    probe = probe.join(
+        F.broadcast(truth), F.col("base") == F.col("t_base"), "left"
+    ).select(
+        "source",
+        flagged.cast("int").alias("is_flagged"),
+        F.col("t_base").isNotNull().cast("int").alias("is_banned"),
+    )
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_flagged").cast("bigint").alias("n_flagged"),
+            F.sum("is_banned").cast("bigint").alias("n_banned"),
+            F.sum(
+                F.when((F.col("is_flagged") == 1) & (F.col("is_banned") == 0), 1).otherwise(0)
+            ).cast("bigint").alias("n_false_pos"),
+        )
+        .withColumn(
+            "fp_rate",
+            F.when(
+                F.col("n_tokens") > F.col("n_banned"),
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_tokens") - F.col("n_banned")).cast("double"),
+            ).otherwise(F.lit(-1.0)),
+        )
+        .orderBy("source")
+    )
+
+
+def _bloom_sql() -> str:
+    pos = lambda i: f"({hashing.perm_hash_sql('base', i)}) % {BLOOM_M}"  # noqa: E731
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {pos(i)} AS bit FROM banned" for i in range(BLOOM_K)
+    )
+    in_bits = " AND ".join(f"{pos(i)} IN (SELECT bit FROM bits)" for i in range(BLOOM_K))
+    return f"""
+WITH occ AS (
+  SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+occh AS (SELECT doc_id, source, {hashing.hash_base_sql('tok')} AS base FROM occ),
+banned AS (SELECT DISTINCT base FROM occh WHERE doc_id % {BLOOM_BAN_MOD} = 0),
+bits AS (SELECT DISTINCT bit FROM ({bit_rows})),
+probe AS (
+  SELECT source,
+         CASE WHEN {in_bits} THEN 1 ELSE 0 END AS is_flagged,
+         CASE WHEN base IN (SELECT base FROM banned) THEN 1 ELSE 0 END AS is_banned
+  FROM occh
+)
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(is_flagged) AS BIGINT) AS n_flagged,
+       CAST(SUM(is_banned) AS BIGINT) AS n_banned,
+       CAST(SUM(CASE WHEN is_flagged = 1 AND is_banned = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CASE WHEN COUNT(*) > SUM(is_banned)
+            THEN CAST(SUM(CASE WHEN is_flagged = 1 AND is_banned = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) - SUM(is_banned) AS DOUBLE)
+            ELSE -1.0
+       END AS fp_rate
+FROM probe
+GROUP BY source
+ORDER BY source
+"""
+
+
+BLOOM_BLOCKLIST_SQL = _bloom_sql()
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_score — linear (fasttext-style) keep/drop classifier
+# ---------------------------------------------------------------------------
+
+# Host-fixed model: weights over the 5 quality features. A real pipeline
+# trains these offline (fasttext / logistic regression on wiki-vs-crawl
+# labels) and ships them as constants exactly like this — inference is
+# always a broadcast of fixed weights.
+QC_W_NTOK = 0.004  # per token, saturating via min(n_tokens, 256)
+QC_W_STOP = 2.5  # stopword ratio
+QC_W_DIGIT = -4.0  # digit ratio
+QC_W_AVGLEN = 0.15  # average token length
+QC_W_UPPER = -1.5  # uppercase ratio
+QC_BIAS = -1.2
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over integer-derived features: the
+    keep/drop gate every production corpus runs (fasttext-style, but
+    the features are the engine-side ones quality_score already
+    extracts). score = w.x + b; the probability squash is the RATIONAL
+    fast-sigmoid 0.5 + 0.5*s/(1+|s|) — exp() is engine libm and libm is
+    banned, while abs/divide are IEEE-exact, so both engines emit
+    bit-identical probabilities. Pure single-scan projection: zero
+    shuffles, zero joins — at 100 TB this runs at parquet-scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.withColumn("t", F.split("text", " "))
+    n_chars = F.length("text").cast("bigint")
+    n_tokens = F.size("t").cast("bigint")
+    n_stop = F.expr(f"size(filter(t, x -> x IN ({_STOP_IN})))").cast("bigint")
+    n_digit = (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("bigint")
+    n_upper = (F.length("text") - F.length(F.regexp_replace("text", "[A-Z]", ""))).cast("bigint")
+    score = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_NTOK) * F.least(n_tokens, F.lit(256)).cast("double")
+        + F.lit(QC_W_STOP) * (n_stop / n_tokens.cast("double"))
+        + F.lit(QC_W_DIGIT) * (n_digit / n_chars.cast("double"))
+        + F.lit(QC_W_AVGLEN) * ((n_chars - n_tokens + 1) / n_tokens.cast("double"))
+        + F.lit(QC_W_UPPER) * (n_upper / n_chars.cast("double"))
+    )
+    out = d.select(
+        "doc_id",
+        "source",
+        score.alias("score"),
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "score",
+        (F.lit(0.5) + F.lit(0.5) * F.col("score") / (F.lit(1.0) + F.abs("score"))).alias("prob"),
+        (F.col("score") > 0).cast("int").alias("keep"),
+    )
+
+
+QUALITY_CLASSIFIER_SCORE_SQL = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+  FROM d
+),
+s AS (
+  SELECT doc_id, source,
+         {QC_BIAS}
+         + {QC_W_NTOK} * CAST(LEAST(n_tokens, 256) AS DOUBLE)
+         + {QC_W_STOP} * (n_stop / CAST(n_tokens AS DOUBLE))
+         + {QC_W_DIGIT} * (n_digit / CAST(n_chars AS DOUBLE))
+         + {QC_W_AVGLEN} * ((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE))
+         + {QC_W_UPPER} * (n_upper / CAST(n_chars AS DOUBLE)) AS score
+  FROM m
+)
+SELECT doc_id, source, score,
+       0.5 + 0.5 * score / (1.0 + ABS(score)) AS prob,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM s
+"""

@@ -281,3 +281,44 @@ def test_hll_sketch_single_data_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_shapes_stay_equi_and_broadcast(spark):
+    """Round-4 TPC-H completion: every adapted shape keeps its claimed
+    physical form — no cartesian/BNLJ anywhere (the 1-row scalar
+    broadcasts in Q11/Q15 are BNLJ by construction, so they assert
+    broadcast-ness instead), dims broadcast in the join-heavy ones."""
+    for key in ("nation_trade_volume", "market_share", "product_profit",
+                "returned_item_losses", "part_supplier_variety",
+                "small_quantity_revenue", "min_cost_supplier",
+                "excess_shipper"):
+        assert_no_cartesian(q(spark, key))
+        assert_not_in_plan(q(spark, key), "CartesianProduct")
+    for key in ("nation_trade_volume", "market_share", "product_profit",
+                "returned_item_losses", "min_cost_supplier"):
+        assert_broadcast_join(q(spark, key))
+    # the scalar-subquery queries broadcast their 1-row aggregate
+    for key in ("important_part_share", "top_supplier_revenue"):
+        assert_in_plan(q(spark, key), "Broadcast")
+
+
+def test_forecast_revenue_pushes_filters_no_join(spark):
+    """Q6 is THE pushdown query: shipdate bounds reach the scan and the
+    plan has no join at all."""
+    df = q(spark, "forecast_revenue")
+    assert_pushed_filter(df, "l_shipdate")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_vocab_family_shapes(spark):
+    """BPE/Zipf/CMS/Bloom: candidate and membership work stays
+    equi/broadcast, the classifier is join-free and shuffle-free."""
+    for key in ("bpe_merge_step", "zipf_law_report", "cms_heavy_hitters",
+                "bloom_blocklist"):
+        assert_no_cartesian(q(spark, key))
+    # Bloom membership = broadcast hash lookups, never a shuffle of occ
+    assert_broadcast_join(q(spark, "bloom_blocklist"))
+    plan = q(spark, "quality_classifier_score")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
