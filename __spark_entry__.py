@@ -95,6 +95,7 @@ _QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": relational.small_quantity_revenue,
     "min_cost_supplier": relational.min_cost_supplier,
     "excess_shipper": relational.excess_shipper,
+    "shipmode_priority_counts": relational.shipmode_priority_counts,
     # round-4 session additions: vocabulary / token-statistics family
     "bpe_merge_step": vocab.bpe_merge_step,
     "zipf_law_report": vocab.zipf_law_report,
@@ -365,6 +366,7 @@ _ORACLES: dict[str, str] = {
     "small_quantity_revenue": relational.SMALL_QUANTITY_REVENUE_SQL,
     "min_cost_supplier": relational.MIN_COST_SUPPLIER_SQL,
     "excess_shipper": relational.EXCESS_SHIPPER_SQL,
+    "shipmode_priority_counts": relational.SHIPMODE_PRIORITY_COUNTS_SQL,
     "bpe_merge_step": vocab.BPE_MERGE_STEP_SQL,
     "zipf_law_report": vocab.ZIPF_LAW_REPORT_SQL,
     "cms_heavy_hitters": vocab.CMS_HEAVY_HITTERS_SQL,

@@ -1955,3 +1955,46 @@ FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
 ORDER BY suppkey
 """
+
+
+Q12_YEAR = 1997
+Q12_FLAGS = ("A", "R")  # the two "ship mode" stand-in classes audited
+
+
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — the last of the 22 TPC-H plan shapes: a fact->orders
+    equi-join feeding a two-class conditional aggregate. The testdata
+    has no l_shipmode, so the audited classes are the two return flags;
+    the high/low split is order priority 1-2 vs 3-5, exactly Q12's
+    CASE-sum pair. The year filter pushes to the lineitem scan; orders
+    project only (orderkey, priority) so the shuffle carries two
+    columns."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q12_YEAR}-01-01"))
+        & (F.col("l_shipdate") < F.lit(f"{Q12_YEAR + 1}-01-01"))
+        & F.col("l_returnflag").isin(*Q12_FLAGS)
+    ).select("l_orderkey", "l_returnflag")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+SHIPMODE_PRIORITY_COUNTS_SQL = f"""
+SELECT l.l_returnflag AS flag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{Q12_YEAR + 1}-01-01 00:00:00'
+  AND l.l_returnflag IN ('{Q12_FLAGS[0]}', '{Q12_FLAGS[1]}')
+GROUP BY 1
+ORDER BY flag
+"""
