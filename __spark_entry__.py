@@ -102,6 +102,7 @@ _QUERIES: dict[str, QueryFn] = {
     "cms_heavy_hitters": vocab.cms_heavy_hitters,
     "bloom_blocklist": vocab.bloom_blocklist,
     "quality_classifier_score": vocab.quality_classifier_score,
+    "raster_focal_median": raster.raster_focal_median,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
@@ -372,6 +373,7 @@ _ORACLES: dict[str, str] = {
     "cms_heavy_hitters": vocab.CMS_HEAVY_HITTERS_SQL,
     "bloom_blocklist": vocab.BLOOM_BLOCKLIST_SQL,
     "quality_classifier_score": vocab.QUALITY_CLASSIFIER_SCORE_SQL,
+    "raster_focal_median": raster.RASTER_FOCAL_MEDIAN_SQL,
 }
 
 

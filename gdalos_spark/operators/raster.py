@@ -2433,3 +2433,74 @@ FROM landing l JOIN fd f2 ON l.cx = f2.px AND l.cy = f2.py
 
 
 RASTER_FLOW_PATH_LENGTH_SQL = _flow_path_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_focal_median — 3x3 median filter (salt-and-pepper noise removal)
+#    ref: the continuous sibling of calc/discrete_mode.py's mode resample
+#         and gdal_sieve's small-region cleanup — the standard despeckle
+#         pass before hillshade/slope on noisy DEMs
+# ---------------------------------------------------------------------------
+
+
+def raster_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal median over the DEM: one broadcast 9-offset expansion
+    from the sparse cell side, one groupBy on the target cell — the
+    same single-pass fused-stencil shape as hillshade/TRI (never 9
+    self-joins). The median is percentile_disc-exact: values are
+    integer cents, the neighborhood sorts as a 9-element array, and the
+    pick is rank (n+1) div 2 — the lower median, identical in both
+    engines with no interpolation ambiguity. Edge cells take the median
+    of their present neighbors, matching GDAL filter edge behavior."""
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", (F.col("elev") * 100).cast("bigint").alias("cents")
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    nbr = (
+        g.crossJoin(F.broadcast(offsets))
+        .groupBy(
+            (F.col("px") - F.col("dx")).alias("tx"),
+            (F.col("py") - F.col("dy")).alias("ty"),
+        )
+        .agg(
+            F.sort_array(F.collect_list("cents")).alias("vals"),
+            F.count(F.lit(1)).alias("n_nbr"),
+        )
+    )
+    g2 = g.select(
+        F.col("px").alias("cpx"), F.col("py").alias("cpy"), "cents"
+    )
+    out = nbr.join(g2, (F.col("tx") == F.col("cpx")) & (F.col("ty") == F.col("cpy")))
+    med = F.element_at(F.col("vals"), ((F.col("n_nbr") + 1) / 2).cast("int"))
+    return out.select(
+        F.col("cpx").alias("px"),
+        F.col("cpy").alias("py"),
+        F.col("n_nbr").cast("bigint").alias("n_nbr"),
+        (med.cast("double") / 100.0).alias("median_val"),
+        ((med - F.col("cents")).cast("double") / 100.0).alias("delta"),
+    )
+
+
+def _focal_median_sql() -> str:
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev * 100 AS BIGINT) AS cents FROM dem),
+offsets(dx, dy) AS (VALUES {offs}),
+nbr AS (
+  SELECT px - dx AS tx, py - dy AS ty,
+         list_sort(list(cents)) AS vals,
+         COUNT(*) AS n_nbr
+  FROM g CROSS JOIN offsets
+  GROUP BY 1, 2
+)
+SELECT g.px, g.py, CAST(n_nbr AS BIGINT) AS n_nbr,
+       CAST(vals[CAST((n_nbr + 1) // 2 AS INTEGER)] AS DOUBLE) / 100.0 AS median_val,
+       CAST(vals[CAST((n_nbr + 1) // 2 AS INTEGER)] - g.cents AS DOUBLE) / 100.0 AS delta
+FROM nbr JOIN g ON nbr.tx = g.px AND nbr.ty = g.py
+"""
+
+
+RASTER_FOCAL_MEDIAN_SQL = _focal_median_sql()

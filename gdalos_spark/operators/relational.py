@@ -1598,17 +1598,20 @@ LIMIT {Q10_TOPK}
 
 
 Q11_NATIONS = ("NATION_4", "NATION_5")
-Q11_FRACTION_DEN = 1000  # keep parts with value > total/1000
+Q11_MULT = 2  # keep parts with value > MULT x the average part value
 
 
 def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: per-part traded value restricted to two supplier
-    nations, keeping parts above a fixed fraction of the global total.
-    The scalar subquery is a 1-row aggregate broadcast via crossJoin and
-    the threshold compares exact integers cross-multiplied
-    (value_u * DEN > total_u) — no float ever gates a row. The per-part
-    agg and the total reuse ONE filtered projection; at 100 TB the
-    only data-sized shuffle is the partkey agg."""
+    nations, keeping parts whose value exceeds Q11_MULT x the AVERAGE
+    part value — TPC-H's fixed fraction (0.0001/SF) is scale-dependent
+    and empties the result as the catalog grows, while the
+    above-average form selects a stable slice at every SF. The scalar
+    subquery is a 1-row (total, n_parts) aggregate broadcast via
+    crossJoin and the threshold compares exact integers cross-multiplied
+    (value_u * n_parts > MULT * total_u) — no float ever gates a row.
+    The per-part agg and the total reuse ONE filtered projection; at
+    100 TB the only data-sized shuffle is the partkey agg."""
     nat = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*Q11_NATIONS))
     sup = (
         load(spark, sf_dir, "supplier")
@@ -1621,10 +1624,12 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("rev_u").alias("value_u"))
-    total = per_part.agg(F.sum("value_u").alias("total_u"))
+    total = per_part.agg(
+        F.sum("value_u").alias("total_u"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_u") * Q11_FRACTION_DEN > F.col("total_u"))
+        .filter(F.col("value_u") * F.col("n_parts") > Q11_MULT * F.col("total_u"))
         .select(
             F.col("l_partkey").alias("partkey"),
             (F.col("value_u").cast("double") / 1_000_000.0).alias("value"),
@@ -1646,10 +1651,10 @@ WITH li AS (
 per_part AS (
   SELECT l_partkey, CAST(SUM(rev_u) AS BIGINT) AS value_u FROM li GROUP BY 1
 ),
-total AS (SELECT CAST(SUM(value_u) AS BIGINT) AS total_u FROM per_part)
+total AS (SELECT CAST(SUM(value_u) AS BIGINT) AS total_u, COUNT(*) AS n_parts FROM per_part)
 SELECT l_partkey AS partkey, CAST(value_u AS DOUBLE) / 1000000.0 AS value
 FROM per_part, total
-WHERE value_u * {Q11_FRACTION_DEN} > total_u
+WHERE value_u * n_parts > {Q11_MULT} * total_u
 ORDER BY value DESC, partkey
 """
 

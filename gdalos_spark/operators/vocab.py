@@ -57,7 +57,13 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w")
         )
     )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    # agg keyed on the 60-bit hash so only integers shuffle; the word
+    # text rides along as min() (identical for every row of a hash)
+    wf = (
+        words.select(hashing.md5_int60(F.col("w")).alias("h"), "w")
+        .groupBy("h")
+        .agg(F.min("w").alias("w"), F.count(F.lit(1)).alias("wn"))
+    )
     pairs = wf.select(
         "w",
         "wn",
