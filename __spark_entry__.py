@@ -103,6 +103,11 @@ _QUERIES: dict[str, QueryFn] = {
     "bloom_blocklist": vocab.bloom_blocklist,
     "quality_classifier_score": vocab.quality_classifier_score,
     "raster_focal_median": raster.raster_focal_median,
+    "streaming_tumbling_topk": streaming_events.streaming_tumbling_topk,
+    "scd2_apply": temporal.scd2_apply,
+    "merge_upsert_plan": relational.merge_upsert_plan,
+    "pricing_cube": relational.pricing_cube,
+    "geohash_bucket": viewshed.geohash_bucket,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
@@ -374,6 +379,11 @@ _ORACLES: dict[str, str] = {
     "bloom_blocklist": vocab.BLOOM_BLOCKLIST_SQL,
     "quality_classifier_score": vocab.QUALITY_CLASSIFIER_SCORE_SQL,
     "raster_focal_median": raster.RASTER_FOCAL_MEDIAN_SQL,
+    "streaming_tumbling_topk": streaming_events.STREAMING_TUMBLING_TOPK_SQL,
+    "scd2_apply": temporal.SCD2_APPLY_SQL,
+    "merge_upsert_plan": relational.MERGE_UPSERT_PLAN_SQL,
+    "pricing_cube": relational.PRICING_CUBE_SQL,
+    "geohash_bucket": viewshed.GEOHASH_BUCKET_SQL,
 }
 
 

@@ -2003,3 +2003,153 @@ WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01 00:00:00'
 GROUP BY 1
 ORDER BY flag
 """
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_plan — MERGE INTO (upsert) action planning
+# ---------------------------------------------------------------------------
+
+MERGE_QUARTER = ("1997-01-01", "1997-04-01")
+MERGE_NEW_STRIDE = 10_000_000  # surrogate keys for the insert arm
+
+
+def merge_upsert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE INTO, as a plan: a staged batch (per-customer
+    order totals for one quarter, with every 7th key remapped to a new
+    surrogate — the insert arm) FULL OUTER joins the target snapshot on
+    the key, and each row resolves to exactly one action: update
+    (matched), insert (staged only), keep (target only). The report
+    aggregates rows and exact-cents balance deltas per action — the
+    numbers a writer commits to its transaction log. One shuffle per
+    side on the merge key; at 100 TB the target side's shuffle is
+    avoided entirely when the table is bucketed by the key (see
+    tests/test_bucketed.py for the exchange-free proof of that layout)."""
+    lo, hi = MERGE_QUARTER
+    target = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("t_key"),
+        F.round(F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").alias("t_cents"),
+    )
+    staged = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+        .select(
+            F.when(
+                F.col("o_custkey") % 7 == 0,
+                F.col("o_custkey") + MERGE_NEW_STRIDE,
+            ).otherwise(F.col("o_custkey")).alias("s_key"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("delta_cents"),
+        )
+        .groupBy("s_key")
+        .agg(F.sum("delta_cents").alias("delta_cents"))
+    )
+    j = target.join(staged, F.col("t_key") == F.col("s_key"), "full_outer")
+    action = (
+        F.when(F.col("t_key").isNotNull() & F.col("s_key").isNotNull(), "update")
+        .when(F.col("s_key").isNotNull(), "insert")
+        .otherwise("keep")
+    )
+    return (
+        j.select(
+            action.alias("action"),
+            F.coalesce("t_cents", F.lit(0)).alias("t_cents"),
+            F.coalesce("delta_cents", F.lit(0)).alias("delta_cents"),
+        )
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("t_cents").cast("double") / 100.0).alias("old_balance"),
+            (F.sum("delta_cents").cast("double") / 100.0).alias("applied_delta"),
+            (F.sum(F.col("t_cents") + F.col("delta_cents")).cast("double") / 100.0).alias("new_balance"),
+        )
+        .orderBy("action")
+    )
+
+
+MERGE_UPSERT_PLAN_SQL = f"""
+WITH target AS (
+  SELECT c_custkey AS t_key,
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS t_cents
+  FROM customer
+),
+staged AS (
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + {MERGE_NEW_STRIDE}
+              ELSE o_custkey END AS s_key,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS delta_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{MERGE_QUARTER[0]} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{MERGE_QUARTER[1]} 00:00:00'
+  GROUP BY 1
+),
+j AS (
+  SELECT CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN 'update'
+              WHEN s_key IS NOT NULL THEN 'insert'
+              ELSE 'keep' END AS action,
+         COALESCE(t_cents, 0) AS t_cents,
+         COALESCE(delta_cents, 0) AS delta_cents
+  FROM target FULL OUTER JOIN staged ON t_key = s_key
+)
+SELECT action, COUNT(*) AS n_rows,
+       CAST(SUM(t_cents) AS DOUBLE) / 100.0 AS old_balance,
+       CAST(SUM(delta_cents) AS DOUBLE) / 100.0 AS applied_delta,
+       CAST(SUM(t_cents + delta_cents) AS DOUBLE) / 100.0 AS new_balance
+FROM j
+GROUP BY action
+ORDER BY action
+"""
+
+
+# ---------------------------------------------------------------------------
+# pricing_cube — CUBE grouping sets (all 8 subtotal combinations, one pass)
+# ---------------------------------------------------------------------------
+
+
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus, ship year): all 2^3 subtotal
+    combinations from ONE Expand + one shuffle (a union of 8 groupBys
+    would scan the fact 8 times). NULL super-aggregate markers fold to
+    'ALL' / -1 so the driver's hash sees no NULLs — same discipline as
+    pricing_rollup, completing the grouping-sets pair."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").alias("ship_year"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("qty_h"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").alias("price_cents"),
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("qty_h").cast("double") / 100.0).alias("sum_qty"),
+            (F.sum("price_cents").cast("double") / 100.0).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("ship_year").cast("int"), F.lit(-1)).alias("ship_year"),
+            "n_items",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("flag", "status", "ship_year")
+    )
+
+
+PRICING_CUBE_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_h,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       COALESCE(ship_year, -1) AS ship_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(qty_h) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(price_cents) AS DOUBLE) / 100.0 AS sum_price
+FROM li
+GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
+ORDER BY flag, status, ship_year
+"""

@@ -186,3 +186,67 @@ FROM p LEFT JOIN v
  AND v.v_ts_us < p.p_ts_us
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply — slowly-changing-dimension type-2 history build
+# ---------------------------------------------------------------------------
+
+SCD2_OPEN_END = -1  # sentinel for the open (current) interval
+
+
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from a change stream: each user's event stream
+    becomes validity intervals (valid_from, valid_to) per VALUE RUN —
+    consecutive events carrying the same value collapse into one
+    version (true SCD2 writes a row only on change). Two window passes
+    over ONE user_id partitioning (lag to flag changes, lead to close
+    intervals) — no self-join, no second exchange; the lakehouse MERGE
+    that applies this is merge_upsert_plan's shape. Epoch-seconds
+    terminals; the open interval carries the -1 sentinel + is_current."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    changed = ev.withColumn(
+        "is_change",
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.col("value") != F.lag("value").over(w)),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("is_change") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    out = changed.withColumn("valid_to_raw", F.lead("ts_s").over(w2))
+    return out.select(
+        "user_id",
+        "value",
+        F.col("ts_s").alias("valid_from"),
+        F.coalesce("valid_to_raw", F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        F.col("valid_to_raw").isNull().cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+SCD2_APPLY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN LAG(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                   OR value <> LAG(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                 THEN 1 ELSE 0 END AS is_change
+  FROM ev
+),
+changed AS (SELECT * FROM flagged WHERE is_change = 1),
+closed AS (
+  SELECT user_id, value, ts_s AS valid_from,
+         LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to_raw
+  FROM changed
+)
+SELECT user_id, value, valid_from,
+       COALESCE(valid_to_raw, {SCD2_OPEN_END}) AS valid_to,
+       CAST(CASE WHEN valid_to_raw IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM closed
+ORDER BY user_id, valid_from
+"""

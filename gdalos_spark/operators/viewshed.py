@@ -1282,3 +1282,85 @@ GROUP BY s.c_custkey, s.ox, s.oy, s.tx, s.ty
 
 
 POINT_TO_POINT_LOS_SQL = _p2p_los_sql()
+
+
+# ---------------------------------------------------------------------------
+# geohash_bucket — base-32 geohash encoding + spatial bucketing
+#    (the string-keyed sibling of raster_zorder_index's Morton tiles: the
+#    bucketing key geo-joins and location indexes use; same bit
+#    interleave, different serialization)
+# ---------------------------------------------------------------------------
+
+GEOHASH_PRECISION = 4  # chars -> 20 bits = 10 lon + 10 lat
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_morton(xi: str, yi: str, intdiv: str) -> str:
+    """20-bit interleaved code from two 10-bit integer expressions; bit
+    extraction is pure div/mod so the text is engine-portable modulo the
+    integer-division spelling ('div' vs '//')."""
+    terms = []
+    for b in range(10):
+        terms.append(f"((({xi}) {intdiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((({yi}) {intdiv} {1 << b}) % 2) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _geohash_chars(morton: str, intdiv: str) -> str:
+    """Concat the 4 base-32 chars from 5-bit groups of the 20-bit code."""
+    parts = [
+        f"substring('{_GEOHASH_ALPHABET}', "
+        f"CAST((({morton}) {intdiv} {1 << (15 - 5 * k)}) % 32 AS INTEGER) + 1, 1)"
+        for k in range(GEOHASH_PRECISION)
+    ]
+    return "(" + " || ".join(parts) + ")"
+
+
+def geohash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-encode the event point cloud and aggregate per bucket —
+    the spatial bucketing that turns a proximity join into an equi-join
+    on a string key (neighbors share prefixes; coarser = drop chars, so
+    a multi-resolution index is substring aggregation away). The 10-bit
+    quantization runs on the UNDERLYING integers (event_id*PRIME mod
+    6400 scaled by 1024/6400) so no float touches the bucket decision;
+    the per-bucket x/y bounds prove containment (bucket side = 0.0625
+    units) exactly like the Morton tile test. One scan, one groupBy."""
+    pts = events_points(spark, sf_dir)
+    xi = "CAST((event_id * 7919 % 6400) * 1024 div 6400 AS BIGINT)"
+    yi = "CAST((event_id * 104729 % 6400) * 1024 div 6400 AS BIGINT)"
+    morton = _geohash_morton(xi, yi, "div")
+    gh = _geohash_chars(morton, "div")
+    enc = pts.withColumn("geohash", F.expr(gh))
+    return (
+        enc.groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            (F.sum("v").cast("double")).alias("value_sum"),
+        )
+        .orderBy("geohash")
+    )
+
+
+def _geohash_sql() -> str:
+    xi = "CAST((event_id * 7919 % 6400) * 1024 // 6400 AS BIGINT)"
+    yi = "CAST((event_id * 104729 % 6400) * 1024 // 6400 AS BIGINT)"
+    morton = _geohash_morton(xi, yi, "//")
+    gh = _geohash_chars(morton, "//")
+    return f"""
+WITH pts AS ({EVENTS_POINTS_SQL}),
+enc AS (SELECT pts.*, {gh} AS geohash FROM pts)
+SELECT geohash, COUNT(*) AS n_points,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y,
+       CAST(SUM(v) AS DOUBLE) AS value_sum
+FROM enc
+GROUP BY geohash
+ORDER BY geohash
+"""
+
+
+GEOHASH_BUCKET_SQL = _geohash_sql()

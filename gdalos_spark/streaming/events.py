@@ -576,3 +576,69 @@ SELECT user_id, CAST(start_sec AS BIGINT) AS start_sec,
 FROM sessions CROSS JOIN horizon
 WHERE end_us <= max_us
 """
+
+
+TOPK_QUERY_NAME = "gdalos_stream_tumbling_topk"
+TOPK_K = 3
+
+
+def streaming_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-K event types by count — the streaming leaderboard.
+    The STREAMING part is the watermarked tumbling (day, type) count
+    (state bounded to one day of open windows, partial agg map-side);
+    the top-K rank over each FINALIZED window is a batch window
+    function on the sink table, because rank needs the window complete
+    — exactly how production leaderboards split the work (the stream
+    maintains counts, the reader ranks). availableNow over the full
+    file set ≡ the batch groupBy, so the oracle gates values fully."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    for q in spark.streams.active:
+        if q.name == TOPK_QUERY_NAME:
+            q.stop()
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    # tz-free day bucket from epoch micros (calendar day windows shift
+    # with the session zone; the leaderboard day must not)
+    ev = stream.withColumn(
+        "day_start",
+        F.expr(f"(({epoch_micros_sql(stream)}) div 86400000000) * 86400"),
+    )
+    agg = ev.groupBy("day_start", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(TOPK_QUERY_NAME)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import time as _time
+
+    deadline = _time.time() + 60
+    while q.isActive and _time.time() < deadline:  # pragma: no cover
+        _time.sleep(0.2)
+    from pyspark.sql.window import Window
+
+    sink = spark.table(TOPK_QUERY_NAME).select("day_start", "event_type", "n")
+    w = Window.partitionBy("day_start").orderBy(F.desc("n"), "event_type")
+    return (
+        sink.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOPK_K)
+        .orderBy("day_start", "rk")
+    )
+
+
+STREAMING_TUMBLING_TOPK_SQL = f"""
+WITH counts AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day_start, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day_start ORDER BY n DESC, event_type) AS INTEGER) AS rk
+  FROM counts
+)
+SELECT day_start, event_type, n, rk FROM ranked WHERE rk <= {TOPK_K}
+ORDER BY day_start, rk
+"""
