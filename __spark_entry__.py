@@ -108,6 +108,9 @@ _QUERIES: dict[str, QueryFn] = {
     "merge_upsert_plan": relational.merge_upsert_plan,
     "pricing_cube": relational.pricing_cube,
     "geohash_bucket": viewshed.geohash_bucket,
+    "multimodal_dedup": multimodal.multimodal_dedup,
+    "multimodal_shard_plan": multimodal.multimodal_shard_plan,
+    "events_anomaly_zscore": relational.events_anomaly_zscore,
     # --- Certified in CORRECTNESS_r03 -----------------------------------
     # gdaldem processing family (#51-53)
     "raster_slope_percent": raster.raster_slope_percent,
@@ -384,6 +387,9 @@ _ORACLES: dict[str, str] = {
     "merge_upsert_plan": relational.MERGE_UPSERT_PLAN_SQL,
     "pricing_cube": relational.PRICING_CUBE_SQL,
     "geohash_bucket": viewshed.GEOHASH_BUCKET_SQL,
+    "multimodal_dedup": multimodal.MULTIMODAL_DEDUP_SQL,
+    "multimodal_shard_plan": multimodal.MULTIMODAL_SHARD_PLAN_SQL,
+    "events_anomaly_zscore": relational.EVENTS_ANOMALY_ZSCORE_SQL,
 }
 
 

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gdalos_spark.datamodel import load
 
@@ -297,4 +298,141 @@ SELECT media_type, magic_hex,
        CAST(SUM(blen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bytes
 FROM sized
 GROUP BY media_type, magic_hex
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup — exact payload dedup by content hash (fully gated)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: md5 over the BINARY payload (JVM-side, no
+    decode, no Python) keyed per media_type — the first pass every
+    media lake runs, since re-crawled images/audio repeat byte-exact
+    far more often than text. Payloads hash map-side; only the 16-byte
+    digest + byte length shuffle (the payload column never leaves the
+    scan task). Report per media_type: rows, unique payloads, duplicate
+    rows, and bytes reclaimable by keeping one copy per digest.
+
+    Oracle note: payloads are utf-8 encodings of ASCII text, so DuckDB's
+    md5(VARCHAR) over the text equals Spark's md5 over the bytes."""
+    media = media_table(spark, sf_dir)
+    per_hash = (
+        media.select(
+            "media_type",
+            F.md5("payload").alias("h"),
+            F.length("payload").cast("bigint").alias("blen"),
+        )
+        .groupBy("media_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("blen").alias("blen"),
+        )
+    )
+    return (
+        per_hash.groupBy("media_type")
+        .agg(
+            F.sum("n_copies").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.col("n_copies") - 1).alias("n_dup_rows"),
+            F.sum((F.col("n_copies") - 1) * F.col("blen")).alias("bytes_reclaimable"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MULTIMODAL_DEDUP_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         md5(text) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents
+),
+per_hash AS (
+  SELECT media_type, h, COUNT(*) AS n_copies, MAX(blen) AS blen
+  FROM media GROUP BY 1, 2
+)
+SELECT media_type,
+       CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_rows,
+       CAST(SUM((n_copies - 1) * blen) AS BIGINT) AS bytes_reclaimable
+FROM per_hash
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal_shard_plan — size-balanced shard assignment for media export
+# ---------------------------------------------------------------------------
+
+SHARD_TARGET_BYTES = 64 * 1024  # toy-scale target; 1 GiB in production
+
+
+def multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-based sharding of the media lake for export
+    (WebDataset/tar-shard style): within each media_type, payloads pack
+    in doc_id order into shards capped near SHARD_TARGET_BYTES via a
+    BIGINT running-bytes window — shard id = cumulative_bytes div
+    target, the same prefix-sum chunking as sequence_packing but over
+    payload bytes. One shuffle (the media_type partitioning); the
+    payload itself never shuffles — only (doc_id, byte_len) plan rows.
+    Report per shard: items, bytes, doc range — the manifest the
+    writer commits."""
+    media = media_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = media.select(
+        "media_type", "doc_id", F.length("payload").cast("bigint").alias("blen")
+    ).withColumn("cum_bytes", F.sum("blen").over(w))
+    shards = sized.withColumn(
+        "shard_id", F.expr(f"(cum_bytes - 1) div {SHARD_TARGET_BYTES}")
+    )
+    return (
+        shards.groupBy("media_type", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("blen").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("media_type", "shard_id")
+    )
+
+
+MULTIMODAL_SHARD_PLAN_SQL = f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents
+),
+sized AS (
+  SELECT media_type, doc_id, blen,
+         CAST(SUM(blen) OVER (PARTITION BY media_type ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+  FROM media
+),
+shards AS (
+  SELECT media_type, doc_id, blen, (cum_bytes - 1) // {SHARD_TARGET_BYTES} AS shard_id
+  FROM sized
+)
+SELECT media_type, CAST(shard_id AS BIGINT) AS shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(blen) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM shards
+GROUP BY 1, 2
+ORDER BY media_type, shard_id
 """

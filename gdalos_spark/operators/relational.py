@@ -2153,3 +2153,83 @@ FROM li
 GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
 ORDER BY flag, status, ship_year
 """
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — per-type z-score outlier report
+# ---------------------------------------------------------------------------
+
+ZSCORE_THRESH = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score anomaly detection per event_type — the
+    monitoring query every event pipeline runs. Mean and variance come
+    from exact integer-cents sums (sum, sum-of-squares as BIGINT —
+    value <= ~500 so cents² sums stay far under 2^63 even at 10^9
+    rows/type), so both engines derive the IDENTICAL doubles; sqrt is
+    IEEE-correctly-rounded and thus safe (unlike ln/exp). The anomaly
+    count and the max |z| per type come from one conditional re-agg
+    over the same (type) partitioning — two shuffles total, both on
+    the bounded type key."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_c"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s1"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean_c = F.col("s1").cast("double") / n
+    var_c2 = (F.col("s2").cast("double") - (F.col("s1").cast("double") * F.col("s1").cast("double")) / n) / n
+    stats = stats.withColumn("mean_c", mean_c).withColumn("sd_c", F.sqrt(var_c2))
+    z = (F.col("v_c").cast("double") - F.col("mean_c")) / F.col("sd_c")
+    scored = ev.join(F.broadcast(stats), "event_type").withColumn("z", z)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (F.max("mean_c") / 100.0).alias("mean_value"),
+            (F.max("sd_c") / 100.0).alias("sd_value"),
+            F.sum((F.abs("z") > ZSCORE_THRESH).cast("int")).cast("bigint").alias("n_anomalies"),
+            F.max(F.abs("z")).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v_c
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v_c) AS BIGINT) AS s1,
+         CAST(SUM(v_c * v_c) AS BIGINT) AS s2
+  FROM ev GROUP BY 1
+),
+st2 AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         SQRT((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd_c
+  FROM stats
+),
+scored AS (
+  SELECT ev.event_type, st2.n, st2.mean_c, st2.sd_c,
+         (CAST(ev.v_c AS DOUBLE) - st2.mean_c) / st2.sd_c AS z
+  FROM ev JOIN st2 ON ev.event_type = st2.event_type
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(mean_c) / 100.0 AS mean_value,
+       MAX(sd_c) / 100.0 AS sd_value,
+       CAST(SUM(CASE WHEN ABS(z) > {ZSCORE_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       MAX(ABS(z)) AS max_abs_z
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
