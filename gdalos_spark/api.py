@@ -419,3 +419,89 @@ class GdalosSpark:
         """Downstream flow path length per DEM cell via pointer jumping
         (O(log path) rounds)."""
         return raster.raster_flow_path_length(self.spark, self.sf_dir)
+
+    # --- round-4 session verbs: TPC-H completion, vocabulary family,
+    #     lakehouse maintenance, media lake, monitoring -----------------
+    def tpch(self, n: int) -> DataFrame:
+        """Run the TPC-H Q{n} plan-shape analog (all 22 covered)."""
+        key = {
+            1: "pricing_summary", 2: "min_cost_supplier", 3: "top_orders",
+            4: "order_priority_counts", 5: "region_volume",
+            6: "forecast_revenue", 7: "nation_trade_volume",
+            8: "market_share", 9: "product_profit",
+            10: "returned_item_losses", 11: "important_part_share",
+            12: "shipmode_priority_counts", 13: "customer_order_distribution",
+            14: "promo_revenue", 15: "top_supplier_revenue",
+            16: "part_supplier_variety", 17: "small_quantity_revenue",
+            18: "large_orders", 19: "disjunctive_revenue",
+            20: "excess_shipper", 21: "late_supplier_blame",
+            22: "idle_customer_balance",
+        }[n]
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()[key](self.spark, self.sf_dir)
+
+    def bpe_pairs(self) -> DataFrame:
+        """One BPE training iteration's merge-candidate pair counts."""
+        from gdalos_spark.operators import vocab
+
+        return vocab.bpe_merge_step(self.spark, self.sf_dir)
+
+    def zipf(self) -> DataFrame:
+        from gdalos_spark.operators import vocab
+
+        return vocab.zipf_law_report(self.spark, self.sf_dir)
+
+    def heavy_hitters(self) -> DataFrame:
+        """Count-Min-sketch frequent tokens with the overcount audit."""
+        from gdalos_spark.operators import vocab
+
+        return vocab.cms_heavy_hitters(self.spark, self.sf_dir)
+
+    def blocklist_probe(self) -> DataFrame:
+        """Bloom-filter token blocklist probe with per-source FP audit."""
+        from gdalos_spark.operators import vocab
+
+        return vocab.bloom_blocklist(self.spark, self.sf_dir)
+
+    def classify_quality(self) -> DataFrame:
+        """Linear (fasttext-style) keep/drop quality scores."""
+        from gdalos_spark.operators import vocab
+
+        return vocab.quality_classifier_score(self.spark, self.sf_dir)
+
+    def focal_median(self) -> DataFrame:
+        return raster.raster_focal_median(self.spark, self.sf_dir)
+
+    def stream_leaderboard(self) -> DataFrame:
+        """Per-day top-K event types via Structured Streaming counts."""
+        return streaming_events.streaming_tumbling_topk(self.spark, self.sf_dir)
+
+    def scd2(self) -> DataFrame:
+        """Slowly-changing-dimension type-2 validity intervals."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.scd2_apply(self.spark, self.sf_dir)
+
+    def merge_plan(self) -> DataFrame:
+        """MERGE INTO action resolution (update/insert/keep) report."""
+        return relational.merge_upsert_plan(self.spark, self.sf_dir)
+
+    def cube(self) -> DataFrame:
+        return relational.pricing_cube(self.spark, self.sf_dir)
+
+    def geohash(self) -> DataFrame:
+        """Geohash spatial bucketing of the event point cloud."""
+        return viewshed.geohash_bucket(self.spark, self.sf_dir)
+
+    def media_dedup(self) -> DataFrame:
+        """Exact media dedup by payload digest, per media type."""
+        return multimodal_ops.multimodal_dedup(self.spark, self.sf_dir)
+
+    def media_shards(self) -> DataFrame:
+        """Size-balanced media shard plan (WebDataset-style)."""
+        return multimodal_ops.multimodal_shard_plan(self.spark, self.sf_dir)
+
+    def anomalies(self) -> DataFrame:
+        """Per-type z-score outlier report over event values."""
+        return relational.events_anomaly_zscore(self.spark, self.sf_dir)
