@@ -505,3 +505,15 @@ class GdalosSpark:
     def anomalies(self) -> DataFrame:
         """Per-type z-score outlier report over event values."""
         return relational.events_anomaly_zscore(self.spark, self.sf_dir)
+
+    def triangles(self) -> DataFrame:
+        """Triangle census of the supplier competitor graph."""
+        from gdalos_spark.operators import graph
+
+        return graph.supplier_triangles(self.spark, self.sf_dir)
+
+    def pagerank(self) -> DataFrame:
+        """Fixed-iteration exact integer PageRank over the competitor graph."""
+        from gdalos_spark.operators import graph
+
+        return graph.pagerank_exact(self.spark, self.sf_dir)
