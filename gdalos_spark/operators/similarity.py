@@ -909,3 +909,124 @@ ANN_IVFPQ_TOPK_SQL = _ivfpq_sql()
 ANN_RECALL_REPORT_SQL = (
     ANN_RECALL_REPORT_SQL + "\nUNION ALL\n" + _recall_one("ivfpq", ANN_IVFPQ_TOPK_SQL)
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding_matryoshka — truncated-dimension retrieval quality report
+#     (Kusupati et al. 2022, Matryoshka Representation Learning: serve
+#     the first M dims of a D-dim embedding and measure what top-k
+#     retrieval loses — the dimension-vs-recall tradeoff every
+#     vector-store deployment tunes)
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # truncated prefix dimension (full = vectors.EMB_DIM = 64)
+
+
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe top-k overlap between full-dimension cosine retrieval
+    and first-MRL_DIM-prefix retrieval: the truncated index costs 1/4
+    the bytes and this report says what that buys back. Both rankings
+    come from ONE broadcast-probe scored pass (the prefix dot is a
+    sub-fold of the same arrays — no second scan), ranked by two
+    windows over the same probe partitioning; the overlap join is on
+    (probe, vec). Cosines are ordered-fold doubles rounded once — the
+    established exact cross-engine idiom; ranks break ties on vec_id so
+    the cut at k is total-ordered."""
+    pref_n2 = vectors.fold_sum(
+        F.transform(
+            F.slice(F.col("embedding"), 1, MRL_DIM),
+            lambda x: x.cast("double") * x.cast("double"),
+        )
+    )
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        vectors.norm2(F.col("embedding")).alias("n2"),
+        pref_n2.alias("m2"),
+    )
+    probes = base.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("p_emb"),
+        F.col("n2").alias("p_n2"),
+        F.col("m2").alias("p_m2"),
+    )
+    full_dot = vectors.dot(
+        vectors.emb_double(F.col("emb")), vectors.emb_double(F.col("p_emb"))
+    )
+    pref_dot = vectors.fold_sum(
+        F.zip_with(
+            F.slice(F.col("emb"), 1, MRL_DIM),
+            F.slice(F.col("p_emb"), 1, MRL_DIM),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+    )
+    scored = base.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.round(full_dot / F.sqrt(F.col("n2") * F.col("p_n2")), 6).alias("cos_full"),
+        F.round(pref_dot / F.sqrt(F.col("m2") * F.col("p_m2")), 6).alias("cos_trunc"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wt).alias("rk_trunc"),
+    )
+    return (
+        ranked.filter((F.col("rk_full") <= TOP_K) | (F.col("rk_trunc") <= TOP_K))
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                ((F.col("rk_full") <= TOP_K) & (F.col("rk_trunc") <= TOP_K)).cast("int")
+            ).cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "probe_id",
+            F.lit(TOP_K).cast("int").alias("k"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _matryoshka_sql() -> str:
+    full_dot = vectors.dot_sql("c.emb", "p.p_emb")
+    pref_dot = vectors.dot_sql("c.emb", "p.p_emb", dim=MRL_DIM)
+    n2 = vectors.norm2_sql("embedding")
+    m2 = vectors.norm2_sql("embedding", dim=MRL_DIM)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS emb, {n2} AS n2, {m2} AS m2 FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS probe_id, emb AS p_emb, n2 AS p_n2, m2 AS p_m2
+  FROM base WHERE vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id,
+         ROUND({full_dot} / sqrt(c.n2 * p.p_n2), 6) AS cos_full,
+         ROUND({pref_dot} / sqrt(c.m2 * p.p_m2), 6) AS cos_trunc
+  FROM base c JOIN probes p ON c.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_full DESC, vec_id) AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_trunc DESC, vec_id) AS rk_trunc
+  FROM scored
+)
+SELECT probe_id, CAST({TOP_K} AS INTEGER) AS k,
+       CAST(SUM(CASE WHEN rk_full <= {TOP_K} AND rk_trunc <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN rk_full <= {TOP_K} AND rk_trunc <= {TOP_K} THEN 1 ELSE 0 END) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM ranked
+WHERE rk_full <= {TOP_K} OR rk_trunc <= {TOP_K}
+GROUP BY probe_id
+ORDER BY probe_id
+"""
+
+
+EMBEDDING_MATRYOSHKA_SQL = _matryoshka_sql()

@@ -322,3 +322,11 @@ def test_vocab_family_shapes(spark):
     plan = q(spark, "quality_classifier_score")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_graph_ops_no_cartesian(spark):
+    """Edge derivation is a blocked equi-join; wedges and closure are
+    equi/semi joins; PageRank rounds are equi-joins — nothing may
+    degrade to a cartesian or BNLJ however dense the data."""
+    assert_no_cartesian(q(spark, "pagerank_exact"))
+    assert_not_in_plan(q(spark, "pagerank_exact"), "BroadcastNestedLoopJoin")

@@ -34,6 +34,9 @@ NEW_KEYS = [
     "multimodal_dedup",
     "multimodal_shard_plan",
     "events_anomaly_zscore",
+    "supplier_triangles",
+    "pagerank_exact",
+    "embedding_matryoshka",
 ]
 
 
@@ -125,3 +128,27 @@ def test_geohash_buckets_are_contained(spark):
     for r in entrymod.queries()["geohash_bucket"](spark, SF_DIR).collect():
         assert r.max_x - r.min_x <= 0.0625 + 1e-9, r
         assert r.max_y - r.min_y <= 0.0625 + 1e-9, r
+
+
+def test_triangle_census_consistency(spark):
+    r = entrymod.queries()["supplier_triangles"](spark, SF_DIR).collect()[0]
+    assert r.n_triangles >= 0
+    assert r.n_wedges >= r.n_triangles
+    if r.n_wedges:
+        assert 0.0 <= r.closure_ratio <= 3.0
+
+
+def test_pagerank_ranks_positive_and_bounded(spark):
+    rows = entrymod.queries()["pagerank_exact"](spark, SF_DIR).collect()
+    assert rows, "graph should be non-empty"
+    for r in rows:
+        # damped rank >= the teleport floor 0.15, and micro-unit
+        # truncation only ever loses mass
+        assert 0.15 <= r.rank, r
+        assert r.degree >= 1
+
+
+def test_matryoshka_recall_in_range(spark):
+    for r in entrymod.queries()["embedding_matryoshka"](spark, SF_DIR).collect():
+        assert 0 <= r.n_overlap <= r.k, r
+        assert abs(r.recall_at_k - r.n_overlap / r.k) < 1e-12
