@@ -2233,3 +2233,55 @@ FROM scored
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order behavior transition matrix
+# ---------------------------------------------------------------------------
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lag(event_type) over the (user, time) order gives the (from, to)
+    stream, one bounded-key agg counts it, and the row-stochastic
+    probabilities divide exact integers per from-state (the same
+    window partitioning carries both the count and its row total, so
+    the matrix normalizes without a second shuffle). The session-start
+    pseudo-state '_START' keeps the matrix proper."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stream = ev.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("_START")).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    counts = stream.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_MARKOV_TRANSITIONS_SQL = """
+WITH stream AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '_START') AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM stream GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""

@@ -1132,3 +1132,102 @@ FROM ranked WHERE rank <= {BM25_TOPK}
 
 
 TEXT_BM25_TOPK_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# doc_tfidf_topk — per-document top TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 5
+
+
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by tf·idf — the extraction every
+    search/tagging pipeline runs. Shares text_rarity_score's two-pass
+    df-table shape (corpus document frequencies JOINED, never
+    broadcast); idf = log2((N+1)/(df+1)) comes from the polynomial
+    log2 of the two integers (engine libm banned), the product rounds
+    once to micro-units so ranking compares integers, and the per-doc
+    window breaks ties (score desc, token asc) for a total order. The
+    df join and the per-doc window use different keys — two shuffles,
+    both unavoidable at any scale; only (doc_id, token-hash, integers)
+    ever shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    occ = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    j = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("num", F.col("n_docs") + 1)
+        .withColumn("den", F.col("df") + 1)
+    )
+    j = _log2_col(j, "num", "lg_num", spark_shift)
+    j = _log2_col(j, "den", "lg_den", spark_shift)
+    scored = j.select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.col("df").cast("bigint").alias("df"),
+        F.round(
+            F.col("tf") * (F.col("lg_num") - F.col("lg_den")) * 1_000_000.0
+        ).cast("bigint").alias("score_u"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "rk",
+            "tok",
+            "tf",
+            "df",
+            (F.col("score_u").cast("double") / 1_000_000.0).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+j AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dft.df,
+         nd.n_docs + 1 AS num, dft.df + 1 AS den
+  FROM tf JOIN dft USING (tok) CROSS JOIN nd
+),
+lg AS (
+  SELECT doc_id, tok, tf, df,
+         {_log2_lateral_sql('num', 'lg_num')},
+         {_log2_lateral_sql('den', 'lg_den')}
+  FROM j
+),
+scored AS (
+  SELECT doc_id, tok, tf, CAST(df AS BIGINT) AS df,
+         CAST(ROUND(tf * (lg_num - lg_den) * 1000000.0) AS BIGINT) AS score_u
+  FROM lg
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, tok) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, tok, tf, df,
+       CAST(score_u AS DOUBLE) / 1000000.0 AS tfidf
+FROM ranked WHERE rk <= {TFIDF_TOPK}
+ORDER BY doc_id, rk
+"""
+
+
+DOC_TFIDF_TOPK_SQL = _tfidf_sql()
