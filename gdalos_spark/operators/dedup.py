@@ -927,3 +927,151 @@ FROM per_doc p LEFT JOIN runs r ON p.doc_id = r.doc_id
 
 
 DEDUP_SUBSTRING_SQL = _substring_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_title — edit-distance near-dup pairs via pigeonhole blocking
+# ---------------------------------------------------------------------------
+
+FUZZY_PREFIX_LEN = 32  # the "title": first chars of the document
+FUZZY_MAX_DIST = 3
+FUZZY_BLOCK_CAP = 50  # max titles per block that emit pairs
+FUZZY_PLANT_MOD = 10  # doc_id % MOD == 1 docs get a 1-edit copy of doc_id-1
+
+
+def _fuzzy_titles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Titles with DETERMINISTIC planted near-dups: every doc_id%MOD==1
+    doc's title becomes its predecessor's title with the first char
+    replaced — a distance-1 pair by construction (same augmentation
+    precedent as text_pii_flag: the corpus is random word salad with no
+    natural typo-level pairs, so the operator's recall is demonstrated
+    on planted ones; the plant is an equi-join on doc_id-1)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # project the 32-char title BEFORE repartitioning — shuffling the
+    # full text column to then keep 32 chars of it is pure waste
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.substring("text", 1, FUZZY_PREFIX_LEN).alias("t0"))
+        .repartition(n_part, "doc_id")
+    )
+    prev = base.select(
+        (F.col("doc_id") + 1).alias("nxt"), F.col("t0").alias("prev_t")
+    )
+    return (
+        base.join(prev, F.col("doc_id") == F.col("nxt"), "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                (F.col("doc_id") % FUZZY_PLANT_MOD == 1) & F.col("prev_t").isNotNull(),
+                F.concat(F.lit("Z"), F.substring("prev_t", 2, FUZZY_PREFIX_LEN - 1)),
+            ).otherwise(F.col("t0")).alias("title"),
+        )
+    )
+
+
+def dedup_fuzzy_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection on document titles — the
+    fuzzy-match family the n-gram/minhash ops don't cover (they see set
+    overlap; Levenshtein sees ORDERED typo-level edits, and both
+    engines' classic DP implementations return the identical integer).
+
+    Candidates come from PIGEONHOLE (PassJoin-style) blocking, never
+    all-pairs: each title emits its two halves as block keys; one edit
+    touches only one half, so every distance-1 pair shares the other
+    half verbatim (guaranteed recall at d=1, high recall for clustered
+    d<=3 edits — the standard bounded-recall tradeoff, stated rather
+    than silent). The O(len²) distance runs only inside blocks, and the
+    DF cap bounds any hot block (exact-dup clusters are the n-gram
+    family's job). Output: distance histogram + example pair count per
+    distance 1..FUZZY_MAX_DIST."""
+    # persist: the block table feeds the cap filter AND both join sides
+    # — without it the scan + plant join recomputes four times (same
+    # materialize-the-signatures discipline as minhash/ngram)
+    titles = _fuzzy_titles_spark(spark, sf_dir)
+    half = FUZZY_PREFIX_LEN // 2
+    blocks = titles.select(
+        "doc_id",
+        "title",
+        F.explode(
+            F.array(
+                F.concat(F.lit("1|"), F.substring("title", 1, half)),
+                F.concat(F.lit("2|"), F.substring("title", half + 1, half)),
+            )
+        ).alias("blk"),
+    ).persist()
+    ok = blocks.groupBy("blk").agg(F.count(F.lit(1)).alias("n_blk")).filter(
+        F.col("n_blk") <= FUZZY_BLOCK_CAP
+    )
+    blocks = blocks.join(ok.select("blk"), "blk", "left_semi").persist()
+    a = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+    )
+    # score INSIDE the block join and filter before any dedup, so the
+    # distinct shuffles only (ids, int) for the tiny survivor set —
+    # never the title strings (a pair sharing both halves is an exact
+    # dup, dist 0, dropped here anyway)
+    # title_a != title_b INSIDE the join: exact-dup clusters (the
+    # common case — replicated corpora) would otherwise run the O(len²)
+    # DP on every within-cluster pair just to produce an excluded d=0
+    pairs = (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("title_a") != F.col("title_b")),
+        )
+        .select(
+            "doc_a", "doc_b", F.levenshtein("title_a", "title_b").alias("dist")
+        )
+        .filter((F.col("dist") <= FUZZY_MAX_DIST) & (F.col("dist") > 0))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("doc_a").cast("bigint").alias("example_doc"),
+        )
+        .orderBy("dist")
+    )
+
+
+DEDUP_FUZZY_TITLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, substring(text, 1, {FUZZY_PREFIX_LEN}) AS t0
+  FROM documents
+),
+titles AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % {FUZZY_PLANT_MOD} = 1 AND p.t0 IS NOT NULL
+              THEN 'Z' || substring(p.t0, 2, {FUZZY_PREFIX_LEN - 1})
+              ELSE b.t0 END AS title
+  FROM base b LEFT JOIN base p ON b.doc_id = p.doc_id + 1
+),
+blocks AS (
+  SELECT doc_id, title, '1|' || substring(title, 1, {FUZZY_PREFIX_LEN // 2}) AS blk FROM titles
+  UNION ALL
+  SELECT doc_id, title, '2|' || substring(title, {FUZZY_PREFIX_LEN // 2 + 1}, {FUZZY_PREFIX_LEN // 2}) AS blk FROM titles
+),
+okb AS (SELECT blk FROM blocks GROUP BY blk HAVING COUNT(*) <= {FUZZY_BLOCK_CAP}),
+bf AS (SELECT * FROM blocks WHERE blk IN (SELECT blk FROM okb)),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b, dist FROM (
+    SELECT p.doc_id AS doc_a, q.doc_id AS doc_b,
+           levenshtein(p.title, q.title) AS dist
+    FROM bf p JOIN bf q
+      ON p.blk = q.blk AND p.doc_id < q.doc_id AND p.title <> q.title
+  ) x
+  WHERE dist <= {FUZZY_MAX_DIST} AND dist > 0
+)
+SELECT dist, COUNT(*) AS n_pairs, CAST(MIN(doc_a) AS BIGINT) AS example_doc
+FROM pairs
+GROUP BY dist
+ORDER BY dist
+"""

@@ -250,3 +250,76 @@ SELECT user_id, value, valid_from,
 FROM closed
 ORDER BY user_id, valid_from
 """
+
+
+# ---------------------------------------------------------------------------
+# events_time_weighted_avg — TWAP per user (interval-weighted mean)
+# ---------------------------------------------------------------------------
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value stream (the TWAP every
+    metering/pricing pipeline computes): each observation holds until
+    the next one, so its weight is the gap to the successor (the final
+    open-ended observation is excluded — no arbitrary horizon). One
+    lead() window over the (user, time) partitioning, then an exact
+    integer agg: weights are whole seconds (BIGINT), values are cents,
+    and the weighted sum cents·seconds stays far under 2^63 (500*100
+    cents x ~1e5 s x 1e4 events/user at 100 TB ≈ 5e13/user). The
+    terminal divide of two exact integers is engine-identical."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seg = ev.withColumn("next_s", F.lead("ts_s").over(w)).filter(
+        F.col("next_s").isNotNull()
+    ).withColumn("dt", F.col("next_s") - F.col("ts_s"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt").alias("span_s"),
+            F.sum(F.col("v_c") * F.col("dt")).alias("wsum"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            F.col("span_s").cast("bigint").alias("span_s"),
+            (
+                F.col("wsum").cast("double")
+                / (F.col("span_s") * F.lit(100)).cast("double")
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_TIME_WEIGHTED_AVG_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v_c
+  FROM events
+),
+seg AS (
+  SELECT user_id, v_c,
+         LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS dt
+  FROM ev
+  QUALIFY LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NOT NULL
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_segments,
+         CAST(SUM(dt) AS BIGINT) AS span_s,
+         CAST(SUM(v_c * dt) AS BIGINT) AS wsum
+  FROM seg GROUP BY 1
+)
+SELECT user_id, n_segments, span_s,
+       CAST(wsum AS DOUBLE) / CAST(span_s * 100 AS DOUBLE) AS twap
+FROM agg
+WHERE span_s > 0
+ORDER BY user_id
+"""
