@@ -2285,3 +2285,195 @@ SELECT from_type, to_type, n,
 FROM counts
 ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm_scores — RFM segmentation (recency/frequency/monetary)
+# ---------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM customer segmentation: per customer, days since last
+    order (vs the corpus max date — no wall clock, so the result is
+    reproducible), order count, and exact-cents lifetime value; each
+    dimension quintiled with ntile(5) over a TOTAL order (tie-break on
+    custkey — ANSI ntile is deterministic given a total order, so both
+    engines emit identical buckets). One orders scan, one custkey agg,
+    three windows that all reuse ONE single-partition pass over the
+    customer-sized aggregate (bounded: |customers| rows, not |orders|).
+    Output counts per (r, f, m) segment cell."""
+    # o_orderdate scans as TIMESTAMP_NTZ (no BIGINT cast); the zone-free
+    # day index is unix_date over the wall-clock DATE
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("bigint").alias("day"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    mx = per_cust.agg(F.max("last_day").alias("max_day"))
+    scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.col("max_day") - F.col("last_day")
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    rfm = scored.select(
+        F.ntile(RFM_BUCKETS).over(wr).alias("r"),
+        F.ntile(RFM_BUCKETS).over(wf).alias("f"),
+        F.ntile(RFM_BUCKETS).over(wm).alias("m"),
+        "monetary_cents",
+    )
+    return (
+        rfm.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("monetary_cents").cast("double") / 100.0).alias("segment_value"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+CUSTOMER_RFM_SCORES_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, MAX(day) AS last_day, COUNT(*) AS frequency,
+         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+  FROM o GROUP BY 1
+),
+mx AS (SELECT MAX(last_day) AS max_day FROM per_cust),
+scored AS (
+  SELECT p.*, mx.max_day - p.last_day AS recency_days
+  FROM per_cust p CROSS JOIN mx
+),
+rfm AS (
+  SELECT NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey) AS r,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m,
+         monetary_cents
+  FROM scored
+)
+SELECT r, f, m, COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS segment_value
+FROM rfm
+GROUP BY 1, 2, 3
+ORDER BY r, f, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_pmi_pairs — pointwise mutual information of event-type pairs
+# ---------------------------------------------------------------------------
+
+
+def events_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI of unordered event-type pairs co-occurring within the same
+    (user, day) context — the association measure behind co-occurrence
+    embeddings and market-basket lift. Contexts come from one distinct
+    projection; pairs from a capped self-join per context (event-type
+    cardinality is bounded, so the fan-out is C(|types|,2) per context
+    at worst). pmi = log2(n_pair * n_ctx / (n_a * n_b)) evaluates the
+    polynomial log2 on the two exact integer operands (numerator and
+    denominator products stay under 2^63 at any realistic context
+    count); both engines emit identical doubles."""
+    from gdalos_spark.operators.text import _log2_col
+
+    ev = load(spark, sf_dir, "events")
+    # load() normalizes events.ts to TIMESTAMP, so the BIGINT cast is
+    # epoch seconds (same idiom as events_sessionize)
+    ctx = ev.select(
+        "user_id",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+        "event_type",
+    ).distinct().persist()
+    nctx = ctx.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_ctx")
+    )
+    marg = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ctx.select("user_id", "day", F.col("event_type").alias("ta"))
+    b = ctx.select(
+        F.col("user_id").alias("u2"), F.col("day").alias("d2"),
+        F.col("event_type").alias("tb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day") == F.col("d2"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ma = marg.select(F.col("event_type").alias("ta"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("tb"), F.col("n_t").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(ma), "ta")
+        .join(F.broadcast(mb), "tb")
+        .crossJoin(F.broadcast(nctx))
+        .withColumn("num", F.col("n_pair") * F.col("n_ctx"))
+        .withColumn("den", F.col("n_a") * F.col("n_b"))
+    )
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    j = _log2_col(j, "num", "lg_num", spark_shift)
+    j = _log2_col(j, "den", "lg_den", spark_shift)
+    return j.select(
+        "ta",
+        "tb",
+        "n_pair",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("lg_num") - F.col("lg_den"), 6).alias("pmi"),
+    ).orderBy("ta", "tb")
+
+
+def _pmi_sql() -> str:
+    from gdalos_spark.operators.text import _log2_lateral_sql
+
+    return f"""
+WITH ctx AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+         event_type
+  FROM events
+),
+nctx AS (SELECT COUNT(*) AS n_ctx FROM (SELECT DISTINCT user_id, day FROM ctx)),
+marg AS (SELECT event_type, COUNT(*) AS n_t FROM ctx GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_pair
+  FROM ctx a JOIN ctx b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.ta, p.tb, p.n_pair,
+         CAST(ma.n_t AS BIGINT) AS n_a, CAST(mb.n_t AS BIGINT) AS n_b,
+         CAST(p.n_pair AS BIGINT) * nctx.n_ctx AS num,
+         CAST(ma.n_t AS BIGINT) * CAST(mb.n_t AS BIGINT) AS den
+  FROM pairs p
+  JOIN marg ma ON p.ta = ma.event_type
+  JOIN marg mb ON p.tb = mb.event_type
+  CROSS JOIN nctx
+),
+lg AS (
+  SELECT ta, tb, n_pair, n_a, n_b,
+         {_log2_lateral_sql('num', 'lg_num')},
+         {_log2_lateral_sql('den', 'lg_den')}
+  FROM j
+)
+SELECT ta, tb, n_pair, n_a, n_b, ROUND(lg_num - lg_den, 6) AS pmi
+FROM lg
+ORDER BY ta, tb
+"""
+
+
+EVENTS_PMI_PAIRS_SQL = _pmi_sql()
