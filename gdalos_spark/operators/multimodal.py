@@ -139,8 +139,72 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
             "n_samples": len(samples) // n_channels,
             "feat_mean": float(np.abs(samples.astype(np.int32)).mean()),
         }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # REAL compressed decode: PNG needs only stdlib zlib. 8-bit
+        # depth, non-interlaced, color types 0/2/4/6 (covers what any
+        # writer without a palette emits); all five scanline filters.
+        import zlib
+
+        pos, w, h, channels, idat = 8, None, None, None, b""
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or interlace != 0:
+                    raise NotImplementedError("only 8-bit non-interlaced PNG")
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if channels is None:
+                    raise NotImplementedError("palette PNG not supported")
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        if w is None or not idat:
+            raise NotImplementedError("PNG missing IHDR/IDAT")
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            ftype = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int32)
+            prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+            cur = np.zeros(stride, dtype=np.int32)
+            if ftype == 0:
+                cur = line
+            elif ftype == 2:
+                cur = line + prev
+            else:
+                # sub/average/paeth need the left neighbor -> sequential
+                # per pixel, vectorized across channels
+                for x in range(stride):
+                    a = cur[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 3:
+                        pred = (a + b) // 2
+                    elif ftype == 4:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    else:
+                        raise NotImplementedError(f"PNG filter {ftype}")
+                    cur[x] = line[x] + pred
+            out[y] = cur & 0xFF
+        return {
+            "kind": "png", "width": w, "height": h, "channels": channels,
+            "n_samples": w * h, "feat_mean": float(out.mean()),
+        }
     raise NotImplementedError(
-        "compressed codecs (JPEG/PNG/MP3/H.264) need PIL/librosa/av, "
+        "remaining compressed codecs (JPEG/MP3/H.264) need PIL/librosa/av, "
         "which are not available in this container"
     )
 
