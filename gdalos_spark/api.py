@@ -517,3 +517,37 @@ class GdalosSpark:
         from gdalos_spark.operators import graph
 
         return graph.pagerank_exact(self.spark, self.sf_dir)
+
+    def matryoshka_report(self) -> DataFrame:
+        """Truncated-dimension (MRL) retrieval-quality report."""
+        from gdalos_spark.operators import similarity
+
+        return similarity.embedding_matryoshka(self.spark, self.sf_dir)
+
+    def keywords(self) -> DataFrame:
+        """Per-document top TF-IDF keywords."""
+        from gdalos_spark.operators import text as text_ops
+
+        return text_ops.doc_tfidf_topk(self.spark, self.sf_dir)
+
+    def markov(self) -> DataFrame:
+        """First-order event-type transition matrix."""
+        return relational.events_markov_transitions(self.spark, self.sf_dir)
+
+    def rfm(self) -> DataFrame:
+        """RFM (recency/frequency/monetary) customer segmentation."""
+        return relational.customer_rfm_scores(self.spark, self.sf_dir)
+
+    def pmi(self) -> DataFrame:
+        """PMI of event-type pairs within (user, day) contexts."""
+        return relational.events_pmi_pairs(self.spark, self.sf_dir)
+
+    def dedup_fuzzy(self) -> DataFrame:
+        """Levenshtein typo-level near-dup title pairs."""
+        return dedup_ops.dedup_fuzzy_title(self.spark, self.sf_dir)
+
+    def twap(self) -> DataFrame:
+        """Per-user time-weighted average of the value stream."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.events_time_weighted_avg(self.spark, self.sf_dir)
