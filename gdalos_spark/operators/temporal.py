@@ -323,3 +323,92 @@ FROM agg
 WHERE span_s > 0
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_alarm — CUSUM drift detection as two windows
+# ---------------------------------------------------------------------------
+
+CUSUM_H_CENTS = 10_000  # alarm when the cumulative positive drift > $100
+
+
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user: S_t = max(0, S_{t-1} +
+    (x_t - mean)) with an alarm when S_t exceeds H. The recurrence looks
+    sequential, but the classic prefix identity S_t = P_t - min(0,
+    min_{j<=t} P_j) (P = running sum of deviations) turns it into TWO
+    stacked windows over ONE (user, time) partitioning — no UDF, no
+    iteration, no state. Deviations are scaled by the user's event
+    count (d_t = n*x_t - total) so everything stays exact BIGINT: the
+    per-user mean never materializes as a float, exactly the Q22
+    cross-multiplication trick applied to a time-series recurrence.
+    Output per user: alarms, peak CUSUM in cents, first alarm event."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_c"),
+    )
+    per_user = ev.groupBy(F.col("user_id").alias("uk")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_c").alias("total_c")
+    )
+    j = ev.join(per_user, ev.user_id == F.col("uk")).withColumn(
+        "d", F.col("n") * F.col("v_c") - F.col("total_c")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn("p", F.sum("d").over(w))
+    j = j.withColumn("pmin", F.least(F.lit(0).cast("bigint"), F.min("p").over(w)))
+    j = j.withColumn("s", F.col("p") - F.col("pmin"))
+    alarm = F.col("s") > F.col("n") * CUSUM_H_CENTS
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(alarm.cast("int")).cast("bigint").alias("n_alarms"),
+            (F.max("s").cast("double") / (F.max("n") * 100).cast("double")).alias("peak_cusum"),
+            F.coalesce(
+                F.min(F.when(alarm, F.col("event_id"))), F.lit(-1)
+            ).alias("first_alarm_event"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_CUSUM_ALARM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v_c
+  FROM events
+),
+per_user AS (
+  SELECT user_id AS uk, COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS total_c
+  FROM ev GROUP BY 1
+),
+j AS (
+  SELECT ev.*, p.n, p.total_c, p.n * ev.v_c - p.total_c AS d
+  FROM ev JOIN per_user p ON ev.user_id = p.uk
+),
+w1 AS (
+  SELECT *, CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+  FROM j
+),
+w2 AS (
+  SELECT *, p - LEAST(CAST(0 AS BIGINT),
+                      CAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS s
+  FROM w1
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN s > n * {CUSUM_H_CENTS} THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS DOUBLE) / CAST(MAX(n) * 100 AS DOUBLE) AS peak_cusum,
+       COALESCE(MIN(CASE WHEN s > n * {CUSUM_H_CENTS} THEN event_id END), -1) AS first_alarm_event
+FROM w2
+GROUP BY user_id
+ORDER BY user_id
+"""
