@@ -203,6 +203,88 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
             "kind": "png", "width": w, "height": h, "channels": channels,
             "n_samples": w * h, "feat_mean": float(out.mean()),
         }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # REAL compressed decode #2: GIF's LZW needs no library at all.
+        # Single-frame, non-interlaced, global color table.
+        pos = 6
+        sw, sh, packed = struct.unpack_from("<HHB", payload, pos)
+        pos += 7
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:
+                _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+                pos += 10
+                if ipacked & 0x40:
+                    raise NotImplementedError("interlaced GIF not supported")
+                if ipacked & 0x80:
+                    n = 2 ** ((ipacked & 0x07) + 1)
+                    gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                    pos += 3 * n
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                # LZW decode (variable width, clear/end codes, 4095 cap)
+                clear, end = 1 << min_code, (1 << min_code) + 1
+                table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+                table += [b"", b""]
+                width = min_code + 1
+                out = bytearray()
+                acc = nbits = 0
+                prev: bytes | None = None
+                for byte in data:
+                    acc |= byte << nbits
+                    nbits += 8
+                    while nbits >= width:
+                        code = acc & ((1 << width) - 1)
+                        acc >>= width
+                        nbits -= width
+                        if code == clear:
+                            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                            width = min_code + 1
+                            prev = None
+                            continue
+                        if code == end:
+                            nbits = 0
+                            break
+                        if code < len(table):
+                            entry = table[code]
+                        elif code == len(table) and prev is not None:
+                            entry = prev + prev[:1]
+                        else:
+                            raise NotImplementedError("corrupt GIF LZW stream")
+                        out += entry
+                        if prev is not None and len(table) < 4096:
+                            table.append(prev + entry[:1])
+                        prev = entry
+                        if len(table) == (1 << width) and width < 12:
+                            width += 1
+                if gct is None:
+                    raise NotImplementedError("GIF without a color table")
+                idx = np.frombuffer(bytes(out), np.uint8, w * h)
+                rgb = gct[idx]
+                return {
+                    "kind": "gif", "width": w, "height": h, "channels": 3,
+                    "n_samples": w * h, "feat_mean": float(rgb.mean()),
+                }
+            elif b0 == 0x3B:
+                break
+            else:
+                raise NotImplementedError(f"unexpected GIF block 0x{b0:02x}")
+        raise NotImplementedError("GIF contained no image descriptor")
     raise NotImplementedError(
         "remaining compressed codecs (JPEG/MP3/H.264) need PIL/librosa/av, "
         "which are not available in this container"

@@ -257,3 +257,86 @@ def test_decode_real_png_paeth_and_sub_filters():
     d = _decode_real(png, "image")
     assert d["kind"] == "png" and d["channels"] == 1
     assert abs(d["feat_mean"] - float(pixels.mean())) < 1e-9
+
+
+def test_decode_real_gif_lzw_roundtrip():
+    """_decode_real decodes GIF's LZW for real: the test LZW-ENCODES a
+    pixel grid (mirroring the decoder's width-growth schedule) and the
+    decoder must reproduce the exact palette-mapped mean."""
+    import struct
+
+    import numpy as np
+
+    from gdalos_spark.operators.multimodal import _decode_real
+
+    w, h = 5, 3
+    idx = np.array(
+        [[0, 1, 2, 3, 0], [1, 1, 2, 2, 3], [3, 2, 1, 0, 0]], dtype=np.uint8
+    )
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # minimal LZW encoder with the same table/width schedule as a decoder
+    codes = [clear]
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    prev = b""
+    for p in idx.flatten().tobytes():
+        cur = prev + bytes([p])
+        if cur in table:
+            prev = cur
+        else:
+            codes.append(table[prev])
+            if next_code < 4096:
+                table[cur] = next_code
+                next_code += 1
+            prev = bytes([p])
+    codes.append(table[prev])
+    codes.append(end)
+
+    # bit-pack with width growing when the DECODER's table would fill:
+    # decoder table size tracks next_code-? — emit width per the same rule
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    dec_size = (1 << min_code) + 2
+    first_after_clear = True
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            dec_size = (1 << min_code) + 2
+            width = min_code + 1
+            first_after_clear = True
+        elif c != end:
+            # the decoder only ADDS a table entry from the 2nd code after
+            # a clear (it needs a previous string) — mirror that exactly
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                dec_size += 1
+                if dec_size == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+
+    gct_bits = 1  # 2^(1+1) = 4 colors
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+        + palette.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes([len(out)]) + bytes(out) + b"\x00"
+        + b"\x3b"
+    )
+    d = _decode_real(gif, "image")
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("gif", w, h, 3)
+    assert abs(d["feat_mean"] - float(palette[idx].mean())) < 1e-9
