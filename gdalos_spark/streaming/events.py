@@ -642,3 +642,107 @@ ranked AS (
 SELECT day_start, event_type, n, rk FROM ranked WHERE rk <= {TOPK_K}
 ORDER BY day_start, rk
 """
+
+
+CUSUM_QUERY_NAME = "gdalos_stream_cusum"
+CUSUM_TARGET_CENTS = 4_000  # monitored reference level ($40, below the ~$50 mean)
+CUSUM_STREAM_H_CENTS = 100_000  # alarm threshold ($1000 cumulative positive drift)
+CUSUM_OUT_SCHEMA = "user_id bigint, event_id bigint, cusum_value double"
+CUSUM_STATE_SCHEMA = "s_cents bigint"
+
+
+def _cusum_state_fn(key, pdfs, state):
+    """Custom stateful operator #2: per-user one-sided CUSUM against a
+    fixed reference level. State = one BIGINT (the running statistic in
+    cents) — the smallest possible state, updated in arrival-time order
+    and emitted whenever the drift statistic exceeds the threshold
+    (no reset, so the availableNow run is bit-equal to the batch
+    prefix-window twin)."""
+    import pandas as pd
+
+    (user_id,) = key
+    s_cents = state.get[0] if state.exists else 0
+    alarms: list[tuple] = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ).sort_values(["ts_sec", "event_id"])
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            d = int(round(float(val) * 100)) - CUSUM_TARGET_CENTS
+            s_cents = max(0, s_cents + d)
+            if s_cents > CUSUM_STREAM_H_CENTS:
+                alarms.append((user_id, int(eid), s_cents / 100.0))
+    state.update((s_cents,))
+    if alarms:
+        yield pd.DataFrame(alarms, columns=["user_id", "event_id", "cusum_value"])
+
+
+def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM drift monitoring as the second custom stateful
+    streaming operator (applyInPandasWithState): one BIGINT of state per
+    user, alarm rows emitted the moment the statistic crosses the
+    threshold — the alerting path of events_cusum_alarm's batch report.
+    No reset after alarm, so availableNow output is EXACTLY the batch
+    prefix-window derivation and the oracle gates every value (unlike
+    sessionize there is no open-tail asymmetry to filter)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == CUSUM_QUERY_NAME:
+            q.stop()
+
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    ev = stream.select(
+        "user_id",
+        "event_id",
+        F.expr(f"({epoch_micros_sql(stream)}) div 1000000").cast("bigint").alias("ts_sec"),
+        "value",
+    )
+    alarms = ev.groupBy("user_id").applyInPandasWithState(
+        _cusum_state_fn,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        alarms.writeStream.format("memory")
+        .queryName(CUSUM_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(CUSUM_QUERY_NAME)
+
+
+STREAMING_CUSUM_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) - {CUSUM_TARGET_CENTS} AS d
+  FROM events
+),
+w1 AS (
+  SELECT *, CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+  FROM ev
+),
+w2 AS (
+  SELECT user_id, event_id,
+         p - LEAST(CAST(0 AS BIGINT),
+                   CAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS s
+  FROM w1
+)
+SELECT user_id, event_id, CAST(s AS DOUBLE) / 100.0 AS cusum_value
+FROM w2
+WHERE s > {CUSUM_STREAM_H_CENTS}
+"""
