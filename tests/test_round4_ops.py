@@ -37,6 +37,14 @@ NEW_KEYS = [
     "supplier_triangles",
     "pagerank_exact",
     "embedding_matryoshka",
+    "events_markov_transitions",
+    "doc_tfidf_topk",
+    "dedup_fuzzy_title",
+    "events_time_weighted_avg",
+    "customer_rfm_scores",
+    "events_pmi_pairs",
+    "events_cusum_alarm",
+    "streaming_cusum",
 ]
 
 
@@ -152,3 +160,27 @@ def test_matryoshka_recall_in_range(spark):
     for r in entrymod.queries()["embedding_matryoshka"](spark, SF_DIR).collect():
         assert 0 <= r.n_overlap <= r.k, r
         assert abs(r.recall_at_k - r.n_overlap / r.k) < 1e-12
+
+
+def test_cusum_batch_properties(spark):
+    """CUSUM is non-negative by construction; alarm count <= events;
+    the first alarm event exists iff n_alarms > 0."""
+    for r in entrymod.queries()["events_cusum_alarm"](spark, SF_DIR).collect():
+        assert r.peak_cusum >= 0.0, r
+        assert 0 <= r.n_alarms <= r.n_events, r
+        assert (r.first_alarm_event == -1) == (r.n_alarms == 0), r
+
+
+def test_markov_rows_are_stochastic(spark):
+    rows = entrymod.queries()["events_markov_transitions"](spark, SF_DIR).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9, ft
+
+
+def test_rfm_buckets_complete(spark):
+    rows = entrymod.queries()["customer_rfm_scores"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 1 <= r.r <= 5 and 1 <= r.f <= 5 and 1 <= r.m <= 5
