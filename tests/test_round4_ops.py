@@ -45,6 +45,7 @@ NEW_KEYS = [
     "events_pmi_pairs",
     "events_cusum_alarm",
     "streaming_cusum",
+    "spatial_knn_join",
 ]
 
 
