@@ -2504,3 +2504,302 @@ FROM nbr JOIN g ON nbr.tx = g.px AND nbr.ty = g.py
 
 
 RASTER_FOCAL_MEDIAN_SQL = _focal_median_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_contour_segments — marching-squares isolines (gdal_contour)
+#    ref: the reference's contour story is class polygons
+#    (viewshed_calc.py poly_to_czml / gdal_contour in the GDAL family);
+#    this is the ISOLINE half: per-level segment census via marching
+#    squares, the stencil way
+# ---------------------------------------------------------------------------
+
+CONTOUR_HALVES = (1, 2, 3)  # levels at 0.5/1.0/1.5x the grid MEAN
+
+
+def raster_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour's isolines as a per-level segment census: one
+    4-corner stencil pass (broadcast offset join + groupBy — the
+    hillshade shape with a 2x2 window), then PURE-PROJECTION marching
+    squares: the 4-bit case index picks 0/1/2 segments, each segment's
+    endpoints linearly interpolated on the crossed edges. Per-segment
+    lengths are doubles from identical expressions, rounded once to
+    micro-units so the per-level totals sum as BIGINT (order-free).
+    The ambiguous saddle cases (5/10) resolve by the standard
+    center-average rule, spelled with an integer cross-multiply so no
+    float decides the topology. Levels are RELATIVE (k/4 of the grid
+    max, integer division of the 1-row broadcast max) — fixed absolute
+    levels silently empty when the scale factor moves the elevation
+    range, the Q11 lesson again."""
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", (F.col("elev") * 100).cast("bigint").alias("zc")
+    )
+    offsets = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 1), (0, 1, 2), (1, 1, 3)], "dx int, dy int, corner int"
+    )
+    cells = (
+        g.crossJoin(F.broadcast(offsets))
+        .groupBy(
+            (F.col("px") - F.col("dx")).alias("cx"),
+            (F.col("py") - F.col("dy")).alias("cy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_corner"),
+            F.max(F.when(F.col("corner") == 0, F.col("zc"))).alias("z00"),
+            F.max(F.when(F.col("corner") == 1, F.col("zc"))).alias("z10"),
+            F.max(F.when(F.col("corner") == 2, F.col("zc"))).alias("z01"),
+            F.max(F.when(F.col("corner") == 3, F.col("zc"))).alias("z11"),
+        )
+        .filter(F.col("n_corner") == 4)
+    )
+    mx = g.agg(F.sum("zc").alias("total_zc"), F.count(F.lit(1)).alias("n_zc"))
+    halves = spark.createDataFrame(
+        [(int(k),) for k in CONTOUR_HALVES], "k bigint"
+    )
+    levels = mx.crossJoin(F.broadcast(halves)).select(
+        F.expr("total_zc * k div (2 * n_zc)").alias("level")
+    )
+    lc = cells.crossJoin(F.broadcast(levels))
+    b = lambda z: (F.col(z) >= F.col("level")).cast("int")  # noqa: E731
+    case = b("z00") + b("z10") * 2 + b("z11") * 4 + b("z01") * 8
+    # segments per case: 0/15 -> 0; 5/10 (saddle) -> 2; others -> 1
+    lc = lc.withColumn("case_id", case)
+    lc = lc.filter((F.col("case_id") != 0) & (F.col("case_id") != 15))
+    nseg = F.when(F.col("case_id").isin(5, 10), 2).otherwise(1)
+    # edge interpolation parameter on each crossed edge (exact-integer
+    # operands -> identical IEEE divisions). Edges: bottom(z00-z10),
+    # right(z10-z11), top(z01-z11), left(z00-z01).
+    t_for = lambda za, zb: (  # noqa: E731
+        (F.col("level") - F.col(za)).cast("double")
+        / (F.col(zb) - F.col(za)).cast("double")
+    )
+    xb, yb = t_for("z00", "z10"), F.lit(0.0)
+    xr, yr = F.lit(1.0), t_for("z10", "z11")
+    xt, yt = t_for("z01", "z11"), F.lit(1.0)
+    xl, yl = F.lit(0.0), t_for("z00", "z01")
+    seglen = lambda x0, y0, x1, y1: F.sqrt(  # noqa: E731
+        (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)
+    )
+    # case -> which two edges each segment joins (standard table with
+    # the saddle disambiguated by the cell-center mean vs level:
+    # 4*level vs z00+z10+z01+z11, integer compare)
+    center_hi = (F.col("z00") + F.col("z10") + F.col("z01") + F.col("z11")) >= 4 * F.col("level")
+    def seg(c, a_xy, b_xy):
+        return F.when(F.col("case_id") == c, seglen(a_xy[0], a_xy[1], b_xy[0], b_xy[1]))
+    s1 = (
+        seg(1, (xl, yl), (xb, yb))
+        .when(F.col("case_id") == 2, seglen(xb, yb, xr, yr))
+        .when(F.col("case_id") == 3, seglen(xl, yl, xr, yr))
+        .when(F.col("case_id") == 4, seglen(xr, yr, xt, yt))
+        .when(F.col("case_id") == 5, F.when(center_hi, seglen(xl, yl, xt, yt)).otherwise(seglen(xl, yl, xb, yb)))
+        .when(F.col("case_id") == 6, seglen(xb, yb, xt, yt))
+        .when(F.col("case_id") == 7, seglen(xl, yl, xt, yt))
+        .when(F.col("case_id") == 8, seglen(xl, yl, xt, yt))
+        .when(F.col("case_id") == 9, seglen(xb, yb, xt, yt))
+        .when(F.col("case_id") == 10, F.when(center_hi, seglen(xl, yl, xb, yb)).otherwise(seglen(xl, yl, xt, yt)))
+        .when(F.col("case_id") == 11, seglen(xr, yr, xt, yt))
+        .when(F.col("case_id") == 12, seglen(xl, yl, xr, yr))
+        .when(F.col("case_id") == 13, seglen(xb, yb, xr, yr))
+        .when(F.col("case_id") == 14, seglen(xl, yl, xb, yb))
+    )
+    s2 = (
+        F.when(F.col("case_id") == 5, F.when(center_hi, seglen(xb, yb, xr, yr)).otherwise(seglen(xr, yr, xt, yt)))
+        .when(F.col("case_id") == 10, F.when(center_hi, seglen(xr, yr, xt, yt)).otherwise(seglen(xb, yb, xr, yr)))
+    )
+    len_u = (
+        F.round(s1 * 1_000_000.0).cast("bigint")
+        + F.coalesce(F.round(s2 * 1_000_000.0).cast("bigint"), F.lit(0))
+    )
+    return (
+        lc.select("level", "case_id", nseg.alias("nseg"), len_u.alias("len_u"))
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells_crossed"),
+            F.sum("nseg").cast("bigint").alias("n_segments"),
+            (F.sum("len_u").cast("double") / 1_000_000.0).alias("total_length"),
+        )
+        .orderBy("level")
+    )
+
+
+def _contour_sql() -> str:
+    halves = ", ".join(f"({k})" for k in CONTOUR_HALVES)
+    t = lambda za, zb: f"(CAST(level - {za} AS DOUBLE) / CAST({zb} - {za} AS DOUBLE))"  # noqa: E731
+    xb, yb = t("z00", "z10"), "0.0"
+    xr, yr = "1.0", t("z10", "z11")
+    xt, yt = t("z01", "z11"), "1.0"
+    xl, yl = "0.0", t("z00", "z01")
+    L = lambda x0, y0, x1, y1: (  # noqa: E731
+        f"SQRT(({x1} - ({x0})) * (({x1}) - ({x0})) + (({y1}) - ({y0})) * (({y1}) - ({y0})))"
+    )
+    ch = "(z00 + z10 + z01 + z11) >= 4 * level"
+    s1 = f"""CASE case_id
+      WHEN 1 THEN {L(xl, yl, xb, yb)}
+      WHEN 2 THEN {L(xb, yb, xr, yr)}
+      WHEN 3 THEN {L(xl, yl, xr, yr)}
+      WHEN 4 THEN {L(xr, yr, xt, yt)}
+      WHEN 5 THEN CASE WHEN {ch} THEN {L(xl, yl, xt, yt)} ELSE {L(xl, yl, xb, yb)} END
+      WHEN 6 THEN {L(xb, yb, xt, yt)}
+      WHEN 7 THEN {L(xl, yl, xt, yt)}
+      WHEN 8 THEN {L(xl, yl, xt, yt)}
+      WHEN 9 THEN {L(xb, yb, xt, yt)}
+      WHEN 10 THEN CASE WHEN {ch} THEN {L(xl, yl, xb, yb)} ELSE {L(xl, yl, xt, yt)} END
+      WHEN 11 THEN {L(xr, yr, xt, yt)}
+      WHEN 12 THEN {L(xl, yl, xr, yr)}
+      WHEN 13 THEN {L(xb, yb, xr, yr)}
+      WHEN 14 THEN {L(xl, yl, xb, yb)}
+    END"""
+    s2 = f"""CASE case_id
+      WHEN 5 THEN CASE WHEN {ch} THEN {L(xb, yb, xr, yr)} ELSE {L(xr, yr, xt, yt)} END
+      WHEN 10 THEN CASE WHEN {ch} THEN {L(xr, yr, xt, yt)} ELSE {L(xb, yb, xr, yr)} END
+    END"""
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev * 100 AS BIGINT) AS zc FROM dem),
+cells AS (
+  SELECT a.px AS cx, a.py AS cy, a.zc AS z00, b.zc AS z10, c.zc AS z01, d.zc AS z11
+  FROM g a
+  JOIN g b ON b.px = a.px + 1 AND b.py = a.py
+  JOIN g c ON c.px = a.px AND c.py = a.py + 1
+  JOIN g d ON d.px = a.px + 1 AND d.py = a.py + 1
+),
+mx AS (SELECT CAST(SUM(zc) AS BIGINT) AS total_zc, COUNT(*) AS n_zc FROM g),
+qk(k) AS (VALUES {halves}),
+lv AS (SELECT CAST(total_zc * k // (2 * n_zc) AS BIGINT) AS level FROM mx CROSS JOIN qk),
+lc0 AS (
+  SELECT cells.*, CAST(level AS BIGINT) AS level,
+         (CASE WHEN z00 >= level THEN 1 ELSE 0 END)
+         + (CASE WHEN z10 >= level THEN 2 ELSE 0 END)
+         + (CASE WHEN z11 >= level THEN 4 ELSE 0 END)
+         + (CASE WHEN z01 >= level THEN 8 ELSE 0 END) AS case_id
+  FROM cells CROSS JOIN lv
+),
+lc AS (SELECT * FROM lc0 WHERE case_id NOT IN (0, 15)),
+scored AS (
+  SELECT level,
+         CASE WHEN case_id IN (5, 10) THEN 2 ELSE 1 END AS nseg,
+         CAST(ROUND(({s1}) * 1000000.0) AS BIGINT)
+         + COALESCE(CAST(ROUND(({s2}) * 1000000.0) AS BIGINT), 0) AS len_u
+  FROM lc
+)
+SELECT level, COUNT(*) AS n_cells_crossed,
+       CAST(SUM(nseg) AS BIGINT) AS n_segments,
+       CAST(SUM(len_u) AS DOUBLE) / 1000000.0 AS total_length
+FROM scored
+GROUP BY level
+ORDER BY level
+"""
+
+
+RASTER_CONTOUR_SEGMENTS_SQL = _contour_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_hypsometric_curve — elevation-area distribution (gdaldem family)
+# ---------------------------------------------------------------------------
+
+HYPSO_BINS = 16
+
+
+def raster_hypsometric_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypsometric (elevation-area) curve: the cumulative fraction of
+    grid area below each of HYPSO_BINS relative elevation bins — the
+    standard terrain-maturity analysis next to slope/aspect/TRI. Bins
+    are integer cross-multiplied against the 1-row (min, max) broadcast
+    ((zc - min) * BINS compared to k * (max - min)), the cumulative sum
+    is a window over the BINS-row aggregate, and area fractions divide
+    exact integers once at the end."""
+    g = dem_grid(spark, sf_dir).select((F.col("elev") * 100).cast("bigint").alias("zc"))
+    rng = g.agg(
+        F.min("zc").alias("zmin"), F.max("zc").alias("zmax"), F.count(F.lit(1)).alias("n")
+    )
+    binned = g.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(HYPSO_BINS - 1).cast("bigint"),
+            F.expr(f"((zc - zmin) * {HYPSO_BINS}) div (zmax - zmin + 1)"),
+        ).alias("bin"),
+        "n",
+    )
+    per_bin = binned.groupBy("bin", "n").agg(F.count(F.lit(1)).alias("n_cells"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_bin.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_cells",
+        F.sum("n_cells").over(w).cast("bigint").alias("cum_cells"),
+        (F.sum("n_cells").over(w).cast("double") / F.col("n").cast("double")).alias("cum_area_fraction"),
+    ).orderBy("bin")
+
+
+RASTER_HYPSOMETRIC_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT CAST(elev * 100 AS BIGINT) AS zc FROM dem),
+rng AS (SELECT MIN(zc) AS zmin, MAX(zc) AS zmax, COUNT(*) AS n FROM g),
+binned AS (
+  SELECT LEAST(CAST({HYPSO_BINS - 1} AS BIGINT),
+               ((zc - zmin) * {HYPSO_BINS}) // (zmax - zmin + 1)) AS bin, n
+  FROM g CROSS JOIN rng
+),
+per_bin AS (SELECT bin, n, COUNT(*) AS n_cells FROM binned GROUP BY 1, 2)
+SELECT CAST(bin AS INTEGER) AS bin, n_cells,
+       CAST(SUM(n_cells) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cells,
+       CAST(SUM(n_cells) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(n AS DOUBLE) AS cum_area_fraction
+FROM per_bin
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# raster_cut_fill — earthwork volumes vs a target plane
+# ---------------------------------------------------------------------------
+
+
+def raster_cut_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut/fill earthwork report against the target plane at the grid's
+    MEAN elevation (the self-balancing grading target): per quadrant
+    (2x2 split of the grid), the volume above the plane (cut) and below
+    it (fill), in exact cell-value units. The mean never materializes —
+    every comparison and difference cross-multiplies by n (zc*n vs
+    total), so the volumes are exact BIGINTs divided once at the end;
+    cut - fill summed over ALL quadrants is zero by construction at the
+    mean plane, a property the report exposes for free."""
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", (F.col("elev") * 100).cast("bigint").alias("zc")
+    )
+    tot = g.agg(F.sum("zc").alias("total"), F.count(F.lit(1)).alias("n"))
+    j = g.crossJoin(F.broadcast(tot))
+    d = F.col("zc") * F.col("n") - F.col("total")  # n x (zc - mean), exact
+    return (
+        j.groupBy(
+            F.expr(f"px div {GRID_W // 2}").cast("int").alias("qx"),
+            F.expr(f"py div {GRID_H // 2}").cast("int").alias("qy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.when(d > 0, d).otherwise(F.lit(0))).alias("cut_u"),
+            F.sum(F.when(d < 0, -d).otherwise(F.lit(0))).alias("fill_u"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "qx", "qy", "n_cells",
+            (F.col("cut_u").cast("double") / (F.col("n") * 100).cast("double")).alias("cut_volume"),
+            (F.col("fill_u").cast("double") / (F.col("n") * 100).cast("double")).alias("fill_volume"),
+        )
+        .orderBy("qx", "qy")
+    )
+
+
+RASTER_CUT_FILL_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev * 100 AS BIGINT) AS zc FROM dem),
+tot AS (SELECT CAST(SUM(zc) AS BIGINT) AS total, COUNT(*) AS n FROM g),
+j AS (SELECT g.*, tot.total, tot.n, g.zc * tot.n - tot.total AS d FROM g CROSS JOIN tot)
+SELECT CAST(px // {GRID_W // 2} AS INTEGER) AS qx,
+       CAST(py // {GRID_H // 2} AS INTEGER) AS qy,
+       COUNT(*) AS n_cells,
+       CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS DOUBLE) / CAST(MAX(n) * 100 AS DOUBLE) AS cut_volume,
+       CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) AS DOUBLE) / CAST(MAX(n) * 100 AS DOUBLE) AS fill_volume
+FROM j
+GROUP BY 1, 2
+ORDER BY qx, qy
+"""

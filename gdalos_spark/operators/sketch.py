@@ -343,3 +343,89 @@ SELECT type_a, type_b, n_union, n_inter,
          - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS err
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# lsh_parameter_planner — MinHash-LSH (bands, rows) capture-probability
+#     curves, the tuning table behind dedup_minhash_lsh's 4x4 choice
+# ---------------------------------------------------------------------------
+
+LSH_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with b*r = 16 perms
+LSH_S_GRID = tuple(range(1, 20))  # jaccard grid s = 0.05 .. 0.95
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic table every MinHash deployment tunes from: for each
+    (bands b, rows r) split of the permutation budget and each jaccard
+    similarity s, the probability a pair lands in >=1 shared bucket:
+    p = 1 - (1 - s^r)^b. Powers are INTEGER exponents, so they expand
+    to repeated multiplication — no pow(), no exp/ln, bit-identical
+    cross-engine. Pure projection over a 3x19 broadcast grid: zero
+    shuffles, and the s50 threshold row ((1/b)^(1/r), the curve's
+    midpoint — the only non-integer power) is intentionally reported as
+    the bracketing grid cell instead, keeping the whole table exact.
+    Corpus-independent but shipped with the engine because its output
+    gates which (b, r) the dedup family runs at 100 TB."""
+    configs = spark.createDataFrame(
+        [(b, r) for b, r in LSH_CONFIGS], "bands int, rows int"
+    )
+    sgrid = spark.createDataFrame([(i,) for i in LSH_S_GRID], "s20 int")
+    grid = configs.crossJoin(F.broadcast(sgrid))
+
+    def ipow(base: "F.Column", exp: int) -> "F.Column":
+        out = F.lit(1.0)
+        for _ in range(exp):
+            out = out * base
+        return out
+
+    s = F.col("s20").cast("double") / 20.0
+    rows_map = {r for _, r in LSH_CONFIGS}
+    sr = None
+    for r in sorted(rows_map):
+        term = ipow(s, r)
+        sr = term if sr is None else F.when(F.col("rows") == r, ipow(s, r)).otherwise(sr)
+    # (1 - s^r)^b with b from the config row — expand per distinct b
+    miss = F.lit(1.0) - sr
+    bands_map = sorted({b for b, _ in LSH_CONFIGS})
+    pmiss = None
+    for bnd in bands_map:
+        term = ipow(miss, bnd)
+        pmiss = term if pmiss is None else F.when(F.col("bands") == bnd, ipow(miss, bnd)).otherwise(pmiss)
+    return grid.select(
+        "bands",
+        "rows",
+        F.round(s, 2).alias("jaccard"),
+        (F.lit(1.0) - pmiss).alias("p_capture"),
+    ).orderBy("bands", "jaccard")
+
+
+def _lsh_planner_sql() -> str:
+    def ipow(base: str, exp: int) -> str:
+        return "(" + " * ".join([base] * exp) + ")"
+
+    cfg = " UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows" for b, r in LSH_CONFIGS
+    )
+    sr_cases = " ".join(
+        f"WHEN rows = {r} THEN {ipow('s', r)}"
+        for r in sorted({r for _, r in LSH_CONFIGS})
+    )
+    pm_cases = " ".join(
+        f"WHEN bands = {b} THEN {ipow('miss', b)}"
+        for b in sorted({b for b, _ in LSH_CONFIGS})
+    )
+    return f"""
+WITH cfg AS ({cfg}),
+sg AS (SELECT unnest(range(1, 20)) AS s20),
+grid AS (SELECT bands, rows, CAST(s20 AS DOUBLE) / 20.0 AS s FROM cfg CROSS JOIN sg),
+sr AS (SELECT bands, rows, s, CASE {sr_cases} END AS srv FROM grid),
+pm AS (SELECT bands, rows, s, (1.0 - srv) AS miss FROM sr),
+fin AS (SELECT bands, rows, s, CASE {pm_cases} END AS pmiss FROM pm)
+SELECT CAST(bands AS INTEGER) AS bands, CAST(rows AS INTEGER) AS rows,
+       ROUND(s, 2) AS jaccard, (1.0 - pmiss) AS p_capture
+FROM fin
+ORDER BY bands, jaccard
+"""
+
+
+LSH_PARAMETER_PLANNER_SQL = _lsh_planner_sql()
