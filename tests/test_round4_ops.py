@@ -46,6 +46,10 @@ NEW_KEYS = [
     "events_cusum_alarm",
     "streaming_cusum",
     "spatial_knn_join",
+    "raster_contour_segments",
+    "lsh_parameter_planner",
+    "raster_hypsometric_curve",
+    "raster_cut_fill",
 ]
 
 
@@ -185,3 +189,30 @@ def test_rfm_buckets_complete(spark):
     rows = entrymod.queries()["customer_rfm_scores"](spark, SF_DIR).collect()
     for r in rows:
         assert 1 <= r.r <= 5 and 1 <= r.f <= 5 and 1 <= r.m <= 5
+
+
+def test_hypsometric_is_monotone_cdf(spark):
+    rows = entrymod.queries()["raster_hypsometric_curve"](spark, SF_DIR).collect()
+    fracs = [r.cum_area_fraction for r in sorted(rows, key=lambda r: r.bin)]
+    assert all(a <= b + 1e-12 for a, b in zip(fracs, fracs[1:]))
+    assert abs(fracs[-1] - 1.0) < 1e-12
+
+
+def test_cut_fill_balances_globally(spark):
+    """At the mean plane, total cut equals total fill exactly."""
+    rows = entrymod.queries()["raster_cut_fill"](spark, SF_DIR).collect()
+    cut = sum(r.cut_volume for r in rows)
+    fill = sum(r.fill_volume for r in rows)
+    assert abs(cut - fill) < 1e-6 * max(cut, 1.0)
+
+
+def test_lsh_planner_curves_are_monotone(spark):
+    rows = entrymod.queries()["lsh_parameter_planner"](spark, SF_DIR).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows), []).append(r)
+    for cfg, rs in by_cfg.items():
+        rs.sort(key=lambda r: r.jaccard)
+        ps = [r.p_capture for r in rs]
+        assert all(0.0 <= p <= 1.0 for p in ps), cfg
+        assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:])), cfg
