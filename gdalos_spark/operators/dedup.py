@@ -1075,3 +1075,112 @@ FROM pairs
 GROUP BY dist
 ORDER BY dist
 """
+
+
+# ---------------------------------------------------------------------------
+# minhash_calibration — est_jaccard vs exact jaccard on the candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QA harness for the MinHash estimator (the dedup twin of
+    ann_recall_report): every LSH candidate pair's signature-agreement
+    estimate is compared against its EXACT shingle Jaccard, bucketed by
+    exact-jaccard decile with mean/max absolute error — the table that
+    tells you whether 16 permutations are enough before trusting the
+    0.5 threshold at 100 TB. Exact sets come from the shingle table
+    SEMI-JOINED to the candidate docs first (only candidate docs'
+    shingles move), the pair intersection is an equi-join on the
+    shingle, and every error is rounded once to micro-units so bucket
+    aggregates sum as integers."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        doc_shingles(spark, sf_dir)
+        .join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", "shingle")
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b"))
+    shared = (
+        pairs.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        shared.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .withColumn(
+            "exact_j",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+        )
+        .withColumn(
+            "err_u",
+            F.abs(F.round((F.col("est_jaccard") - F.col("exact_j")) * 1_000_000.0)).cast("bigint"),
+        )
+        .withColumn("decile", F.least(F.lit(9), (F.col("exact_j") * 10).cast("int")))
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum("err_u").cast("double") / (F.count(F.lit(1)) * 1_000_000.0).cast("double")).alias("mean_abs_err"),
+            (F.max("err_u").cast("double") / 1_000_000.0).alias("max_abs_err"),
+        )
+        .orderBy("decile")
+    )
+
+
+MINHASH_CALIBRATION_SQL_TMPL = """
+WITH pairs AS ({minhash_pairs}),
+cand AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  )
+),
+sh AS (
+  SELECT DISTINCT d.doc_id, d.shingle
+  FROM ({docsh}) d
+  WHERE d.doc_id IN (SELECT doc_id FROM cand)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT p.doc_a, p.doc_b, p.est_jaccard, COUNT(*) AS shared
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT s.*,
+         s.shared / CAST(sa.sz + sb.sz - s.shared AS DOUBLE) AS exact_j,
+         CAST(ABS(ROUND((s.est_jaccard - s.shared / CAST(sa.sz + sb.sz - s.shared AS DOUBLE)) * 1000000.0)) AS BIGINT) AS err_u
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+)
+SELECT LEAST(9, CAST(exact_j * 10 AS INTEGER)) AS decile,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(err_u) AS DOUBLE) / CAST(COUNT(*) * 1000000.0 AS DOUBLE) AS mean_abs_err,
+       CAST(MAX(err_u) AS DOUBLE) / 1000000.0 AS max_abs_err
+FROM scored
+GROUP BY 1
+ORDER BY decile
+"""
+
+MINHASH_CALIBRATION_SQL = MINHASH_CALIBRATION_SQL_TMPL.format(
+    minhash_pairs=DEDUP_MINHASH_LSH_SQL, docsh=DOCSH_SQL
+)

@@ -2477,3 +2477,146 @@ ORDER BY ta, tb
 
 
 EVENTS_PMI_PAIRS_SQL = _pmi_sql()
+
+
+# ---------------------------------------------------------------------------
+# parts_abc_pareto — ABC (Pareto) revenue classification
+# ---------------------------------------------------------------------------
+
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the head covering the first 80% of cumulative revenue, B to 95%,
+    C the tail — the Pareto cut every supply-chain report draws. The
+    cumulative sum runs over exact microcents with a total (revenue
+    desc, partkey) order, and the class gates cross-multiply integers
+    (cum * 100 <= pct * total). The ranking window is a single global
+    sort of the PART aggregate (|parts| rows, not |lineitem|) — at
+    100 TB that agg is the only data-sized shuffle. Report: per class,
+    part count + revenue share."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", _rev_microcents().alias("rev_u")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev_u").alias("rev_u"))
+    w = Window.orderBy(F.desc("rev_u"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_part.agg(F.sum("rev_u").alias("total_u"))
+    ranked = (
+        per_part.withColumn("cum_u", F.sum("rev_u").over(w))
+        .crossJoin(F.broadcast(total))
+    )
+    cls = (
+        F.when(F.col("cum_u") * 100 <= ABC_A_PCT * F.col("total_u"), "A")
+        .when(F.col("cum_u") * 100 <= ABC_B_PCT * F.col("total_u"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev_u").cast("double") / 1_000_000.0).alias("class_revenue"),
+            (
+                F.sum("rev_u").cast("double") / F.max("total_u").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+PARTS_ABC_PARETO_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM({_REV_U_SQL}) AS BIGINT) AS rev_u
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT CAST(SUM(rev_u) AS BIGINT) AS total_u FROM per_part),
+ranked AS (
+  SELECT p.*, total_u,
+         CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_u
+  FROM per_part p CROSS JOIN total
+),
+classed AS (
+  SELECT *, CASE WHEN cum_u * 100 <= {ABC_A_PCT} * total_u THEN 'A'
+                 WHEN cum_u * 100 <= {ABC_B_PCT} * total_u THEN 'B'
+                 ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class, COUNT(*) AS n_parts,
+       CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 AS class_revenue,
+       CAST(SUM(rev_u) AS DOUBLE) / CAST(MAX(total_u) AS DOUBLE) AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_burstiness — inter-arrival gap statistics per type
+# ---------------------------------------------------------------------------
+
+
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type: mean gap, coefficient
+    of variation, and the burstiness index (CV-1)/(CV+1) in [-1, 1]
+    (Goh & Barabasi 2008) — Poisson traffic sits at 0, bursty traffic
+    positive. Gaps come from one lag() over the (type, time)
+    partitioning in whole seconds; mean and variance derive from exact
+    BIGINT gap sums (gaps < 1e6 s, squares < 1e12, sums safely inside
+    2^63), so both engines emit identical doubles; sqrt is IEEE-safe."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("ts").cast("long").alias("ts_s")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+    gaps = ev.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - (F.col("s1").cast("double") * F.col("s1").cast("double")) / n) / n
+    cv = F.sqrt(var) / mean
+    return stats.select(
+        "event_type",
+        "n_gaps",
+        mean.alias("mean_gap_s"),
+        cv.alias("cv"),
+        ((cv - 1.0) / (cv + 1.0)).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+EVENTS_INTERARRIVAL_BURSTINESS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         ts_s - LAG(ts_s) OVER (PARTITION BY event_type ORDER BY ts_s, event_id) AS gap
+  FROM ev
+  QUALIFY gap IS NOT NULL
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         CAST(SUM(gap * gap) AS BIGINT) AS s2
+  FROM gaps GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+       SQRT((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+       / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv,
+       (SQRT((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+        / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) - 1.0)
+       / (SQRT((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+          / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) + 1.0) AS burstiness
+FROM stats
+ORDER BY event_type
+"""
