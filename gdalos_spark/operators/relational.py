@@ -2620,3 +2620,68 @@ SELECT event_type, n_gaps,
 FROM stats
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# discount_elasticity — per-brand quantity-vs-discount regression
+# ---------------------------------------------------------------------------
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares slope of quantity on discount percent —
+    the pricing team's elasticity read. Unlike the Zipf fit, BOTH
+    regressors are exact integers (discount percent 0..10, quantity in
+    hundredths), so all five regression sums are plain BIGINT sums with
+    no rounding stage at all; slope/intercept/r2 are closed-form
+    doubles of exact operands. One brand-keyed agg after the broadcast
+    part join — a single data shuffle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").alias("x"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("y"),
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    sums = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return sums.select(
+        "p_brand",
+        "n",
+        # slope in qty-hundredths per discount-percent; /100 -> units/pct
+        (cov / varx / 100.0).alias("slope_qty_per_pct"),
+        ((F.col("sy").cast("double") - (cov / varx) * F.col("sx").cast("double")) / n / 100.0).alias("intercept_qty"),
+    ).orderBy("p_brand")
+
+
+DISCOUNT_ELASTICITY_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+j AS (SELECT p.p_brand, li.x, li.y FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+sums AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM j GROUP BY 1
+)
+SELECT p_brand, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0 AS slope_qty_per_pct,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0 AS intercept_qty
+FROM sums
+ORDER BY p_brand
+"""

@@ -1483,3 +1483,132 @@ SELECT c.c_custkey,
 FROM cust c LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (c_custkey)
 ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# fresnel_clearance — first-Fresnel-zone clearance per radio link
+#    ref: the radio stack gdalos drives (radio_params.py frequencies /
+#    PathLoss modes); Fresnel clearance is the link-budget check next to
+#    FSL — a link can be LOS-visible yet fail the 60% clearance rule
+# ---------------------------------------------------------------------------
+
+FRESNEL_LAMBDA = 0.03  # wavelength in grid units (host constant)
+FRESNEL_RULE = 0.6  # the classic 60%-of-r1 clearance rule
+
+
+def fresnel_clearance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-Fresnel-zone clearance for every observer->target link of
+    the p2p set: along the same integer-sampled segment as
+    point_to_point_los, clearance_i = (straight line from observer
+    height to target height) - terrain, and the Fresnel radius
+    r1_i = sqrt(lambda * step * i * (n-i) / n) (the d1 d2 / d form with
+    the per-link step length factored out). A link is radio-clean only
+    when min(clearance/r1) >= 0.6 — strictly stronger than LOS
+    visibility, which is exactly what the report shows. All doubles are
+    identical IEEE expressions of exact integers; sqrt is safe; the min
+    is order-free."""
+    obs = spark.createDataFrame(list(OBSERVERS), "ox int, oy int")
+    tgts = (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % LOS_TARGET_MOD == 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("cx")).cast("int").alias("tx"),
+            F.floor(F.col("cy")).cast("int").alias("ty"),
+        )
+    )
+    n = N_LOS_STEPS
+    steps = spark.range(1, n).select(F.col("id").cast("int").alias("i"))
+    px_i = F.expr(f"(ox * ({n} - i) + tx * i + {n // 2}) div {n}").cast("int")
+    py_i = F.expr(f"(oy * ({n} - i) + ty * i + {n // 2}) div {n}").cast("int")
+    samples = (
+        tgts.crossJoin(F.broadcast(obs))
+        .filter((F.col("ox") != F.col("tx")) | (F.col("oy") != F.col("ty")))
+        .crossJoin(F.broadcast(steps))
+        .select("c_custkey", "ox", "oy", "tx", "ty", "i", px_i.alias("px"), py_i.alias("py"))
+    )
+    g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
+    scored = samples.join(g, ["px", "py"])
+    # target terrain height (the endpoint cell) per link
+    tz = (
+        tgts.crossJoin(F.broadcast(obs))
+        .select("c_custkey", "ox", "oy", F.col("tx").alias("zpx"), F.col("ty").alias("zpy"))
+        .join(g.select(F.col("px").alias("zpx"), F.col("py").alias("zpy"), F.col("z").alias("z_t")), ["zpx", "zpy"])
+        .select("c_custkey", "ox", "oy", "z_t")
+    )
+    j = scored.join(tz, ["c_custkey", "ox", "oy"])
+    dist = F.sqrt(
+        ((F.col("tx") - F.col("ox")) * (F.col("tx") - F.col("ox"))
+         + (F.col("ty") - F.col("oy")) * (F.col("ty") - F.col("oy"))).cast("double")
+    )
+    step_len = dist / F.lit(float(n))
+    line_h = F.lit(float(OBS_Z)) + (F.col("z_t") - F.lit(float(OBS_Z))) * (
+        F.col("i").cast("double") / F.lit(float(n))
+    )
+    clearance = line_h - F.col("z")
+    r1 = F.sqrt(
+        F.lit(FRESNEL_LAMBDA) * step_len
+        * (F.col("i") * (n - F.col("i"))).cast("double") / F.lit(float(n))
+    )
+    ratio = clearance / r1
+    return (
+        j.groupBy("c_custkey", "ox", "oy")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.min(ratio), 6).alias("min_ratio"),
+            F.sum((ratio < FRESNEL_RULE).cast("int")).cast("bigint").alias("n_intrusions"),
+        )
+        .withColumn("fresnel_ok", (F.col("n_intrusions") == 0).cast("int"))
+        .orderBy("c_custkey", "ox", "oy")
+    )
+
+
+def _fresnel_sql() -> str:
+    n = N_LOS_STEPS
+    values = ", ".join(f"({x}, {y})" for x, y in OBSERVERS)
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+pts AS ({CUSTOMER_POINTS_SQL}),
+obs(ox, oy) AS (VALUES {values}),
+tgts AS (
+  SELECT c_custkey, CAST(FLOOR(cx) AS INTEGER) AS tx, CAST(FLOOR(cy) AS INTEGER) AS ty
+  FROM pts WHERE c_custkey % {LOS_TARGET_MOD} = 0
+),
+steps AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, {n})),
+samples AS (
+  SELECT c_custkey, ox, oy, tx, ty, i,
+         CAST((ox * ({n} - i) + tx * i + {n // 2}) // {n} AS INTEGER) AS px,
+         CAST((oy * ({n} - i) + ty * i + {n // 2}) // {n} AS INTEGER) AS py
+  FROM tgts CROSS JOIN obs CROSS JOIN steps
+  WHERE NOT (ox = tx AND oy = ty)
+),
+g AS (SELECT px, py, CAST(elev AS DOUBLE) AS z FROM dem),
+tz AS (
+  SELECT t.c_custkey, o.ox, o.oy, g.z AS z_t
+  FROM tgts t CROSS JOIN obs o
+  JOIN g ON g.px = t.tx AND g.py = t.ty
+  WHERE NOT (o.ox = t.tx AND o.oy = t.ty)
+),
+j AS (
+  SELECT s.c_custkey, s.ox, s.oy, s.tx, s.ty, s.i, g.z, tz.z_t
+  FROM samples s JOIN g USING (px, py)
+  JOIN tz ON tz.c_custkey = s.c_custkey AND tz.ox = s.ox AND tz.oy = s.oy
+),
+scored AS (
+  SELECT c_custkey, ox, oy,
+         (({OBS_Z} + (z_t - {OBS_Z}) * (CAST(i AS DOUBLE) / {float(n)})) - z)
+         / SQRT({FRESNEL_LAMBDA} * (SQRT(CAST((tx - ox) * (tx - ox) + (ty - oy) * (ty - oy) AS DOUBLE)) / {float(n)})
+                * CAST(i * ({n} - i) AS DOUBLE) / {float(n)}) AS ratio
+  FROM j
+)
+SELECT c_custkey, ox, oy, COUNT(*) AS n_samples,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       CAST(SUM(CASE WHEN ratio < {FRESNEL_RULE} THEN 1 ELSE 0 END) AS BIGINT) AS n_intrusions,
+       CAST(CASE WHEN SUM(CASE WHEN ratio < {FRESNEL_RULE} THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INTEGER) AS fresnel_ok
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY c_custkey, ox, oy
+"""
+
+
+FRESNEL_CLEARANCE_SQL = _fresnel_sql()
