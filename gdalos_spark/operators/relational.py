@@ -2685,3 +2685,151 @@ SELECT p_brand, n,
 FROM sums
 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv — cohort lifetime-value matrix
+# ---------------------------------------------------------------------------
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix — the revenue twin of events_retention: each
+    customer joins the cohort of their FIRST order's year, and every
+    order contributes exact cents to (cohort_year, age = order_year -
+    cohort_year). Two aggs over one orders scan (per-customer first
+    year, then the matrix) joined on the customer key; cumulative LTV
+    per cohort is a window over the bounded (cohort, age) grid. All
+    money integer until the terminal divide."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    first = o.groupBy(F.col("o_custkey").alias("ck")).agg(F.min("yr").alias("cohort"))
+    j = o.join(first, F.col("o_custkey") == F.col("ck"))
+    cell = j.groupBy(
+        F.col("cohort").cast("int").alias("cohort_year"),
+        (F.col("yr") - F.col("cohort")).cast("int").alias("age_years"),
+    ).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_year",
+        "age_years",
+        "n_customers",
+        "n_orders",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("cumulative_revenue"),
+    ).orderBy("cohort_year", "age_years")
+
+
+ORDERS_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey AS ck, MIN(yr) AS cohort FROM o GROUP BY 1),
+j AS (SELECT o.*, f.cohort FROM o JOIN first f ON o.o_custkey = f.ck),
+cell AS (
+  SELECT CAST(cohort AS INTEGER) AS cohort_year,
+         CAST(yr - cohort AS INTEGER) AS age_years,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort_year, age_years, n_customers, n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(cents) OVER (PARTITION BY cohort_year ORDER BY age_years
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cumulative_revenue
+FROM cell
+ORDER BY cohort_year, age_years
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_skew_report — join-key skew diagnosis (the meta-operator)
+# ---------------------------------------------------------------------------
+
+SKEW_TOPK = 5
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for the fact table's join keys — the measurement
+    that decides whether a join needs salting/AQE skew handling BEFORE
+    it melts a stage (the meta-operator behind skewed_agg_salted). For
+    each candidate key of lineitem: distinct keys, max/mean row-count
+    ratio (the skew factor), the top key's share, and the share of the
+    heaviest SKEW_TOPK keys. One agg per key column over the same scan;
+    the per-key tables are bounded by key cardinality; top-k shares
+    from TakeOrdered-style window cuts on the count."""
+    li = load(spark, sf_dir, "lineitem")
+    out = []
+    for keycol in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per_key = li.groupBy(F.col(keycol).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.desc("cnt"), "k")
+        ranked = per_key.withColumn("rk", F.row_number().over(w))
+        stats = ranked.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum(F.when(F.col("rk") <= SKEW_TOPK, F.col("cnt")).otherwise(0)).alias("topk_cnt"),
+        ).select(
+            F.lit(keycol).alias("join_key"),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            (F.col("max_cnt") * F.col("n_keys")).cast("double").alias("_num"),
+            F.col("n_rows").cast("double").alias("_den"),
+            "topk_cnt",
+        )
+        out.append(
+            stats.select(
+                "join_key",
+                "n_keys",
+                "n_rows",
+                F.col("max_cnt").cast("bigint").alias("max_rows_per_key"),
+                (F.col("_num") / F.col("_den")).alias("skew_factor"),
+                (F.col("topk_cnt").cast("double") / F.col("_den")).alias("topk_share"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    return res.orderBy("join_key")
+
+
+JOIN_SKEW_REPORT_SQL = f"""
+WITH keys AS (
+  SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+per_key AS (
+  SELECT join_key, k, COUNT(*) AS cnt FROM keys GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY join_key ORDER BY cnt DESC, k) AS rk
+  FROM per_key
+)
+SELECT join_key,
+       COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key,
+       CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS skew_factor,
+       CAST(SUM(CASE WHEN rk <= {SKEW_TOPK} THEN cnt ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(cnt) AS DOUBLE) AS topk_share
+FROM ranked
+GROUP BY join_key
+ORDER BY join_key
+"""

@@ -1030,3 +1030,92 @@ ORDER BY probe_id
 
 
 EMBEDDING_MATRYOSHKA_SQL = _matryoshka_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — distribution drift between two data halves
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus deterministically in two
+    (vec_id parity — in production: last week vs this week), build both
+    halves' per-label centroids from exact nano-unit sums, and report
+    the cosine between the halves' centroids per label — the number a
+    drift alarm watches. The cosine folds over the (label, pos) FLAT
+    table: per-position component products are rounded once to 1e-12
+    units and summed as BIGINT, so no unordered float addition exists
+    anywhere in the plan (the same discipline as centroid_similarity,
+    extended to the centroid-vs-centroid product)."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.round(F.col("v").cast("double") * _SCALE, 0).cast("bigint").alias("micro"),
+    )
+    cent = flat.groupBy("label", "half", "pos").agg(
+        (F.sum("micro").cast("double") / (F.count(F.lit(1)) * F.lit(float(_SCALE)))).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    even = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ce"), F.col("n").alias("n_even")
+    )
+    odd = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lbl"), F.col("pos").alias("p2"),
+        F.col("c").alias("co"), F.col("n").alias("n_odd"),
+    )
+    j = even.join(
+        odd, (F.col("label") == F.col("lbl")) & (F.col("pos") == F.col("p2"))
+    )
+    u = lambda c: F.round(c * 1_000_000_000_000.0).cast("bigint")  # noqa: E731
+    sums = j.groupBy("label").agg(
+        F.max("n_even").cast("bigint").alias("n_even"),
+        F.max("n_odd").cast("bigint").alias("n_odd"),
+        F.sum(u(F.col("ce") * F.col("co"))).alias("dot_u"),
+        F.sum(u(F.col("ce") * F.col("ce"))).alias("ee_u"),
+        F.sum(u(F.col("co") * F.col("co"))).alias("oo_u"),
+    )
+    cos = F.col("dot_u").cast("double") / F.sqrt(
+        F.col("ee_u").cast("double") * F.col("oo_u").cast("double")
+    )
+    return sums.select(
+        "label", "n_even", "n_odd", F.round(cos, 6).alias("centroid_cosine")
+    ).orderBy("label")
+
+
+EMBEDDING_CENTROID_DRIFT_SQL = f"""
+WITH flat AS (
+  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, pos,
+         CAST(ROUND(CAST(embedding[pos] AS DOUBLE) * {_SCALE}, 0) AS BIGINT) AS micro
+  FROM embeddings, (SELECT unnest(range(1, {vectors.EMB_DIM + 1})) AS pos)
+),
+cent AS (
+  SELECT label, half, pos,
+         CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * {float(_SCALE)}) AS c,
+         COUNT(*) AS n
+  FROM flat GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT e.label, e.pos, e.c AS ce, o.c AS co, e.n AS n_even, o.n AS n_odd
+  FROM cent e JOIN cent o
+    ON e.label = o.label AND e.pos = o.pos AND e.half = 0 AND o.half = 1
+),
+sums AS (
+  SELECT label,
+         CAST(MAX(n_even) AS BIGINT) AS n_even,
+         CAST(MAX(n_odd) AS BIGINT) AS n_odd,
+         CAST(SUM(CAST(ROUND(ce * co * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dot_u,
+         CAST(SUM(CAST(ROUND(ce * ce * 1000000000000.0) AS BIGINT)) AS BIGINT) AS ee_u,
+         CAST(SUM(CAST(ROUND(co * co * 1000000000000.0) AS BIGINT)) AS BIGINT) AS oo_u
+  FROM j GROUP BY 1
+)
+SELECT label, n_even, n_odd,
+       ROUND(CAST(dot_u AS DOUBLE) / SQRT(CAST(ee_u AS DOUBLE) * CAST(oo_u AS DOUBLE)), 6) AS centroid_cosine
+FROM sums
+ORDER BY label
+"""

@@ -50,6 +50,11 @@ NEW_KEYS = [
     "lsh_parameter_planner",
     "raster_hypsometric_curve",
     "raster_cut_fill",
+    "parts_abc_pareto",
+    "events_interarrival_burstiness",
+    "minhash_calibration",
+    "fresnel_clearance",
+    "discount_elasticity",
 ]
 
 
