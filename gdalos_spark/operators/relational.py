@@ -2833,3 +2833,65 @@ FROM ranked
 GROUP BY join_key
 ORDER BY join_key
 """
+
+
+# ---------------------------------------------------------------------------
+# events_user_gini — activity-inequality (Gini) report
+# ---------------------------------------------------------------------------
+
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the inequality number
+    that says whether 'active users' means everyone or five whales (the
+    distribution-level companion of join_skew_report). From the sorted
+    per-user counts: G = (2 * sum(i * c_i)) / (n * sum(c)) - (n + 1)/n,
+    every sum an exact BIGINT over the BOUNDED user aggregate (the rank
+    window runs on |users| rows, not |events|); the two divisions
+    happen once in double. Also reports the top-decile share, integer
+    cross-multiplied (rank * 10 > 9 * n)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w).cast("bigint")).withColumn(
+        "n_all", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.col("i") * F.col("cnt")).alias("ic"),
+            F.sum(
+                F.when(F.col("i") * 10 > 9 * F.col("n_all"), F.col("cnt")).otherwise(0)
+            ).alias("top_decile_cnt"),
+        )
+        .select(
+            "n_users",
+            "n_events",
+            (
+                (F.lit(2.0) * F.col("ic").cast("double"))
+                / (F.col("n_users").cast("double") * F.col("n_events").cast("double"))
+                - (F.col("n_users") + 1).cast("double") / F.col("n_users").cast("double")
+            ).alias("gini"),
+            (F.col("top_decile_cnt").cast("double") / F.col("n_events").cast("double")).alias("top_decile_share"),
+        )
+    )
+
+
+EVENTS_USER_GINI_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i,
+         COUNT(*) OVER () AS n_all
+  FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       (2.0 * CAST(SUM(i * cnt) AS DOUBLE))
+       / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+       - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini,
+       CAST(SUM(CASE WHEN i * 10 > 9 * n_all THEN cnt ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(cnt) AS DOUBLE) AS top_decile_share
+FROM ranked
+"""

@@ -1231,3 +1231,67 @@ ORDER BY doc_id, rk
 
 
 DOC_TFIDF_TOPK_SQL = _tfidf_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_language_balance — language mix + Shannon entropy
+# ---------------------------------------------------------------------------
+
+
+def corpus_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix report for corpus curation: per language, document
+    and token shares, plus each language's Shannon-entropy contribution
+    -p*log2(p) (their sum is the mix entropy — the diversity number a
+    multilingual data recipe targets). p is a ratio of exact integers
+    and log2(p) = log2(n_l) - log2(N) via the polynomial stages, so
+    every double is engine-identical; the bounded per-language table is
+    the only shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    j = per_lang.crossJoin(F.broadcast(tot))
+    j = _log2_col(j, "n_docs", "lg_n", spark_shift)
+    j = _log2_col(j, "total_docs", "lg_t", spark_shift)
+    share = F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
+    return j.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        share.alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("token_share"),
+        (share * (F.col("lg_t") - F.col("lg_n"))).alias("entropy_bits"),
+    ).orderBy("lang")
+
+
+def _lang_balance_sql() -> str:
+    return f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+j AS (SELECT per_lang.*, total_docs, total_tokens FROM per_lang CROSS JOIN tot),
+lg AS (
+  SELECT lang, n_docs, n_tokens, total_docs, total_tokens,
+         {_log2_lateral_sql('n_docs', 'lg_n')},
+         {_log2_lateral_sql('total_docs', 'lg_t')}
+  FROM j
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS doc_share,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       (CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) * (lg_t - lg_n) AS entropy_bits
+FROM lg
+ORDER BY lang
+"""
+
+
+CORPUS_LANGUAGE_BALANCE_SQL = _lang_balance_sql()
