@@ -1131,7 +1131,9 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_u",
             F.abs(F.round((F.col("est_jaccard") - F.col("exact_j")) * 1_000_000.0)).cast("bigint"),
         )
-        .withColumn("decile", F.least(F.lit(9), (F.col("exact_j") * 10).cast("int")))
+        # FLOOR, not a bare int cast: DuckDB CAST(double AS INT) rounds
+        # while Spark truncates — the decile edge would disagree
+        .withColumn("decile", F.least(F.lit(9), F.floor(F.col("exact_j") * 10).cast("int")))
     )
     return (
         scored.groupBy("decile")
@@ -1172,7 +1174,7 @@ scored AS (
   JOIN sizes sa ON sa.doc_id = s.doc_a
   JOIN sizes sb ON sb.doc_id = s.doc_b
 )
-SELECT LEAST(9, CAST(exact_j * 10 AS INTEGER)) AS decile,
+SELECT LEAST(9, CAST(FLOOR(exact_j * 10) AS INTEGER)) AS decile,
        COUNT(*) AS n_pairs,
        CAST(SUM(err_u) AS DOUBLE) / CAST(COUNT(*) * 1000000.0 AS DOUBLE) AS mean_abs_err,
        CAST(MAX(err_u) AS DOUBLE) / 1000000.0 AS max_abs_err

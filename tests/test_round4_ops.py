@@ -55,6 +55,11 @@ NEW_KEYS = [
     "minhash_calibration",
     "fresnel_clearance",
     "discount_elasticity",
+    "orders_cohort_ltv",
+    "join_skew_report",
+    "embedding_centroid_drift",
+    "events_user_gini",
+    "corpus_language_balance",
 ]
 
 
