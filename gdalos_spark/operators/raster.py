@@ -2803,3 +2803,81 @@ FROM j
 GROUP BY 1, 2
 ORDER BY qx, qy
 """
+
+
+# ---------------------------------------------------------------------------
+# raster_shaded_relief — hillshade x color-relief multiply blend
+#    ref: calc/gdal_dem_color_cutline.py drives DEMColor + hillshade
+#    together; this is that composite as one co-partitioned join
+# ---------------------------------------------------------------------------
+
+# palette channels parsed HOST-SIDE (talos AARRGGBB) so neither engine
+# touches hex at query time
+_SHADE_PAL = [
+    (key, int(rgba[2:4], 16), int(rgba[4:6], 16), int(rgba[6:8], 16))
+    for key, rgba in PALETTE
+]
+
+
+def raster_shaded_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shaded-relief composite every terrain map ships: color-relief
+    rgb multiplied by the hillshade luminance, out_c = c * shade div 255
+    — pure integer arithmetic, because the hillshade is already an
+    integer 0..255 and the palette channels parse host-side. The two
+    inputs derive from the SAME dem grid and join on the cell key
+    (co-partitioned under the tiled layout — no extra shuffle beyond
+    the two operators' own), palette broadcast. Output: per cell, the
+    blended channels + the packed decimal pixel."""
+    hs = raster_hillshade(spark, sf_dir).select("px", "py", "hillshade")
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", F.col("elev").cast("double").alias("elev")
+    )
+    pal = spark.createDataFrame(
+        _SHADE_PAL, "bin_lo double, r int, g int, b int"
+    )
+    binned = g.select(
+        "px", "py", palette.bin_key_case(PALETTE, F.col("elev")).alias("bin_lo")
+    )
+    j = (
+        binned.join(F.broadcast(pal), "bin_lo")
+        .join(hs, ["px", "py"])
+    )
+    blend = lambda c: F.expr(f"({c} * hillshade) div 255").cast("int")  # noqa: E731
+    out = j.select(
+        "px", "py", "hillshade",
+        blend("r").alias("r_out"),
+        blend("g").alias("g_out"),
+        blend("b").alias("b_out"),
+    )
+    return out.withColumn(
+        "packed",
+        (F.col("r_out").cast("bigint") * 65536 + F.col("g_out") * 256 + F.col("b_out")).cast("bigint"),
+    ).orderBy("px", "py")
+
+
+def _shaded_relief_sql() -> str:
+    values = ", ".join(f"({k}, {r}, {g}, {b})" for k, r, g, b in _SHADE_PAL)
+    return f"""
+WITH hs AS ({{hillshade}}),
+dem AS ({DEM_GRID_SQL}),
+pal(bin_lo, r, g, b) AS (VALUES {values}),
+binned AS (
+  SELECT px, py, {palette.bin_key_case_sql(PALETTE, "CAST(elev AS DOUBLE)")} AS bin_lo
+  FROM dem
+),
+j AS (
+  SELECT b.px, b.py, hs.hillshade, p.r, p.g, p.b
+  FROM binned b JOIN pal p USING (bin_lo) JOIN hs ON hs.px = b.px AND hs.py = b.py
+)
+SELECT px, py, hillshade,
+       CAST((r * hillshade) // 255 AS INTEGER) AS r_out,
+       CAST((g * hillshade) // 255 AS INTEGER) AS g_out,
+       CAST((b * hillshade) // 255 AS INTEGER) AS b_out,
+       CAST(CAST((r * hillshade) // 255 AS BIGINT) * 65536
+            + (g * hillshade) // 255 * 256 + (b * hillshade) // 255 AS BIGINT) AS packed
+FROM j
+ORDER BY px, py
+"""
+
+
+RASTER_SHADED_RELIEF_SQL = _shaded_relief_sql().format(hillshade=RASTER_HILLSHADE_SQL)
