@@ -60,6 +60,7 @@ NEW_KEYS = [
     "embedding_centroid_drift",
     "events_user_gini",
     "corpus_language_balance",
+    "raster_shaded_relief",
 ]
 
 
