@@ -2895,3 +2895,87 @@ SELECT COUNT(*) AS n_users,
        / CAST(SUM(cnt) AS DOUBLE) AS top_decile_share
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# basket_lift_pairs — market-basket association lift on co-ordered parts
+# ---------------------------------------------------------------------------
+
+BASKET_CAP = 10  # orders with more distinct parts emit no pairs
+BASKET_TOPK = 20
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: lift = P(a,b) / (P(a) P(b)) for part
+    pairs co-occurring in the same order, top-k by lift. The pair join
+    is DF-capped per order (same discipline as the graph edges: a cap-C
+    basket emits at most C(C,2) pairs however big the corpus), marginals
+    come from one distinct (order, part) projection, and the lift is a
+    single division of exact integer products
+    (n_ab * n_orders / (n_a * n_b)) evaluated once in double. Support
+    floor keeps noise pairs out; ties break on the part pair."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nb")).filter(
+        F.col("nb") <= BASKET_CAP
+    )
+    op_c = op.join(ok.select("l_orderkey"), "l_orderkey", "left_semi").persist()
+    n_orders = op_c.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    marg = op_c.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = op_c.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op_c.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("l_orderkey") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ma = marg.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b"))
+    j = (
+        pairs.join(ma, "pa")
+        .join(mb, "pb")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (F.col("n_ab") * F.col("n_orders")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        j.select("pa", "pb", "n_ab",
+                 F.col("n_a").cast("bigint").alias("n_a"),
+                 F.col("n_b").cast("bigint").alias("n_b"),
+                 lift.alias("lift"))
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(BASKET_TOPK)
+    )
+
+
+BASKET_LIFT_PAIRS_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ok AS (SELECT l_orderkey FROM op GROUP BY 1 HAVING COUNT(*) <= {BASKET_CAP}),
+op_c AS (SELECT * FROM op WHERE l_orderkey IN (SELECT l_orderkey FROM ok)),
+n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op_c),
+marg AS (SELECT l_partkey, COUNT(*) AS n_p FROM op_c GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM op_c x JOIN op_c y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.pa, p.pb, p.n_ab,
+       CAST(ma.n_p AS BIGINT) AS n_a, CAST(mb.n_p AS BIGINT) AS n_b,
+       CAST(p.n_ab * n_ord.n_orders AS DOUBLE) / CAST(ma.n_p * mb.n_p AS DOUBLE) AS lift
+FROM pairs p
+JOIN marg ma ON p.pa = ma.l_partkey
+JOIN marg mb ON p.pb = mb.l_partkey
+CROSS JOIN n_ord
+ORDER BY lift DESC, pa, pb
+LIMIT {BASKET_TOPK}
+"""
