@@ -2979,3 +2979,87 @@ CROSS JOIN n_ord
 ORDER BY lift DESC, pa, pb
 LIMIT {BASKET_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# events_stickiness — DAU/WAU/MAU engagement ratios
+# ---------------------------------------------------------------------------
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics stickiness dashboard: distinct active users
+    per day, per ISO-ish week (epoch-week), per month-bucket (epoch
+    30-day), and the DAU/WAU, WAU/MAU ratios per week — computed from
+    ONE distinct (user, day) projection re-bucketed three ways (days
+    div 7, div 30), so the dedup work happens once. Ratios divide exact
+    distinct counts; averages of DAU within the week divide exact sums.
+    Output per epoch-week: avg_dau, wau, mau (of the containing month
+    bucket), stickiness ratios."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts AS LONG) div 86400").alias("day")
+    ).distinct().persist()
+    dau = ev.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ev.select(F.expr("day div 7").alias("wk"), "user_id")
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    mau = (
+        ev.select(F.expr("day div 30").alias("mo"), "user_id")
+        .distinct()
+        .groupBy("mo")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    wk_dau = dau.groupBy(F.expr("day div 7").alias("wk")).agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = (
+        wk_dau.join(wau, "wk")
+        .withColumn("mo", F.expr("(wk * 7) div 30"))
+        .join(mau, "mo")
+    )
+    return j.select(
+        F.col("wk").cast("bigint").alias("epoch_week"),
+        (F.col("dau_sum").cast("double") / F.col("n_days").cast("double")).alias("avg_dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        (
+            F.col("dau_sum").cast("double")
+            / (F.col("n_days") * F.col("wau")).cast("double")
+        ).alias("dau_wau_stickiness"),
+        (F.col("wau").cast("double") / F.col("mau").cast("double")).alias("wau_mau_ratio"),
+    ).orderBy("epoch_week")
+
+
+EVENTS_STICKINESS_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ev GROUP BY 1),
+wau AS (
+  SELECT wk, COUNT(*) AS wau FROM (
+    SELECT DISTINCT day // 7 AS wk, user_id FROM ev
+  ) GROUP BY 1
+),
+mau AS (
+  SELECT mo, COUNT(*) AS mau FROM (
+    SELECT DISTINCT day // 30 AS mo, user_id FROM ev
+  ) GROUP BY 1
+),
+wk_dau AS (
+  SELECT day // 7 AS wk, CAST(SUM(dau) AS BIGINT) AS dau_sum, COUNT(*) AS n_days
+  FROM dau GROUP BY 1
+)
+SELECT CAST(w.wk AS BIGINT) AS epoch_week,
+       CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       CAST(dau_sum AS DOUBLE) / CAST(n_days * wau.wau AS DOUBLE) AS dau_wau_stickiness,
+       CAST(wau.wau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS wau_mau_ratio
+FROM wk_dau w
+JOIN wau ON w.wk = wau.wk
+JOIN mau ON (w.wk * 7) // 30 = mau.mo
+ORDER BY epoch_week
+"""

@@ -61,6 +61,7 @@ NEW_KEYS = [
     "events_user_gini",
     "corpus_language_balance",
     "raster_shaded_relief",
+    "basket_lift_pairs",
 ]
 
 
