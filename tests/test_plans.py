@@ -330,3 +330,12 @@ def test_graph_ops_no_cartesian(spark):
     degrade to a cartesian or BNLJ however dense the data."""
     assert_no_cartesian(q(spark, "pagerank_exact"))
     assert_not_in_plan(q(spark, "pagerank_exact"), "BroadcastNestedLoopJoin")
+
+
+def test_session_batch3_shapes(spark):
+    """Late round-4 additions keep their shapes: no cartesian anywhere,
+    basket/knn candidate joins equi, shaded relief broadcast-palette."""
+    for key in ("basket_lift_pairs", "spatial_knn_join", "raster_shaded_relief",
+                "orders_cohort_ltv", "customer_rfm_scores", "minhash_calibration"):
+        assert_no_cartesian(q(spark, key))
+    assert_broadcast_join(q(spark, "raster_shaded_relief"))
