@@ -3063,3 +3063,96 @@ JOIN wau ON w.wk = wau.wk
 JOIN mau ON (w.wk * 7) // 30 = mau.mo
 ORDER BY epoch_week
 """
+
+
+# ---------------------------------------------------------------------------
+# events_mad_outliers — median-absolute-deviation robust outlier report
+# ---------------------------------------------------------------------------
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: MAD (median absolute
+    deviation) instead of the z-score's variance, so a few extreme
+    values cannot mask themselves by inflating sigma. Both medians use
+    the explicit integer-rank pick (percentile_disc semantics, the
+    quantile_report discipline — engines disagree on interpolated
+    percentiles), values stay integer cents throughout, and the outlier
+    gate |x - med| > 3 * MAD compares plain integers. Two sort passes
+    over the same event_type partitioning; the final agg counts
+    outliers and keeps the extreme example."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_c"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("v_c", "event_id")
+    n1 = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(n1)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n * 50 + 99) div 100")
+    ).select(F.col("event_type").alias("et"), F.col("v_c").alias("med_c"))
+    dev = ev.join(F.broadcast(med), ev.event_type == F.col("et")).withColumn(
+        "adev", F.abs(F.col("v_c") - F.col("med_c"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    ranked2 = dev.withColumn("rn2", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(n1)
+    )
+    mad = ranked2.filter(
+        F.col("rn2") == F.expr("(n * 50 + 99) div 100")
+    ).select(F.col("event_type").alias("et2"), F.col("adev").alias("mad_c"))
+    scored = dev.join(F.broadcast(mad), dev.event_type == F.col("et2")).withColumn(
+        "is_out", (F.col("adev") > 3 * F.col("mad_c")).cast("int")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("med_c").cast("double") / 100.0).alias("median_value"),
+            (F.max("mad_c").cast("double") / 100.0).alias("mad"),
+            F.sum("is_out").cast("bigint").alias("n_outliers"),
+            (F.max(F.when(F.col("is_out") == 1, F.col("adev"))).cast("double") / 100.0).alias("max_abs_dev"),
+        )
+        .withColumn("max_abs_dev", F.coalesce("max_abs_dev", F.lit(-1.0)))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_MAD_OUTLIERS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v_c
+  FROM events
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (SELECT event_type AS et, v_c AS med_c FROM r1 WHERE rn = (n * 50 + 99) // 100),
+dev AS (
+  SELECT ev.*, med.med_c, ABS(ev.v_c - med.med_c) AS adev
+  FROM ev JOIN med ON ev.event_type = med.et
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn2,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type AS et2, adev AS mad_c FROM r2 WHERE rn2 = (n * 50 + 99) // 100),
+scored AS (
+  SELECT dev.*, mad.mad_c,
+         CASE WHEN dev.adev > 3 * mad.mad_c THEN 1 ELSE 0 END AS is_out
+  FROM dev JOIN mad ON dev.event_type = mad.et2
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(MAX(med_c) AS DOUBLE) / 100.0 AS median_value,
+       CAST(MAX(mad_c) AS DOUBLE) / 100.0 AS mad,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+       COALESCE(CAST(MAX(CASE WHEN is_out = 1 THEN adev END) AS DOUBLE) / 100.0, -1.0) AS max_abs_dev
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
