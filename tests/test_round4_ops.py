@@ -62,6 +62,8 @@ NEW_KEYS = [
     "corpus_language_balance",
     "raster_shaded_relief",
     "basket_lift_pairs",
+    "events_stickiness",
+    "events_mad_outliers",
 ]
 
 
