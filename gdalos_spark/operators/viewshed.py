@@ -1612,3 +1612,140 @@ ORDER BY c_custkey, ox, oy
 
 
 FRESNEL_CLEARANCE_SQL = _fresnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# viewshed_greedy_observers — greedy max-coverage observer placement
+#    ref: the planning question the reference's multi-observer viewshed
+#    (viewshed_calc CalcOperation.count) feeds into: WHICH observers
+#    cover most terrain — classic greedy submodular set cover
+# ---------------------------------------------------------------------------
+
+GREEDY_ROUNDS = 2
+
+
+def _vis_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(observer, cell) visibility pairs — the per-observer LOS fan that
+    viewshed_observer_count aggregates, kept un-aggregated."""
+    g = dem_grid(spark, sf_dir)
+    obs = spark.createDataFrame(list(OBSERVERS), "ox int, oy int")
+    cells = g.crossJoin(F.broadcast(obs)).filter(
+        (F.col("px") != F.col("ox")) | (F.col("py") != F.col("oy"))
+    )
+    dx, dy = F.col("px") - F.col("ox"), F.col("py") - F.col("oy")
+    ray, d2 = _ray_cols(dx, dy)
+    scored = cells.select(
+        "px", "py", "ox", "oy",
+        ray.alias("ray"), d2.alias("d2"),
+        ((F.col("elev").cast("double") - OBS_Z) / F.sqrt(d2.cast("double"))).alias("tan_angle"),
+    )
+    w = (
+        Window.partitionBy("ox", "oy", "ray")
+        .orderBy("d2", "px", "py")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_before = F.max("tan_angle").over(w)
+    return scored.select(
+        "ox", "oy", "px", "py",
+        F.when(max_before.isNull() | (F.col("tan_angle") >= max_before), 1)
+        .otherwise(0)
+        .alias("visible"),
+    ).filter(F.col("visible") == 1).select("ox", "oy", "px", "py")
+
+
+def viewshed_greedy_observers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage observer placement (the 1-1/e-optimal
+    classic): round 1 picks the observer seeing the most cells, round 2
+    the one adding the most cells NOT already covered — the iterative
+    submodular pattern Spark has no operator for, expressed as
+    argmax-agg + anti-join per round (the same bounded-round discipline
+    as the CC/PageRank loops; the visibility fan is computed ONCE and
+    persisted). Ties break on (ox, oy), so the pick is total-ordered.
+    Output per round: the chosen observer, its own coverage, its
+    marginal gain, and the cumulative union size."""
+    vis = _vis_pairs(spark, sf_dir).persist()
+    counts = vis.groupBy("ox", "oy").agg(F.count(F.lit(1)).alias("cov"))
+    w = Window.orderBy(F.desc("cov"), "ox", "oy")
+    best1 = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    b1 = best1.select(
+        F.col("ox").alias("b_ox"), F.col("oy").alias("b_oy"), F.col("cov").alias("cov1")
+    )
+    covered1 = vis.join(
+        F.broadcast(b1), (F.col("ox") == F.col("b_ox")) & (F.col("oy") == F.col("b_oy"))
+    ).select("px", "py")
+    remaining = vis.join(covered1, ["px", "py"], "left_anti")
+    marg = remaining.groupBy("ox", "oy").agg(F.count(F.lit(1)).alias("marginal"))
+    best2 = (
+        marg.withColumn("rk", F.row_number().over(Window.orderBy(F.desc("marginal"), "ox", "oy")))
+        .filter(F.col("rk") == 1)
+    )
+    r1 = best1.select(
+        F.lit(1).alias("round"),
+        "ox", "oy",
+        F.col("cov").cast("bigint").alias("own_coverage"),
+        F.col("cov").cast("bigint").alias("marginal_gain"),
+        F.col("cov").cast("bigint").alias("cumulative_coverage"),
+    )
+    r2 = (
+        best2.join(F.broadcast(counts.select(F.col("ox").alias("c_ox"), F.col("oy").alias("c_oy"), "cov")),
+                   (F.col("ox") == F.col("c_ox")) & (F.col("oy") == F.col("c_oy")))
+        .crossJoin(F.broadcast(b1.select("cov1")))
+        .select(
+            F.lit(2).alias("round"),
+            "ox", "oy",
+            F.col("cov").cast("bigint").alias("own_coverage"),
+            F.col("marginal").cast("bigint").alias("marginal_gain"),
+            (F.col("cov1") + F.col("marginal")).cast("bigint").alias("cumulative_coverage"),
+        )
+    )
+    return r1.union(r2).orderBy("round")
+
+
+def _greedy_sql() -> str:
+    ray, d2 = _ray_sql("(px - ox)", "(py - oy)")
+    values = ", ".join(f"({x}, {y})" for x, y in OBSERVERS)
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+obs(ox, oy) AS (VALUES {values}),
+scored AS (
+  SELECT px, py, ox, oy, {ray} AS ray, {d2} AS d2,
+         (CAST(elev AS DOUBLE) - {OBS_Z}) / SQRT(CAST({d2} AS DOUBLE)) AS tan_angle
+  FROM dem CROSS JOIN obs
+  WHERE NOT (px = ox AND py = oy)
+),
+vis AS (
+  SELECT ox, oy, px, py FROM (
+    SELECT *, MAX(tan_angle) OVER (PARTITION BY ox, oy, ray ORDER BY d2, px, py
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_before
+    FROM scored
+  ) WHERE max_before IS NULL OR tan_angle >= max_before
+),
+counts AS (SELECT ox, oy, COUNT(*) AS cov FROM vis GROUP BY 1, 2),
+best1 AS (SELECT * FROM counts ORDER BY cov DESC, ox, oy LIMIT 1),
+covered1 AS (
+  SELECT DISTINCT v.px, v.py FROM vis v JOIN best1 b ON v.ox = b.ox AND v.oy = b.oy
+),
+remaining AS (
+  SELECT v.* FROM vis v
+  WHERE NOT EXISTS (SELECT 1 FROM covered1 c WHERE c.px = v.px AND c.py = v.py)
+),
+marg AS (SELECT ox, oy, COUNT(*) AS marginal FROM remaining GROUP BY 1, 2),
+best2 AS (SELECT * FROM marg ORDER BY marginal DESC, ox, oy LIMIT 1)
+SELECT 1 AS round, ox, oy,
+       CAST(cov AS BIGINT) AS own_coverage,
+       CAST(cov AS BIGINT) AS marginal_gain,
+       CAST(cov AS BIGINT) AS cumulative_coverage
+FROM best1
+UNION ALL
+SELECT 2, b2.ox, b2.oy,
+       CAST(c.cov AS BIGINT),
+       CAST(b2.marginal AS BIGINT),
+       CAST(b1.cov + b2.marginal AS BIGINT)
+FROM best2 b2
+JOIN counts c ON c.ox = b2.ox AND c.oy = b2.oy
+CROSS JOIN best1 b1
+ORDER BY round
+"""
+
+
+VIEWSHED_GREEDY_OBSERVERS_SQL = _greedy_sql()

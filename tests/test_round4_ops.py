@@ -64,6 +64,7 @@ NEW_KEYS = [
     "basket_lift_pairs",
     "events_stickiness",
     "events_mad_outliers",
+    "viewshed_greedy_observers",
 ]
 
 
