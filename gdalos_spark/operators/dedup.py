@@ -1186,3 +1186,48 @@ ORDER BY decile
 MINHASH_CALIBRATION_SQL = MINHASH_CALIBRATION_SQL_TMPL.format(
     minhash_pairs=DEDUP_MINHASH_LSH_SQL, docsh=DOCSH_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_histogram — duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary a dedup run reports upward: how many duplicate
+    clusters of each size exist, how many docs they hold, and how many
+    deletions full dedup would perform (size - 1 per cluster). One
+    tiny re-agg over dedup_clusters' output — the operator-composition
+    pattern: the expensive CC result feeds multiple reports."""
+    clusters = dedup_clusters(spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("size")
+    )
+    return (
+        per_cluster.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            ((F.col("size") - 1) * F.col("n_clusters")).cast("bigint").alias("n_deletions"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_HISTOGRAM_SQL = """
+WITH clusters AS ({clusters}),
+per_cluster AS (SELECT cluster_id, MAX(cluster_size) AS size FROM clusters GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((size - 1) * COUNT(*) AS BIGINT) AS n_deletions
+FROM per_cluster
+GROUP BY size
+ORDER BY cluster_size
+"""
+
+DEDUP_CLUSTER_HISTOGRAM_SQL = DEDUP_CLUSTER_HISTOGRAM_SQL.format(
+    clusters=DEDUP_CLUSTERS_SQL
+)

@@ -1749,3 +1749,97 @@ ORDER BY round
 
 
 VIEWSHED_GREEDY_OBSERVERS_SQL = _greedy_sql()
+
+
+# ---------------------------------------------------------------------------
+# terrain_profile — elevation profile along observer->target segments
+#    ref: the profile tool next to los_calc — same sampling, the full
+#    elevation series instead of the boolean
+# ---------------------------------------------------------------------------
+
+PROFILE_TARGET_MOD = 400  # denser target subset than the LOS links
+
+
+def terrain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elevation profile along each observer->target segment: the same
+    integer midpoint sampling as point_to_point_los, but emitting the
+    whole series — per step, the terrain height, the straight sight
+    line's height, and the clearance — plus the per-step grade from a
+    lag window over the (link, step) order. What a profile popup
+    renders; one DEM equi-join, one window, no trig."""
+    obs = spark.createDataFrame(list(OBSERVERS[:2]), "ox int, oy int")
+    tgts = (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % PROFILE_TARGET_MOD == 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("cx")).cast("int").alias("tx"),
+            F.floor(F.col("cy")).cast("int").alias("ty"),
+        )
+    )
+    n = N_LOS_STEPS
+    steps = spark.range(0, n + 1).select(F.col("id").cast("int").alias("i"))
+    px_i = F.expr(f"(ox * ({n} - i) + tx * i + {n // 2}) div {n}").cast("int")
+    py_i = F.expr(f"(oy * ({n} - i) + ty * i + {n // 2}) div {n}").cast("int")
+    samples = (
+        tgts.crossJoin(F.broadcast(obs))
+        .filter((F.col("ox") != F.col("tx")) | (F.col("oy") != F.col("ty")))
+        .crossJoin(F.broadcast(steps))
+        .select("c_custkey", "ox", "oy", "i", px_i.alias("px"), py_i.alias("py"))
+    )
+    g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
+    j = samples.join(g, ["px", "py"])
+    endz = j.filter(F.col("i") == n).select(
+        "c_custkey", "ox", "oy", F.col("z").alias("z_t")
+    )
+    jj = j.join(endz, ["c_custkey", "ox", "oy"])
+    line_h = F.lit(float(OBS_Z)) + (F.col("z_t") - F.lit(float(OBS_Z))) * (
+        F.col("i").cast("double") / F.lit(float(n))
+    )
+    w = Window.partitionBy("c_custkey", "ox", "oy").orderBy("i")
+    out = jj.select(
+        "c_custkey", "ox", "oy", "i", "z",
+        line_h.alias("sight_h"),
+        (line_h - F.col("z")).alias("clearance"),
+    ).withColumn("grade", F.col("z") - F.lag("z").over(w))
+    return out.select(
+        "c_custkey", "ox", "oy", "i", "z", "sight_h", "clearance",
+        F.coalesce("grade", F.lit(0.0)).alias("grade"),
+    ).orderBy("c_custkey", "ox", "oy", "i")
+
+
+def _profile_sql() -> str:
+    n = N_LOS_STEPS
+    values = ", ".join(f"({x}, {y})" for x, y in OBSERVERS[:2])
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+pts AS ({CUSTOMER_POINTS_SQL}),
+obs(ox, oy) AS (VALUES {values}),
+tgts AS (
+  SELECT c_custkey, CAST(FLOOR(cx) AS INTEGER) AS tx, CAST(FLOOR(cy) AS INTEGER) AS ty
+  FROM pts WHERE c_custkey % {PROFILE_TARGET_MOD} = 0
+),
+steps AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, {n} + 1)),
+samples AS (
+  SELECT c_custkey, ox, oy, i,
+         CAST((ox * ({n} - i) + tx * i + {n // 2}) // {n} AS INTEGER) AS px,
+         CAST((oy * ({n} - i) + ty * i + {n // 2}) // {n} AS INTEGER) AS py
+  FROM tgts CROSS JOIN obs CROSS JOIN steps
+  WHERE NOT (ox = tx AND oy = ty)
+),
+g AS (SELECT px, py, CAST(elev AS DOUBLE) AS z FROM dem),
+j AS (SELECT s.c_custkey, s.ox, s.oy, s.i, g.z FROM samples s JOIN g USING (px, py)),
+endz AS (SELECT c_custkey, ox, oy, z AS z_t FROM j WHERE i = {n}),
+jj AS (
+  SELECT j.*, endz.z_t,
+         {OBS_Z} + (endz.z_t - {OBS_Z}) * (CAST(j.i AS DOUBLE) / {float(n)}) AS sight_h
+  FROM j JOIN endz USING (c_custkey, ox, oy)
+)
+SELECT c_custkey, ox, oy, i, z, sight_h, sight_h - z AS clearance,
+       COALESCE(z - LAG(z) OVER (PARTITION BY c_custkey, ox, oy ORDER BY i), 0.0) AS grade
+FROM jj
+ORDER BY c_custkey, ox, oy, i
+"""
+
+
+TERRAIN_PROFILE_SQL = _profile_sql()

@@ -527,3 +527,115 @@ SELECT doc_id, source, score,
        CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_report — vocabulary growth (Heaps' law) checkpoints
+# ---------------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: at 10 corpus checkpoints (doc-id
+    deciles), cumulative token count and distinct-vocabulary size, plus
+    the local growth exponent beta = dlog2(V)/dlog2(N) between
+    consecutive checkpoints (natural text sits near 0.5). NO per-
+    checkpoint fan-out: each token buckets to the checkpoint of its
+    FIRST occurrence and each doc to its own, then two cumulative
+    windows over the 10-row grid do the rest; log2 is the staged
+    polynomial, betas are identical IEEE ratios of identical doubles."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    occ = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", hashing.md5_int60(F.col("tok")).alias("h"))
+    )
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    ck = lambda c: F.expr(  # noqa: E731  # ceil(c * K / max_id), integer
+        f"(({c}) * {HEAPS_CHECKPOINTS} + max_id - 1) div max_id"
+    )
+    first = (
+        occ.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(ck("first_doc").alias("k"))
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    toks = (
+        occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(ck("doc_id").alias("k"))
+        .agg(F.sum("n_tok").alias("new_tokens"), F.count(F.lit(1)).alias("new_docs"))
+    )
+    grid = toks.join(first, "k", "left").select(
+        "k",
+        "new_docs",
+        "new_tokens",
+        F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        F.col("k").cast("int").alias("checkpoint"),
+        F.sum("new_docs").over(w).cast("bigint").alias("n_docs"),
+        F.sum("new_tokens").over(w).cast("bigint").alias("n_tokens"),
+        F.sum("new_vocab").over(w).cast("bigint").alias("vocab"),
+    )
+    cum = _log2_col(cum, "n_tokens", "lg_n", _SPARK_SHIFT)
+    cum = _log2_col(cum, "vocab", "lg_v", _SPARK_SHIFT)
+    wl = Window.orderBy("checkpoint")
+    beta = (F.col("lg_v") - F.lag("lg_v").over(wl)) / (
+        F.col("lg_n") - F.lag("lg_n").over(wl)
+    )
+    return cum.select(
+        "checkpoint", "n_docs", "n_tokens", "vocab",
+        F.coalesce(F.round(beta, 6), F.lit(-1.0)).alias("local_beta"),
+    ).orderBy("checkpoint")
+
+
+def _heaps_sql() -> str:
+    k = HEAPS_CHECKPOINTS
+    return f"""
+WITH occ AS (
+  SELECT doc_id, {hashing.md5_int60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+),
+mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+first AS (
+  SELECT (MIN(doc_id) * {k} + (SELECT max_id FROM mx) - 1) // (SELECT max_id FROM mx) AS kk,
+         COUNT(*) AS new_vocab
+  FROM (SELECT h, MIN(doc_id) AS doc_id FROM occ GROUP BY h) f
+  GROUP BY (f.doc_id * {k} + (SELECT max_id FROM mx) - 1) // (SELECT max_id FROM mx)
+),
+toks AS (
+  SELECT (doc_id * {k} + (SELECT max_id FROM mx) - 1) // (SELECT max_id FROM mx) AS kk,
+         CAST(SUM(n_tok) AS BIGINT) AS new_tokens, COUNT(*) AS new_docs
+  FROM (SELECT doc_id, COUNT(*) AS n_tok FROM occ GROUP BY doc_id) d
+  GROUP BY 1
+),
+grid AS (
+  SELECT t.kk AS k, t.new_docs, t.new_tokens, COALESCE(f.new_vocab, 0) AS new_vocab
+  FROM toks t LEFT JOIN first f ON t.kk = f.kk
+),
+cum AS (
+  SELECT CAST(k AS INTEGER) AS checkpoint,
+         CAST(SUM(new_docs) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs,
+         CAST(SUM(new_tokens) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens,
+         CAST(SUM(new_vocab) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+  FROM grid
+),
+lg AS (
+  SELECT checkpoint, n_docs, n_tokens, vocab,
+         {_log2_lateral_sql('n_tokens', 'lg_n')},
+         {_log2_lateral_sql('vocab', 'lg_v')}
+  FROM cum
+)
+SELECT checkpoint, n_docs, n_tokens, vocab,
+       COALESCE(ROUND((lg_v - LAG(lg_v) OVER (ORDER BY checkpoint))
+                      / (lg_n - LAG(lg_n) OVER (ORDER BY checkpoint)), 6), -1.0) AS local_beta
+FROM lg
+ORDER BY checkpoint
+"""
+
+
+HEAPS_LAW_REPORT_SQL = _heaps_sql()

@@ -65,6 +65,9 @@ NEW_KEYS = [
     "events_stickiness",
     "events_mad_outliers",
     "viewshed_greedy_observers",
+    "terrain_profile",
+    "dedup_cluster_histogram",
+    "heaps_law_report",
 ]
 
 
