@@ -339,3 +339,19 @@ def test_session_batch3_shapes(spark):
                 "orders_cohort_ltv", "customer_rfm_scores", "minhash_calibration"):
         assert_no_cartesian(q(spark, key))
     assert_broadcast_join(q(spark, "raster_shaded_relief"))
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """The global scale invariant: NO operator in the entire catalog may
+    plan a CartesianProduct. Every legitimate all-pairs construct in the
+    library is a broadcast of a bounded side (1-row aggregates, offset
+    stencils, probe sets) which plans as BroadcastNestedLoopJoin — an
+    unbounded CartesianProduct anywhere is a 100-TB outage. Streaming
+    keys are skipped (their plans materialize through the sink, and
+    their batch twins are covered)."""
+    skip = {k for k in entrymod.queries() if k.startswith("streaming_")}
+    skip |= {"multimodal_decode", "multimodal_frames"}  # pandas stages
+    for key, fn in entrymod.queries().items():
+        if key in skip:
+            continue
+        assert_no_cartesian(fn(spark, SF_DIR))
