@@ -3156,3 +3156,134 @@ FROM scored
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# supplier_share_hhi — market-concentration (Herfindahl) index per brand
+# ---------------------------------------------------------------------------
+
+
+def supplier_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier shares within each
+    brand's traded volume: HHI = sum_i (q_i/Q)^2 = sum(q_i^2) / Q^2 —
+    ONE division of exact integers (quantity-hundredths sums; squares
+    of per-supplier sums stay far under 2^63), so the whole index is
+    engine-identical with no per-share float. Two aggs over one
+    partitioning chain (brand+supplier, then brand); effective supplier
+    count 1/HHI rides along."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("qty_h"),
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_supp = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("qty_h").alias("q"))
+    )
+    agg = per_supp.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("total_q"),
+        F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
+    )
+    hhi = F.col("sum_q2").cast("double") / (
+        F.col("total_q").cast("double") * F.col("total_q").cast("double")
+    )
+    return agg.select(
+        "p_brand",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_suppliers"),
+    ).orderBy("p_brand")
+
+
+SUPPLIER_SHARE_HHI_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_h
+  FROM lineitem
+),
+per_supp AS (
+  SELECT p.p_brand, li.l_suppkey, CAST(SUM(li.qty_h) AS BIGINT) AS q
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT p_brand, COUNT(*) AS n_suppliers,
+         CAST(SUM(q) AS BIGINT) AS total_q,
+         CAST(SUM(q * q) AS BIGINT) AS sum_q2
+  FROM per_supp GROUP BY 1
+)
+SELECT p_brand, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(sum_q2 AS DOUBLE) / (CAST(total_q AS DOUBLE) * CAST(total_q AS DOUBLE)) AS hhi,
+       1.0 / (CAST(sum_q2 AS DOUBLE) / (CAST(total_q AS DOUBLE) * CAST(total_q AS DOUBLE))) AS effective_suppliers
+FROM agg
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_type_entropy — behavioral entropy per user
+# ---------------------------------------------------------------------------
+
+
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over the event-type distribution —
+    the personalization feature that separates single-purpose users
+    from explorers. H = log2(n) - (1/n) * sum(c_t * log2(c_t)) needs
+    only log2 of INTEGER counts (the polynomial stages), and the inner
+    sum rounds each c*log2(c) term once to micro-units so the per-user
+    totals are exact under any order. Two aggs over one (user, type)
+    partitioning chain."""
+    from gdalos_spark.operators.text import _log2_col
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    per_ut = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    spark_shift = lambda bl: f"shiftleft(CAST(1 AS BIGINT), {bl})"  # noqa: E731
+    per_ut = _log2_col(per_ut, "c", "lg_c", spark_shift)
+    per_user = per_ut.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.round(F.col("c") * F.col("lg_c") * 1_000_000.0).cast("bigint")
+        ).alias("clc_u"),
+    )
+    per_user = _log2_col(per_user, "n", "lg_n", spark_shift)
+    return per_user.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(
+            F.col("lg_n")
+            - F.col("clc_u").cast("double") / (F.col("n") * 1_000_000).cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    ).orderBy("user_id")
+
+
+def _type_entropy_sql() -> str:
+    from gdalos_spark.operators.text import _log2_lateral_sql
+
+    return f"""
+WITH per_ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+lg1 AS (
+  SELECT user_id, c, {_log2_lateral_sql('c', 'lg_c')} FROM per_ut
+),
+per_user AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+         CAST(SUM(CAST(ROUND(c * lg_c * 1000000.0) AS BIGINT)) AS BIGINT) AS clc_u
+  FROM lg1 GROUP BY 1
+),
+lg2 AS (
+  SELECT user_id, n, n_types, clc_u, {_log2_lateral_sql('n', 'lg_n')} FROM per_user
+)
+SELECT user_id, n AS n_events, CAST(n_types AS BIGINT) AS n_types,
+       ROUND(lg_n - CAST(clc_u AS DOUBLE) / CAST(n * 1000000 AS DOUBLE), 6) AS entropy_bits
+FROM lg2
+ORDER BY user_id
+"""
+
+
+EVENTS_TYPE_ENTROPY_SQL = _type_entropy_sql()

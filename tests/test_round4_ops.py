@@ -68,6 +68,8 @@ NEW_KEYS = [
     "terrain_profile",
     "dedup_cluster_histogram",
     "heaps_law_report",
+    "supplier_share_hhi",
+    "events_type_entropy",
 ]
 
 
