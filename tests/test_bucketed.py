@@ -25,12 +25,10 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
     orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
-    (li.write.mode("overwrite")
-       .option("path", f"{wh}/li_b").bucketBy(8, "l_orderkey")
-       .sortBy("l_orderkey").saveAsTable("li_b"))
-    (orders.write.mode("overwrite")
-       .option("path", f"{wh}/ord_b").bucketBy(8, "o_orderkey")
-       .sortBy("o_orderkey").saveAsTable("ord_b"))
+    from gdalos_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(li, f"{wh}/li_b", "li_b", "l_orderkey")
+    write_bucketed(orders, f"{wh}/ord_b", "ord_b", "o_orderkey")
     try:
         j = spark.table("li_b").join(
             spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey")
