@@ -2881,3 +2881,47 @@ ORDER BY px, py
 
 
 RASTER_SHADED_RELIEF_SQL = _shaded_relief_sql().format(hillshade=RASTER_HILLSHADE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# raster_watershed_basins — drainage-basin delineation over the D8 graph
+# ---------------------------------------------------------------------------
+
+
+def raster_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation: every cell belongs to the basin of the
+    terminal cell its D8 flow path reaches, which the pointer-jumping
+    flow-path operator has ALREADY computed — basins are one aggregate
+    over its output (the CC-over-functional-graph result reused, the
+    same composition pattern as dedup_cluster_histogram). Per basin:
+    cell count, the longest tributary path, and whether the outlet is
+    an interior pit or the grid edge."""
+    fp = raster_flow_path_length(spark, sf_dir)
+    return (
+        fp.groupBy(
+            F.col("term_x").alias("outlet_x"),
+            F.col("term_y").alias("outlet_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("path_steps").cast("bigint").alias("longest_path"),
+            F.max("term_is_pit").cast("int").alias("is_pit"),
+        )
+        .orderBy(F.desc("n_cells"), "outlet_x", "outlet_y")
+    )
+
+
+RASTER_WATERSHED_BASINS_SQL = """
+WITH fp AS ({flow_path})
+SELECT term_x AS outlet_x, term_y AS outlet_y,
+       COUNT(*) AS n_cells,
+       CAST(MAX(path_steps) AS BIGINT) AS longest_path,
+       CAST(MAX(term_is_pit) AS INTEGER) AS is_pit
+FROM fp
+GROUP BY 1, 2
+ORDER BY n_cells DESC, outlet_x, outlet_y
+"""
+
+RASTER_WATERSHED_BASINS_SQL = RASTER_WATERSHED_BASINS_SQL.format(
+    flow_path=RASTER_FLOW_PATH_LENGTH_SQL
+)

@@ -70,6 +70,7 @@ NEW_KEYS = [
     "heaps_law_report",
     "supplier_share_hhi",
     "events_type_entropy",
+    "raster_watershed_basins",
 ]
 
 
