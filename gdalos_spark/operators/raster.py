@@ -2925,3 +2925,106 @@ ORDER BY n_cells DESC, outlet_x, outlet_y
 RASTER_WATERSHED_BASINS_SQL = RASTER_WATERSHED_BASINS_SQL.format(
     flow_path=RASTER_FLOW_PATH_LENGTH_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# raster_curvature — second-derivative surface curvature (gdaldem family)
+# ---------------------------------------------------------------------------
+
+# 9-offset weights for the three second differences: zxx = zW - 2z + zE,
+# zyy = zS - 2z + zN, zxy*4 = zNE + zSW - zNW - zSE (kept x4 so the
+# stencil sums stay integer-weighted decimals)
+_CURV = [
+    # dx, dy, wxx, wyy, wxy4
+    (-1, 0, 1, 0, 0), (1, 0, 1, 0, 0), (0, 0, -2, -2, 0),
+    (0, -1, 0, 1, 0), (0, 1, 0, 1, 0),
+    (1, 1, 0, 0, 1), (-1, -1, 0, 0, 1), (-1, 1, 0, 0, -1), (1, -1, 0, 0, -1),
+]
+
+
+def raster_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface curvature from exact second differences — the gdaldem
+    sibling the slope/aspect/TRI family was missing: zxx, zyy, the
+    cross term, and the Laplacian, all from ONE weighted 9-offset
+    stencil pass (the hillshade shape with curvature weights). The
+    convex/flat/concave class decides on the DECIMAL Laplacian sign —
+    no float touches the classification; the emitted derivative columns
+    are exact decimals cast once."""
+    g = _dem_decimal(spark, sf_dir)
+    offsets = spark.createDataFrame(
+        [(dx, dy, wxx, wyy, wxy4, 0) for dx, dy, wxx, wyy, wxy4 in _CURV]
+        + [(0, 0, 0, 0, 0, 1)],
+        "dx int, dy int, wxx int, wyy int, wxy4 int, is_c int",
+    )
+    full = (
+        g.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("px") - F.col("dx")).alias("tx"),
+            (F.col("py") - F.col("dy")).alias("ty"),
+            (F.col("wxx") * F.col("zd")).alias("xx"),
+            (F.col("wyy") * F.col("zd")).alias("yy"),
+            (F.col("wxy4") * F.col("zd")).alias("xy"),
+            F.when(F.col("is_c") == 1, F.col("zd")).alias("cz"),
+            "is_c",
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_c")).alias("n_nbr"),
+            F.sum("xx").alias("zxx"),
+            F.sum("yy").alias("zyy"),
+            F.sum("xy").alias("zxy4"),
+            F.max("cz").alias("zd"),
+        )
+        # 9 weighted rows + the center marker row land on each target;
+        # n_nbr counts the 9 (center emits via is_c separately)
+        .filter((F.col("n_nbr") == 9) & F.col("zd").isNotNull())
+    )
+    lap = F.col("zxx") + F.col("zyy")
+    cls = (
+        F.when(lap > 0, "convex").when(lap < 0, "concave").otherwise("flat")
+    )
+    return full.select(
+        F.col("tx").alias("px"),
+        F.col("ty").alias("py"),
+        F.col("zxx").cast("double").alias("zxx"),
+        F.col("zyy").cast("double").alias("zyy"),
+        (F.col("zxy4").cast("double") / 4.0).alias("zxy"),
+        lap.cast("double").alias("laplacian"),
+        cls.alias("curv_class"),
+    )
+
+
+def _curvature_sql() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy}, {wxx}, {wyy}, {wxy4})" for dx, dy, wxx, wyy, wxy4 in _CURV
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev AS DECIMAL(18,2)) AS zd FROM dem),
+offsets(dx, dy, wxx, wyy, wxy4) AS (VALUES {offs}),
+nbr AS (
+  SELECT px - dx AS tx, py - dy AS ty,
+         COUNT(*) AS n_nbr,
+         SUM(wxx * zd) AS zxx,
+         SUM(wyy * zd) AS zyy,
+         SUM(wxy4 * zd) AS zxy4
+  FROM g CROSS JOIN offsets
+  GROUP BY 1, 2
+  HAVING COUNT(*) = 9
+),
+full_c AS (
+  SELECT n.*, g.zd FROM nbr n JOIN g ON n.tx = g.px AND n.ty = g.py
+)
+SELECT tx AS px, ty AS py,
+       CAST(zxx AS DOUBLE) AS zxx,
+       CAST(zyy AS DOUBLE) AS zyy,
+       CAST(zxy4 AS DOUBLE) / 4.0 AS zxy,
+       CAST(zxx + zyy AS DOUBLE) AS laplacian,
+       CASE WHEN zxx + zyy > 0 THEN 'convex'
+            WHEN zxx + zyy < 0 THEN 'concave'
+            ELSE 'flat' END AS curv_class
+FROM full_c
+"""
+
+
+RASTER_CURVATURE_SQL = _curvature_sql()

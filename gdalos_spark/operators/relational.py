@@ -3287,3 +3287,69 @@ ORDER BY user_id
 
 
 EVENTS_TYPE_ENTROPY_SQL = _type_entropy_sql()
+
+
+# ---------------------------------------------------------------------------
+# orders_yoy_growth — month-level year-over-year revenue growth
+# ---------------------------------------------------------------------------
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-level year-over-year growth — the first chart on every
+    revenue dashboard: per (year, month), exact-cents revenue and order
+    count, joined to the SAME month a year earlier by a 12-row lag over
+    the (month-index) order (one bounded window, no self-join). Growth
+    is one division of exact integers; months without a prior year emit
+    the -1 sentinel rather than NULL."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    per_month = o.groupBy("yr", "mo").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents")
+    ).withColumn("midx", F.col("yr") * 12 + F.col("mo"))
+    w = Window.orderBy("midx")
+    j = per_month.withColumn("prev_cents", F.lag("cents", 12).over(w)).withColumn(
+        "prev_midx", F.lag("midx", 12).over(w)
+    )
+    valid_prev = F.col("prev_midx") == F.col("midx") - 12
+    growth = F.when(
+        valid_prev & (F.col("prev_cents") > 0),
+        (F.col("cents") - F.col("prev_cents")).cast("double")
+        / F.col("prev_cents").cast("double"),
+    ).otherwise(F.lit(-1.0))
+    return j.select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("mo").cast("int").alias("mo"),
+        "n_orders",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        growth.alias("yoy_growth"),
+    ).orderBy("yr", "mo")
+
+
+ORDERS_YOY_GROWTH_SQL = """
+WITH o AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders
+),
+per_month AS (
+  SELECT yr, mo, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS cents,
+         yr * 12 + mo AS midx
+  FROM o GROUP BY 1, 2
+),
+j AS (
+  SELECT *, LAG(cents, 12) OVER (ORDER BY midx) AS prev_cents,
+         LAG(midx, 12) OVER (ORDER BY midx) AS prev_midx
+  FROM per_month
+)
+SELECT yr, mo, n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN prev_midx = midx - 12 AND prev_cents > 0
+            THEN CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+            ELSE -1.0 END AS yoy_growth
+FROM j
+ORDER BY yr, mo
+"""

@@ -1295,3 +1295,74 @@ ORDER BY lang
 
 
 CORPUS_LANGUAGE_BALANCE_SQL = _lang_balance_sql()
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch-style readability from countable features
+# ---------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring from purely COUNTABLE features:
+    words (split), sentences (terminal punctuation runs, min 1), and
+    syllables approximated as vowel-group counts (the standard
+    dictionary-free proxy) — every count an integer from one regexp
+    pass, the score the classic linear formula of two exact ratios.
+    Single scan, zero shuffles; the grade-band CASE classifies on the
+    same double both engines computed identically."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("bigint")
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count("text", F.lit("[.!?]+")).cast("bigint"),
+    )
+    syll = F.greatest(
+        words,  # every word has >= 1 syllable-proxy
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double"))
+    )
+    band = (
+        F.when(score >= 60, "easy").when(score >= 30, "medium").otherwise("hard")
+    )
+    d = docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        score.alias("flesch_score"),
+    )
+    return d.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score",
+        F.when(F.col("flesch_score") >= 60, "easy")
+        .when(F.col("flesch_score") >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
+
+
+TEXT_READABILITY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+         GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT),
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syllables
+  FROM documents
+),
+s AS (
+  SELECT *, 206.835
+            - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch_score
+  FROM d
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch_score,
+       CASE WHEN flesch_score >= 60 THEN 'easy'
+            WHEN flesch_score >= 30 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM s
+"""

@@ -71,6 +71,9 @@ NEW_KEYS = [
     "supplier_share_hhi",
     "events_type_entropy",
     "raster_watershed_basins",
+    "raster_curvature",
+    "text_readability",
+    "orders_yoy_growth",
 ]
 
 
