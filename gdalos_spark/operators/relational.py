@@ -3353,3 +3353,143 @@ SELECT yr, mo, n_orders,
 FROM j
 ORDER BY yr, mo
 """
+
+
+# ---------------------------------------------------------------------------
+# events_survival_curve — empirical user-lifetime survival
+# ---------------------------------------------------------------------------
+
+SURVIVAL_MAX_WEEKS = 12
+
+
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival curve of user lifetimes: S(k) = fraction of
+    users whose observed activity span (last day - first day) reaches
+    at least k weeks. Lifetimes come from one (user) agg; each user
+    buckets to their TERMINAL week, and the survival counts are a
+    reverse cumulative window over the bounded week grid (the same
+    no-fan-out trick as the Heaps checkpoints). All integers until the
+    terminal fraction."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(ts AS LONG) div 86400").alias("day")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.expr("(max(day) - min(day)) div 7").alias("wk_raw")
+    ).select(
+        F.least(F.lit(SURVIVAL_MAX_WEEKS).cast("bigint"), F.col("wk_raw")).alias("wk")
+    )
+    per_wk = spans.groupBy("wk").agg(F.count(F.lit(1)).alias("n_ending"))
+    grid = spark.range(0, SURVIVAL_MAX_WEEKS + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    j = grid.join(per_wk, grid.k == per_wk.wk, "left").select(
+        "k", F.coalesce("n_ending", F.lit(0)).alias("n_ending")
+    )
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = j.agg(F.sum("n_ending").alias("n_users"))
+    return (
+        j.withColumn("n_surviving", F.sum("n_ending").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("weeks"),
+            F.col("n_surviving").cast("bigint").alias("n_surviving"),
+            "n_users",
+            (F.col("n_surviving").cast("double") / F.col("n_users").cast("double")).alias("survival"),
+        )
+        .orderBy("weeks")
+    )
+
+
+EVENTS_SURVIVAL_CURVE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events
+),
+spans AS (
+  SELECT LEAST(CAST({SURVIVAL_MAX_WEEKS} AS BIGINT),
+               CAST((MAX(day) - MIN(day)) // 7 AS BIGINT)) AS wk
+  FROM ev GROUP BY user_id
+),
+per_wk AS (SELECT wk, COUNT(*) AS n_ending FROM spans GROUP BY 1),
+grid AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, {SURVIVAL_MAX_WEEKS} + 1)),
+j AS (
+  SELECT g.k, COALESCE(p.n_ending, 0) AS n_ending
+  FROM grid g LEFT JOIN per_wk p ON g.k = p.wk
+),
+tot AS (SELECT CAST(SUM(n_ending) AS BIGINT) AS n_users FROM j)
+SELECT CAST(k AS INTEGER) AS weeks,
+       CAST(SUM(n_ending) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving,
+       tot.n_users,
+       CAST(SUM(n_ending) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(tot.n_users AS DOUBLE) AS survival
+FROM j CROSS JOIN tot
+ORDER BY weeks
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_daily_autocorr — lag-1 autocorrelation of the daily volume series
+# ---------------------------------------------------------------------------
+
+
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event counts per type — the
+    quick seasonality/momentum read on a volume series. Counts are
+    exact integers, the (x_t, x_{t-1}) pairs come from one lag over
+    the bounded (type, day) grid, and Pearson r is the closed form
+    over five exact BIGINT sums (the discount-elasticity discipline
+    applied to a time series)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ts AS LONG) div 86400").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.withColumn("prev_c", F.lag("c").over(w)).withColumn(
+        "prev_day", F.lag("day").over(w)
+    ).filter(F.col("prev_day") == F.col("day") - 1)
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("prev_c").alias("sy"),
+        F.sum(F.col("c") * F.col("prev_c")).alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("prev_c") * F.col("prev_c")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (cov / F.sqrt(vx * vy)).alias("lag1_autocorr"),
+    ).orderBy("event_type")
+
+
+EVENTS_DAILY_AUTOCORR_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events
+),
+daily AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+pairs AS (
+  SELECT event_type, c,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c,
+         LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+         day
+  FROM daily
+  QUALIFY prev_day = day - 1
+),
+sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(prev_c) AS BIGINT) AS sy,
+         CAST(SUM(c * prev_c) AS BIGINT) AS sxy,
+         CAST(SUM(c * c) AS BIGINT) AS sxx,
+         CAST(SUM(prev_c * prev_c) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS lag1_autocorr
+FROM sums
+ORDER BY event_type
+"""

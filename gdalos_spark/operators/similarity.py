@@ -1119,3 +1119,96 @@ SELECT label, n_even, n_odd,
 FROM sums
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_power_iteration — one exact step toward the top principal axis
+# ---------------------------------------------------------------------------
+
+# deterministic host-side start vector (small ints, fixed forever)
+_PI_V0 = [((j * 37) % 19) - 9 for j in range(vectors.EMB_DIM)]
+_PI_NORM0 = sum(v * v for v in _PI_V0) ** 0.5
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal axis:
+    w = A^T (A v0) for a fixed integer start vector — the training step
+    behind PCA whitening and spectral embeddings, next to kmeans_refine
+    in the 'distributed ML steps' family. Every reduction follows the
+    micro-unit discipline: per-vector projections s_i and per-position
+    accumulations round once to 1e-6 and sum as BIGINT, so the result
+    is partitioning- and engine-independent; the final normalization
+    and Rayleigh-style magnitude estimate are identical IEEE
+    expressions. Two bounded shuffles (per-vector, then per-position —
+    64 rows)."""
+    flat = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"), F.col("x").cast("double").alias("x"))
+    v0 = spark.createDataFrame(
+        [(j + 1, float(v)) for j, v in enumerate(_PI_V0)], "pos int, v double"
+    )
+    proj = (
+        flat.join(F.broadcast(v0), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.round(F.col("x") * F.col("v") * 1_000_000.0).cast("bigint")).alias("s_u"))
+        .select("vec_id", (F.col("s_u").cast("double") / 1_000_000.0).alias("s"))
+    )
+    w_tbl = (
+        flat.join(proj, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.round(F.col("s") * F.col("x") * 1_000_000.0).cast("bigint")).alias("w_u"))
+        .select("pos", (F.col("w_u").cast("double") / 1_000_000.0).alias("w"))
+    )
+    norm = w_tbl.agg(
+        (
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w") * 1_000_000.0).cast("bigint")).cast("double")
+                / 1_000_000.0
+            )
+        ).alias("norm_w")
+    )
+    return (
+        w_tbl.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "w",
+            (F.col("w") / F.col("norm_w")).alias("component"),
+            (F.col("norm_w") / F.lit(_PI_NORM0)).alias("magnitude_est"),
+        )
+        .orderBy("pos")
+    )
+
+
+def _power_iter_sql() -> str:
+    v0 = ", ".join(f"({j + 1}, {float(v)})" for j, v in enumerate(_PI_V0))
+    return f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, {vectors.EMB_DIM + 1})) AS pos)
+),
+v0(pos, v) AS (VALUES {v0}),
+proj AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(ROUND(x * v * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s
+  FROM flat JOIN v0 USING (pos)
+  GROUP BY vec_id
+),
+w_tbl AS (
+  SELECT pos,
+         CAST(SUM(CAST(ROUND(s * x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS w
+  FROM flat JOIN proj USING (vec_id)
+  GROUP BY pos
+),
+nrm AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(w * w * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) AS norm_w
+  FROM w_tbl
+)
+SELECT CAST(pos AS INTEGER) AS pos, w,
+       w / nrm.norm_w AS component,
+       nrm.norm_w / {_PI_NORM0} AS magnitude_est
+FROM w_tbl CROSS JOIN nrm
+ORDER BY pos
+"""
+
+
+EMBEDDING_POWER_ITERATION_SQL = _power_iter_sql()

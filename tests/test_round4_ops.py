@@ -74,6 +74,9 @@ NEW_KEYS = [
     "raster_curvature",
     "text_readability",
     "orders_yoy_growth",
+    "events_survival_curve",
+    "events_daily_autocorr",
+    "embedding_power_iteration",
 ]
 
 
