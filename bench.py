@@ -81,10 +81,18 @@ def main() -> None:
 
     # Untimed warmup: JVM/codegen/parquet-footer costs are session-scoped,
     # not per-query; steady-state latency is what scales to a real cluster.
+    # Warmup failure is non-fatal: it only costs timing fidelity, never the
+    # round's perf record (round 3 lost its entire bench to one schema
+    # surprise in warmup — never again).
     from gdalos_spark.datamodel import load
 
+    errors: dict[str, str] = {}
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
-        load(spark, sf_dir, t).count()
+        try:
+            load(spark, sf_dir, t).count()
+        except Exception as e:  # noqa: BLE001
+            errors[f"warmup:{t}"] = f"{type(e).__name__}: {e}"[:300]
+            break
 
     # The host is shared: a neighbor's load spike can inflate a single
     # run 5-30x. Run each query REPS times and report the minimum — the
@@ -96,11 +104,17 @@ def main() -> None:
         if fn is None:
             continue
         best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001
+            # One broken query must not zero the whole bench: record the
+            # error, keep every other timing.
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            continue
         timings[name] = round(best, 3)
 
     out = {
@@ -110,6 +124,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
