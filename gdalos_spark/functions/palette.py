@@ -87,3 +87,31 @@ def bin_key_case_sql(pal: list[tuple[float, str]], value_expr: str) -> str:
         f"WHEN {value_expr} >= {key} THEN CAST({key} AS DOUBLE)" for key, _ in reversed(pal[1:])
     )
     return f"CASE {whens} ELSE CAST({pal[0][0]} AS DOUBLE) END"
+
+
+def interp_channel_case_sql(
+    pal: list[tuple[float, str]], chan_off: int, vc_expr: str, div_op: str
+) -> str:
+    """CASE expression linearly interpolating ONE rgba channel between
+    palette stops, over an exact integer value-in-cents expression.
+
+    ``chan_off`` is the hex offset into 'AARRGGBB' (0=A, 2=R, 4=G, 6=B).
+    All arithmetic is BIGINT: for v in segment [k0, k1) the channel is
+    ``(c0*(k1-k0) + (v-k0)*(c1-c0)) DIV (k1-k0)`` whose numerator is a
+    linear function of v with non-negative endpoint values (c0*dk and
+    c1*dk), hence non-negative everywhere in the segment — so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree bit-for-bit.
+    ``div_op`` selects the engine's integer-division token."""
+    entries = [
+        (int(round(k * 100)), int(rgba[chan_off : chan_off + 2], 16))
+        for k, rgba in pal
+    ]
+    whens = [f"WHEN {vc_expr} <= {entries[0][0]} THEN {entries[0][1]}"]
+    for (k0, c0), (k1, c1) in zip(entries, entries[1:]):
+        dk, dc = k1 - k0, c1 - c0
+        whens.append(
+            f"WHEN {vc_expr} < {k1} THEN "
+            f"(({c0} * {dk} + ({vc_expr} - {k0}) * ({dc})) {div_op} {dk})"
+        )
+    whens.append(f"ELSE {entries[-1][1]}")
+    return "CASE " + " ".join(whens) + " END"

@@ -617,3 +617,72 @@ FROM pair_counts p LEFT JOIN doc_counts d USING (split_a)
 
 
 SPLIT_LEAKAGE_REPORT_SQL = _split_leakage_sql()
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_report — privacy audit over quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+K_ANON_LEVELS = (2, 5, 10, 20)
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (mktsegment, nationkey, 1000-unit balance bucket): for each k level,
+    how many equivalence classes and rows fall below k. A training-data
+    release gate: rows in small classes are re-identifiable and must be
+    generalized or suppressed before export. One groupBy over the
+    quasi-identifier, then a 4x literal explode and a second tiny agg —
+    the first shuffle is the only data-sized one. The bucket offset
+    (+100000000 cents) keeps the dividend non-negative so Spark's
+    truncating `div` and DuckDB's flooring `//` agree on negative
+    balances."""
+    c = load(spark, sf_dir, "customer")
+    groups = (
+        c.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.expr(
+                "(CAST(c_acctbal * 100 AS BIGINT) + 100000000) div 100000"
+            ).alias("bal_bucket"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ks = ", ".join(str(k) for k in K_ANON_LEVELS)
+    return (
+        groups.select("cnt", F.explode(F.expr(f"array({ks})")).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("cnt") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_groups_below"),
+            F.sum(F.when(F.col("cnt") < F.col("k"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_below"),
+            (
+                F.sum(F.when(F.col("cnt") < F.col("k"), F.col("cnt")).otherwise(0))
+                .cast("double")
+                / F.sum("cnt")
+            ).alias("frac_rows_below"),
+        )
+    )
+
+
+K_ANONYMITY_REPORT_SQL = f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000 AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+x AS (SELECT cnt, unnest([{", ".join(str(k) for k in K_ANON_LEVELS)}]) AS k FROM g)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN cnt < k THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+       CAST(SUM(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS BIGINT) AS n_rows_below,
+       CAST(SUM(CASE WHEN cnt < k THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS frac_rows_below
+FROM x
+GROUP BY k
+"""

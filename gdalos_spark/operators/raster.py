@@ -3028,3 +3028,54 @@ FROM full_c
 
 
 RASTER_CURVATURE_SQL = _curvature_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_color_interp — CONTINUOUS color relief (linear palette blend)
+#    ref: /root/reference/src/gdalos/gdalos_color.py:11 (read_talos_palette,
+#         header field 7 'interp'), calc/gdal_dem_color_cutline.py — gdaldem
+#         color-relief interpolates linearly between palette rows unless
+#         "exact"/"nearest" is forced; raster_color_relief above is the
+#         discrete mode, this is the default blending mode.
+# ---------------------------------------------------------------------------
+
+
+def raster_color_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolated color relief: each pixel's rgba channels blend
+    between the two palette stops bracketing its value (clamped at the
+    ends), the gdaldem default the reference's palettes rely on when
+    `interp` is set. Pure map-side integer CASE arithmetic — no shuffle
+    beyond the grid's own groupBy, identical `div`/`//` floor semantics
+    on both engines (see palette.interp_channel_case_sql)."""
+    g = dem_grid(spark, sf_dir)
+    vc = "CAST(elev * 100 AS BIGINT)"
+    chans = {"a": 0, "r": 2, "g": 4, "b": 6}
+    return g.select(
+        "px",
+        "py",
+        F.col("elev").cast("double").alias("elev"),
+        *[
+            F.expr(palette.interp_channel_case_sql(PALETTE, off, vc, "div"))
+            .cast("int")
+            .alias(name)
+            for name, off in chans.items()
+        ],
+    )
+
+
+def _color_interp_sql() -> str:
+    vc = "CAST(elev * 100 AS BIGINT)"
+    chans = {"a": 0, "r": 2, "g": 4, "b": 6}
+    cols = ",\n       ".join(
+        f"CAST({palette.interp_channel_case_sql(PALETTE, off, vc, '//')} AS INTEGER) AS {name}"
+        for name, off in chans.items()
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT px, py, CAST(elev AS DOUBLE) AS elev,
+       {cols}
+FROM dem
+"""
+
+
+RASTER_COLOR_INTERP_SQL = _color_interp_sql()

@@ -3493,3 +3493,74 @@ SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
 FROM sums
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — lakehouse table-diff / CDC audit between two versions
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshots of the orders table (v1 =
+    keys not divisible by 97; v2 = keys not divisible by 89, with every
+    13th price bumped) classified added / removed / changed / unchanged —
+    the audit any incremental lakehouse pipeline runs after a MERGE.
+    Shape: one full-outer shuffle join on the snapshot key (bucketed
+    snapshots make it exchange-free — sources/bucketed.py); comparing a
+    single price column here stands in for the row-hash compare a wide
+    table would use. Deltas are exact BIGINT cents (ROUND before CAST:
+    the doubles are decimal cents, so x*100 lands within 1e-6 of an
+    integer and ROUND collapses the engines' cast-rounding divergence)."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.where(F.expr("o_orderkey % 97 <> 0")).select(
+        F.col("o_orderkey").alias("k1"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("p1"),
+    )
+    v2 = o.where(F.expr("o_orderkey % 89 <> 0")).select(
+        F.col("o_orderkey").alias("k2"),
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+            " + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END"
+        ).alias("p2"),
+    )
+    j = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    cls = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            cls.alias("change_class"),
+            (F.coalesce("p2", F.lit(0)) - F.coalesce("p1", F.lit(0))).alias("dc"),
+        )
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("dc").cast("bigint").alias("delta_cents"),
+        )
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey AS k1, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS p1
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+v2 AS (
+  SELECT o_orderkey AS k2,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+         + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END AS p2
+  FROM orders WHERE o_orderkey % 89 <> 0
+),
+j AS (SELECT * FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+SELECT CASE WHEN k1 IS NULL THEN 'added'
+            WHEN k2 IS NULL THEN 'removed'
+            WHEN p1 <> p2 THEN 'changed'
+            ELSE 'unchanged' END AS change_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(COALESCE(p2, 0) - COALESCE(p1, 0)) AS BIGINT) AS delta_cents
+FROM j
+GROUP BY 1
+"""

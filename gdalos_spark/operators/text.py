@@ -1366,3 +1366,61 @@ SELECT doc_id, n_words, n_sentences, n_syllables, flesch_score,
             ELSE 'hard' END AS band
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# text_normalize_dedup — canonicalization + duplicate-mass report
+# ---------------------------------------------------------------------------
+
+
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-mass report under text canonicalization
+    (lowercase, every non-alphanumeric run collapsed to one space,
+    trimmed) vs the raw text: the standard pre-pass that catches
+    whitespace/punctuation-variant duplicates plain md5 dedup
+    (dedup_exact) misses, reported as distinct-counts so the gate stays
+    informative even on a corpus with no variant duplicates. Only 60-bit
+    hashes shuffle; text never leaves the map side."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            hashing.md5_int60(F.col("text")).alias("raw_key"),
+            hashing.md5_int60(norm).alias("norm_key"),
+            F.length(norm).cast("bigint").alias("norm_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("raw_key").cast("bigint").alias("distinct_raw"),
+            F.countDistinct("norm_key").cast("bigint").alias("distinct_norm"),
+            (F.countDistinct("raw_key") - F.countDistinct("norm_key"))
+            .cast("bigint")
+            .alias("variant_dups"),
+            F.sum("n_chars").cast("bigint").alias("chars_raw"),
+            F.sum("norm_chars").cast("bigint").alias("chars_norm"),
+        )
+    )
+
+
+_NORM_EXPR_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+TEXT_NORMALIZE_DEDUP_SQL = f"""
+WITH n AS (
+  SELECT source, n_chars,
+         {hashing.md5_int60_sql("text")} AS raw_key,
+         {hashing.md5_int60_sql(_NORM_EXPR_SQL)} AS norm_key,
+         CAST(length({_NORM_EXPR_SQL}) AS BIGINT) AS norm_chars
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_key) AS BIGINT) AS distinct_raw,
+       CAST(COUNT(DISTINCT norm_key) AS BIGINT) AS distinct_norm,
+       CAST(COUNT(DISTINCT raw_key) - COUNT(DISTINCT norm_key) AS BIGINT) AS variant_dups,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_raw,
+       CAST(SUM(norm_chars) AS BIGINT) AS chars_norm
+FROM n
+GROUP BY source
+"""

@@ -639,3 +639,132 @@ ORDER BY checkpoint
 
 
 HEAPS_LAW_REPORT_SQL = _heaps_sql()
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — k full iterations of BPE training (count -> argmax ->
+# merge-apply), the loop bpe_merge_step is one step of
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_STEPS = 4
+
+
+def _merge_apply_expr(col: str, a: str, b: str) -> str:
+    """Two-pass boundary replace applying merge (a, b) to a boundary-spaced
+    symbol string (identical builtin `replace` semantics in Spark and
+    DuckDB: left-to-right, non-overlapping, never rescans its own output).
+    Directly adjacent occurrences share a boundary space, so one pass can
+    reach only every other one; the survivors are isolated after pass one,
+    hence exactly two passes reach the greedy-BPE fixed point."""
+    pat = f"' {a} {b} '"
+    rep = f"' {a}{b} '"
+    return f"replace(replace({col}, {pat}, {rep}), {pat}, {rep})"
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_TRAIN_STEPS greedy merges of byte-pair-encoding training, the
+    distributed loop (Sennrich et al. 2016): everything factors through
+    the word-frequency table, so each iteration's pair count explodes
+    |vocab| rows, not |corpus tokens|. A word is carried as a
+    boundary-spaced symbol string (`' h e l l o '`); one step =
+    adjacent-pair weighted count (one shuffle), a ONE-ROW argmax fetch
+    (count desc, then pair — total order, engine-identical), then the
+    merge applied map-side via `_merge_apply_expr`. `localCheckpoint`
+    cuts the growing lineage each round, exactly like the dedup_clusters
+    CC loop. Output = the merge table the k steps produced, i.e. the
+    tokenizer's first k vocabulary entries."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    words = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+    )
+    wf = (
+        words.select(hashing.md5_int60(F.col("w")).alias("h"), "w")
+        .groupBy("h")
+        .agg(F.min("w").alias("w"), F.count(F.lit(1)).alias("wn"))
+        .select(
+            F.expr("concat(' ', regexp_replace(w, '(.)', '$1 '))").alias("s"),
+            "wn",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        pairs = wf.select(
+            "wn",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(s), ' ')) >= 2 THEN "
+                    "transform(sequence(0, size(split(trim(s), ' ')) - 2), "
+                    " i -> struct(element_at(split(trim(s), ' '), i + 1) AS a, "
+                    "             element_at(split(trim(s), ' '), i + 2) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wn")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wn").cast("bigint").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n_occ"])
+        merges.append((step, a, b, n))
+        wf = wf.select(
+            F.expr(_merge_apply_expr("s", a, b)).alias("s"), "wn"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, n_occ bigint"
+    )
+
+
+def _bpe_train_sql() -> str:
+    """The same k-step loop unrolled into chained CTEs for DuckDB."""
+    parts = [
+        """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+),
+s0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, COUNT(*) AS wn
+  FROM words GROUP BY w
+)"""
+    ]
+    for i in range(1, BPE_TRAIN_STEPS + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT syms[j + 1] AS a, syms[j + 2] AS b, wn
+  FROM (SELECT string_split(trim(s), ' ') AS syms, wn,
+               unnest(range(0, len(string_split(trim(s), ' ')) - 1)) AS j
+        FROM s{i - 1})
+),
+best{i} AS (
+  SELECT a, b, CAST(SUM(wn) AS BIGINT) AS n_occ
+  FROM p{i} GROUP BY a, b ORDER BY n_occ DESC, a, b LIMIT 1
+),
+s{i} AS (
+  SELECT replace(replace(t.s, ' ' || m.a || ' ' || m.b || ' ',
+                              ' ' || m.a || m.b || ' '),
+                          ' ' || m.a || ' ' || m.b || ' ',
+                          ' ' || m.a || m.b || ' ') AS s, t.wn
+  FROM s{i - 1} t, best{i} m
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, a AS sym_a, b AS sym_b, n_occ FROM best{i}"
+        for i in range(1, BPE_TRAIN_STEPS + 1)
+    )
+    parts.append(f"\nSELECT CAST(step AS INTEGER) AS step, sym_a, sym_b, n_occ\nFROM ({selects}) ORDER BY step")
+    return "".join(parts)
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
