@@ -1843,3 +1843,185 @@ ORDER BY c_custkey, ox, oy, i
 
 
 TERRAIN_PROFILE_SQL = _profile_sql()
+
+
+# ---------------------------------------------------------------------------
+# dbscan_grid_clusters — density-based spatial clustering, grid-blocked
+# ---------------------------------------------------------------------------
+
+# eps^2 * n ~= 2 * area / pi -> every point expects ~2 eps-neighbors at any
+# scale factor (subcritical for continuum percolation, so components stay
+# small and the oracle's transitive closure stays cheap); clamped at the
+# 3x3-cell coverage bound eps <= DBSCAN_CELL.
+DBSCAN_C = 26_075_000
+DBSCAN_MIN_PTS = 4
+DBSCAN_CELL = 200
+
+
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over a hash-scattered point cloud, the distributed way:
+    candidate pairs meet ONLY through a 32x32 cell equi-join (constant
+    9-cell fan-out per point, never all-pairs), core points are the
+    >= DBSCAN_MIN_PTS eps-neighbor rows of one groupBy, clusters are
+    connected components of the core-core eps-graph via the alternating
+    large-star/small-star loop shared with dedup_clusters, and border
+    points deterministically take the MINIMUM core-neighbor cluster
+    (classic DBSCAN's first-come assignment is scan-order-dependent —
+    useless under a correctness gate). eps scales with observed density
+    (eps2 = DBSCAN_C/n, a 1-row broadcast — no driver round-trip), so
+    the neighborhood load stays O(1) per point at every scale factor.
+    Output: one row per cluster (cluster_id = min event_id) plus the
+    noise row (cluster_id = -1, count in n_points). Coordinates come
+    from md5 so they scatter uniformly — the lattice the multiplicative
+    derivation produces collapses DBSCAN into one giant component."""
+    from gdalos_spark.functions import hashing
+    from gdalos_spark.operators.dedup import _cc_alternating
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (hashing.md5_int60(F.concat(F.lit("x"), F.col("event_id").cast("string"))) % 6400).alias("xi"),
+        (hashing.md5_int60(F.concat(F.lit("y"), F.col("event_id").cast("string"))) % 6400).alias("yi"),
+    )
+    par = p.agg(
+        F.expr(
+            f"least({DBSCAN_C} div count(1), {DBSCAN_CELL * DBSCAN_CELL}) AS eps2"
+        )
+    )
+    pc = p.select(
+        "event_id", "xi", "yi",
+        F.expr(f"xi div {DBSCAN_CELL}").alias("cx"),
+        F.expr(f"yi div {DBSCAN_CELL}").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = pc.crossJoin(F.broadcast(offsets)).select(
+        F.col("event_id").alias("ea"),
+        F.col("xi").alias("axi"),
+        F.col("yi").alias("ayi"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    right = pc.select(
+        F.col("event_id").alias("eb"),
+        F.col("xi").alias("bxi"),
+        F.col("yi").alias("byi"),
+        "cx", "cy",
+    )
+    cand = (
+        probes.join(right, ["cx", "cy"])
+        .crossJoin(F.broadcast(par))
+        .where(
+            (F.col("eb") != F.col("ea"))
+            & (
+                (F.col("axi") - F.col("bxi")) * (F.col("axi") - F.col("bxi"))
+                + (F.col("ayi") - F.col("byi")) * (F.col("ayi") - F.col("byi"))
+                <= F.col("eps2")
+            )
+        )
+        .select("ea", "eb")
+    )
+    cand = cand.persist()
+    ncnt = cand.groupBy("ea").agg(F.count(F.lit(1)).alias("n"))
+    core = ncnt.where(F.col("n") >= DBSCAN_MIN_PTS).select(
+        F.col("ea").alias("event_id")
+    )
+    core_edges = (
+        cand.join(core.withColumnRenamed("event_id", "ea"), "ea")
+        .join(core.withColumnRenamed("event_id", "eb"), "eb")
+        .where(F.col("ea") < F.col("eb"))
+        .select(F.col("ea").alias("doc_a"), F.col("eb").alias("doc_b"))
+    )
+    root_map, _, _ = _cc_alternating(core_edges)
+    clab = core.join(
+        root_map, core.event_id == root_map.node, "left"
+    ).select(
+        "event_id", F.coalesce(F.col("root"), F.col("event_id")).alias("cluster_id")
+    )
+    blab = (
+        cand.join(core.withColumnRenamed("event_id", "ea"), "ea", "left_anti")
+        .join(
+            clab.select(F.col("event_id").alias("eb"), "cluster_id"), "eb"
+        )
+        .groupBy("ea")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("ea").alias("event_id"), "cluster_id")
+    )
+    cls = clab.select("event_id", "cluster_id", F.lit("core").alias("klass")).unionByName(
+        blab.select("event_id", "cluster_id", F.lit("border").alias("klass"))
+    )
+    agg = cls.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("klass") == "core", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_core"),
+        F.sum(F.when(F.col("klass") == "border", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_border"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+    noise = (
+        p.join(cls, "event_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .select(
+            F.lit(-1).cast("bigint").alias("cluster_id"),
+            F.lit(0).cast("bigint").alias("n_core"),
+            F.lit(0).cast("bigint").alias("n_border"),
+            "n_points",
+        )
+    )
+    return agg.unionByName(noise)
+
+
+DBSCAN_GRID_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS (
+  SELECT event_id,
+    CAST('0x' || substring(md5('x' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 6400 AS xi,
+    CAST('0x' || substring(md5('y' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 6400 AS yi
+  FROM events
+),
+par AS (SELECT LEAST({DBSCAN_C} // COUNT(*), {DBSCAN_CELL * DBSCAN_CELL}) AS eps2 FROM p),
+pc AS (SELECT event_id, xi, yi, xi // {DBSCAN_CELL} AS cx, yi // {DBSCAN_CELL} AS cy FROM p),
+probes AS (
+  SELECT event_id, xi, yi, cx + dx AS cx, cy + dy AS cy
+  FROM pc, (SELECT unnest(range(-1, 2)) AS dx), (SELECT unnest(range(-1, 2)) AS dy)
+),
+cand AS (
+  SELECT a.event_id AS ea, b.event_id AS eb
+  FROM probes a JOIN pc b ON a.cx = b.cx AND a.cy = b.cy, par
+  WHERE b.event_id <> a.event_id
+    AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi) <= par.eps2
+),
+nc AS (SELECT ea AS event_id, COUNT(*) AS n FROM cand GROUP BY 1),
+core AS (SELECT event_id FROM nc WHERE n >= {DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT c.ea AS src, c.eb AS dst FROM cand c
+  JOIN core x ON c.ea = x.event_id JOIN core y ON c.eb = y.event_id
+),
+reach(v, u) AS (
+  SELECT event_id, event_id FROM core
+  UNION
+  SELECT reach.v, e.dst FROM reach JOIN ce e ON e.src = reach.u
+),
+clab AS (SELECT v AS event_id, MIN(u) AS cluster_id FROM reach GROUP BY v),
+blab AS (
+  SELECT c.ea AS event_id, MIN(cl.cluster_id) AS cluster_id
+  FROM cand c JOIN clab cl ON c.eb = cl.event_id
+  WHERE c.ea NOT IN (SELECT event_id FROM core)
+  GROUP BY 1
+),
+cls AS (
+  SELECT event_id, cluster_id, 'core' AS klass FROM clab
+  UNION ALL SELECT event_id, cluster_id, 'border' FROM blab
+),
+agg AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) FILTER (klass = 'core') AS BIGINT) AS n_core,
+         CAST(COUNT(*) FILTER (klass = 'border') AS BIGINT) AS n_border,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM cls GROUP BY 1
+)
+SELECT cluster_id, n_core, n_border, n_points FROM agg
+UNION ALL
+SELECT -1, 0, 0, (SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM cls)
+"""

@@ -340,3 +340,68 @@ def test_decode_real_gif_lzw_roundtrip():
     d = _decode_real(gif, "image")
     assert (d["kind"], d["width"], d["height"], d["channels"]) == ("gif", w, h, 3)
     assert abs(d["feat_mean"] - float(palette[idx].mean())) < 1e-9
+
+
+def test_multimodal_resize_roundtrip_exact():
+    """The encode -> decode -> nearest-neighbor loop, pinned on a known
+    4x2 image resampled to 16x16: every output pixel must equal the
+    input pixel at (i*h//16, j*w//16)."""
+    import numpy as np
+
+    from gdalos_spark.operators.multimodal import (
+        RESIZE_OUT,
+        _decode_ppm_pixels,
+        _encode_ppm,
+    )
+
+    body = bytes(range(4 * 2 * 3))
+    px = _decode_ppm_pixels(_encode_ppm(4, 2, body))
+    assert px.shape == (2, 4, 3)
+    assert px.tobytes() == body  # lossless round trip
+    k = RESIZE_OUT
+    yi = (np.arange(k) * 2) // k
+    xi = (np.arange(k) * 4) // k
+    out = px[yi][:, xi]
+    for i in range(k):
+        for j in range(k):
+            assert (out[i, j] == px[(i * 2) // k, (j * 4) // k]).all()
+
+
+def test_multimodal_resize_operator(spark):
+    df = entrymod.queries()["multimodal_resize"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.out_w == r.out_h == 16
+        assert 0 <= r.mean_out <= 255
+        # px_sum must equal mean_out * 16*16*3 (same pixels)
+        assert abs(r.px_sum - r.mean_out * 16 * 16 * 3) < 1.0
+
+
+def test_multimodal_audio_features_known_signal():
+    """WAV round trip pinned on a square wave: RMS = amplitude, one zero
+    crossing per half period."""
+    import numpy as np
+
+    from gdalos_spark.operators.multimodal import _decode_real, _encode_wav
+
+    amp = 1000
+    sig = np.tile(np.array([amp] * 4 + [-amp] * 4, dtype=np.int16), 32)
+    wav = _encode_wav(sig)
+    meta = _decode_real(wav, "audio")
+    assert meta["kind"] == "wav"
+    assert meta["n_samples"] == len(sig)
+    assert meta["channels"] == 1
+    s = np.frombuffer(wav[len(wav) - 2 * len(sig):], dtype="<i2")
+    assert (s == sig).all()
+
+
+def test_multimodal_audio_features_operator(spark):
+    df = entrymod.queries()["multimodal_audio_features"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_samples == 2048
+        assert 0 < r.peak <= 32768
+        assert 0.0 < r.rms <= 32768.0
+        assert 0 <= r.zero_crossings < 2048
