@@ -1,0 +1,103 @@
+"""Round-5 session additions: oracle parity + semantic property tests for
+the BPE training loop, interpolated color relief, normalize-dedup,
+k-anonymity, snapshot diff, DBSCAN, and the real-codec multimodal ops
+(the latter covered in test_multimodal_streaming.py)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+NEW_KEYS = [
+    "bpe_train_merges",
+    "raster_color_interp",
+    "text_normalize_dedup",
+    "k_anonymity_report",
+    "snapshot_diff",
+    "dbscan_grid_clusters",
+]
+
+
+@pytest.mark.parametrize("key", NEW_KEYS)
+def test_matches_oracle(spark, ducks, key):
+    assert_matches_oracle(
+        spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+    )
+
+
+def test_bpe_merges_are_ranked_and_shrink(spark):
+    """Each merge's count is positive; applying k merges can only shrink
+    the adjacent-pair mass, so counts are non-increasing IN THE GREEDY
+    ORDER only when no later pair overtakes — assert the invariants that
+    always hold: positive counts, distinct merged symbols, step order."""
+    rows = entrymod.queries()["bpe_train_merges"](spark, SF_DIR).collect()
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 1
+    seen = set()
+    for r in rows:
+        assert r.n_occ > 0
+        assert (r.sym_a, r.sym_b) not in seen
+        seen.add((r.sym_a, r.sym_b))
+
+
+def test_color_interp_channels_bounded_and_continuous(spark):
+    """Every channel lands in [0,255]; at an exact palette stop the
+    interpolated value equals the stop's channel (continuity pin)."""
+    from gdalos_spark.functions.palette import (
+        DEFAULT_TALOS_PALETTE,
+        read_talos_palette,
+    )
+
+    pal = read_talos_palette(DEFAULT_TALOS_PALETTE)
+    rows = entrymod.queries()["raster_color_interp"](spark, SF_DIR).collect()
+    stops = {int(round(k * 100)): rgba for k, rgba in pal}
+    for r in rows:
+        for c in ("a", "r", "g", "b"):
+            assert 0 <= r[c] <= 255
+        vc = int(round(r.elev * 100))
+        if vc in stops:
+            rgba = stops[vc]
+            assert r.a == int(rgba[0:2], 16)
+            assert r.r == int(rgba[2:4], 16)
+
+
+def test_k_anonymity_monotone_in_k(spark):
+    """Rows below k can only grow as k grows; fractions stay in [0,1]."""
+    rows = sorted(
+        entrymod.queries()["k_anonymity_report"](spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    prev = -1
+    for r in rows:
+        assert r.n_rows_below >= prev
+        prev = r.n_rows_below
+        assert 0.0 <= r.frac_rows_below <= 1.0
+        assert r.n_groups_below <= r.n_groups
+
+
+def test_snapshot_diff_partitions_key_space(spark):
+    """added/removed/changed/unchanged partition the union of both
+    snapshot key sets; changed rows all carry the +100-cent bump."""
+    rows = {r.change_class: r for r in entrymod.queries()["snapshot_diff"](spark, SF_DIR).collect()}
+    assert set(rows) <= {"added", "removed", "changed", "unchanged"}
+    if "changed" in rows:
+        assert rows["changed"].delta_cents == 100 * rows["changed"].n_rows
+    if "unchanged" in rows:
+        assert rows["unchanged"].delta_cents == 0
+
+
+def test_dbscan_cluster_structure(spark):
+    """Cluster ids are min member ids (<= every other count row), core
+    clusters have >= 1 core point, the noise row is unique, and point
+    counts add up to the table size."""
+    rows = entrymod.queries()["dbscan_grid_clusters"](spark, SF_DIR).collect()
+    noise = [r for r in rows if r.cluster_id == -1]
+    assert len(noise) == 1
+    clusters = [r for r in rows if r.cluster_id != -1]
+    for r in clusters:
+        assert r.n_core >= 1
+        assert r.n_points == r.n_core + r.n_border
+    from gdalos_spark.datamodel import load
+
+    total = load(spark, SF_DIR, "events").count()
+    assert sum(r.n_points for r in rows) == total
