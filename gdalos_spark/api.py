@@ -551,3 +551,42 @@ class GdalosSpark:
         from gdalos_spark.operators import temporal
 
         return temporal.events_time_weighted_avg(self.spark, self.sf_dir)
+
+    # --- round-5 additions ---
+    def bpe_train(self) -> DataFrame:
+        """k greedy BPE merge iterations over the word-frequency table."""
+        from gdalos_spark.operators import vocab
+
+        return vocab.bpe_train_merges(self.spark, self.sf_dir)
+
+    def color_relief_interp(self) -> DataFrame:
+        """Linear-interpolated (gdaldem default) color relief."""
+        return raster.raster_color_interp(self.spark, self.sf_dir)
+
+    def dedup_normalized(self) -> DataFrame:
+        """Duplicate-mass report under text canonicalization."""
+        from gdalos_spark.operators import text as text_ops
+
+        return text_ops.text_normalize_dedup(self.spark, self.sf_dir)
+
+    def k_anonymity(self) -> DataFrame:
+        """Quasi-identifier equivalence-class audit at several k."""
+        from gdalos_spark.operators import pipeline as pipeline_ops
+
+        return pipeline_ops.k_anonymity_report(self.spark, self.sf_dir)
+
+    def snapshot_diff(self) -> DataFrame:
+        """Row-level CDC diff between two table snapshots."""
+        return relational.snapshot_diff(self.spark, self.sf_dir)
+
+    def dbscan(self) -> DataFrame:
+        """Grid-blocked DBSCAN over the hash-scattered point cloud."""
+        return viewshed.dbscan_grid_clusters(self.spark, self.sf_dir)
+
+    def resize_media(self) -> DataFrame:
+        """Real-codec nearest-neighbor image resize via mapInPandas."""
+        return multimodal_ops.multimodal_resize(self.spark, self.sf_dir)
+
+    def audio_features(self) -> DataFrame:
+        """Real-codec WAV peak/ZCR/RMS features via mapInPandas."""
+        return multimodal_ops.multimodal_audio_features(self.spark, self.sf_dir)

@@ -686,3 +686,85 @@ SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
 FROM x
 GROUP BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# quality_ablation_report — token mass retained at each quality cut
+# ---------------------------------------------------------------------------
+
+
+def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-threshold ablation every corpus-curation decision
+    reads: docs ranked by quality score into 10 exact rank-deciles
+    (b = (rank-1)*10 div n — explicit integer floor, the
+    minhash_calibration decile lesson), each bucket reporting its doc
+    and token mass plus the token fraction RETAINED if every bucket at
+    or below it were dropped. Exact global deciles need a global sort —
+    the honest cost stated; at 100 TB you'd swap in approx_percentile
+    cuts and keep the same report shape."""
+    q = text_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    w = Window.orderBy("quality", "doc_id")
+    ranked = q.select(
+        "n_tokens",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    b = ranked.select(
+        F.expr("(CAST(rn - 1 AS BIGINT) * 10) div n").alias("bucket"),
+        "n_tokens",
+        "quality",
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(1, Window.unboundedFollowing)
+    tot = Window.partitionBy()
+    return agg.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "tokens",
+        "min_q",
+        "max_q",
+        F.coalesce(F.sum("tokens").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("retained_tokens"),
+        (
+            F.coalesce(F.sum("tokens").over(wb), F.lit(0)).cast("double")
+            / F.sum("tokens").over(tot)
+        ).alias("retained_frac"),
+    )
+
+
+QUALITY_ABLATION_REPORT_SQL = f"""
+WITH q AS (
+  SELECT doc_id, n_tokens, quality FROM ({TEXT_QUALITY_SCORE_SQL})
+),
+ranked AS (
+  SELECT n_tokens, quality,
+         ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM q
+),
+b AS (
+  SELECT (CAST(rn - 1 AS BIGINT) * 10) // n AS bucket, n_tokens, quality
+  FROM ranked
+),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         MIN(quality) AS min_q, MAX(quality) AS max_q
+  FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_docs, tokens, min_q, max_q,
+       CAST(COALESCE(SUM(tokens) OVER (ORDER BY bucket
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+         AS retained_tokens,
+       CAST(COALESCE(SUM(tokens) OVER (ORDER BY bucket
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS DOUBLE)
+         / SUM(tokens) OVER () AS retained_frac
+FROM agg
+"""

@@ -3564,3 +3564,64 @@ SELECT CASE WHEN k1 IS NULL THEN 'added'
 FROM j
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# parts_skyline — Pareto-front (skyline) query via windows, not self-join
+# ---------------------------------------------------------------------------
+
+
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog: parts where no other part is both
+    cheaper-or-equal AND larger-or-equal (strict in at least one of
+    price/size) — the classic multi-criteria "best offers" operator.
+    The naive formulation is an O(n^2) dominance self-join; the
+    scalable one is a global sort + two window maxima:
+
+      m1 = max(size) among STRICTLY cheaper parts   (RANGE .. 1 PRECEDING
+           over integer CENTS — on the raw DOUBLE price "1 PRECEDING"
+           would skip parts cheaper by < 1.00 and leak dominated rows)
+      m2 = max(size) among same-price parts          (PARTITION BY price)
+
+    dominated  <=>  m1 >= size  OR  m2 > size.  At 100 TB the sort is a
+    range-partitioned exchange and each max is a running prefix — no
+    pairwise work anywhere."""
+    p = load(spark, sf_dir, "part")
+    w1 = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
+    w2 = Window.partitionBy("pc")
+    return (
+        p.select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            F.expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").alias("pc"),
+        )
+        .withColumn("m1", F.max("p_size").over(w1))
+        .withColumn("m2", F.max("p_size").over(w2))
+        .where(
+            ~(
+                (F.col("m1").isNotNull() & (F.col("m1") >= F.col("p_size")))
+                | (F.col("m2") > F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+PARTS_SKYLINE_SQL = """
+WITH c AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS pc
+  FROM part
+),
+w AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         MAX(p_size) OVER (ORDER BY pc
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+         MAX(p_size) OVER (PARTITION BY pc) AS m2
+  FROM c
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM w
+WHERE NOT ((m1 IS NOT NULL AND m1 >= p_size) OR m2 > p_size)
+"""

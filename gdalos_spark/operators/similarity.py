@@ -1212,3 +1212,113 @@ ORDER BY pos
 
 
 EMBEDDING_POWER_ITERATION_SQL = _power_iter_sql()
+
+
+# ---------------------------------------------------------------------------
+# contrastive_pair_mining — positive + hard-negative mining per probe
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_PROBES = 20
+
+
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning pair mining, the pipeline that feeds triplet
+    /InfoNCE training: for each probe, the most-similar SAME-label
+    candidate (positive) and the most-similar DIFFERENT-label candidate
+    (hard negative) drawn from the probe's sign-LSH bucket — the same
+    sub-quadratic candidate generation as ann_lsh_topk, so at 100 TB
+    mining cost is corpus/2^planes per probe, never all-pairs. Ties
+    break (cosine desc, vec_id asc); probes missing either side are
+    dropped (stated contract). margin = pos_cos - neg_cos is the number
+    curriculum schedulers threshold on."""
+    base = _base(spark, sf_dir, with_bucket=True).join(
+        load(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
+    probes = base.filter(F.col("vec_id") < CONTRASTIVE_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("p_emb"),
+        F.col("n2").alias("p_n2"),
+        F.col("bucket").alias("p_bucket"),
+        F.col("label").alias("p_label"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("p_bucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            "p_label",
+            "vec_id",
+            "label",
+            _pair_cos().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    pos = (
+        scored.where(F.col("label") == F.col("p_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("p_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "probe_id").select(
+        "probe_id", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
+def _contrastive_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    cos = f"ROUND({vectors.dot_sql('c.emb', 'p.p_emb')} / sqrt(c.n2 * p.p_n2), 6)"
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding AS emb, {n2} AS n2,
+         {vectors.lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS probe_id, emb AS p_emb, n2 AS p_n2,
+         bucket AS p_bucket, label AS p_label
+  FROM base WHERE vec_id < {CONTRASTIVE_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, p.p_label, c.vec_id, c.label, {cos} AS cosine
+  FROM base c JOIN probes p
+    ON c.bucket = p.p_bucket AND c.vec_id <> p.probe_id
+),
+pos AS (
+  SELECT probe_id, vec_id AS pos_id, cosine AS pos_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored WHERE label = p_label)
+  WHERE rk = 1
+),
+neg AS (
+  SELECT probe_id, vec_id AS neg_id, cosine AS neg_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored WHERE label <> p_label)
+  WHERE rk = 1
+)
+SELECT pos.probe_id, pos_id, pos_cos, neg_id, neg_cos,
+       pos_cos - neg_cos AS margin
+FROM pos JOIN neg ON pos.probe_id = neg.probe_id
+"""
+
+
+CONTRASTIVE_PAIR_MINING_SQL = _contrastive_sql()

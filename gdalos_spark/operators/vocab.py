@@ -661,18 +661,11 @@ def _merge_apply_expr(col: str, a: str, b: str) -> str:
     return f"replace(replace({col}, {pat}, {rep}), {pat}, {rep})"
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE_TRAIN_STEPS greedy merges of byte-pair-encoding training, the
-    distributed loop (Sennrich et al. 2016): everything factors through
-    the word-frequency table, so each iteration's pair count explodes
-    |vocab| rows, not |corpus tokens|. A word is carried as a
-    boundary-spaced symbol string (`' h e l l o '`); one step =
-    adjacent-pair weighted count (one shuffle), a ONE-ROW argmax fetch
-    (count desc, then pair — total order, engine-identical), then the
-    merge applied map-side via `_merge_apply_expr`. `localCheckpoint`
-    cuts the growing lineage each round, exactly like the dedup_clusters
-    CC loop. Output = the merge table the k steps produced, i.e. the
-    tokenizer's first k vocabulary entries."""
+def _bpe_train_loop(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (wf, merges) where wf is the
+    word-frequency table AFTER BPE_TRAIN_STEPS merges (columns s, wn —
+    s is the boundary-spaced symbol string) and merges the list of
+    (step, sym_a, sym_b, n_occ) the loop chose."""
     docs = load(spark, sf_dir, "documents")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     words = (
@@ -721,8 +714,58 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         wf = wf.select(
             F.expr(_merge_apply_expr("s", a, b)).alias("s"), "wn"
         ).localCheckpoint()
+    return wf, merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_TRAIN_STEPS greedy merges of byte-pair-encoding training, the
+    distributed loop (Sennrich et al. 2016): everything factors through
+    the word-frequency table, so each iteration's pair count explodes
+    |vocab| rows, not |corpus tokens|. A word is carried as a
+    boundary-spaced symbol string (`' h e l l o '`); one step =
+    adjacent-pair weighted count (one shuffle), a ONE-ROW argmax fetch
+    (count desc, then pair — total order, engine-identical), then the
+    merge applied map-side via `_merge_apply_expr`. `localCheckpoint`
+    cuts the growing lineage each round, exactly like the dedup_clusters
+    CC loop. Output = the merge table the k steps produced, i.e. the
+    tokenizer's first k vocabulary entries."""
+    _, merges = _bpe_train_loop(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, n_occ bigint"
+    )
+
+
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization statistics AFTER applying the trained merges —
+    the number a tokenizer team actually watches: how much the first k
+    merges compress the corpus. One row: distinct words, char-level
+    token count, BPE token count (both weighted by word frequency),
+    distinct symbol vocabulary, and the exact compression ratio. All
+    counts are BIGINT sums over the merged word-frequency table; the
+    ratio is one double division of exact integers."""
+    wf, _ = _bpe_train_loop(spark, sf_dir)
+    syms = wf.select(
+        "wn",
+        F.expr("size(split(trim(s), ' '))").alias("n_syms"),
+        F.expr("length(replace(trim(s), ' ', ''))").alias("n_chars"),
+        F.expr("split(trim(s), ' ')").alias("sym_arr"),
+    )
+    stats = syms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.col("wn") * F.col("n_chars")).cast("bigint").alias("tokens_char"),
+        F.sum(F.col("wn") * F.col("n_syms")).cast("bigint").alias("tokens_bpe"),
+        (
+            F.sum(F.col("wn") * F.col("n_chars")).cast("double")
+            / F.sum(F.col("wn") * F.col("n_syms"))
+        ).alias("compression"),
+    )
+    # distinct-symbol count distributes (explode -> hash agg); collect_list
+    # of the vocabulary into one row would not
+    vocab = syms.select(F.explode("sym_arr").alias("sym")).agg(
+        F.countDistinct("sym").cast("bigint").alias("vocab_syms")
+    )
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        "n_words", "tokens_char", "tokens_bpe", "vocab_syms", "compression"
     )
 
 
@@ -768,3 +811,23 @@ s{i} AS (
 
 
 BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
+def _bpe_apply_sql() -> str:
+    k = BPE_TRAIN_STEPS
+    chain = _bpe_train_sql()
+    # keep the CTE chain, swap the final SELECT for the stats query
+    chain = chain[: chain.rindex("\nSELECT CAST(step AS INTEGER)")]
+    return f"""{chain}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wn * length(replace(trim(s), ' ', ''))) AS BIGINT) AS tokens_char,
+       CAST(SUM(wn * len(string_split(trim(s), ' '))) AS BIGINT) AS tokens_bpe,
+       (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+        FROM (SELECT unnest(string_split(trim(s), ' ')) AS sym FROM s{k})) AS vocab_syms,
+       CAST(SUM(wn * length(replace(trim(s), ' ', ''))) AS DOUBLE)
+         / SUM(wn * len(string_split(trim(s), ' '))) AS compression
+FROM s{k}
+"""
+
+
+BPE_APPLY_ENCODE_SQL = _bpe_apply_sql()

@@ -15,6 +15,10 @@ NEW_KEYS = [
     "k_anonymity_report",
     "snapshot_diff",
     "dbscan_grid_clusters",
+    "bpe_apply_encode",
+    "parts_skyline",
+    "contrastive_pair_mining",
+    "quality_ablation_report",
 ]
 
 
@@ -101,3 +105,52 @@ def test_dbscan_cluster_structure(spark):
 
     total = load(spark, SF_DIR, "events").count()
     assert sum(r.n_points for r in rows) == total
+
+
+def test_bpe_apply_compression_consistent(spark):
+    """tokens_bpe <= tokens_char, compression = char/bpe exactly, and the
+    symbol vocabulary exceeds the plain-character alphabet only via the
+    learned merges (<= 36 chars + k merges)."""
+    from gdalos_spark.operators.vocab import BPE_TRAIN_STEPS
+
+    r = entrymod.queries()["bpe_apply_encode"](spark, SF_DIR).collect()[0]
+    assert r.tokens_bpe <= r.tokens_char
+    assert abs(r.compression - r.tokens_char / r.tokens_bpe) < 1e-12
+    assert r.vocab_syms <= 36 + BPE_TRAIN_STEPS
+
+
+def test_skyline_is_pareto_front(spark):
+    """No skyline point may dominate another skyline point."""
+    rows = entrymod.queries()["parts_skyline"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for p in rows:
+        for q in rows:
+            if p.p_partkey == q.p_partkey:
+                continue
+            dominates = (
+                q.p_retailprice <= p.p_retailprice
+                and q.p_size >= p.p_size
+                and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+            )
+            assert not dominates
+
+
+def test_contrastive_margins_are_pos_minus_neg(spark):
+    rows = entrymod.queries()["contrastive_pair_mining"](spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 1e-9
+        assert r.pos_id != r.neg_id
+
+
+def test_quality_ablation_monotone(spark):
+    """Buckets 0..9 exist, retained tokens strictly decrease to 0, and
+    bucket quality ranges are ordered."""
+    rows = sorted(
+        entrymod.queries()["quality_ablation_report"](spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(10))
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_q <= b.min_q
+        assert a.retained_tokens > b.retained_tokens or b.retained_tokens == 0
+    assert rows[-1].retained_tokens == 0
