@@ -3079,3 +3079,81 @@ FROM dem
 
 
 RASTER_COLOR_INTERP_SQL = _color_interp_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_zonal_stats — classic GIS zonal statistics (stats of raster A
+#    within the zones of raster B)
+#    ref: gdalos computes per-dataset stats via gdalos_trans.py:1220
+#    (gdalos_info) and combines rasters via calc/gdalos_combine.py; zonal
+#    statistics is the same stats kernel keyed by a second raster's value.
+# ---------------------------------------------------------------------------
+
+
+def raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone elevation statistics where the zone raster is a second
+    grid (orders-derived) joined cell-for-cell: one co-partitioned
+    equi-join on (px, py) — with both rasters tiled on the same grid the
+    exchange disappears (sources/tiled.py) — then one partial-agg
+    shuffle on zone. Variance comes from exact DECIMAL(38) sums
+    (n·Σx² − (Σx)² overflows BIGINT at ~500 cells of 1e7-cent values),
+    with the single irrational sqrt rounded once at the end."""
+    dem = dem_grid(spark, sf_dir)
+    zones = orders_grid(spark, sf_dir).select(
+        "px", "py",
+        (F.expr("CAST(ROUND(val * 100, 0) AS BIGINT)") % 8).alias("zone"),
+    )
+    j = dem.join(zones, ["px", "py"]).select(
+        "zone", F.expr("CAST(elev * 100 AS BIGINT)").alias("c")
+    )
+    agg = j.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("c").cast("decimal(38,0)") * F.col("c"))).alias("sq"),
+    )
+    return agg.select(
+        "zone",
+        "n_cells",
+        (F.col("mn").cast("double") / 100.0).alias("min_elev"),
+        (F.col("mx").cast("double") / 100.0).alias("max_elev"),
+        (F.col("s").cast("double") / 100.0 / F.col("n_cells")).alias("mean_elev"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_cells") * F.col("sq") - F.col("s") * F.col("s")
+                ).cast("double")
+            )
+            / F.col("n_cells")
+            / 100.0,
+            6,
+        ).alias("std_elev"),
+    )
+
+
+RASTER_ZONAL_STATS_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+og AS ({ORDERS_GRID_SQL}),
+zones AS (
+  SELECT px, py, CAST(ROUND(val * 100, 0) AS BIGINT) % 8 AS zone FROM og
+),
+j AS (
+  SELECT zone, CAST(elev * 100 AS BIGINT) AS c
+  FROM dem JOIN zones USING (px, py)
+),
+agg AS (
+  SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         MIN(c) AS mn, MAX(c) AS mx,
+         SUM(CAST(c AS DECIMAL(38,0))) AS s,
+         SUM(CAST(c AS DECIMAL(38,0)) * c) AS sq
+  FROM j GROUP BY zone
+)
+SELECT zone, n_cells,
+       CAST(mn AS DOUBLE) / 100.0 AS min_elev,
+       CAST(mx AS DOUBLE) / 100.0 AS max_elev,
+       CAST(s AS DOUBLE) / 100.0 / n_cells AS mean_elev,
+       ROUND(sqrt(CAST(n_cells * sq - s * s AS DOUBLE)) / n_cells / 100.0, 6)
+         AS std_elev
+FROM agg
+"""

@@ -3625,3 +3625,119 @@ SELECT p_partkey, p_retailprice, p_size
 FROM w
 WHERE NOT ((m1 IS NOT NULL AND m1 >= p_size) OR m2 > p_size)
 """
+
+
+# ---------------------------------------------------------------------------
+# bloom_join_prune — runtime-filter (Bloom) semi-join reduction audit
+# ---------------------------------------------------------------------------
+
+BJP_M = 4096  # filter bits
+BJP_K = 3  # hash probes
+BJP_NATION = 3  # the small side: suppliers of one nation
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning, measured: a Bloom filter built from
+    the small join side (suppliers of one nation) pre-filters lineitem
+    BEFORE the shuffle join — the pattern engines call runtime filter /
+    dynamic semi-join reduction, here with the engine-portable md5 hash
+    family so both engines compute the identical filter. The set-bits
+    table (<= BJP_M rows) broadcasts; membership is BJP_K broadcast
+    lookups, so the fact table never shuffles to be pruned. Output is
+    the sizing report: pass-rate and false-positive rate, the numbers
+    that justify (or kill) the filter at 100 TB."""
+    from gdalos_spark.functions import hashing
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == BJP_NATION)
+        .select(hashing.hash_base(F.col("s_suppkey").cast("string")).alias("base"))
+        .distinct()
+    )
+    bits = supp.select(
+        F.explode(
+            F.array(
+                *[
+                    (hashing.perm_hash(F.col("base"), i) % BJP_M)
+                    for i in range(BJP_K)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+    probe = li.withColumn(
+        "base", hashing.hash_base(F.col("l_suppkey").cast("string"))
+    )
+    for i in range(BJP_K):
+        b = bits.withColumnRenamed("bit", f"b{i}")
+        probe = probe.join(
+            F.broadcast(b),
+            hashing.perm_hash(F.col("base"), i) % BJP_M == F.col(f"b{i}"),
+            "left",
+        )
+    passed = F.lit(True)
+    for i in range(BJP_K):
+        passed = passed & F.col(f"b{i}").isNotNull()
+    truth = supp.withColumnRenamed("base", "t_base")
+    flagged = probe.withColumn("bloom_pass", passed).join(
+        F.broadcast(truth), F.col("base") == F.col("t_base"), "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_pass_bloom"),
+        F.sum(F.when(F.col("t_base").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_true_semi"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("t_base").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+        (
+            F.sum(
+                F.when(F.col("bloom_pass") & F.col("t_base").isNull(), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_join_sql() -> str:
+    from gdalos_spark.functions import hashing
+
+    base_s = hashing.hash_base_sql("CAST(s_suppkey AS VARCHAR)")
+    base_l = hashing.hash_base_sql("CAST(l_suppkey AS VARCHAR)")
+    probes = " AND ".join(
+        f"({hashing.perm_hash_sql('p.base', i)} % {BJP_M}) IN (SELECT bit FROM bits)"
+        for i in range(BJP_K)
+    )
+    bit_rows = " UNION ALL ".join(
+        f"SELECT ({hashing.perm_hash_sql('base', i)} % {BJP_M}) AS bit FROM supp"
+        for i in range(BJP_K)
+    )
+    return f"""
+WITH supp AS (
+  SELECT DISTINCT {base_s} AS base FROM supplier WHERE s_nationkey = {BJP_NATION}
+),
+bits AS (SELECT DISTINCT bit FROM ({bit_rows})),
+p AS (SELECT {base_l} AS base FROM lineitem),
+f AS (
+  SELECT base,
+         ({probes}) AS bloom_pass,
+         base IN (SELECT base FROM supp) AS is_true
+  FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS rows_pass_bloom,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS rows_true_semi,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS fp_rate
+FROM f
+"""
+
+
+BLOOM_JOIN_PRUNE_SQL = _bloom_join_sql()

@@ -1322,3 +1322,85 @@ FROM pos JOIN neg ON pos.probe_id = neg.probe_id
 
 
 CONTRASTIVE_PAIR_MINING_SQL = _contrastive_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_outliers — embedding-table QA report
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health QA: per label, the squared-norm distribution and
+    the count of 3-sigma norm outliers (dead/exploded vectors — the rows
+    an ingest gate quarantines before training). The outlier test is the
+    EXACT integer inequality (n·x − Σx)² > 9·(n·Σx² − (Σx)²) over
+    micro-scaled norms in DECIMAL(38,0) — no float mean/std ever
+    materializes, so the verdict is partitioning- and engine-exact.
+    Plan: one partial-agg shuffle for the per-label moments, one
+    broadcast join back, one re-agg — vectors shuffle once."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.round(vectors.norm2(F.col("embedding")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("x"),
+    )
+    st = x.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    j = x.join(F.broadcast(st), "label")
+    d = F.col("n_vecs").cast("decimal(38,0)") * F.col("x") - F.col("s")
+    rhs = (
+        F.lit(9).cast("decimal(38,0)")
+        * (
+            F.col("n_vecs").cast("decimal(38,0)") * F.col("q")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        )
+    )
+    out = (
+        j.select("label", (d * d > rhs).alias("is_out"))
+        .groupBy("label")
+        .agg(F.sum(F.when(F.col("is_out"), 1).otherwise(0)).cast("bigint").alias("n_outliers"))
+    )
+    return st.join(out, "label").select(
+        "label",
+        "n_vecs",
+        (F.col("s").cast("double") / 1_000_000.0 / F.col("n_vecs")).alias("mean_n2"),
+        "n_outliers",
+    )
+
+
+def _norm_outliers_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    return f"""
+WITH x AS (
+  SELECT label, CAST(ROUND({n2} * 1000000, 0) AS BIGINT) AS x FROM embeddings
+),
+st AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(x) AS s,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+  FROM x GROUP BY label
+),
+j AS (
+  SELECT x.label,
+         (CAST(n_vecs AS DECIMAL(38,0)) * x - s)
+           * (CAST(n_vecs AS DECIMAL(38,0)) * x - s)
+         > CAST(9 AS DECIMAL(38,0))
+           * (CAST(n_vecs AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)
+           AS is_out
+  FROM x JOIN st ON x.label = st.label
+),
+o AS (
+  SELECT label, CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM j GROUP BY label
+)
+SELECT st.label, n_vecs,
+       CAST(s AS DOUBLE) / 1000000.0 / n_vecs AS mean_n2,
+       n_outliers
+FROM st JOIN o ON st.label = o.label
+"""
+
+
+EMBEDDING_NORM_OUTLIERS_SQL = _norm_outliers_sql()

@@ -19,6 +19,9 @@ NEW_KEYS = [
     "parts_skyline",
     "contrastive_pair_mining",
     "quality_ablation_report",
+    "raster_zonal_stats",
+    "bloom_join_prune",
+    "embedding_norm_outliers",
 ]
 
 
@@ -154,3 +157,31 @@ def test_quality_ablation_monotone(spark):
         assert a.max_q <= b.min_q
         assert a.retained_tokens > b.retained_tokens or b.retained_tokens == 0
     assert rows[-1].retained_tokens == 0
+
+
+def test_zonal_stats_bounds(spark):
+    rows = entrymod.queries()["raster_zonal_stats"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.min_elev <= r.mean_elev <= r.max_elev
+        assert r.std_elev >= 0.0
+        assert r.n_cells >= 1
+
+
+def test_bloom_never_misses_and_bounds_fp(spark):
+    """The Bloom guarantee: pass set supersets the true semi-join set;
+    fp accounting is internally consistent."""
+    r = entrymod.queries()["bloom_join_prune"](spark, SF_DIR).collect()[0]
+    assert r.rows_pass_bloom >= r.rows_true_semi
+    assert r.false_positives == r.rows_pass_bloom - r.rows_true_semi
+    assert 0.0 <= r.fp_rate <= 1.0
+    assert r.rows_total >= r.rows_pass_bloom
+
+
+def test_norm_outliers_chebyshev_bound(spark):
+    """At 3 sigma, Chebyshev caps the outlier fraction at 1/9."""
+    rows = entrymod.queries()["embedding_norm_outliers"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.n_outliers <= r.n_vecs / 9 + 1
+        assert r.mean_n2 > 0.0
