@@ -768,3 +768,69 @@ SELECT CAST(bucket AS INTEGER) AS bucket, n_docs, tokens, min_q, max_q,
          / SUM(tokens) OVER () AS retained_frac
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# referential_integrity_report — FK orphan / null-key audit over the schema
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly data-contract audit every lakehouse runs: for each
+    declared FK edge, the child row count, null-key count, and orphan
+    count (left-anti join against the parent's key set). Each edge is an
+    independent anti-join — at 100 TB the small-parent edges broadcast
+    and the fact-to-fact edge (lineitem→orders) shuffles on the key it
+    is already bucketed by (sources/bucketed.py), so the whole report is
+    one pass per child table. Rows arrive as one unioned report, the
+    shape a data-quality dashboard ingests."""
+    reports = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        nn = c.where(F.col(fk).isNotNull()).select(F.col(fk).alias("__fk"))
+        orphans = nn.join(p, nn.__fk == p.__pk, "left_anti")
+        reports.append(
+            c.agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("null_keys"),
+            ).crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+                )
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ri_sql() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows,
+       CAST((SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS BIGINT) AS null_keys,
+       CAST((SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+            AS BIGINT) AS orphans""")
+    return " UNION ALL ".join(parts)
+
+
+REFERENTIAL_INTEGRITY_REPORT_SQL = _ri_sql()

@@ -3741,3 +3741,95 @@ FROM f
 
 
 BLOOM_JOIN_PRUNE_SQL = _bloom_join_sql()
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_windowed — funnel with a per-step conversion window
+# ---------------------------------------------------------------------------
+
+FUNNEL_GAP_US = 3_600_000_000  # 1 h conversion window per step
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics funnel with a CONVERSION WINDOW: step k
+    counts only if it happens after step k-1 AND within FUNNEL_GAP_US of
+    it — the definition every funnel dashboard actually uses (unbounded
+    funnels overcount stale conversions). Same single-shuffle chain as
+    events_funnel (conditional-min aggs joined on user_id); the output
+    is the 3-row funnel report with exact integer step-to-step
+    conversion ratios (step 1 reports the -1 sentinel, the repo's
+    unreached/undefined convention — never NULL in a gated terminal)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").cast("bigint").alias("us")
+    )
+    s1 = (
+        base.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        base.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + FUNNEL_GAP_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        base.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + FUNNEL_GAP_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))))
+    )
+    return counts.select(
+        F.explode(
+            F.expr(
+                f"array("
+                f"struct(1 AS step, '{FUNNEL_STEPS[0]}' AS event_type, n1 AS n_users, CAST(-1.0 AS DOUBLE) AS conv_from_prev),"
+                f"struct(2 AS step, '{FUNNEL_STEPS[1]}' AS event_type, n2 AS n_users, CASE WHEN n1 = 0 THEN CAST(-1.0 AS DOUBLE) ELSE CAST(n2 AS DOUBLE) / n1 END AS conv_from_prev),"
+                f"struct(3 AS step, '{FUNNEL_STEPS[2]}' AS event_type, n3 AS n_users, CASE WHEN n2 = 0 THEN CAST(-1.0 AS DOUBLE) ELSE CAST(n3 AS DOUBLE) / n2 END AS conv_from_prev))"
+            )
+        ).alias("r")
+    ).select("r.step", "r.event_type", "r.n_users", "r.conv_from_prev")
+
+
+EVENTS_FUNNEL_WINDOWED_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us
+  FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM base
+  WHERE event_type = '{{s0}}' GROUP BY user_id
+),
+s2 AS (
+  SELECT b.user_id, MIN(us) AS t2 FROM base b JOIN s1 USING (user_id)
+  WHERE b.event_type = '{{s1}}' AND b.us > t1 AND b.us <= t1 + {FUNNEL_GAP_US}
+  GROUP BY b.user_id
+),
+s3 AS (
+  SELECT b.user_id, MIN(us) AS t3 FROM base b JOIN s2 USING (user_id)
+  WHERE b.event_type = '{{s2}}' AND b.us > t2 AND b.us <= t2 + {FUNNEL_GAP_US}
+  GROUP BY b.user_id
+),
+c AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT 1 AS step, '{{s0}}' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+       CAST(-1.0 AS DOUBLE) AS conv_from_prev FROM c
+UNION ALL
+SELECT 2, '{{s1}}', CAST(n2 AS BIGINT), CASE WHEN n1 = 0 THEN -1.0 ELSE CAST(n2 AS DOUBLE) / n1 END FROM c
+UNION ALL
+SELECT 3, '{{s2}}', CAST(n3 AS BIGINT), CASE WHEN n2 = 0 THEN -1.0 ELSE CAST(n3 AS DOUBLE) / n2 END FROM c
+"""
+EVENTS_FUNNEL_WINDOWED_SQL = EVENTS_FUNNEL_WINDOWED_SQL.format(
+    s0=FUNNEL_STEPS[0], s1=FUNNEL_STEPS[1], s2=FUNNEL_STEPS[2]
+)

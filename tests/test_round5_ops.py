@@ -22,6 +22,8 @@ NEW_KEYS = [
     "raster_zonal_stats",
     "bloom_join_prune",
     "embedding_norm_outliers",
+    "referential_integrity_report",
+    "events_funnel_windowed",
 ]
 
 
@@ -185,3 +187,27 @@ def test_norm_outliers_chebyshev_bound(spark):
     for r in rows:
         assert r.n_outliers <= r.n_vecs / 9 + 1
         assert r.mean_n2 > 0.0
+
+
+def test_referential_integrity_clean_schema(spark):
+    """The TPC-H-ish testdata is referentially clean: every declared FK
+    edge reports zero orphans and zero null keys (the report exists to
+    catch regressions in real feeds, so a clean baseline is the pin)."""
+    rows = entrymod.queries()["referential_integrity_report"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.orphans == 0
+        assert r.null_keys == 0
+        assert r.child_rows > 0
+
+
+def test_windowed_funnel_tighter_than_unbounded(spark):
+    """The conversion-window funnel can never count MORE users at steps
+    2/3 than the unbounded funnel."""
+    win = {r.step: r.n_users for r in entrymod.queries()["events_funnel_windowed"](spark, SF_DIR).collect()}
+    unb = entrymod.queries()["events_funnel"](spark, SF_DIR).collect()
+    n2 = sum(1 for r in unb if r.stage >= 2)
+    n3 = sum(1 for r in unb if r.stage >= 3)
+    assert win[2] <= n2
+    assert win[3] <= n3
+    assert win[3] <= win[2] <= win[1]
