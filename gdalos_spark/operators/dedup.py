@@ -1231,3 +1231,92 @@ ORDER BY cluster_size
 DEDUP_CLUSTER_HISTOGRAM_SQL = DEDUP_CLUSTER_HISTOGRAM_SQL.format(
     clusters=DEDUP_CLUSTERS_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_union_report — consensus across the three near-dup generators
+# ---------------------------------------------------------------------------
+
+UNION_MAX_HAMMING = 6
+UNION_MIN_EST_JACCARD = 0.5
+
+
+def dedup_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a production dedup pipeline actually ships: the UNION of the
+    exact, minhash-LSH, and simhash candidate generators as one pair
+    table with per-method flags and a vote count — the consensus signal
+    the final drop decision thresholds on (2-of-3 beats any single
+    method's false-positive profile). Each generator keeps its own
+    sub-quadratic plan; the merge is a full-outer chain on the pair key,
+    all sides already distinct and tiny relative to the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1).alias("exact"),
+        )
+    )
+    mh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= UNION_MIN_EST_JACCARD)
+        .select("doc_a", "doc_b", F.lit(1).alias("minhash"))
+    )
+    sh = (
+        dedup_simhash(spark, sf_dir)
+        .filter(F.col("hamming") <= UNION_MAX_HAMMING)
+        .select("doc_a", "doc_b", F.lit(1).alias("simhash"))
+    )
+    j = (
+        exact.join(mh, ["doc_a", "doc_b"], "full_outer")
+        .join(sh, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            F.coalesce("minhash", F.lit(0)).alias("minhash"),
+            F.coalesce("simhash", F.lit(0)).alias("simhash"),
+        )
+    )
+    return j.withColumn(
+        "votes",
+        (F.col("exact") + F.col("minhash") + F.col("simhash")).cast("int"),
+    )
+
+
+DEDUP_UNION_REPORT_SQL = f"""
+WITH exact AS (
+  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b, 1 AS exact
+  FROM documents d1 JOIN documents d2
+    ON md5(d1.text) = md5(d2.text) AND d1.doc_id < d2.doc_id
+),
+mh AS (
+  SELECT doc_a, doc_b, 1 AS minhash
+  FROM ({DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= {UNION_MIN_EST_JACCARD}
+),
+sh AS (
+  SELECT doc_a, doc_b, 1 AS simhash
+  FROM ({DEDUP_SIMHASH_SQL}) WHERE hamming <= {UNION_MAX_HAMMING}
+),
+j AS (
+  SELECT COALESCE(exact.doc_a, mh.doc_a, sh.doc_a) AS doc_a,
+         COALESCE(exact.doc_b, mh.doc_b, sh.doc_b) AS doc_b,
+         COALESCE(exact, 0) AS exact,
+         COALESCE(minhash, 0) AS minhash,
+         COALESCE(simhash, 0) AS simhash
+  FROM exact
+  FULL OUTER JOIN mh ON exact.doc_a = mh.doc_a AND exact.doc_b = mh.doc_b
+  FULL OUTER JOIN sh ON COALESCE(exact.doc_a, mh.doc_a) = sh.doc_a
+                    AND COALESCE(exact.doc_b, mh.doc_b) = sh.doc_b
+)
+SELECT doc_a, doc_b, exact, minhash, simhash,
+       CAST(exact + minhash + simhash AS INTEGER) AS votes
+FROM j
+"""

@@ -355,3 +355,40 @@ def test_no_cartesian_product_anywhere(spark):
         if key in skip:
             continue
         assert_no_cartesian(fn(spark, SF_DIR))
+
+
+def test_round5_plan_shapes(spark):
+    """Round-5 scale pins: the Bloom prune keeps the fact scan
+    shuffle-free up to its final 1-row agg (broadcast lookups only);
+    the skyline plans one global sort and no join at all; zonal stats
+    joins the two rasters without a broadcast-nested-loop fallback; the
+    interpolated palette is pure map-side (single exchange for the grid
+    agg, whole-stage codegen)."""
+    bloom = q(spark, "bloom_join_prune")
+    plan = assert_broadcast_join(bloom)
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(bloom)
+
+    sky = q(spark, "parts_skyline")
+    assert_no_cartesian(sky)
+    plan = assert_not_in_plan(sky, "Join")
+
+    assert_no_cartesian(q(spark, "raster_zonal_stats"))
+
+    ci = q(spark, "raster_color_interp")
+    plan = assert_not_in_plan(ci, "Join")
+    # the palette CASE must not widen the scan: only the 4 grid-derivation
+    # columns of lineitem are read
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs
+
+
+def test_dbscan_candidates_only_meet_on_cells(spark):
+    """DBSCAN's pair generation must never plan a cartesian product of
+    the point table against itself — pairs meet only via the cell key
+    (bounded 9-cell fan-out) or bounded broadcasts (offsets, eps2)."""
+    from gdalos_spark.plans.asserts import explain_str
+
+    df = q(spark, "dbscan_grid_clusters")
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan

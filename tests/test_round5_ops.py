@@ -24,6 +24,7 @@ NEW_KEYS = [
     "embedding_norm_outliers",
     "referential_integrity_report",
     "events_funnel_windowed",
+    "dedup_union_report",
 ]
 
 
@@ -211,3 +212,15 @@ def test_windowed_funnel_tighter_than_unbounded(spark):
     assert win[2] <= n2
     assert win[3] <= n3
     assert win[3] <= win[2] <= win[1]
+
+
+def test_dedup_union_votes_consistent(spark):
+    """Votes = sum of method flags; exact pairs must also be caught by
+    minhash (identical text => identical shingle signatures)."""
+    rows = entrymod.queries()["dedup_union_report"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.votes == r.exact + r.minhash + r.simhash
+        assert 1 <= r.votes <= 3
+        if r.exact:
+            assert r.minhash == 1
