@@ -62,6 +62,11 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 32)))
+        # input split sizing: upscaled single-file parquet (600 MB+) gives
+        # only size/128MB scan tasks — far fewer than cores. 16 MB splits
+        # keep every core scanning at sf>=1 and change nothing at sf0.1
+        # (files there are < 16 MB already).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()

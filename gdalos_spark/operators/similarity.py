@@ -27,7 +27,11 @@ TOP_K = 5
 
 
 def _base(spark: SparkSession, sf_dir: str, with_bucket: bool = False) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # embeddings parquet compresses to ~1 input split even at a 200k-row
+    # upscale; the per-row fold-cosine math is CPU-bound, so re-split
+    # across cores first (no-op when the scan already has splits)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    emb = load(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
     cols = [
         F.col("vec_id"),
         F.col("embedding").alias("emb"),

@@ -103,8 +103,13 @@ _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score from integer-derived ratios: token count,
     stopword ratio, digit ratio, mean token length. Single scan, pure
-    column expressions, one deterministic double at the end."""
-    docs = load(spark, sf_dir, "documents")
+    column expressions, one deterministic double at the end. The scan is
+    re-split across cores first: documents parquet compresses so well
+    that even a 500k-doc upscale arrives as ONE input split, and this
+    string-heavy map runs on one core without it (measured 10.9s -> ~1s
+    at the sf10 upscale; a no-op when the input already has splits)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     d = docs.withColumn("t", F.split("text", " "))
     n_chars = F.length("text").cast("bigint")
     n_tokens = F.size("t").cast("bigint")
