@@ -412,3 +412,72 @@ FROM w2
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_bars — hypertable-style OHLC downsampling rollup
+# ---------------------------------------------------------------------------
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling into OHLC bars (the hypertable /
+    continuous-aggregate rollup every TSDB ships): per (event_type,
+    hour) — open = value at the earliest (ts, event_id), close at the
+    latest, high/low/volume/count as plain aggregates. Open/close ride
+    the SAME single shuffle as the min/max aggregates via the struct
+    min/max trick: min(struct(us, event_id, cents)) picks the earliest
+    row's value without a window or a second exchange, and the
+    (us, event_id) prefix makes the pick total-order deterministic.
+    Values are exact integer cents."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).withColumn("hour_us", F.expr("us div 3600000000 * 3600000000"))
+    agg = base.groupBy("event_type", "hour_us").agg(
+        F.min(F.struct("us", "event_id", "cents")).alias("o"),
+        F.max(F.struct("us", "event_id", "cents")).alias("c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.sum("cents").alias("vol_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        (F.col("hour_us") / 1_000_000).cast("bigint").alias("bar_start_s"),
+        (F.col("o.cents").cast("double") / 100.0).alias("open"),
+        (F.col("high_c").cast("double") / 100.0).alias("high"),
+        (F.col("low_c").cast("double") / 100.0).alias("low"),
+        (F.col("c.cents").cast("double") / 100.0).alias("close"),
+        (F.col("vol_c").cast("double") / 100.0).alias("volume"),
+        "n_events",
+    )
+
+
+EVENTS_OHLC_BARS_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         epoch_us(ts) // 3600000000 * 3600000000 AS hour_us
+  FROM events
+),
+agg AS (
+  SELECT event_type, hour_us,
+         MIN(ROW(us, event_id, cents)) AS o,
+         MAX(ROW(us, event_id, cents)) AS c,
+         MAX(cents) AS high_c, MIN(cents) AS low_c,
+         SUM(cents) AS vol_c, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM base GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(hour_us // 1000000 AS BIGINT) AS bar_start_s,
+       CAST(o[3] AS DOUBLE) / 100.0 AS open,
+       CAST(high_c AS DOUBLE) / 100.0 AS high,
+       CAST(low_c AS DOUBLE) / 100.0 AS low,
+       CAST(c[3] AS DOUBLE) / 100.0 AS close,
+       CAST(vol_c AS DOUBLE) / 100.0 AS volume,
+       n_events
+FROM agg
+"""

@@ -25,6 +25,7 @@ NEW_KEYS = [
     "referential_integrity_report",
     "events_funnel_windowed",
     "dedup_union_report",
+    "events_ohlc_bars",
 ]
 
 
@@ -224,3 +225,15 @@ def test_dedup_union_votes_consistent(spark):
         assert 1 <= r.votes <= 3
         if r.exact:
             assert r.minhash == 1
+
+
+def test_ohlc_bars_invariants(spark):
+    """low <= open/close <= high; volume and count positive; bar starts
+    are hour-aligned."""
+    rows = entrymod.queries()["events_ohlc_bars"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+        assert r.bar_start_s % 3600 == 0
