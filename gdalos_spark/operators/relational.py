@@ -3833,3 +3833,189 @@ SELECT 3, '{{s2}}', CAST(n3 AS BIGINT), CASE WHEN n2 = 0 THEN -1.0 ELSE CAST(n3 
 EVENTS_FUNNEL_WINDOWED_SQL = EVENTS_FUNNEL_WINDOWED_SQL.format(
     s0=FUNNEL_STEPS[0], s1=FUNNEL_STEPS[1], s2=FUNNEL_STEPS[2]
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_update — incremental view maintenance by partial-agg merge
+# ---------------------------------------------------------------------------
+
+IVM_CUTOFF = "1997-01-01"
+
+
+def incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, the lakehouse way: the pricing
+    rollup is maintained as BASE (shipped before IVM_CUTOFF) merged with
+    DELTA (shipped on/after) using the partial-aggregate algebra —
+    sums add, counts add, min/max combine — instead of a full recompute.
+    The output carries both the merged and the recomputed values with a
+    `consistent` flag per group, so the op IS its own audit. At 100 TB
+    the delta is a partition-pruned scan (PushedFilters on the date) and
+    the merge is a tiny agg-state join — the full-recompute column here
+    exists only to prove the algebra."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+
+    def rollup(df):
+        return df.groupBy("l_returnflag").agg(
+            F.sum(cents).alias("rev_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(cents).alias("mx"),
+        )
+
+    base = rollup(li.where(F.col("l_shipdate") < IVM_CUTOFF))
+    delta = rollup(li.where(F.col("l_shipdate") >= IVM_CUTOFF))
+    merged = (
+        base.select(
+            "l_returnflag",
+            F.col("rev_c").alias("b_rev"),
+            F.col("n").alias("b_n"),
+            F.col("mx").alias("b_mx"),
+        )
+        .join(
+            delta.select(
+                "l_returnflag",
+                F.col("rev_c").alias("d_rev"),
+                F.col("n").alias("d_n"),
+                F.col("mx").alias("d_mx"),
+            ),
+            "l_returnflag",
+            "full_outer",
+        )
+        .select(
+            "l_returnflag",
+            (F.coalesce("b_rev", F.lit(0)) + F.coalesce("d_rev", F.lit(0))).alias(
+                "merged_rev_c"
+            ),
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+                "merged_n"
+            ),
+            F.greatest(
+                F.coalesce("b_mx", F.lit(-1)), F.coalesce("d_mx", F.lit(-1))
+            ).alias("merged_mx"),
+        )
+    )
+    full = rollup(li).select(
+        "l_returnflag",
+        F.col("rev_c").alias("full_rev_c"),
+        F.col("n").alias("full_n"),
+        F.col("mx").alias("full_mx"),
+    )
+    return merged.join(full, "l_returnflag").select(
+        "l_returnflag",
+        "merged_rev_c",
+        "merged_n",
+        "merged_mx",
+        (
+            (F.col("merged_rev_c") == F.col("full_rev_c"))
+            & (F.col("merged_n") == F.col("full_n"))
+            & (F.col("merged_mx") == F.col("full_mx"))
+        ).alias("consistent"),
+    )
+
+
+INCREMENTAL_AGG_UPDATE_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag, l_shipdate,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+base AS (
+  SELECT l_returnflag, SUM(c) AS rev_c, CAST(COUNT(*) AS BIGINT) AS n, MAX(c) AS mx
+  FROM li WHERE l_shipdate < TIMESTAMP '{IVM_CUTOFF}' GROUP BY 1
+),
+delta AS (
+  SELECT l_returnflag, SUM(c) AS rev_c, CAST(COUNT(*) AS BIGINT) AS n, MAX(c) AS mx
+  FROM li WHERE l_shipdate >= TIMESTAMP '{IVM_CUTOFF}' GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(b.l_returnflag, d.l_returnflag) AS l_returnflag,
+         COALESCE(b.rev_c, 0) + COALESCE(d.rev_c, 0) AS merged_rev_c,
+         COALESCE(b.n, 0) + COALESCE(d.n, 0) AS merged_n,
+         GREATEST(COALESCE(b.mx, -1), COALESCE(d.mx, -1)) AS merged_mx
+  FROM base b FULL OUTER JOIN delta d ON b.l_returnflag = d.l_returnflag
+),
+fullr AS (
+  SELECT l_returnflag, SUM(c) AS full_rev_c, CAST(COUNT(*) AS BIGINT) AS full_n,
+         MAX(c) AS full_mx
+  FROM li GROUP BY 1
+)
+SELECT m.l_returnflag, merged_rev_c, merged_n, merged_mx,
+       (merged_rev_c = full_rev_c AND merged_n = full_n AND merged_mx = full_mx)
+         AS consistent
+FROM merged m JOIN fullr f ON m.l_returnflag = f.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# zonemap_prune_report — data-skipping (zone map) effectiveness audit
+# ---------------------------------------------------------------------------
+
+ZONEMAP_FILES = 64
+ZONEMAP_PRED_FROM = "1996-01-01"
+ZONEMAP_PRED_TO = "1996-12-31"
+
+
+def zonemap_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) data skipping, simulated and audited:
+    lineitem is assigned to ZONEMAP_FILES synthetic files by orderkey
+    range (the natural ingest order), each file records its shipdate
+    min/max, and a one-year predicate is tested against the maps. The
+    report counts prunable files and the row fraction actually scanned —
+    the number that says whether the table's sort/cluster order serves
+    the workload (orderkey order correlates weakly with shipdate, so
+    skipping is poor: the motivation for z-order re-clustering,
+    raster_zorder_index's subject). One groupBy + a 1-row summary."""
+    li = load(spark, sf_dir, "lineitem")
+    mk = li.agg(F.max("l_orderkey").alias("mk"))
+    files = (
+        li.crossJoin(F.broadcast(mk))
+        .select(
+            F.expr(f"CAST(l_orderkey * {ZONEMAP_FILES} div (mk + 1) AS INT)").alias(
+                "file_id"
+            ),
+            "l_shipdate",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_shipdate").alias("mn"),
+            F.max("l_shipdate").alias("mx"),
+        )
+    )
+    hit = (F.col("mx") >= ZONEMAP_PRED_FROM) & (F.col("mn") <= ZONEMAP_PRED_TO)
+    return files.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(hit, 0).otherwise(1)).cast("bigint").alias("files_pruned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        (
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.sum("n_rows")
+        ).alias("scan_fraction"),
+    )
+
+
+ZONEMAP_PRUNE_REPORT_SQL = f"""
+WITH mk AS (SELECT MAX(l_orderkey) AS mk FROM lineitem),
+files AS (
+  SELECT CAST(l_orderkey * {ZONEMAP_FILES} // (mk + 1) AS INTEGER) AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+  FROM lineitem, mk
+  GROUP BY 1
+),
+f AS (
+  SELECT *, (mx >= TIMESTAMP '{ZONEMAP_PRED_FROM}'
+             AND mn <= TIMESTAMP '{ZONEMAP_PRED_TO}') AS hit
+  FROM files
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS files_pruned,
+       CAST(SUM(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN hit THEN n_rows ELSE 0 END) AS DOUBLE) / SUM(n_rows)
+         AS scan_fraction
+FROM f
+"""

@@ -746,3 +746,69 @@ SELECT user_id, event_id, CAST(s AS DOUBLE) / 100.0 AS cusum_value
 FROM w2
 WHERE s > {CUSUM_STREAM_H_CENTS}
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_ohlc_bars — the hypertable OHLC rollup as a streaming window agg
+# ---------------------------------------------------------------------------
+
+OHLC_QUERY_NAME = "gdalos_stream_ohlc"
+
+
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate version of events_ohlc_bars: the same
+    1-hour OHLC bars computed by Structured Streaming with a watermark —
+    open/close ride the windowed shuffle as total-order struct min/max,
+    exactly like the batch twin, so the driver gate hashes this against
+    the SAME oracle (temporal.EVENTS_OHLC_BARS_SQL). This is the
+    TimescaleDB-style continuous aggregate: at production scale the
+    memory sink becomes a Delta/parquet sink the serving layer reads."""
+    import time as _t
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    for q in spark.streams.active:
+        if q.name == OHLC_QUERY_NAME:
+            q.stop()
+    stream = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    ev = stream.withColumn("ts", F.timestamp_micros(epoch_micros(stream)))
+    base = ev.select(
+        "event_type",
+        "ts",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    agg = (
+        base.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("us", "event_id", "cents")).alias("o"),
+            F.max(F.struct("us", "event_id", "cents")).alias("c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.sum("cents").alias("vol_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(OHLC_QUERY_NAME)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = _t.time() + 60
+    while q.isActive and _t.time() < deadline:  # pragma: no cover
+        _t.sleep(0.2)
+    return spark.table(OHLC_QUERY_NAME).select(
+        "event_type",
+        F.col("w").getField("start").cast("long").alias("bar_start_s"),
+        (F.col("o.cents").cast("double") / 100.0).alias("open"),
+        (F.col("high_c").cast("double") / 100.0).alias("high"),
+        (F.col("low_c").cast("double") / 100.0).alias("low"),
+        (F.col("c.cents").cast("double") / 100.0).alias("close"),
+        (F.col("vol_c").cast("double") / 100.0).alias("volume"),
+        "n_events",
+    )

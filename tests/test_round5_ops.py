@@ -26,6 +26,9 @@ NEW_KEYS = [
     "events_funnel_windowed",
     "dedup_union_report",
     "events_ohlc_bars",
+    "incremental_agg_update",
+    "zonemap_prune_report",
+    "streaming_ohlc_bars",
 ]
 
 
@@ -237,3 +240,18 @@ def test_ohlc_bars_invariants(spark):
         assert r.low <= r.close <= r.high
         assert r.n_events >= 1
         assert r.bar_start_s % 3600 == 0
+
+
+def test_incremental_merge_is_consistent(spark):
+    """The partial-agg merge must equal the full recompute on every
+    group — the op is its own audit."""
+    rows = entrymod.queries()["incremental_agg_update"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    assert all(r.consistent for r in rows)
+
+
+def test_zonemap_accounting(spark):
+    r = entrymod.queries()["zonemap_prune_report"](spark, SF_DIR).collect()[0]
+    assert r.files_pruned <= r.n_files
+    assert r.rows_scanned <= r.rows_total
+    assert 0.0 <= r.scan_fraction <= 1.0
