@@ -590,3 +590,71 @@ class GdalosSpark:
     def audio_features(self) -> DataFrame:
         """Real-codec WAV peak/ZCR/RMS features via mapInPandas."""
         return multimodal_ops.multimodal_audio_features(self.spark, self.sf_dir)
+
+    def bpe_encode_stats(self) -> DataFrame:
+        """Corpus tokenization stats after the trained BPE merges."""
+        from gdalos_spark.operators import vocab
+
+        return vocab.bpe_apply_encode(self.spark, self.sf_dir)
+
+    def skyline(self) -> DataFrame:
+        """Pareto front of the part catalog (min price, max size)."""
+        return relational.parts_skyline(self.spark, self.sf_dir)
+
+    def mine_contrastive_pairs(self) -> DataFrame:
+        """Positive + hard-negative mining from LSH buckets."""
+        from gdalos_spark.operators import similarity as sim_ops
+
+        return sim_ops.contrastive_pair_mining(self.spark, self.sf_dir)
+
+    def quality_ablation(self) -> DataFrame:
+        """Token mass retained at each quality-decile cut."""
+        from gdalos_spark.operators import pipeline as pipeline_ops
+
+        return pipeline_ops.quality_ablation_report(self.spark, self.sf_dir)
+
+    def zonal_stats(self) -> DataFrame:
+        """Per-zone raster statistics (value raster x zone raster)."""
+        return raster.raster_zonal_stats(self.spark, self.sf_dir)
+
+    def bloom_prune(self) -> DataFrame:
+        """Runtime-filter (Bloom) join pruning sizing report."""
+        return relational.bloom_join_prune(self.spark, self.sf_dir)
+
+    def embedding_qa(self) -> DataFrame:
+        """Per-label embedding norm outlier report."""
+        from gdalos_spark.operators import similarity as sim_ops
+
+        return sim_ops.embedding_norm_outliers(self.spark, self.sf_dir)
+
+    def integrity_audit(self) -> DataFrame:
+        """FK orphan / null-key audit over the schema's edges."""
+        from gdalos_spark.operators import pipeline as pipeline_ops
+
+        return pipeline_ops.referential_integrity_report(self.spark, self.sf_dir)
+
+    def funnel(self, windowed: bool = True) -> DataFrame:
+        """Conversion funnel (1h conversion window by default)."""
+        if windowed:
+            return relational.events_funnel_windowed(self.spark, self.sf_dir)
+        return relational.events_funnel(self.spark, self.sf_dir)
+
+    def dedup_consensus(self) -> DataFrame:
+        """Exact + minhash + simhash pair union with vote counts."""
+        return dedup_ops.dedup_union_report(self.spark, self.sf_dir)
+
+    def ohlc(self, streaming: bool = False) -> DataFrame:
+        """Hypertable-style OHLC bars (batch or continuous aggregate)."""
+        if streaming:
+            return streaming_events.streaming_ohlc_bars(self.spark, self.sf_dir)
+        from gdalos_spark.operators import temporal
+
+        return temporal.events_ohlc_bars(self.spark, self.sf_dir)
+
+    def incremental_refresh(self) -> DataFrame:
+        """Incremental view maintenance with a self-audit column."""
+        return relational.incremental_agg_update(self.spark, self.sf_dir)
+
+    def zonemap_audit(self) -> DataFrame:
+        """Zone-map data-skipping effectiveness report."""
+        return relational.zonemap_prune_report(self.spark, self.sf_dir)

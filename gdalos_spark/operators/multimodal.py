@@ -28,6 +28,180 @@ from pyspark.sql.window import Window
 
 from gdalos_spark.datamodel import load
 
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """GIF variable-width LZW decode (clear/end codes, 4095-entry cap) —
+    shared by the single-frame stats path and the multi-frame sampler."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+    table += [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                nbits = 0
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_lzw_encode(pixels: bytes, min_code: int) -> bytes:
+    """Matching LZW encoder (same table/width-growth schedule the decoder
+    expects) — promoted from the round-4 round-trip test so the frame
+    sampler can BUILD real GIFs distributed-side."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes = [clear]
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    prev = b""
+    for p in pixels:
+        cur = prev + bytes([p])
+        if cur in table:
+            prev = cur
+        else:
+            codes.append(table[prev])
+            if next_code < 4096:
+                table[cur] = next_code
+                next_code += 1
+            prev = bytes([p])
+    codes.append(table[prev])
+    codes.append(end)
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    dec_size = (1 << min_code) + 2
+    first_after_clear = True
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            dec_size = (1 << min_code) + 2
+            width = min_code + 1
+            first_after_clear = True
+        elif c != end:
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                dec_size += 1
+                if dec_size == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif_animation(frames, palette) -> bytes:
+    """Real multi-frame GIF89a: global color table + one image
+    descriptor per frame, each LZW-compressed by `_gif_lzw_encode`."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape
+    n_colors = len(palette)
+    gct_bits = max(1, (n_colors - 1).bit_length()) - 1 if n_colors > 2 else 0
+    gct_bits = max(0, (n_colors - 1).bit_length() - 1)
+    size = 1 << (gct_bits + 1)
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: n_colors] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHB", w, h, 0x80 | gct_bits)
+    out += b"\x00\x00"  # bg color + aspect
+    out += pal.tobytes()
+    min_code = max(2, gct_bits + 1)
+    for fr in frames:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(fr.tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif_frames(payload: bytes):
+    """Walk EVERY image descriptor of a GIF and return (frames, palette):
+    the multi-frame counterpart of `_decode_real`'s first-frame stats
+    path."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    pos = 6
+    sw, sh, packed = struct.unpack_from("<HHB", payload, pos)
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(bytes(data), min_code)), np.uint8, w * h
+            ).reshape(h, w)
+            frames.append(idx)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise NotImplementedError(f"unexpected GIF block 0x{b0:02x}")
+    if gct is None:
+        raise NotImplementedError("GIF without a color table")
+    return frames, gct
+
+
 DECODE_SCHEMA = (
     "doc_id bigint, media_type string, byte_len int, "
     "feat_mean double, n_frames int, width int, height int"
@@ -237,41 +411,7 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
                     ln = payload[pos]
                     data += payload[pos + 1 : pos + 1 + ln]
                     pos += 1 + ln
-                # LZW decode (variable width, clear/end codes, 4095 cap)
-                clear, end = 1 << min_code, (1 << min_code) + 1
-                table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
-                table += [b"", b""]
-                width = min_code + 1
-                out = bytearray()
-                acc = nbits = 0
-                prev: bytes | None = None
-                for byte in data:
-                    acc |= byte << nbits
-                    nbits += 8
-                    while nbits >= width:
-                        code = acc & ((1 << width) - 1)
-                        acc >>= width
-                        nbits -= width
-                        if code == clear:
-                            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
-                            width = min_code + 1
-                            prev = None
-                            continue
-                        if code == end:
-                            nbits = 0
-                            break
-                        if code < len(table):
-                            entry = table[code]
-                        elif code == len(table) and prev is not None:
-                            entry = prev + prev[:1]
-                        else:
-                            raise NotImplementedError("corrupt GIF LZW stream")
-                        out += entry
-                        if prev is not None and len(table) < 4096:
-                            table.append(prev + entry[:1])
-                        prev = entry
-                        if len(table) == (1 << width) and width < 12:
-                            width += 1
+                out = _gif_lzw_decode(bytes(data), min_code)
                 if gct is None:
                     raise NotImplementedError("GIF without a color table")
                 idx = np.frombuffer(bytes(out), np.uint8, w * h)
@@ -734,3 +874,73 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(audio_batches, AUDIO_SCHEMA)
+
+
+GIF_FRAMES_SCHEMA = (
+    "doc_id bigint, n_frames int, frame_idx int, width int, height int, "
+    "rgb_mean double"
+)
+
+GIF_FRAME_W = 16
+GIF_FRAME_H = 12
+
+
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling: each row's text bytes become a
+    genuine multi-frame animated GIF89a (palette-indexed frames, real
+    variable-width LZW compression via `_gif_lzw_encode`), the container
+    is then re-parsed frame by frame (`_decode_gif_frames` walks every
+    image descriptor and LZW-decodes each), and every other frame is
+    emitted with its palette-mapped RGB mean. Unlike multimodal_frames'
+    byte-stride stand-in, the codec loop here is the real thing
+    end-to-end — encode, container walk, LZW decode — in one
+    Arrow-batched mapInPandas stage."""
+    media = media_table(spark, sf_dir)
+
+    def gif_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        palette = np.array(
+            [[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]],
+            dtype=np.uint8,
+        )
+        px = GIF_FRAME_W * GIF_FRAME_H
+
+        def one(doc_id: int, payload: bytes):
+            n_frames = 2 + (doc_id % 3) * 2  # 2/4/6 frames
+            need = n_frames * px
+            raw = np.frombuffer(
+                (payload * (need // max(len(payload), 1) + 1))[:need], np.uint8
+            )
+            frames = [
+                (raw[i * px : (i + 1) * px] % 4).reshape(GIF_FRAME_H, GIF_FRAME_W)
+                for i in range(n_frames)
+            ]
+            gif = _encode_gif_animation(frames, palette)
+            dec_frames, pal = _decode_gif_frames(gif)
+            assert len(dec_frames) == n_frames
+            rows = []
+            for idx in range(0, n_frames, 2):
+                rgb = pal[dec_frames[idx]]
+                rows.append(
+                    (doc_id, n_frames, idx, GIF_FRAME_W, GIF_FRAME_H,
+                     round(float(rgb.mean()), 6))
+                )
+            return rows
+
+        for pdf in batches:
+            rows = [
+                r
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for r in one(int(doc_id), payload)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx", "width", "height",
+                    "rgb_mean",
+                ],
+            )
+
+    return media.mapInPandas(gif_batches, GIF_FRAMES_SCHEMA)

@@ -405,3 +405,43 @@ def test_multimodal_audio_features_operator(spark):
         assert 0 < r.peak <= 32768
         assert 0.0 < r.rms <= 32768.0
         assert 0 <= r.zero_crossings < 2048
+
+
+def test_gif_animation_roundtrip_exact():
+    """Multi-frame GIF: encode 3 known frames, decode all 3, require
+    pixel-exact equality (LZW + container walk are lossless)."""
+    import numpy as np
+
+    from gdalos_spark.operators.multimodal import (
+        _decode_gif_frames,
+        _encode_gif_animation,
+    )
+
+    rng = [(i * 7 + j * 3 + k) % 4 for k in range(3) for i in range(6) for j in range(5)]
+    frames = [
+        np.array(rng[k * 30 : (k + 1) * 30], dtype=np.uint8).reshape(6, 5)
+        for k in range(3)
+    ]
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    gif = _encode_gif_animation(frames, palette)
+    dec, pal = _decode_gif_frames(gif)
+    assert len(dec) == 3
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+    assert (pal[: len(palette)] == palette).all()
+
+
+def test_gif_frames_operator(spark):
+    df = entrymod.queries()["multimodal_gif_frames"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    by_doc = {}
+    for r in rows:
+        assert r.frame_idx % 2 == 0
+        assert 0.0 <= r.rgb_mean <= 255.0
+        assert r.n_frames in (2, 4, 6)
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc, idxs in by_doc.items():
+        assert len(idxs) == len(set(idxs))
