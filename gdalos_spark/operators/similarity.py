@@ -1408,3 +1408,91 @@ FROM st JOIN o ON st.label = o.label
 
 
 EMBEDDING_NORM_OUTLIERS_SQL = _norm_outliers_sql()
+
+
+# ---------------------------------------------------------------------------
+# multivector_maxsim — ColBERT-style late-interaction retrieval
+# ---------------------------------------------------------------------------
+
+MAXSIM_VECS_PER_DOC = 4
+MAXSIM_PROBE_DOCS = 3
+MAXSIM_TOP_K = 5
+
+
+def multivector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval baseline: consecutive
+    groups of MAXSIM_VECS_PER_DOC vectors form one multi-vector doc;
+    score(q, d) = Σ over query vectors of max over doc vectors of
+    cosine. The probe docs broadcast (a handful of vectors), the corpus
+    scan never shuffles for scoring, and the two-level reduce (max per
+    query vector, then sum) is two grouped aggregations on the SAME
+    (probe_doc, cand_doc) key — one shuffle. This is the exact-score
+    ground truth the bucketed paths (ann_lsh/ivf shapes) are qualified
+    against, mirroring ann_cosine_topk's role for single vectors."""
+    base = _base(spark, sf_dir).select(
+        F.expr(f"vec_id div {MAXSIM_VECS_PER_DOC}").cast("bigint").alias("doc_key"),
+        "vec_id",
+        "emb",
+        "n2",
+    )
+    probes = base.filter(F.col("doc_key") < MAXSIM_PROBE_DOCS).select(
+        F.col("doc_key").alias("q_doc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("emb").alias("p_emb"),
+        F.col("n2").alias("p_n2"),
+    )
+    scored = base.join(
+        F.broadcast(probes), F.col("doc_key") != F.col("q_doc")
+    ).select(
+        "q_doc",
+        "q_vec",
+        F.col("doc_key").alias("cand_doc"),
+        _pair_cos().alias("cosine"),
+    )
+    per_qvec = scored.groupBy("q_doc", "cand_doc", "q_vec").agg(
+        F.max("cosine").alias("best")
+    )
+    maxsim = per_qvec.groupBy("q_doc", "cand_doc").agg(
+        F.round(F.sum("best"), 6).alias("maxsim")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("maxsim"), F.asc("cand_doc"))
+    return (
+        maxsim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= MAXSIM_TOP_K)
+    )
+
+
+def _maxsim_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    cos = f"ROUND({vectors.dot_sql('c.emb', 'p.p_emb')} / sqrt(c.n2 * p.p_n2), 6)"
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id // {MAXSIM_VECS_PER_DOC} AS BIGINT) AS doc_key,
+         vec_id, embedding AS emb, {n2} AS n2
+  FROM embeddings
+),
+probes AS (
+  SELECT doc_key AS q_doc, vec_id AS q_vec, emb AS p_emb, n2 AS p_n2
+  FROM base WHERE doc_key < {MAXSIM_PROBE_DOCS}
+),
+scored AS (
+  SELECT p.q_doc, p.q_vec, c.doc_key AS cand_doc, {cos} AS cosine
+  FROM base c JOIN probes p ON c.doc_key <> p.q_doc
+),
+per_qvec AS (
+  SELECT q_doc, cand_doc, q_vec, MAX(cosine) AS best
+  FROM scored GROUP BY 1, 2, 3
+),
+maxsim AS (
+  SELECT q_doc, cand_doc, ROUND(SUM(best), 6) AS maxsim
+  FROM per_qvec GROUP BY 1, 2
+)
+SELECT q_doc, cand_doc, maxsim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+                               ORDER BY maxsim DESC, cand_doc) AS INTEGER) AS rank
+FROM maxsim
+QUALIFY rank <= {MAXSIM_TOP_K}
+"""
+
+
+MULTIVECTOR_MAXSIM_SQL = _maxsim_sql()

@@ -29,6 +29,7 @@ NEW_KEYS = [
     "incremental_agg_update",
     "zonemap_prune_report",
     "streaming_ohlc_bars",
+    "multivector_maxsim",
 ]
 
 
@@ -255,3 +256,22 @@ def test_zonemap_accounting(spark):
     assert r.files_pruned <= r.n_files
     assert r.rows_scanned <= r.rows_total
     assert 0.0 <= r.scan_fraction <= 1.0
+
+
+def test_maxsim_scores_bounded(spark):
+    """maxsim of k unit-cosine terms is bounded by k; ranks are 1..K per
+    probe doc."""
+    from gdalos_spark.operators.similarity import (
+        MAXSIM_TOP_K,
+        MAXSIM_VECS_PER_DOC,
+    )
+
+    rows = entrymod.queries()["multivector_maxsim"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    by_q = {}
+    for r in rows:
+        assert -MAXSIM_VECS_PER_DOC <= r.maxsim <= MAXSIM_VECS_PER_DOC
+        by_q.setdefault(r.q_doc, []).append(r.rank)
+    for q_doc, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= MAXSIM_TOP_K
