@@ -650,15 +650,23 @@ BPE_TRAIN_STEPS = 4
 
 
 def _merge_apply_expr(col: str, a: str, b: str) -> str:
-    """Two-pass boundary replace applying merge (a, b) to a boundary-spaced
-    symbol string (identical builtin `replace` semantics in Spark and
-    DuckDB: left-to-right, non-overlapping, never rescans its own output).
-    Directly adjacent occurrences share a boundary space, so one pass can
-    reach only every other one; the survivors are isolated after pass one,
-    hence exactly two passes reach the greedy-BPE fixed point."""
-    pat = f"' {a} {b} '"
-    rep = f"' {a}{b} '"
-    return f"replace(replace({col}, {pat}, {rep}), {pat}, {rep})"
+    """TRUE greedy left-to-right BPE merge of pair (a, b) over a
+    space-joined symbol string, as a single string fold: append each
+    symbol, but when the accumulated string's TRAILING symbol is `a` and
+    the next symbol is `b`, append `b` with no separator (the trailing
+    token becomes `ab`). The trailing-token test `acc LIKE '% a'` is
+    space-anchored, so suffix collisions ('ba' vs 'a') cannot
+    false-match. A replace()-based two-pass variant was rejected: on odd
+    runs of a repeated symbol ('aaaaa', pair (a,a)) it merges
+    alternating occurrences ([aa, a, aa]) where canonical BPE merges
+    left-to-right ([aa, aa, a]) — found by exhaustive comparison against
+    a reference Python implementation (tests pin this)."""
+    return (
+        f"aggregate(split({col}, ' '), CAST('' AS STRING), (acc, x) -> "
+        f"CASE WHEN (acc = '{a}' OR acc LIKE '% {a}') AND x = '{b}' "
+        f"THEN concat(acc, '{b}') "
+        f"WHEN acc = '' THEN x ELSE concat(acc, ' ', x) END)"
+    )
 
 
 def _bpe_train_loop(spark: SparkSession, sf_dir: str):
@@ -681,7 +689,7 @@ def _bpe_train_loop(spark: SparkSession, sf_dir: str):
         .groupBy("h")
         .agg(F.min("w").alias("w"), F.count(F.lit(1)).alias("wn"))
         .select(
-            F.expr("concat(' ', regexp_replace(w, '(.)', '$1 '))").alias("s"),
+            F.expr("trim(regexp_replace(w, '(.)', '$1 '))").alias("s"),
             "wn",
         )
         .localCheckpoint()
@@ -722,7 +730,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed loop (Sennrich et al. 2016): everything factors through
     the word-frequency table, so each iteration's pair count explodes
     |vocab| rows, not |corpus tokens|. A word is carried as a
-    boundary-spaced symbol string (`' h e l l o '`); one step =
+    space-joined symbol string (`'h e l l o'`); one step =
     adjacent-pair weighted count (one shuffle), a ONE-ROW argmax fetch
     (count desc, then pair — total order, engine-identical), then the
     merge applied map-side via `_merge_apply_expr`. `localCheckpoint`
@@ -777,7 +785,7 @@ WITH words AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
 ),
 s0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, COUNT(*) AS wn
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, COUNT(*) AS wn
   FROM words GROUP BY w
 )"""
     ]
@@ -795,10 +803,10 @@ best{i} AS (
   FROM p{i} GROUP BY a, b ORDER BY n_occ DESC, a, b LIMIT 1
 ),
 s{i} AS (
-  SELECT replace(replace(t.s, ' ' || m.a || ' ' || m.b || ' ',
-                              ' ' || m.a || m.b || ' '),
-                          ' ' || m.a || ' ' || m.b || ' ',
-                          ' ' || m.a || m.b || ' ') AS s, t.wn
+  SELECT list_reduce(string_split(t.s, ' '),
+           (acc, x) -> CASE WHEN (acc = m.a OR acc LIKE '% ' || m.a)
+                             AND x = m.b
+                       THEN acc || m.b ELSE acc || ' ' || x END) AS s, t.wn
   FROM s{i - 1} t, best{i} m
 )"""
         )

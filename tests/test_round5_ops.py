@@ -275,3 +275,42 @@ def test_maxsim_scores_bounded(spark):
     for q_doc, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= MAXSIM_TOP_K
+
+
+def test_merge_fold_equals_reference_greedy(spark):
+    """The fold-based merge expression must equal canonical greedy
+    left-to-right BPE on every word over {a,b} up to length 8 and every
+    merge pair — including the odd-run cases ('aaaaa', (a,a)) where the
+    rejected two-pass replace() variant diverges."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.operators.vocab import _merge_apply_expr
+
+    def greedy(symbols, a, b):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return " ".join(out)
+
+    words = [
+        " ".join(w)
+        for n in range(1, 9)
+        for w in itertools.product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    for a, b in itertools.product("ab", repeat=2):
+        got = {
+            r.s: r.m
+            for r in df.select(
+                "s", F.expr(_merge_apply_expr("s", a, b)).alias("m")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == greedy(w.split(" "), a, b), (w, a, b, got[w])
