@@ -4019,3 +4019,64 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
          AS scan_fraction
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# user_activity_streaks — gaps-and-islands consecutive-day streaks
+# ---------------------------------------------------------------------------
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gaps-and-islands
+    shape: distinct active days, then the island key day − row_number()
+    (constant within a consecutive run, strictly decreasing across
+    gaps), one groupBy per island, one per user. Two shuffles total,
+    both on user_id-prefixed keys, so at scale the second and third agg
+    reuse the first exchange's partitioning. All integers (epoch
+    days)."""
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.max("day").alias("last_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("last_day").alias("last_active_day"),
+    )
+
+
+USER_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, MAX(day) AS last_day
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, MAX(len) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       MAX(last_day) AS last_active_day
+FROM streaks
+GROUP BY user_id
+"""

@@ -314,3 +314,12 @@ def test_merge_fold_equals_reference_greedy(spark):
         }
         for w in words:
             assert got[w] == greedy(w.split(" "), a, b), (w, a, b, got[w])
+
+
+def test_streaks_accounting(spark):
+    """Streak lengths partition active days; longest <= total."""
+    rows = entrymod.queries()["user_activity_streaks"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert r.n_streaks <= r.n_active_days
