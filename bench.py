@@ -97,7 +97,7 @@ def main() -> None:
             load(spark, sf_dir, t).count()
         except Exception as e:  # noqa: BLE001
             errors[f"warmup:{t}"] = f"{type(e).__name__}: {e}"[:300]
-            break
+            # keep warming the remaining, independent tables
 
     # The host is shared: a neighbor's load spike can inflate a single
     # run 5-30x. Run each query REPS times and report the minimum — the

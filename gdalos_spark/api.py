@@ -565,14 +565,10 @@ class GdalosSpark:
 
     def dedup_normalized(self) -> DataFrame:
         """Duplicate-mass report under text canonicalization."""
-        from gdalos_spark.operators import text as text_ops
-
-        return text_ops.text_normalize_dedup(self.spark, self.sf_dir)
+        return text.text_normalize_dedup(self.spark, self.sf_dir)
 
     def k_anonymity(self) -> DataFrame:
         """Quasi-identifier equivalence-class audit at several k."""
-        from gdalos_spark.operators import pipeline as pipeline_ops
-
         return pipeline_ops.k_anonymity_report(self.spark, self.sf_dir)
 
     def snapshot_diff(self) -> DataFrame:
@@ -603,14 +599,10 @@ class GdalosSpark:
 
     def mine_contrastive_pairs(self) -> DataFrame:
         """Positive + hard-negative mining from LSH buckets."""
-        from gdalos_spark.operators import similarity as sim_ops
-
-        return sim_ops.contrastive_pair_mining(self.spark, self.sf_dir)
+        return similarity.contrastive_pair_mining(self.spark, self.sf_dir)
 
     def quality_ablation(self) -> DataFrame:
         """Token mass retained at each quality-decile cut."""
-        from gdalos_spark.operators import pipeline as pipeline_ops
-
         return pipeline_ops.quality_ablation_report(self.spark, self.sf_dir)
 
     def zonal_stats(self) -> DataFrame:
@@ -623,14 +615,10 @@ class GdalosSpark:
 
     def embedding_qa(self) -> DataFrame:
         """Per-label embedding norm outlier report."""
-        from gdalos_spark.operators import similarity as sim_ops
-
-        return sim_ops.embedding_norm_outliers(self.spark, self.sf_dir)
+        return similarity.embedding_norm_outliers(self.spark, self.sf_dir)
 
     def integrity_audit(self) -> DataFrame:
         """FK orphan / null-key audit over the schema's edges."""
-        from gdalos_spark.operators import pipeline as pipeline_ops
-
         return pipeline_ops.referential_integrity_report(self.spark, self.sf_dir)
 
     def funnel(self, windowed: bool = True) -> DataFrame:

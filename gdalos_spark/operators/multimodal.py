@@ -126,7 +126,6 @@ def _encode_gif_animation(frames, palette) -> bytes:
 
     h, w = frames[0].shape
     n_colors = len(palette)
-    gct_bits = max(1, (n_colors - 1).bit_length()) - 1 if n_colors > 2 else 0
     gct_bits = max(0, (n_colors - 1).bit_length() - 1)
     size = 1 << (gct_bits + 1)
     pal = np.zeros((size, 3), dtype=np.uint8)

@@ -26,7 +26,12 @@ N_PROBES = 10  # probe set = vec_id < N_PROBES
 TOP_K = 5
 
 
-def _base(spark: SparkSession, sf_dir: str, with_bucket: bool = False) -> DataFrame:
+def _base(
+    spark: SparkSession,
+    sf_dir: str,
+    with_bucket: bool = False,
+    with_label: bool = False,
+) -> DataFrame:
     # embeddings parquet compresses to ~1 input split even at a 200k-row
     # upscale; the per-row fold-cosine math is CPU-bound, so re-split
     # across cores first (no-op when the scan already has splits)
@@ -39,6 +44,8 @@ def _base(spark: SparkSession, sf_dir: str, with_bucket: bool = False) -> DataFr
     ]
     if with_bucket:
         cols.append(vectors.lsh_bucket(F.col("embedding")).alias("bucket"))
+    if with_label:
+        cols.append(F.col("label"))
     return emb.select(*cols)
 
 
@@ -1235,9 +1242,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     break (cosine desc, vec_id asc); probes missing either side are
     dropped (stated contract). margin = pos_cos - neg_cos is the number
     curriculum schedulers threshold on."""
-    base = _base(spark, sf_dir, with_bucket=True).join(
-        load(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
-    )
+    base = _base(spark, sf_dir, with_bucket=True, with_label=True)
     probes = base.filter(F.col("vec_id") < CONTRASTIVE_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("emb").alias("p_emb"),

@@ -803,11 +803,15 @@ best{i} AS (
   FROM p{i} GROUP BY a, b ORDER BY n_occ DESC, a, b LIMIT 1
 ),
 s{i} AS (
-  SELECT list_reduce(string_split(t.s, ' '),
-           (acc, x) -> CASE WHEN (acc = m.a OR acc LIKE '% ' || m.a)
-                             AND x = m.b
-                       THEN acc || m.b ELSE acc || ' ' || x END) AS s, t.wn
-  FROM s{i - 1} t, best{i} m
+  -- LEFT JOIN ON TRUE: an empty best{i} must pass words through
+  -- unchanged (the Spark loop breaks and keeps wf), not wipe the table
+  SELECT CASE WHEN m.a IS NULL THEN t.s ELSE
+           list_reduce(string_split(t.s, ' '),
+             (acc, x) -> CASE WHEN (acc = m.a OR acc LIKE '% ' || m.a)
+                               AND x = m.b
+                         THEN acc || m.b ELSE acc || ' ' || x END)
+         END AS s, t.wn
+  FROM s{i - 1} t LEFT JOIN best{i} m ON TRUE
 )"""
         )
     selects = " UNION ALL ".join(

@@ -30,6 +30,7 @@ NEW_KEYS = [
     "zonemap_prune_report",
     "streaming_ohlc_bars",
     "multivector_maxsim",
+    "user_activity_streaks",
 ]
 
 

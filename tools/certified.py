@@ -20,10 +20,12 @@ import __spark_entry__ as E
 
 
 def green(v: dict) -> bool:
+    # rows-only (no-oracle) keys record rows/schema/hash as None with
+    # err == 'no_oracle' and a spark_rows count — that IS their green row
+    if v.get("err") == "no_oracle":
+        return v.get("spark_rows") is not None
     return bool(
-        v.get("rows_match")
-        and v.get("schema_match")
-        and (v.get("hash_match") or v.get("err") == "no_oracle")
+        v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
     )
 
 
