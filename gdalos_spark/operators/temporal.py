@@ -481,3 +481,102 @@ SELECT event_type,
        n_events
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch — marketing attribution within a lookback window
+# ---------------------------------------------------------------------------
+
+ATTR_LOOKBACK_US = 7 * 86_400_000_000  # 7-day lookback
+ATTR_CHANNELS = ("view", "click", "signup")
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding channel event (view/click/signup) within a 7-day
+    lookback, else 'direct'. One window per user over the interleaved
+    event stream — `last_value(..., ignorenulls)` over rows preceding
+    the purchase — so attribution costs ONE user-keyed sort, never a
+    per-purchase range join. Output: per-channel attributed purchase
+    count and revenue (exact cents), the report every campaign dashboard
+    is built on."""
+    ev = load(spark, sf_dir, "events")
+    ch = ", ".join(f"'{c}'" for c in ATTR_CHANNELS)
+    base = ev.where(
+        F.expr(f"event_type IN ({ch}, 'purchase')")
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = base.select(
+        "user_id",
+        "event_type",
+        "us",
+        "cents",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_ch"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("us")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_ch_us"),
+    )
+    purchases = touched.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_ch").isNotNull()
+            & (F.col("us") - F.col("last_ch_us") <= ATTR_LOOKBACK_US),
+            F.col("last_ch"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        "cents",
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+def _attribution_sql() -> str:
+    ch = ", ".join(f"'{c}'" for c in ATTR_CHANNELS)
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ({ch}, 'purchase')
+),
+touched AS (
+  SELECT user_id, event_type, us, cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch_us
+  FROM base
+)
+SELECT CASE WHEN last_ch IS NOT NULL AND us - last_ch_us <= {ATTR_LOOKBACK_US}
+            THEN last_ch ELSE 'direct' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = _attribution_sql()

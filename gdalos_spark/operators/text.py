@@ -1429,3 +1429,44 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM n
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion_matrix — classifier evaluation against ground truth
+# ---------------------------------------------------------------------------
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the language-ID classifier: confusion
+    matrix of predicted vs ground-truth language plus per-cell recall —
+    the qualification table any heuristic classifier needs before it
+    gates a corpus at scale. Reuses text_language_id's plan (one scan)
+    and adds one tiny groupBy; recall is an exact integer ratio."""
+    pred = text_language_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return cells.join(totals, "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("lang_total")).alias("recall"),
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
+LANGID_CONFUSION_MATRIX_SQL = f"""
+WITH pred AS (
+  SELECT doc_id, lang, pred_lang FROM ({TEXT_LANGUAGE_ID_SQL})
+),
+cells AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+totals AS (SELECT lang, SUM(n_docs) AS lang_total FROM cells GROUP BY lang)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / t.lang_total AS recall,
+       c.lang = c.pred_lang AS correct
+FROM cells c JOIN totals t ON c.lang = t.lang
+"""

@@ -31,6 +31,8 @@ NEW_KEYS = [
     "streaming_ohlc_bars",
     "multivector_maxsim",
     "user_activity_streaks",
+    "attribution_last_touch",
+    "langid_confusion_matrix",
 ]
 
 
@@ -324,3 +326,26 @@ def test_streaks_accounting(spark):
     for r in rows:
         assert 1 <= r.longest_streak <= r.n_active_days
         assert r.n_streaks <= r.n_active_days
+
+
+def test_attribution_partitions_purchases(spark):
+    """Every purchase lands in exactly one channel bucket; channels are
+    the three touch types plus 'direct'."""
+    from gdalos_spark.datamodel import load
+    from gdalos_spark.operators.temporal import ATTR_CHANNELS
+
+    rows = entrymod.queries()["attribution_last_touch"](spark, SF_DIR).collect()
+    assert {r.channel for r in rows} <= set(ATTR_CHANNELS) | {"direct"}
+    total = load(spark, SF_DIR, "events").where("event_type = 'purchase'").count()
+    assert sum(r.n_purchases for r in rows) == total
+
+
+def test_confusion_matrix_recalls_sum_to_one(spark):
+    rows = entrymod.queries()["langid_confusion_matrix"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0.0)
+        by_lang[r.lang] += r.recall
+        assert r.correct == (r.lang == r.pred_lang)
+    for lang, tot in by_lang.items():
+        assert abs(tot - 1.0) < 1e-9
