@@ -3157,3 +3157,126 @@ SELECT zone, n_cells,
          AS std_elev
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# raster_morphology_open — binary morphological opening (erode then dilate)
+#    ref: the reference applies GDAL sieve-style cleanup to viewshed masks
+#    (viewshed_calc.py result filtering, raster_sieve above); opening is
+#    the standard morphology cleanup (remove speckles, keep shape) — the
+#    same 3x3 stencil machinery as the gdaldem family, CHAINED twice.
+# ---------------------------------------------------------------------------
+
+MORPH_THRESHOLD = 300  # elevation above this => foreground mask
+
+
+def raster_morphology_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological OPENING of the elevation mask (elev > threshold):
+    erosion (min over the 3x3 neighborhood, missing cells count as
+    background) followed by dilation (max over 3x3) — two chained
+    stencil passes, each one broadcast 9-row offset join + one groupBy
+    on the target cell, sharing the grid partitioning. Opening removes
+    speckles smaller than the structuring element while preserving
+    larger shapes; the output classifies every original foreground pixel
+    as kept/removed and reports the surviving mask. Pure integer 0/1
+    algebra — bit-exact everywhere."""
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py", (F.col("elev") > MORPH_THRESHOLD).cast("int").alias("m")
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+
+    def stencil(df, col, agg_fn, strict):
+        nb = df.crossJoin(F.broadcast(offsets)).select(
+            (F.col("px") + F.col("dx")).alias("tx"),
+            (F.col("py") + F.col("dy")).alias("ty"),
+            F.col(col).alias("v"),
+        )
+        agg = (
+            nb.where(
+                (F.col("tx") >= 0) & (F.col("tx") < GRID_W)
+                & (F.col("ty") >= 0) & (F.col("ty") < GRID_H)
+            )
+            .groupBy("tx", "ty")
+            .agg(agg_fn(F.col("v")).alias("a"), F.count(F.lit(1)).alias("n"))
+        )
+        # strict (erosion): a missing neighbor IS background, so any cell
+        # with < 9 contributors (border or grid hole) erodes to 0. For
+        # dilation a missing neighbor contributes 0, which cannot raise a
+        # max — the plain aggregate is already correct.
+        val = (
+            F.when(F.col("n") < 9, F.lit(0)).otherwise(F.col("a"))
+            if strict
+            else F.col("a")
+        )
+        return agg.select(
+            F.col("tx").alias("px"), F.col("ty").alias("py"), val.alias(col)
+        )
+
+    eroded = stencil(g, "m", F.min, strict=True)
+    opened = stencil(eroded, "m", F.max, strict=False).withColumnRenamed(
+        "m", "opened"
+    )
+    joined = g.join(opened, ["px", "py"], "left").select(
+        "px",
+        "py",
+        "m",
+        F.coalesce("opened", F.lit(0)).alias("opened"),
+    )
+    return joined.where((F.col("m") == 1) | (F.col("opened") == 1)).select(
+        "px",
+        "py",
+        F.col("m").alias("mask"),
+        "opened",
+        F.when((F.col("m") == 1) & (F.col("opened") == 0), "removed")
+        .when((F.col("m") == 1) & (F.col("opened") == 1), "kept")
+        .otherwise("grown")
+        .alias("morph_class"),
+    )
+
+
+def _morph_sql() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (
+  SELECT px, py, CASE WHEN elev > {MORPH_THRESHOLD} THEN 1 ELSE 0 END AS m
+  FROM dem
+),
+offsets(dx, dy) AS (VALUES {offs}),
+er AS (
+  SELECT px + dx AS tx, py + dy AS ty, m AS v FROM g CROSS JOIN offsets
+),
+eroded AS (
+  SELECT tx AS px, ty AS py,
+         CASE WHEN COUNT(*) < 9 THEN 0 ELSE MIN(v) END AS m
+  FROM er
+  WHERE tx >= 0 AND tx < {GRID_W} AND ty >= 0 AND ty < {GRID_H}
+  GROUP BY 1, 2
+),
+di AS (
+  SELECT px + dx AS tx, py + dy AS ty, m AS v FROM eroded CROSS JOIN offsets
+),
+opened AS (
+  SELECT tx AS px, ty AS py, MAX(v) AS opened
+  FROM di
+  WHERE tx >= 0 AND tx < {GRID_W} AND ty >= 0 AND ty < {GRID_H}
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT g.px, g.py, g.m, COALESCE(o.opened, 0) AS opened
+  FROM g LEFT JOIN opened o ON g.px = o.px AND g.py = o.py
+)
+SELECT px, py, m AS mask, opened,
+       CASE WHEN m = 1 AND opened = 0 THEN 'removed'
+            WHEN m = 1 AND opened = 1 THEN 'kept'
+            ELSE 'grown' END AS morph_class
+FROM j
+WHERE m = 1 OR opened = 1
+"""
+
+
+RASTER_MORPHOLOGY_OPEN_SQL = _morph_sql()

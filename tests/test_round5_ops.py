@@ -33,6 +33,7 @@ NEW_KEYS = [
     "user_activity_streaks",
     "attribution_last_touch",
     "langid_confusion_matrix",
+    "raster_morphology_open",
 ]
 
 
@@ -349,3 +350,14 @@ def test_confusion_matrix_recalls_sum_to_one(spark):
         assert r.correct == (r.lang == r.pred_lang)
     for lang, tot in by_lang.items():
         assert abs(tot - 1.0) < 1e-9
+
+
+def test_morphological_opening_is_anti_extensive(spark):
+    """Opening with a symmetric 3x3 element never grows the mask: every
+    opened pixel was a mask pixel (no 'grown' class)."""
+    rows = entrymod.queries()["raster_morphology_open"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.morph_class in ("kept", "removed")
+        if r.opened == 1:
+            assert r.mask == 1
