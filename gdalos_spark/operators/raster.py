@@ -3167,11 +3167,10 @@ FROM agg
 #    same 3x3 stencil machinery as the gdaldem family, CHAINED twice.
 # ---------------------------------------------------------------------------
 
-MORPH_THRESHOLD = 300  # elevation above this => foreground mask
-
-
 def raster_morphology_open(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morphological OPENING of the elevation mask (elev > threshold):
+    """Morphological OPENING of the elevation mask (elev above the
+    GLOBAL MEAN — scale-free, decided by the exact integer
+    cross-multiplication cents·n > Σcents, so no float mean exists):
     erosion (min over the 3x3 neighborhood, missing cells count as
     background) followed by dilation (max over 3x3) — two chained
     stencil passes, each one broadcast 9-row offset join + one groupBy
@@ -3180,8 +3179,15 @@ def raster_morphology_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger shapes; the output classifies every original foreground pixel
     as kept/removed and reports the surviving mask. Pure integer 0/1
     algebra — bit-exact everywhere."""
-    g = dem_grid(spark, sf_dir).select(
-        "px", "py", (F.col("elev") > MORPH_THRESHOLD).cast("int").alias("m")
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.expr("CAST(elev * 100 AS BIGINT)").alias("c")
+    )
+    tot = dem.agg(
+        F.sum("c").alias("ts"), F.count(F.lit(1)).alias("n")
+    )
+    g = dem.crossJoin(F.broadcast(tot)).select(
+        "px", "py",
+        (F.col("c") * F.col("n") > F.col("ts")).cast("int").alias("m"),
     )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
@@ -3242,9 +3248,11 @@ def _morph_sql() -> str:
     )
     return f"""
 WITH dem AS ({DEM_GRID_SQL}),
+c AS (SELECT px, py, CAST(elev * 100 AS BIGINT) AS c FROM dem),
+tot AS (SELECT SUM(c) AS ts, COUNT(*) AS n FROM c),
 g AS (
-  SELECT px, py, CASE WHEN elev > {MORPH_THRESHOLD} THEN 1 ELSE 0 END AS m
-  FROM dem
+  SELECT px, py, CASE WHEN c * n > ts THEN 1 ELSE 0 END AS m
+  FROM c, tot
 ),
 offsets(dx, dy) AS (VALUES {offs}),
 er AS (
