@@ -646,3 +646,29 @@ class GdalosSpark:
     def zonemap_audit(self) -> DataFrame:
         """Zone-map data-skipping effectiveness report."""
         return relational.zonemap_prune_report(self.spark, self.sf_dir)
+
+    def maxsim(self) -> DataFrame:
+        """ColBERT-style late-interaction retrieval baseline."""
+        return similarity.multivector_maxsim(self.spark, self.sf_dir)
+
+    def activity_streaks(self) -> DataFrame:
+        """Gaps-and-islands consecutive-day activity streaks."""
+        return relational.user_activity_streaks(self.spark, self.sf_dir)
+
+    def attribute_conversions(self) -> DataFrame:
+        """Last-touch attribution with a 7-day lookback."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.attribution_last_touch(self.spark, self.sf_dir)
+
+    def langid_eval(self) -> DataFrame:
+        """Language-ID confusion matrix with per-cell recall."""
+        return text.langid_confusion_matrix(self.spark, self.sf_dir)
+
+    def morphology_open(self) -> DataFrame:
+        """Binary morphological opening of the elevation mask."""
+        return raster.raster_morphology_open(self.spark, self.sf_dir)
+
+    def sample_gif_frames(self) -> DataFrame:
+        """Real animated-GIF frame sampling (encode->decode round trip)."""
+        return multimodal_ops.multimodal_gif_frames(self.spark, self.sf_dir)
