@@ -4080,3 +4080,102 @@ SELECT user_id, MAX(len) AS longest_streak,
 FROM streaks
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# item_item_similarity — collaborative-filtering item-item cosine top-k
+# ---------------------------------------------------------------------------
+
+II_TOP_K = 5
+II_MIN_CO = 2
+
+
+def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: cosine
+    similarity between parts as binary basket vectors —
+    sim(a,b) = co(a,b) / sqrt(n_a · n_b) — top-k neighbors per part.
+    Same DF-capped pair generation as basket_lift_pairs (a cap-C basket
+    emits at most C(C,2) pairs regardless of corpus size); the cosine is
+    ROUND(co / sqrt(n_a·n_b), 6) where the sqrt argument is an exact
+    integer product, so the double is engine-identical. This is THE
+    batch-precompute behind 'customers also bought' at any scale."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ok = op.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nb")).filter(
+        F.col("nb") <= BASKET_CAP
+    )
+    op_c = op.join(ok.select("l_orderkey"), "l_orderkey", "left_semi").persist()
+    marg = op_c.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = op_c.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op_c.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("l_orderkey") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= II_MIN_CO)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co"
+        )
+    )
+    j = (
+        sym.join(marg.select(F.col("l_partkey").alias("pa"), F.col("n_p").alias("n_a")), "pa")
+        .join(marg.select(F.col("l_partkey").alias("pb"), F.col("n_p").alias("n_b")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(
+                F.col("co") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cosine"), F.asc("pb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= II_TOP_K)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("neighbor"),
+            "co",
+            "cosine",
+            "rank",
+        )
+    )
+
+
+ITEM_ITEM_SIMILARITY_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ok AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}
+),
+op_c AS (SELECT op.* FROM op SEMI JOIN ok ON op.l_orderkey = ok.l_orderkey),
+marg AS (SELECT l_partkey, COUNT(*) AS n_p FROM op_c GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS co
+  FROM op_c a JOIN op_c b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {II_MIN_CO}
+),
+sym AS (
+  SELECT pa, pb, co FROM pairs
+  UNION ALL SELECT pb, pa, co FROM pairs
+),
+j AS (
+  SELECT s.pa, s.pb, s.co,
+         ROUND(s.co / sqrt(CAST(ma.n_p * mb.n_p AS DOUBLE)), 6) AS cosine
+  FROM sym s
+  JOIN marg ma ON s.pa = ma.l_partkey
+  JOIN marg mb ON s.pb = mb.l_partkey
+)
+SELECT pa AS part, pb AS neighbor, co, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY pa ORDER BY cosine DESC, pb) AS INTEGER) AS rank
+FROM j
+QUALIFY rank <= {II_TOP_K}
+"""

@@ -1470,3 +1470,75 @@ SELECT c.lang, c.pred_lang, c.n_docs,
        c.lang = c.pred_lang AS correct
 FROM cells c JOIN totals t ON c.lang = t.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap — corpus-source similarity matrix (vocab Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the matrix a
+    data-mixing decision reads (near-identical sources are redundant;
+    disjoint ones add coverage). Candidates come from the inverted
+    token→sources index, so a token in k sources emits C(k,2) pairs with
+    k bounded by the source count (never |vocab|²); only 60-bit hashes
+    shuffle. Jaccard = inter / (|A| + |B| − inter), one exact integer
+    division per pair."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tok = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w"),
+        )
+        .select("source", hashing.md5_int60(F.col("w")).alias("h"))
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = tok.select(F.col("source").alias("sa"), "h")
+    b = tok.select(F.col("source").alias("sb"), F.col("h").alias("hb"))
+    inter = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("source").alias("sa"), F.col("n").alias("na")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")), "sb")
+        .select(
+            "sa",
+            "sb",
+            "inter",
+            "na",
+            "nb",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         {hashing.md5_int60_sql("t.w")} AS h
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w) t
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, inter, ma.n AS na, mb.n AS nb,
+       CAST(inter AS DOUBLE) / (ma.n + mb.n - inter) AS jaccard
+FROM inter
+JOIN sizes ma ON sa = ma.source
+JOIN sizes mb ON sb = mb.source
+"""

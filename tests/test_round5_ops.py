@@ -34,6 +34,8 @@ NEW_KEYS = [
     "attribution_last_touch",
     "langid_confusion_matrix",
     "raster_morphology_open",
+    "item_item_similarity",
+    "source_vocab_overlap",
 ]
 
 
@@ -361,3 +363,24 @@ def test_morphological_opening_is_anti_extensive(spark):
         assert r.morph_class in ("kept", "removed")
         if r.opened == 1:
             assert r.mask == 1
+
+
+def test_item_item_symmetric_cosine(spark):
+    """cosine(a,b) must equal cosine(b,a) when both directions appear,
+    and lie in (0, 1]."""
+    rows = entrymod.queries()["item_item_similarity"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    sim = {(r.part, r.neighbor): r.cosine for r in rows}
+    for (a, b), c in sim.items():
+        assert 0.0 < c <= 1.0
+        if (b, a) in sim:
+            assert sim[(b, a)] == c
+
+
+def test_source_overlap_jaccard_bounds(spark):
+    rows = entrymod.queries()["source_vocab_overlap"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.inter <= min(r.na, r.nb)
+        assert r.sa < r.sb
