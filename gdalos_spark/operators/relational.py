@@ -4179,3 +4179,144 @@ SELECT pa AS part, pb AS neighbor, co, cosine,
 FROM j
 QUALIFY rank <= {II_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# layout_advisor_report — candidate sort/cluster layouts scored by skipping
+# ---------------------------------------------------------------------------
+
+
+def _zorder10_sql(a: str, b: str, div_op: str = "div") -> str:
+    """Bit-interleave two 10-bit bucket expressions (Morton/Z-order).
+    Each bit is extracted with integer division + mod and placed with a
+    multiply-by-power-of-two constant — plain arithmetic with no
+    shift/AND precedence surprises (DuckDB parses `x & 1 << n` as
+    `x & (1 << n)`). ``div_op`` selects the engine's integer-division
+    token (Spark `div`, DuckDB `//`); operands are non-negative so the
+    two agree."""
+    terms = []
+    for i in range(10):
+        terms.append(f"((({a}) {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which physical layout serves the workload: the zone-map skipping
+    audit (zonemap_prune_report) evaluated over THREE candidate orders —
+    natural ingest (orderkey), shipdate-sorted, and a Morton/Z-order
+    interleave of (day, orderkey) buckets — against the same one-year
+    predicate. Each layout is one global sort (offline planning cost,
+    stated) + the per-file min/max aggregation; the report ranks layouts
+    by true scan fraction, the number a table-maintenance job acts on.
+    Z-ordering serves BOTH the date predicate and key lookups — the
+    classic multi-dimensional compromise this report quantifies."""
+    # l_shipdate scans as TIMESTAMP_NTZ — day arithmetic must be
+    # zone-free DATE math (the events.ts lesson, datamodel.epoch_micros)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+        ).cast("bigint").alias("day"),
+    )
+    mk = li.agg(
+        F.max("l_orderkey").alias("mk"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    base = li.crossJoin(F.broadcast(mk)).select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr("CAST((day - d0) * 1023 div (d1 - d0 + 1) AS BIGINT)").alias("db"),
+        F.expr("CAST(l_orderkey * 1023 div (mk + 1) AS BIGINT)").alias("kb"),
+    )
+    layouts = {
+        "natural_orderkey": F.expr("l_orderkey"),
+        "shipdate_sorted": F.expr("db * 2048 + kb"),
+        "zorder_day_key": F.expr(_zorder10_sql("db", "kb")),
+    }
+    reports = []
+    for name, key in layouts.items():
+        w = Window.orderBy(key, "l_orderkey")
+        files = (
+            base.select(
+                "l_shipdate",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+            )
+            .select(
+                F.expr(f"CAST((rn - 1) * {ZONEMAP_FILES} div n AS INT)").alias(
+                    "file_id"
+                ),
+                "l_shipdate",
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("l_shipdate").alias("mn"),
+                F.max("l_shipdate").alias("mx"),
+            )
+        )
+        hit = (F.col("mx") >= ZONEMAP_PRED_FROM) & (F.col("mn") <= ZONEMAP_PRED_TO)
+        reports.append(
+            files.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("files_scanned"),
+                (
+                    F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("double")
+                    / F.sum("n_rows")
+                ).alias("scan_fraction"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _layout_sql() -> str:
+    z = _zorder10_sql("db", "kb", div_op="//")
+    blocks = []
+    for name, key in (
+        ("natural_orderkey", "l_orderkey"),
+        ("shipdate_sorted", "db * 2048 + kb"),
+        ("zorder_day_key", z),
+    ):
+        blocks.append(f"""
+SELECT '{name}' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(SUM(CASE WHEN hit THEN n_rows ELSE 0 END) AS DOUBLE) / SUM(n_rows)
+         AS scan_fraction
+FROM (
+  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         (MAX(l_shipdate) >= TIMESTAMP '{ZONEMAP_PRED_FROM}'
+          AND MIN(l_shipdate) <= TIMESTAMP '{ZONEMAP_PRED_TO}') AS hit
+  FROM (
+    SELECT l_shipdate,
+           CAST((ROW_NUMBER() OVER (ORDER BY {key}, l_orderkey) - 1)
+                * {ZONEMAP_FILES} // COUNT(*) OVER () AS INTEGER) AS file_id
+    FROM base
+  )
+  GROUP BY file_id
+)""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_shipdate,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day
+  FROM lineitem
+),
+mk AS (SELECT MAX(l_orderkey) AS mk, MIN(day) AS d0, MAX(day) AS d1 FROM li),
+base AS (
+  SELECT l_orderkey, l_shipdate,
+         CAST((day - d0) * 1023 // (d1 - d0 + 1) AS BIGINT) AS db,
+         CAST(l_orderkey * 1023 // (mk + 1) AS BIGINT) AS kb
+  FROM li, mk
+)
+{union}
+"""
+
+
+LAYOUT_ADVISOR_REPORT_SQL = _layout_sql()

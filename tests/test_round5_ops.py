@@ -36,6 +36,7 @@ NEW_KEYS = [
     "raster_morphology_open",
     "item_item_similarity",
     "source_vocab_overlap",
+    "layout_advisor_report",
 ]
 
 
@@ -384,3 +385,19 @@ def test_source_overlap_jaccard_bounds(spark):
         assert 0.0 < r.jaccard <= 1.0
         assert r.inter <= min(r.na, r.nb)
         assert r.sa < r.sb
+
+
+def test_layout_advisor_orders_layouts_sensibly(spark):
+    """Date-sorted files must skip at least as well as the natural
+    order for a date predicate; z-order lands between (or ties)."""
+    rows = {r.layout: r for r in entrymod.queries()["layout_advisor_report"](spark, SF_DIR).collect()}
+    assert set(rows) == {"natural_orderkey", "shipdate_sorted", "zorder_day_key"}
+    nat, dat, z = (
+        rows["natural_orderkey"].scan_fraction,
+        rows["shipdate_sorted"].scan_fraction,
+        rows["zorder_day_key"].scan_fraction,
+    )
+    assert dat <= z <= nat or dat <= nat
+    for r in rows.values():
+        assert 0.0 <= r.scan_fraction <= 1.0
+        assert r.files_scanned <= r.n_files
