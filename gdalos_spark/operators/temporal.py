@@ -580,3 +580,101 @@ GROUP BY 1
 
 
 ATTRIBUTION_LAST_TOUCH_SQL = _attribution_sql()
+
+
+# ---------------------------------------------------------------------------
+# events_alert_debounce — alert runs over z-flagged days (monitoring)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_MIN_RUN = 2  # consecutive flagged days before an alert fires
+
+
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing, the monitoring pattern that stops pager noise:
+    a day is FLAGGED when its event volume deviates from the type's
+    mean by more than 1σ — decided by the exact integer inequality
+    (n·x − Σx)² > (n·Σx² − (Σx)²), no float mean/std ever exists — and
+    an episode FIRES only when it spans ≥ DEBOUNCE_MIN_RUN consecutive
+    flagged days (gaps-and-islands on the flagged-day sequence);
+    suppressed single-day blips stay in the report with fired=false,
+    the noise the debounce exists to absorb. Plan =
+    one day-grain agg, one broadcast of per-type moments, one island
+    groupBy — all on the event_type key."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    d = F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")
+    rhs = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    flagged = (
+        daily.join(F.broadcast(st), "event_type")
+        .where(d * d > rhs)
+        .select("event_type", "day", "x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = flagged.select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("day") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        runs.groupBy("event_type", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.max("x").alias("peak_volume"),
+        )
+        .select(
+            "event_type",
+            "start_day",
+            "end_day",
+            "run_len",
+            "peak_volume",
+            (F.col("run_len") >= DEBOUNCE_MIN_RUN).alias("fired"),
+        )
+    )
+
+
+EVENTS_ALERT_DEBOUNCE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+  FROM daily GROUP BY 1
+),
+flagged AS (
+  SELECT d.event_type, d.day, d.x
+  FROM daily d JOIN st ON d.event_type = st.event_type
+  WHERE (CAST(n AS DECIMAL(38,0)) * x - s) * (CAST(n AS DECIMAL(38,0)) * x - s)
+        > CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s
+),
+runs AS (
+  SELECT event_type, day, x,
+         day - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS grp
+  FROM flagged
+)
+SELECT event_type, MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS run_len, MAX(x) AS peak_volume,
+       COUNT(*) >= {DEBOUNCE_MIN_RUN} AS fired
+FROM runs
+GROUP BY event_type, grp
+"""

@@ -37,6 +37,7 @@ NEW_KEYS = [
     "item_item_similarity",
     "source_vocab_overlap",
     "layout_advisor_report",
+    "events_alert_debounce",
 ]
 
 
@@ -401,3 +402,14 @@ def test_layout_advisor_orders_layouts_sensibly(spark):
     for r in rows.values():
         assert 0.0 <= r.scan_fraction <= 1.0
         assert r.files_scanned <= r.n_files
+
+
+def test_alert_debounce_episode_invariants(spark):
+    from gdalos_spark.operators.temporal import DEBOUNCE_MIN_RUN
+
+    rows = entrymod.queries()["events_alert_debounce"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.end_day - r.start_day + 1 == r.run_len
+        assert r.fired == (r.run_len >= DEBOUNCE_MIN_RUN)
+        assert r.peak_volume >= 1
