@@ -1542,3 +1542,99 @@ FROM inter
 JOIN sizes ma ON sa = ma.source
 JOIN sizes mb ON sb = mb.source
 """
+
+
+# ---------------------------------------------------------------------------
+# trigram_entity_search — typo-tolerant entity lookup via a trigram index
+# ---------------------------------------------------------------------------
+
+TRIGRAM_QUERY = "bleu bolt"  # deliberate typo of 'blue bolt'
+TRIGRAM_MIN_SHARED = 2
+TRIGRAM_TOP_K = 10
+
+
+def _trigrams(s: str) -> list[str]:
+    """Host-side trigram set of the (padded) query literal — identical by
+    construction to the engine-side derivation below."""
+    p = f"  {s} "
+    return sorted({p[i : i + 3] for i in range(len(p) - 2)})
+
+
+def trigram_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity search, pg_trgm-style: part names are
+    indexed as padded character trigrams; the (misspelled) query's
+    trigram set is computed host-side and becomes a broadcast IN-list,
+    so candidate generation is a map-side filter + one groupBy on the
+    entity key — the inverted-index probe shape, never a scan-side
+    Levenshtein. Candidates sharing >= TRIGRAM_MIN_SHARED trigrams are
+    ranked by trigram Jaccard (exact integer ratio; ties on name, key).
+    'bleu bolt' finds 'blue bolt' without any edit-distance call."""
+    q = _trigrams(TRIGRAM_QUERY)
+    q_list = ", ".join("'" + t.replace("'", "''") + "'" for t in q)
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("nm")
+    )
+    tg = parts.select(
+        "p_partkey",
+        "nm",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(concat('  ', nm, ' ')) - 2), "
+                "i -> substring(concat('  ', nm, ' '), i, 3)))"
+            )
+        ).alias("t"),
+    )
+    n_tg = tg.groupBy("p_partkey").agg(F.count(F.lit(1)).alias("n_t"))
+    inter = (
+        tg.where(F.expr(f"t IN ({q_list})"))
+        .groupBy("p_partkey", "nm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .where(F.col("shared") >= TRIGRAM_MIN_SHARED)
+    )
+    scored = inter.join(n_tg, "p_partkey").select(
+        "p_partkey",
+        F.col("nm").alias("p_name"),
+        "shared",
+        (
+            F.col("shared").cast("double")
+            / (F.col("n_t") + F.lit(len(q)) - F.col("shared"))
+        ).alias("sim"),
+    )
+    w = Window.orderBy(F.desc("sim"), "p_name", "p_partkey")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TRIGRAM_TOP_K)
+    )
+
+
+def _trigram_search_sql() -> str:
+    q = _trigrams(TRIGRAM_QUERY)
+    q_list = ", ".join("'" + t.replace("'", "''") + "'" for t in q)
+    return f"""
+WITH parts AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
+tg AS (
+  SELECT DISTINCT p_partkey, nm,
+         substring('  ' || nm || ' ', CAST(i AS INTEGER), 3) AS t
+  FROM parts,
+       LATERAL (SELECT unnest(range(1, length('  ' || nm || ' ') - 1)) AS i)
+),
+n_tg AS (SELECT p_partkey, COUNT(*) AS n_t FROM tg GROUP BY 1),
+inter AS (
+  SELECT p_partkey, nm, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM tg WHERE t IN ({q_list})
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRIGRAM_MIN_SHARED}
+),
+scored AS (
+  SELECT i.p_partkey, i.nm AS p_name, i.shared,
+         CAST(i.shared AS DOUBLE) / (n.n_t + {len(q)} - i.shared) AS sim
+  FROM inter i JOIN n_tg n ON i.p_partkey = n.p_partkey
+)
+SELECT p_partkey, p_name, shared, sim,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, p_name, p_partkey) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {TRIGRAM_TOP_K}
+"""
+
+
+TRIGRAM_ENTITY_SEARCH_SQL = _trigram_search_sql()

@@ -38,6 +38,7 @@ NEW_KEYS = [
     "source_vocab_overlap",
     "layout_advisor_report",
     "events_alert_debounce",
+    "trigram_entity_search",
 ]
 
 
@@ -413,3 +414,17 @@ def test_alert_debounce_episode_invariants(spark):
         assert r.end_day - r.start_day + 1 == r.run_len
         assert r.fired == (r.run_len >= DEBOUNCE_MIN_RUN)
         assert r.peak_volume >= 1
+
+
+def test_trigram_search_finds_typo_target(spark):
+    """'bleu bolt' must rank 'blue bolt' first — typo tolerance without
+    any edit-distance computation."""
+    rows = entrymod.queries()["trigram_entity_search"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    assert rows[0].p_name == "blue bolt" if any(
+        r.p_name == "blue bolt" for r in rows
+    ) else True
+    best = min(rows, key=lambda r: r.rank)
+    assert best.p_name == "blue bolt"
+    for r in rows:
+        assert 0.0 < r.sim <= 1.0
