@@ -22,6 +22,13 @@ INVARIANCE_KEYS = [
     "embedding_centroid_drift",
     "events_type_entropy",
     "raster_contour_segments",
+    # round-5 float-bearing additions: norm outliers (integer inequality
+    # must hold under any layout), maxsim (sum-of-max over rounded
+    # cosines), zonal stats (DECIMAL(38) variance), item-item cosine
+    "embedding_norm_outliers",
+    "multivector_maxsim",
+    "raster_zonal_stats",
+    "item_item_similarity",
 ]
 
 
