@@ -3288,3 +3288,119 @@ WHERE m = 1 OR opened = 1
 
 
 RASTER_MORPHOLOGY_OPEN_SQL = _morph_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_cost_distance — k-bounded min-plus (cost-distance) relaxation
+#    ref: GDAL's gdal_proximity computes unweighted distance
+#    (raster_proximity above); weighted cost-distance is its ubiquitous
+#    GIS sibling (ArcGIS CostDistance / GRASS r.cost). Same stencil
+#    machinery, min-plus semiring instead of min-distance.
+# ---------------------------------------------------------------------------
+
+COST_ROUNDS = 6
+
+
+def raster_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cost-distance from the global maximum-elevation cell:
+    entering a cell costs its elevation in cents, and each of
+    COST_ROUNDS Bellman-Ford rounds relaxes cost(c) = min(cost(c),
+    min over 8-neighbors n of cost(n) + w(c)) — one broadcast 9-offset
+    join + one groupBy-min per round, localCheckpoint cutting lineage
+    exactly like the CC loop. k rounds bound the frontier to k cells
+    (the honest contract, stated in the output); production runs
+    delta-stepping to the fixed point with the same per-round plan. All
+    arithmetic is exact BIGINT cents — min-plus never touches a float."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.expr("CAST(elev * 100 AS BIGINT)").alias("w")
+    )
+    w_src = Window.orderBy(F.desc("w"), "px", "py")
+    src = (
+        dem.withColumn("rn", F.row_number().over(w_src))
+        .where(F.col("rn") == 1)
+        .select(F.col("px").alias("sx"), F.col("py").alias("sy"))
+    )
+    cost = dem.crossJoin(F.broadcast(src)).select(
+        "px",
+        "py",
+        "w",
+        F.when((F.col("px") == F.col("sx")) & (F.col("py") == F.col("sy")), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("cost"),
+    ).localCheckpoint()
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if not (dx == 0 and dy == 0)],
+        "dx int, dy int",
+    )
+    for _ in range(COST_ROUNDS):
+        nb = (
+            cost.where(F.col("cost").isNotNull())
+            .crossJoin(F.broadcast(offsets))
+            .select(
+                (F.col("px") + F.col("dx")).alias("tx"),
+                (F.col("py") + F.col("dy")).alias("ty"),
+                F.col("cost").alias("ncost"),
+            )
+            .groupBy("tx", "ty")
+            .agg(F.min("ncost").alias("best_nb"))
+        )
+        cost = (
+            cost.join(
+                nb,
+                (F.col("px") == F.col("tx")) & (F.col("py") == F.col("ty")),
+                "left",
+            )
+            .select(
+                "px",
+                "py",
+                "w",
+                F.least(
+                    F.col("cost"),
+                    F.col("best_nb") + F.col("w"),
+                ).alias("cost"),
+            )
+            .localCheckpoint()
+        )
+    return cost.where(F.col("cost").isNotNull()).select(
+        "px", "py", F.col("cost").alias("cost_cents")
+    )
+
+
+def _cost_distance_sql() -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    parts = [f"""
+WITH dem AS ({DEM_GRID_SQL}),
+g AS (SELECT px, py, CAST(elev * 100 AS BIGINT) AS w FROM dem),
+src AS (
+  SELECT px AS sx, py AS sy FROM g ORDER BY w DESC, px, py LIMIT 1
+),
+offsets(dx, dy) AS (VALUES {offs}),
+c0 AS (
+  SELECT px, py, w,
+         CASE WHEN px = sx AND py = sy THEN CAST(0 AS BIGINT) END AS cost
+  FROM g, src
+)"""]
+    for i in range(1, COST_ROUNDS + 1):
+        parts.append(f""",
+nb{i} AS (
+  SELECT px + dx AS tx, py + dy AS ty, MIN(cost) AS best_nb
+  FROM c{i - 1} CROSS JOIN offsets
+  WHERE cost IS NOT NULL
+  GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT c.px, c.py, c.w,
+         LEAST(c.cost, n.best_nb + c.w) AS cost
+  FROM c{i - 1} c LEFT JOIN nb{i} n ON c.px = n.tx AND c.py = n.ty
+)""")
+    parts.append(f"""
+SELECT px, py, cost AS cost_cents FROM c{COST_ROUNDS} WHERE cost IS NOT NULL
+""")
+    return "".join(parts)
+
+
+RASTER_COST_DISTANCE_SQL = _cost_distance_sql()

@@ -39,6 +39,7 @@ NEW_KEYS = [
     "layout_advisor_report",
     "events_alert_debounce",
     "trigram_entity_search",
+    "raster_cost_distance",
 ]
 
 
@@ -428,3 +429,18 @@ def test_trigram_search_finds_typo_target(spark):
     assert best.p_name == "blue bolt"
     for r in rows:
         assert 0.0 < r.sim <= 1.0
+
+
+def test_cost_distance_frontier_and_monotonicity(spark):
+    """Exactly one zero-cost source; every reached cell is within
+    COST_ROUNDS Chebyshev steps of it; costs are positive elsewhere."""
+    from gdalos_spark.operators.raster import COST_ROUNDS
+
+    rows = entrymod.queries()["raster_cost_distance"](spark, SF_DIR).collect()
+    zeros = [r for r in rows if r.cost_cents == 0]
+    assert len(zeros) == 1
+    sx, sy = zeros[0].px, zeros[0].py
+    for r in rows:
+        assert max(abs(r.px - sx), abs(r.py - sy)) <= COST_ROUNDS
+        if (r.px, r.py) != (sx, sy):
+            assert r.cost_cents > 0
