@@ -220,3 +220,72 @@ LIMIT {PR_TOPK}
 
 
 PAGERANK_EXACT_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# supplier_kcore — k-core decomposition by fixed-round peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the competitor graph: iteratively peel vertices with
+    degree < KCORE_K until stable — the standard dense-substructure
+    detector (community cores, spam rings, influence backbones). Each
+    peel round is one degree groupBy + one semi-join edge filter, run a
+    FIXED KCORE_ROUNDS times so both engines execute the identical
+    schedule (the loop converges in <= peeling-depth rounds; the fixed
+    count is the stated contract, same discipline as pagerank_exact's
+    fixed iterations). Output: surviving vertices with their final
+    in-core degree."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("u")
+        und = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("u").alias("s_suppkey"), "core_degree")
+    )
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # peel round references the previous one twice — unmaterialized,
+    # the edge scan re-expands 2^rounds times (observed as a
+    # too-many-open-files explosion at 8 rounds)
+    parts = [f"""
+WITH e AS MATERIALIZED ({_EDGES_SQL}),
+u0 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e
+  UNION ALL SELECT b AS u, a AS v FROM e
+)"""]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(f""",
+k{i} AS MATERIALIZED (
+  SELECT u FROM u{i - 1} GROUP BY u HAVING COUNT(*) >= {KCORE_K}
+),
+u{i} AS MATERIALIZED (
+  SELECT t.u, t.v FROM u{i - 1} t
+  SEMI JOIN k{i} a ON t.u = a.u
+  SEMI JOIN k{i} b ON t.v = b.u
+)""")
+    parts.append(f"""
+SELECT u AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM u{KCORE_ROUNDS}
+GROUP BY u
+""")
+    return "".join(parts)
+
+
+SUPPLIER_KCORE_SQL = _kcore_sql()

@@ -40,6 +40,7 @@ NEW_KEYS = [
     "events_alert_debounce",
     "trigram_entity_search",
     "raster_cost_distance",
+    "supplier_kcore",
 ]
 
 
@@ -444,3 +445,13 @@ def test_cost_distance_frontier_and_monotonicity(spark):
         assert max(abs(r.px - sx), abs(r.py - sy)) <= COST_ROUNDS
         if (r.px, r.py) != (sx, sy):
             assert r.cost_cents > 0
+
+
+def test_kcore_members_meet_degree_floor(spark):
+    """Every surviving vertex keeps degree >= k within the core (the
+    defining property of a k-core)."""
+    from gdalos_spark.operators.graph import KCORE_K
+
+    rows = entrymod.queries()["supplier_kcore"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.core_degree >= KCORE_K
