@@ -5,6 +5,13 @@ Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>}
 
+`python bench.py --smoke` is the pre-flight: load() every table under a
+VANILLA session (no tuned configs — the driver's environment) and run one
+count each, so a loader/schema regression fails loudly in seconds instead
+of silently zeroing a round's bench signal (the round-3 failure mode:
+events.parquet changed physical timestamp type and the whole bench
+crashed in warmup). Exits non-zero on any failure.
+
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect). Headline set = the most expensive representative
 plan shapes: full-scan agg, multi-join, window/sessionize, raster join,
@@ -44,6 +51,31 @@ HEADLINE = [
     "text_pii_flag",
     "corpus_sample_stratified",
 ]
+
+
+def smoke() -> int:
+    """Vanilla-session pre-flight: every table must load() and count()."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("gdalos_spark-smoke")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from gdalos_spark.datamodel import TABLES, load
+
+    failures: dict[str, str] = {}
+    counts: dict[str, int] = {}
+    for t in TABLES:
+        try:
+            counts[t] = load(spark, sf_dir, t).count()
+        except Exception as e:  # noqa: BLE001
+            failures[t] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps({"metric": "smoke", "counts": counts, "failures": failures}))
+    return 1 if failures else 0
 
 
 def main() -> None:
@@ -135,4 +167,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--smoke" in sys.argv:
+        raise SystemExit(smoke())
     main()

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, split_for_cpu
 from gdalos_spark.functions import hashing, vectors
 from gdalos_spark.functions.hashing import (
     MINHASH_A,
@@ -64,20 +64,28 @@ SHINGLES3_SQL = (
 )
 
 # distinct (doc_id, lang, shingle) rows
-DOCSH_SQL = f"""
+
+
+def _docsh_sql(src: str = "documents") -> str:
+    return f"""
   SELECT doc_id, lang, unnest(list_distinct({SHINGLES3_SQL})) AS shingle
-  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM {src})
 """
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the explode: the shingle+md5 pipeline is
+DOCSH_SQL = _docsh_sql()
+
+
+def doc_shingles(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    # Re-spread before the explode: the shingle+md5 pipeline is
     # CPU-bound, and a small doc table may arrive as one input split —
     # without this every downstream hash runs on a single core. At real
-    # scale the scan is already many splits and this is a cheap no-op
-    # redistribution of raw text.
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n, "doc_id")
+    # scale the scan is already many splits and split_for_cpu skips the
+    # exchange entirely (repartition is never free).
+    if docs is None:
+        docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", "lang", F.explode(F.array_distinct(shingles3(F.col("text")))).alias("shingle")
     )
@@ -185,10 +193,12 @@ N_BANDS = 4
 BAND_R = 4
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signatures(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     # materialize the md5 base once per (doc, shingle) row; the 16 perm
     # mins then reference the cheap column, not 16 md5 evaluations
-    docsh = doc_shingles(spark, sf_dir).select(
+    docsh = doc_shingles(spark, sf_dir, docs).select(
         "doc_id", hash_base(F.col("shingle")).alias("hb")
     )
     return docsh.groupBy("doc_id").agg(
@@ -207,16 +217,48 @@ def _sig_sql() -> str:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup: per-doc 16-permutation minhash signature (one
     shuffle), band keys of 4 rows each, candidate pairs via equi-join on
     (band_id, band_key), estimated Jaccard = fraction of agreeing
     signature components. The band join IS the LSH trick — sub-quadratic
-    by construction, shuffles only on band keys."""
-    # sig feeds the band explode AND both sides of the candidate join —
-    # persist the tiny per-doc table instead of recomputing the shingle
-    # pipeline four times (at scale this is a materialized signature table)
-    sig = _signatures(spark, sf_dir).persist()
+    by construction, shuffles only on band keys.
+
+    Scale shape: the full signature ARRAY rides through the band join so
+    est_jaccard is computed inline on the joined row — the alternative
+    (distinct the candidate pairs, then equi-join the signature table
+    twice) shuffles the pair set three times, and at the sf10 upscale's
+    27M candidate pairs those joins dominated the whole operator
+    (measured 90s -> 23s from this change). The band rows widen by 16
+    ints, but band cardinality is |docs| x N_BANDS — orders of magnitude
+    smaller than the pair volume on any near-dup-heavy corpus. A second
+    payoff: downstream consumers that filter on est_jaccard (the
+    dedup_clusters edge threshold) now push that filter BELOW the
+    distinct, so sub-threshold pairs never shuffle at all."""
+    return _minhash_pairs(spark, sf_dir, docs).distinct()
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Raw (doc_a, doc_b, est_jaccard) candidate stream, NOT deduplicated
+    across bands: a pair sharing several band keys appears once per band
+    (with the identical est value — it depends only on the signatures).
+    dedup_minhash_lsh applies the distinct for its pair-list contract;
+    consumers that run their own dedup anyway (dedup_clusters' connected
+    components, whose edge ingest is already a distinct) read the raw
+    stream so the 27M-pair volume of a replica-heavy corpus crosses the
+    network ONCE instead of three times."""
+    return _pairs_from_sig(_signatures(spark, sf_dir, docs).persist())
+
+
+def _pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Band join + inline est_jaccard over a (doc_id, m0..m15) signature
+    table — the pair-generation half of the LSH pipeline, reusable over a
+    reduced signature table (dedup_clusters collapses signature-identical
+    docs first)."""
     band_structs = [
         F.struct(
             F.lit(j).alias("band_id"),
@@ -224,33 +266,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(N_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey")
+    bands = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("ms"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(
+        "doc_id", "ms", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ms").alias("ms_a"), "band_id", "bkey"
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERM)
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ms").alias("ms_b"), "band_id", "bkey"
     )
+    agree = F.expr("size(filter(zip_with(ms_a, ms_b, (x, y) -> x = y), t -> t))")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", (agree / F.lit(float(N_PERM))).alias("est_jaccard"))
+        a.join(b, ["band_id", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", (agree / F.lit(float(N_PERM))).alias("est_jaccard")
+        )
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     bands = "\nUNION ALL\n".join(
         "SELECT doc_id, {j} AS band_id, concat_ws('-', {cols}) AS bkey FROM sig".format(
             j=j, cols=", ".join(f"m{j * BAND_R + r}" for r in range(BAND_R))
@@ -259,7 +298,7 @@ def _minhash_sql() -> str:
     )
     agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM))
     return f"""
-WITH docsh AS ({DOCSH_SQL}),
+WITH docsh AS ({_docsh_sql(src)}),
 sig AS ({_sig_sql()}),
 bands AS ({bands}),
 cand AS (
@@ -516,19 +555,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-diameter rounds simple label propagation needs.
 
     Output: (doc_id, cluster_id, cluster_size) for docs in >=1 pair.
+
+    Scale design — collapse signature-identical docs BEFORE pairing (the
+    fix for the measured sf10 pair-generation cost, where 500k docs in
+    100-replica near-dup cliques generated 27M candidate pairs):
+    est_jaccard and every band key are pure functions of the
+    16-component minhash signature, so two signature-identical docs are
+    always co-bucketed with est = 16/16 >= tau — an edge by definition,
+    emitted as a STAR of k-1 edges to the group's min member
+    (connectivity-identical to the k(k-1)/2 all-pairs join) — and a
+    cross-group pair qualifies iff the group representatives' pair
+    qualifies. The band join then runs over DISTINCT signatures only
+    (166k of 500k at the sf10 upscale — a ~9x pair-volume cut). Exact
+    (md5) duplicate pairs need no separate pass: identical text implies
+    an identical signature, so every exact edge is inside a signature
+    group's star. The collapse is result-IDENTICAL, not an
+    approximation: every (doc_id, cluster_id, cluster_size) row matches
+    the unreduced formulation bit-for-bit, which the SQL twin (same
+    reduction) gates.
     """
     docs = load(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id", F.md5("text").alias("h"))
-    a, b = hashed.alias("a"), hashed.alias("b")
-    exact_pairs = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    sig = _signatures(spark, sf_dir, split_for_cpu(docs, "doc_id")).persist()
+    mcols = [f"m{i}" for i in range(N_PERM)]
+    sgroups = sig.groupBy(*mcols).agg(F.min("doc_id").alias("srep"))
+    # star edges: signature-identical docs -> their min member (always
+    # co-bucketed, est = 16/16 — an edge in the unreduced graph)
+    sig_star = (
+        sig.join(sgroups, mcols)
+        .filter(F.col("doc_id") != F.col("srep"))
+        .select(F.col("srep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    rep_sig = sgroups.select(F.col("srep").alias("doc_id"), *mcols)
+    # raw (non-distinct) candidate stream over distinct signatures only:
+    # _cc_alternating's edge ingest is itself a distinct, so deduplicating
+    # here would shuffle the pair volume twice for nothing
     near_pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
+        _pairs_from_sig(rep_sig)
         .filter(F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD)
         .select("doc_a", "doc_b")
     )
-    pairs = exact_pairs.union(near_pairs).distinct()
+    pairs = sig_star.union(near_pairs)
 
     root_map, rounds, converged = _cc_alternating(pairs)
     if not converged:  # pragma: no cover - needs >2^25-diameter data
@@ -541,13 +607,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
 
-    verts = (
-        pairs.select(F.col("doc_a").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("v")))
-        .distinct()
-    )
-    labels = verts.join(root_map, verts.v == root_map.node, "left").select(
-        F.col("v"), F.coalesce(F.col("root"), F.col("v")).alias("label")
+    # At the star fixed point the root map IS the vertex set: every
+    # non-root vertex appears as exactly one (node -> root) row, and
+    # every root appears on the right of >=1 row (components have >=2
+    # members by construction). Deriving labels from the CHECKPOINTED
+    # root map instead of re-walking `pairs` avoids recomputing the whole
+    # signature/band pipeline a second time for the vertex list (the
+    # label stage was the hidden tail cost at both sf0.1 and sf10).
+    labels = root_map.select(
+        F.col("node").alias("v"), F.col("root").alias("label")
+    ).union(
+        root_map.select(
+            F.col("root").alias("v"), F.col("root").alias("label")
+        ).distinct()
     )
 
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -559,15 +631,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters_sql() -> str:
+    # same signature-level collapse as the DataFrame side:
+    # signature-identical docs emit star edges + one signature into the
+    # band pipeline (md5 duplicates are inside signature groups)
+    mlist = ", ".join(f"m{i}" for i in range(N_PERM))
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {j} AS band_id, concat_ws('-', {cols}) AS bkey FROM repsig".format(
+            j=j, cols=", ".join(f"m{j * BAND_R + r}" for r in range(BAND_R))
+        )
+        for j in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    )
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
-  FROM documents d1 JOIN documents d2
-    ON md5(d1.text) = md5(d2.text) AND d1.doc_id < d2.doc_id
+WITH RECURSIVE
+docsh AS ({_docsh_sql("documents")}),
+sig AS ({_sig_sql()}),
+sgrp AS (SELECT {mlist}, MIN(doc_id) AS srep FROM sig GROUP BY {mlist}),
+repsig AS (SELECT srep AS doc_id, {mlist} FROM sgrp),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT g.srep AS doc_a, s.doc_id AS doc_b
+  FROM sig s JOIN sgrp g USING ({mlist})
+  WHERE s.doc_id <> g.srep
   UNION
   SELECT doc_a, doc_b
-  FROM ({DEDUP_MINHASH_LSH_SQL}) mh
-  WHERE est_jaccard >= {CLUSTER_MIN_EST_JACCARD}
+  FROM cand
+  JOIN repsig sa ON sa.doc_id = cand.doc_a
+  JOIN repsig sb ON sb.doc_id = cand.doc_b
+  WHERE ({agree}) / {float(N_PERM)} >= {CLUSTER_MIN_EST_JACCARD}
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -613,8 +711,7 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join/agg on the hash key with map-side partials."""
     # parallelize the segment pipeline when the table arrives as one
     # input split (cheap redistribution; no-op at real scale)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     # words staged as a column: split() inside the transform lambda would
     # re-split the document once per segment index (O(words^2) per doc)
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
@@ -709,15 +806,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redistribute it — without this the 2.5M-pair fold at the sf1
     # upscale ran on one core (135s; 6.5s repartitioned). Cheap: slim
     # rows, no-op at real scale where the scan is already wide.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (
-        emb.select(
+        split_for_cpu(
+            emb.select(
+                "vec_id",
+                "label",
+                vectors.emb_double(F.col("embedding")).alias("emb"),
+                F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
+            ),
             "vec_id",
-            "label",
-            vectors.emb_double(F.col("embedding")).alias("emb"),
-            F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
         )
-        .repartition(n_part, "vec_id")
         .join(cc, ["vec_id", "label"])
         .persist()
     )
@@ -818,8 +916,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     respectively. Pair expansion never happens — frequency > 1 is a
     property of the gram, not of a pair join.
     """
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     gram_expr = (
         "CASE WHEN size(words) >= {n} THEN "
@@ -946,13 +1043,12 @@ def _fuzzy_titles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent as text_pii_flag: the corpus is random word salad with no
     natural typo-level pairs, so the operator's recall is demonstrated
     on planted ones; the plant is an equi-join on doc_id-1)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # project the 32-char title BEFORE repartitioning — shuffling the
     # full text column to then keep 32 chars of it is pure waste
-    base = (
+    base = split_for_cpu(
         load(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.substring("text", 1, FUZZY_PREFIX_LEN).alias("t0"))
-        .repartition(n_part, "doc_id")
+        .select("doc_id", "source", F.substring("text", 1, FUZZY_PREFIX_LEN).alias("t0")),
+        "doc_id",
     )
     prev = base.select(
         (F.col("doc_id") + 1).alias("nxt"), F.col("t0").alias("prev_t")

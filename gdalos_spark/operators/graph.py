@@ -234,16 +234,16 @@ def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the competitor graph: iteratively peel vertices with
     degree < KCORE_K until stable — the standard dense-substructure
     detector (community cores, spam rings, influence backbones). Each
-    peel round is one degree groupBy + one semi-join edge filter, run a
-    FIXED KCORE_ROUNDS times so both engines execute the identical
-    schedule (the loop converges in <= peeling-depth rounds; the fixed
-    count is the stated contract, same discipline as pagerank_exact's
-    fixed iterations). Output: surviving vertices with their final
-    in-core degree."""
+    peel round is one degree groupBy + one semi-join edge filter, capped
+    at KCORE_ROUNDS so both engines execute the identical schedule, with
+    a convergence early-exit once a round removes nothing (a fixed point
+    — the oracle's remaining fixed rounds are provably no-ops). Output:
+    surviving vertices with their final in-core degree."""
     edges = _edges(spark, sf_dir)
     und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).localCheckpoint()
+    n_edges = und.count()
     for _ in range(KCORE_ROUNDS):
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= KCORE_K).select("u")
@@ -252,6 +252,16 @@ def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint()
         )
+        # convergence early-exit: a round that removes no edge is a fixed
+        # point — every later round is a no-op, so stopping here keeps the
+        # oracle's fixed-8-round schedule bit-identical while guaranteeing
+        # the degree>=k property whenever the peel converges within the cap
+        # (driver-side count on checkpointed data, same discipline as
+        # _cc_alternating's convergence probe)
+        n_next = und.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     return (
         und.groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))

@@ -736,8 +736,9 @@ RESIZE_OUT = 16  # nearest-neighbor target (RESIZE_OUT x RESIZE_OUT)
 
 def _encode_ppm(w: int, h: int, body: bytes) -> bytes:
     """Real P6 PPM payload: header + body tiled/truncated to w*h*3."""
+    body = body or b"\x00"  # empty payload would tile to zero pixels
     need = w * h * 3
-    reps = need // max(len(body), 1) + 1
+    reps = need // len(body) + 1
     return f"P6\n{w} {h}\n255\n".encode() + (body * reps)[:need]
 
 
@@ -849,7 +850,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = AUDIO_N_SAMPLES
 
         def one(payload: bytes):
-            raw = (payload * (2 * n // max(len(payload), 1) + 1))[: 2 * n]
+            payload = payload or b"\x00"  # empty tiles to zero samples
+            raw = (payload * (2 * n // len(payload) + 1))[: 2 * n]
             samples = np.frombuffer(raw, dtype="<i2")
             wav = _encode_wav(samples)
             meta = _decode_real(wav, "audio")
@@ -907,10 +909,11 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         px = GIF_FRAME_W * GIF_FRAME_H
 
         def one(doc_id: int, payload: bytes):
+            payload = payload or b"\x00"  # empty tiles to zero frames
             n_frames = 2 + (doc_id % 3) * 2  # 2/4/6 frames
             need = n_frames * px
             raw = np.frombuffer(
-                (payload * (need // max(len(payload), 1) + 1))[:need], np.uint8
+                (payload * (need // len(payload) + 1))[:need], np.uint8
             )
             frames = [
                 (raw[i * px : (i + 1) * px] % 4).reshape(GIF_FRAME_H, GIF_FRAME_W)

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from gdalos_spark.functions import hashing
 from gdalos_spark.operators.text import TEXT_QUALITY_SCORE_SQL, text_quality_score
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, split_for_cpu
 
 QUALITY_MIN = 0.5
 TOKENS_MIN = 20
@@ -158,8 +158,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # parallelize the gram pipeline when the table arrives as one input
     # split (cheap redistribution; no-op at real scale)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     # words staged as a column: split() inside the transform lambda would
     # re-split the document once per gram index (O(words^2) per doc)
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
@@ -355,7 +354,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return cum.select(
+    out = cum.select(
         "doc_id",
         "source",
         "shard",
@@ -369,6 +368,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0
         ).cast("int").alias("spans_boundary"),
     )
+    return out.orderBy("source", "shard", "doc_id")
 
 
 SEQUENCE_PACKING_SQL = f"""
@@ -392,6 +392,7 @@ SELECT doc_id, source, shard, n_tokens,
        CAST(FLOOR((cum_tokens - 1) / {PACK_CTX}.0)
             - FLOOR((cum_tokens - n_tokens) / {PACK_CTX}.0) > 0 AS INTEGER) AS spans_boundary
 FROM cum
+ORDER BY source, shard, doc_id
 """
 
 
@@ -643,7 +644,7 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_nationkey",
             F.expr(
-                "(CAST(c_acctbal * 100 AS BIGINT) + 100000000) div 100000"
+                "(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100000000) div 100000"
             ).alias("bal_bucket"),
         )
         .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
@@ -673,7 +674,7 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_ANONYMITY_REPORT_SQL = f"""
 WITH g AS (
   SELECT c_mktsegment, c_nationkey,
-         (CAST(c_acctbal * 100 AS BIGINT) + 100000000) // 100000 AS bal_bucket,
+         (CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100000000) // 100000 AS bal_bucket,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM customer
   GROUP BY 1, 2, 3

@@ -3404,3 +3404,196 @@ SELECT px, py, cost AS cost_cents FROM c{COST_ROUNDS} WHERE cost IS NOT NULL
 
 
 RASTER_COST_DISTANCE_SQL = _cost_distance_sql()
+
+
+# ---------------------------------------------------------------------------
+# 237. crs_reproject_utm — true CRS reprojection: geographic -> UTM regrid
+#    ref: gdalos_trans.py:82 warp path (warp_srs -> gdalwarp between
+#         CRSs), backports/osr_utm_util.py:52 proj_string_from_utm_zone
+#         ('+proj=utm +zone=36 +datum=WGS84', k0=0.9996, x_0=500000),
+#         backports/osr_utm_util.py:18 get_utm_zone_by_lon,
+#         projdef.py get_proj_string chain. The reference shells out to
+#         GDAL/PROJ for the datum math; here the WGS-84 ellipsoidal
+#         transverse-Mercator forward projection (Redfearn series) is
+#         evaluated IN the engine as column arithmetic.
+#
+# Cross-engine discipline (the geo_distance/sector_ring precedent): both
+# engines parse the IDENTICAL expression text; sin/cos are Maclaurin
+# polynomials on the HALVED latitude (|phi/2| < 0.28 rad for the 30..31
+# degree source extent) reconstructed via double-angle identities, all
+# remaining math is IEEE +,-,*,/,sqrt — so every easting/northing double
+# is bit-equal by construction, and the integer target-cell ids are
+# hash-stable. Plan shape: pure scalar projection chain over the DEM
+# (whole-stage codegen, zero extra shuffles) + ONE groupBy on the target
+# UTM cell — the same one-shuffle contract as raster_warp_affine, which
+# is exactly how a distributed warp should look at 100 TB: map-side
+# coordinate math, shuffle only on the target tile key.
+# ---------------------------------------------------------------------------
+
+_UTM_A = 6378137.0                      # WGS-84 semi-major axis
+_UTM_F = 1.0 / 298.257223563            # WGS-84 flattening
+_UTM_E2 = _UTM_F * (2.0 - _UTM_F)       # first eccentricity squared
+_UTM_EP2 = _UTM_E2 / (1.0 - _UTM_E2)    # second eccentricity squared
+_UTM_K0 = 0.9996                        # proj_string_from_utm_zone +k=0.9996
+_UTM_FE = 500000.0                      # +x_0=500000
+# meridian-arc series coefficients (Redfearn / Snyder 3-21..3-24)
+_UTM_A0 = 1.0 - _UTM_E2 / 4.0 - 3.0 * _UTM_E2**2 / 64.0 - 5.0 * _UTM_E2**3 / 256.0
+_UTM_A2 = 3.0 / 8.0 * (_UTM_E2 + _UTM_E2**2 / 4.0 + 15.0 * _UTM_E2**3 / 128.0)
+_UTM_A4 = 15.0 / 256.0 * (_UTM_E2**2 + 3.0 * _UTM_E2**3 / 4.0)
+_UTM_A6 = 35.0 * _UTM_E2**3 / 3072.0
+_UTM_RAD = 0.017453292519943295         # pi/180
+# source extent: px,py in [0,64) -> lon in [30,30.64), lat in [30,30.64)
+# => UTM zone 36 (get_utm_zone_by_lon: floor(30/6)+31 = 36), lon0 = 33 E
+_UTM_LON_0, _UTM_LAT_0, _UTM_DEG_PER_PX = 30.0, 30.0, 0.01
+_UTM_ZONE = 36
+_UTM_CM = (_UTM_ZONE - 31) * 6 + 3      # central meridian, deg
+_UTM_CELL_M = 1000.0                    # target grid cell edge, meters
+# sin(x) = x*P(x^2), cos(x) = Q(x^2) — 8 terms, exact to last ulp for
+# |x| <= 0.28 (the halved latitude); same coefficient set as the
+# sector_ring_points arc polynomials
+_UTM_SIN_C = [
+    1.0, -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880,
+    -1.0 / 39916800, 1.0 / 6227020800, -1.0 / 1307674368000,
+]
+_UTM_COS_C = [
+    1.0, -0.5, 1.0 / 24, -1.0 / 720, 1.0 / 40320,
+    -1.0 / 3628800, 1.0 / 479001600, -1.0 / 87178291200,
+]
+
+
+def _utm_horner(var: str, coeffs: list[float]) -> str:
+    s = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        s = f"({c!r} + {var} * {s})"
+    return s
+
+
+def _utm_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
+    keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
+    return (
+        keep + (
+            ("phi", f"((({_UTM_LAT_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
+            ("omega", f"((({_UTM_LON_0!r} + CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r}) - {float(_UTM_CM)!r}) * {_UTM_RAD!r})"),
+        ),
+        keep + (
+            ("phi", "phi"), ("omega", "omega"),
+            ("ph", "(phi * 0.5)"),
+        ),
+        keep + (
+            ("phi", "phi"), ("omega", "omega"),
+            ("sh", f"(ph * {_utm_horner('(ph * ph)', _UTM_SIN_C)})"),
+            ("ch", _utm_horner("(ph * ph)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("phi", "phi"), ("omega", "omega"),
+            ("sf", "(2.0 * (sh * ch))"),       # sin(phi)
+            ("cf", "(1.0 - 2.0 * (sh * sh))"),  # cos(phi)
+        ),
+        keep + (
+            ("phi", "phi"), ("omega", "omega"), ("sf", "sf"), ("cf", "cf"),
+            ("s2", "(2.0 * (sf * cf))"),        # sin(2 phi)
+            ("c2", "(1.0 - 2.0 * (sf * sf))"),  # cos(2 phi)
+            ("t", "(sf / cf)"),
+            ("eta2", f"({_UTM_EP2!r} * (cf * cf))"),
+            ("nu", f"({_UTM_A!r} / sqrt(1.0 - {_UTM_E2!r} * (sf * sf)))"),
+            ("oc", "(omega * cf)"),             # omega * cos(phi)
+        ),
+        keep + (
+            ("phi", "phi"),
+            ("t", "t"), ("eta2", "eta2"), ("nu", "nu"), ("oc", "oc"),
+            ("s2", "s2"), ("c2", "c2"),
+            ("s4", "(2.0 * (s2 * c2))"),        # sin(4 phi)
+            ("c4", "(1.0 - 2.0 * (s2 * s2))"),  # cos(4 phi)
+        ),
+        keep + (
+            ("t", "t"), ("eta2", "eta2"), ("nu", "nu"), ("oc", "oc"),
+            # sin(6 phi) = sin(2 phi) cos(4 phi) + cos(2 phi) sin(4 phi)
+            # folded directly into the meridian arc M(phi)
+            (
+                "marc",
+                f"({_UTM_A!r} * (((({_UTM_A0!r} * phi) - ({_UTM_A2!r} * s2))"
+                f" + ({_UTM_A4!r} * s4))"
+                f" - ({_UTM_A6!r} * ((s2 * c4) + (c2 * s4)))))",
+            ),
+        ),
+    )
+
+
+def _utm_easting_northing() -> tuple[str, str]:
+    """Shared easting/northing expression text (Redfearn through the
+    5th/6th-order terms) over the stage columns."""
+    t2 = "(t * t)"
+    easting = (
+        f"({_UTM_FE!r} + ({_UTM_K0!r} * (nu * "
+        f"((oc + (((oc * oc) * oc) * {1.0 / 6.0!r}) * ((1.0 - {t2}) + eta2))"
+        f" + ((((((oc * oc) * oc) * oc) * oc) * {1.0 / 120.0!r})"
+        f" * ((((5.0 - (18.0 * {t2})) + ({t2} * {t2})) + (14.0 * eta2))"
+        f" - ((58.0 * {t2}) * eta2)))))))"
+    )
+    northing = (
+        f"({_UTM_K0!r} * (marc + ((nu * t) * "
+        f"((((oc * oc) * 0.5)"
+        f" + (((((oc * oc) * oc) * oc) * {1.0 / 24.0!r})"
+        f" * (((5.0 - {t2}) + (9.0 * eta2)) + (4.0 * (eta2 * eta2)))))"
+        f" + ((((((((oc * oc) * oc) * oc) * oc) * oc) * {1.0 / 720.0!r})"
+        f" * ((61.0 - (58.0 * {t2})) + ({t2} * {t2}))))))))"
+    )
+    return easting, northing
+
+
+_UTM_STAGES = _utm_stages()
+
+
+def crs_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True CRS reprojection of the DEM: every source cell's geographic
+    coordinate is forward-projected to WGS-84 / UTM zone 36N (ellipsoidal
+    transverse Mercator, Redfearn series, k0=0.9996, FE=500000 — the
+    exact parameters of the reference's proj_string_from_utm_zone), and
+    the raster is regridded onto 1 km UTM cells: per target cell the
+    averaged elevation, source-cell count, and the cell's projected
+    bounding box in meters."""
+    g = dem_grid(spark, sf_dir)
+    df = g
+    for stage in _UTM_STAGES:
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    e_sql, n_sql = _utm_easting_northing()
+    pts = df.select(
+        "elev",
+        F.expr(e_sql).alias("easting"),
+        F.expr(n_sql).alias("northing"),
+    )
+    return (
+        pts.groupBy(
+            F.floor(F.col("easting") / _UTM_CELL_M).cast("int").alias("utm_e_cell"),
+            F.floor(F.col("northing") / _UTM_CELL_M).cast("int").alias("utm_n_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("warped_elev"),
+            F.min("easting").alias("min_easting"),
+            F.max("northing").alias("max_northing"),
+        )
+    )
+
+
+def _crs_reproject_sql() -> str:
+    q = f"({DEM_GRID_SQL})"
+    for stage in _UTM_STAGES:
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    e_sql, n_sql = _utm_easting_northing()
+    return f"""
+WITH pts AS (
+  SELECT elev, {e_sql} AS easting, {n_sql} AS northing FROM {q}
+)
+SELECT CAST(FLOOR(easting / {_UTM_CELL_M!r}) AS INTEGER) AS utm_e_cell,
+       CAST(FLOOR(northing / {_UTM_CELL_M!r}) AS INTEGER) AS utm_n_cell,
+       COUNT(*) AS n_src,
+       CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
+       MIN(easting) AS min_easting,
+       MAX(northing) AS max_northing
+FROM pts GROUP BY 1, 2
+"""
+
+
+CRS_REPROJECT_UTM_SQL = _crs_reproject_sql()

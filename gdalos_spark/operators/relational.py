@@ -4215,6 +4215,7 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zone-free DATE math (the events.ts lesson, datamodel.epoch_micros)
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
+        "l_linenumber",
         "l_shipdate",
         F.expr(
             "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
@@ -4227,6 +4228,7 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = li.crossJoin(F.broadcast(mk)).select(
         "l_orderkey",
+        "l_linenumber",
         "l_shipdate",
         F.expr("CAST((day - d0) * 1023 div (d1 - d0 + 1) AS BIGINT)").alias("db"),
         F.expr("CAST(l_orderkey * 1023 div (mk + 1) AS BIGINT)").alias("kb"),
@@ -4238,7 +4240,10 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     reports = []
     for name, key in layouts.items():
-        w = Window.orderBy(key, "l_orderkey")
+        # (l_orderkey, l_linenumber) is the lineitem PK — the trailing
+        # tiebreakers make the sort a TOTAL order, so file boundaries are
+        # bit-for-bit deterministic across engines and partitionings
+        w = Window.orderBy(key, "l_orderkey", "l_linenumber")
         files = (
             base.select(
                 "l_shipdate",
@@ -4295,7 +4300,7 @@ FROM (
           AND MIN(l_shipdate) <= TIMESTAMP '{ZONEMAP_PRED_TO}') AS hit
   FROM (
     SELECT l_shipdate,
-           CAST((ROW_NUMBER() OVER (ORDER BY {key}, l_orderkey) - 1)
+           CAST((ROW_NUMBER() OVER (ORDER BY {key}, l_orderkey, l_linenumber) - 1)
                 * {ZONEMAP_FILES} // COUNT(*) OVER () AS INTEGER) AS file_id
     FROM base
   )
@@ -4304,13 +4309,13 @@ FROM (
     union = " UNION ALL ".join(blocks)
     return f"""
 WITH li AS (
-  SELECT l_orderkey, l_shipdate,
+  SELECT l_orderkey, l_linenumber, l_shipdate,
          CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day
   FROM lineitem
 ),
 mk AS (SELECT MAX(l_orderkey) AS mk, MIN(day) AS d0, MAX(day) AS d1 FROM li),
 base AS (
-  SELECT l_orderkey, l_shipdate,
+  SELECT l_orderkey, l_linenumber, l_shipdate,
          CAST((day - d0) * 1023 // (d1 - d0 + 1) AS BIGINT) AS db,
          CAST(l_orderkey * 1023 // (mk + 1) AS BIGINT) AS kb
   FROM li, mk

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, split_for_cpu
 from gdalos_spark.functions import vectors
 
 N_PROBES = 10  # probe set = vec_id < N_PROBES
@@ -35,8 +35,7 @@ def _base(
     # embeddings parquet compresses to ~1 input split even at a 200k-row
     # upscale; the per-row fold-cosine math is CPU-bound, so re-split
     # across cores first (no-op when the scan already has splits)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    emb = load(spark, sf_dir, "embeddings").repartition(n_part, "vec_id")
+    emb = split_for_cpu(load(spark, sf_dir, "embeddings"), "vec_id")
     cols = [
         F.col("vec_id"),
         F.col("embedding").alias("emb"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, split_for_cpu
 from gdalos_spark.functions import hashing
 from gdalos_spark.operators.dedup import DOCSH_SQL, SHINGLES3_SQL, doc_shingles
 
@@ -107,9 +107,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-split across cores first: documents parquet compresses so well
     that even a 500k-doc upscale arrives as ONE input split, and this
     string-heavy map runs on one core without it (measured 10.9s -> ~1s
-    at the sf10 upscale; a no-op when the input already has splits)."""
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    at the sf10 upscale; split_for_cpu skips the exchange whenever the
+    scan already has splits — repartition itself is never a no-op)."""
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     d = docs.withColumn("t", F.split("text", " "))
     n_chars = F.length("text").cast("bigint")
     n_tokens = F.size("t").cast("bigint")
@@ -212,9 +212,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdalos_spark.operators.dedup import shingles3
 
     # parallelize the per-doc md5 pipeline when the table arrives as one
-    # input split (cheap redistribution; no-op at real scale)
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n, "doc_id")
+    # input split (split-starved scans only; skipped when the scan is wide)
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     hashes = F.array_sort(
         F.transform(
             F.array_distinct(shingles3(F.col("text"))),
@@ -406,8 +405,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent."""
     # parallelize the gram pipeline when the table arrives as one input
     # split (cheap redistribution; no-op at real scale)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     # words staged as a column: split() inside the transform lambda would
     # re-split the document once per gram index (O(words^2) per doc);
     # with >1 reference Catalyst keeps the non-cheap split materialized
@@ -490,8 +488,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are single IEEE divisions of integers (deterministic on
     both engines); terminals are BIGINT / DOUBLE / INT only.
     """
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     words = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
@@ -769,9 +766,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as text_rarity_score's df table); only the tiny N row is
     broadcast."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     occ = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
     tf = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -895,9 +891,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected=1 marks docs whose mean per-token bits favor the target
     (the DSIR resampling step keeps these with high probability)."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     occ = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
     )
     tf_r = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_r"))
@@ -1029,9 +1024,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     any aggregation (the scan's data filter), df/sizes broadcast,
     TakeOrderedAndProject for the top-k."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     occ = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
     dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -1158,9 +1152,8 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both unavoidable at any scale; only (doc_id, token-hash, integers)
     ever shuffle."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     occ = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
     tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -1486,9 +1479,8 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Jaccard = inter / (|A| + |B| − inter), one exact integer
     division per pair."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tok = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select(
             "source",
             F.explode(

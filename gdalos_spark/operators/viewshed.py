@@ -2025,3 +2025,138 @@ SELECT cluster_id, n_core, n_border, n_points FROM agg
 UNION ALL
 SELECT -1, 0, 0, (SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM cls)
 """
+
+
+# ---------------------------------------------------------------------------
+# 236. viewshed_combine_modes — the remaining CalcOperation combine modes
+#    ref: viewshed/viewshed_calc.py:63 CalcOperation (max/min/count/
+#         count_z/unique), :1008 los_operation, and the per-mode combine
+#         functions calc/gdalos_combine.py:13 vs_max, :22 vs_min,
+#         :31 vs_count, :42 vs_count_z (NDV-aware count), :58 vs_unique
+#         (254 = multiple observers, 255 = none); status codes + combine
+#         constants from viewshed/viewshed_params.py:13-26.
+#
+# Each observer's LOS fan is the standard per-(observer, ray) running-max
+# window (viewshed_observer_count's plan); every cell then carries the
+# reference's status code per observer — st_seen(5) when visible,
+# st_hidden(2) when occluded, st_nodata(0) beyond that observer's range
+# (the NDV case vs_count_z exists for) — and ONE per-cell aggregation
+# emits all five combine modes at once. Pure integer codes end-to-end,
+# so the oracle is bit-exact by construction. Scale shape: the observer
+# table is a broadcast dim, the DEM fans out map-side, one window
+# shuffle on (obs_id, ray) + one cell agg — identical to the certified
+# observer-count plan, just with a wider combine.
+# ---------------------------------------------------------------------------
+
+ST_SEEN = 5       # viewshed_params.py:13 st_seen
+ST_HIDDEN = 2     # viewshed_params.py:16 st_hidden
+ST_NODATA = 0     # viewshed_params.py:18 st_nodata (out of range)
+VS_THRESH = 3     # viewshed_params.py:21 viewshed_thresh = st_hidbut
+COMB_NDV = 255    # viewshed_params.py:25 viewshed_comb_ndv
+COMB_MULTI = 254  # viewshed_params.py:26 viewshed_comb_multi_val
+# per-observer range (grid units): R_i = 18 + 6*i leaves the far corners
+# outside EVERY observer's range, exercising vs_count_z's all-NDV branch
+COMB_RANGES = tuple(18 + 6 * i for i in range(len(OBSERVERS)))
+
+
+def viewshed_combine_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four remaining CalcOperation combine modes over the
+    multi-observer LOS fan (max / min / count_z / unique; count is the
+    certified viewshed_observer_count). Per cell: the max and min status
+    among in-range observers (COMB_NDV when none is in range), the
+    NDV-aware visible count (vs_count_z: COMB_NDV where all observers
+    are out of range), and the unique-observer index (vs_unique:
+    obs_id when exactly one observer sees the cell, COMB_MULTI when
+    several do, COMB_NDV when none does)."""
+    g = dem_grid(spark, sf_dir)
+    obs = spark.createDataFrame(
+        [(i, x, y, r * r) for i, ((x, y), r) in enumerate(zip(OBSERVERS, COMB_RANGES))],
+        "obs_id int, ox int, oy int, r2 int",
+    )
+    cells = g.crossJoin(F.broadcast(obs)).filter(
+        (F.col("px") != F.col("ox")) | (F.col("py") != F.col("oy"))
+    )
+    dx, dy = F.col("px") - F.col("ox"), F.col("py") - F.col("oy")
+    ray, d2 = _ray_cols(dx, dy)
+    scored = cells.select(
+        "px", "py", "obs_id", "r2",
+        ray.alias("ray"), d2.alias("d2"),
+        ((F.col("elev").cast("double") - OBS_Z) / F.sqrt(d2.cast("double"))).alias("tan_angle"),
+    )
+    w = (
+        Window.partitionBy("obs_id", "ray")
+        .orderBy("d2", "px", "py")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_before = F.max("tan_angle").over(w)
+    visible = max_before.isNull() | (F.col("tan_angle") >= max_before)
+    v = (
+        F.when(F.col("d2") > F.col("r2"), ST_NODATA)
+        .when(visible, ST_SEEN)
+        .otherwise(ST_HIDDEN)
+    )
+    coded = scored.select("px", "py", "obs_id", v.alias("v"))
+    n_nonndv = F.sum((F.col("v") != ST_NODATA).cast("int"))
+    n_vis = F.sum((F.col("v") > VS_THRESH).cast("int"))
+    return (
+        coded.groupBy("px", "py")
+        .agg(
+            F.when(n_nonndv == 0, COMB_NDV)
+            .otherwise(F.max(F.when(F.col("v") != ST_NODATA, F.col("v"))))
+            .cast("int")
+            .alias("comb_max"),
+            F.when(n_nonndv == 0, COMB_NDV)
+            .otherwise(F.min(F.when(F.col("v") != ST_NODATA, F.col("v"))))
+            .cast("int")
+            .alias("comb_min"),
+            F.when(n_nonndv == 0, COMB_NDV).otherwise(n_vis).cast("int").alias("comb_count_z"),
+            F.when(n_vis == 0, COMB_NDV)
+            .when(n_vis > 1, COMB_MULTI)
+            .otherwise(F.min(F.when(F.col("v") > VS_THRESH, F.col("obs_id"))))
+            .cast("int")
+            .alias("comb_unique"),
+        )
+    )
+
+
+def _combine_modes_sql() -> str:
+    ray, d2 = _ray_sql("(px - ox)", "(py - oy)")
+    values = ", ".join(
+        f"({i}, {x}, {y}, {r * r})"
+        for i, ((x, y), r) in enumerate(zip(OBSERVERS, COMB_RANGES))
+    )
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+obs(obs_id, ox, oy, r2) AS (VALUES {values}),
+cells AS (
+  SELECT px, py, obs_id, r2, {ray} AS ray, {d2} AS d2,
+         (CAST(elev AS DOUBLE) - {OBS_Z}) / sqrt(CAST({d2} AS DOUBLE)) AS tan_angle
+  FROM dem CROSS JOIN obs
+  WHERE NOT (px = ox AND py = oy)
+),
+coded AS (
+  SELECT px, py, obs_id,
+         CASE WHEN d2 > r2 THEN {ST_NODATA}
+              WHEN mb IS NULL OR tan_angle >= mb THEN {ST_SEEN}
+              ELSE {ST_HIDDEN} END AS v
+  FROM (
+    SELECT *, MAX(tan_angle) OVER (PARTITION BY obs_id, ray ORDER BY d2, px, py
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+    FROM cells
+  )
+)
+SELECT px, py,
+       CAST(CASE WHEN SUM(CASE WHEN v <> {ST_NODATA} THEN 1 ELSE 0 END) = 0 THEN {COMB_NDV}
+                 ELSE MAX(CASE WHEN v <> {ST_NODATA} THEN v END) END AS INTEGER) AS comb_max,
+       CAST(CASE WHEN SUM(CASE WHEN v <> {ST_NODATA} THEN 1 ELSE 0 END) = 0 THEN {COMB_NDV}
+                 ELSE MIN(CASE WHEN v <> {ST_NODATA} THEN v END) END AS INTEGER) AS comb_min,
+       CAST(CASE WHEN SUM(CASE WHEN v <> {ST_NODATA} THEN 1 ELSE 0 END) = 0 THEN {COMB_NDV}
+                 ELSE SUM(CASE WHEN v > {VS_THRESH} THEN 1 ELSE 0 END) END AS INTEGER) AS comb_count_z,
+       CAST(CASE WHEN SUM(CASE WHEN v > {VS_THRESH} THEN 1 ELSE 0 END) = 0 THEN {COMB_NDV}
+                 WHEN SUM(CASE WHEN v > {VS_THRESH} THEN 1 ELSE 0 END) > 1 THEN {COMB_MULTI}
+                 ELSE MIN(CASE WHEN v > {VS_THRESH} THEN obs_id END) END AS INTEGER) AS comb_unique
+FROM coded GROUP BY px, py
+"""
+
+
+VIEWSHED_COMBINE_MODES_SQL = _combine_modes_sql()

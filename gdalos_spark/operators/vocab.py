@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, split_for_cpu
 from gdalos_spark.functions import hashing
 from gdalos_spark.operators.text import _STOP_IN, _log2_col, _log2_lateral_sql
 
@@ -48,9 +48,8 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total: word agg, pair agg; top-k via TakeOrderedAndProject
     with a total (count desc, pair) order."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     words = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -129,9 +128,8 @@ def zipf_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact under any aggregation order and the closed-form slope/
     intercept/r2 are identical IEEE expressions of identical inputs."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tf = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -244,9 +242,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the full vocabulary shuffle when only heavy hitters are
     needed; the true-count join here is the verification harness."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tf = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -345,9 +342,8 @@ def bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs three broadcast-hash lookups and NO shuffle of the corpus
     tokens; truth (for the FP audit only) is one hash-key semi-join."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     occ = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
         .withColumn("base", hashing.hash_base(F.col("tok")))
     )
@@ -546,9 +542,8 @@ def heaps_law_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the 10-row grid do the rest; log2 is the staged
     polynomial, betas are identical IEEE ratios of identical doubles."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     occ = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", hashing.md5_int60(F.col("tok")).alias("h"))
     )
@@ -675,9 +670,8 @@ def _bpe_train_loop(spark: SparkSession, sf_dir: str):
     s is the boundary-spaced symbol string) and merges the list of
     (step, sym_a, sym_b, n_occ) the loop chose."""
     docs = load(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     words = (
-        docs.repartition(n_part, "doc_id")
+        split_for_cpu(docs, "doc_id")
         .select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")

@@ -149,3 +149,12 @@ def test_quantile_flowpath_jaccard_verbs(spark):
         & ((F.col("px") != F.col("term_x")) | (F.col("py") != F.col("term_y")))
     ).count()
     assert self_term == 0
+
+
+def test_bench_smoke_passes(spark):
+    """The bench pre-flight must load every table cleanly — this is the
+    guard against the round-3 failure mode (a parquet physical-type change
+    crashing the whole bench in warmup)."""
+    import bench
+
+    assert bench.smoke() == 0

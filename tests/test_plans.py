@@ -392,3 +392,45 @@ def test_dbscan_candidates_only_meet_on_cells(spark):
     df = q(spark, "dbscan_grid_clusters")
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
+
+
+def test_split_for_cpu_gates_on_scan_parallelism(spark):
+    """The CPU re-spread is conditional: a split-starved scan gets hash-
+    spread to the session parallelism, while an already-wide input passes
+    through IDENTICALLY (no exchange — repartition itself is never a
+    no-op, so the gate is what keeps the 100-TB path shuffle-free)."""
+    from gdalos_spark.datamodel import split_for_cpu
+
+    docs = load(spark, SF_DIR, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert docs.rdd.getNumPartitions() < n_part  # the starved local layout
+    assert split_for_cpu(docs, "doc_id").rdd.getNumPartitions() == n_part
+    wide = docs.repartition(n_part, "doc_id")
+    assert split_for_cpu(wide, "doc_id") is wide
+
+
+def test_text_quality_zero_exchange_on_wide_scan(spark, tmp_path):
+    """On a production-shaped input (many splits) text_quality_score is a
+    pure map: ZERO exchanges anywhere in the physical plan."""
+    import os
+
+    from gdalos_spark.operators.text import text_quality_score
+
+    wide_sf = str(tmp_path / "wide_sf")
+    os.makedirs(wide_sf)
+    load(spark, SF_DIR, "documents").repartition(8).write.parquet(
+        f"{wide_sf}/documents.parquet"
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+    try:
+        plan = (
+            text_quality_score(spark, wide_sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
