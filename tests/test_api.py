@@ -158,3 +158,25 @@ def test_bench_smoke_passes(spark):
     import bench
 
     assert bench.smoke() == 0
+
+
+def test_cli_verbs_and_trans_paths(spark, tmp_path):
+    """The argv front-end (reference scripts/gdalos_trans.py parity):
+    verb dispatch, the -t_srs/-extent trans branches, parquet output with
+    the skip-unless-overwrite contract, and the verb listing."""
+    from gdalos_spark import cli
+
+    sf = SF_DIR
+    assert cli.main(["cli", "list"], spark=spark) == 0
+    assert cli.main(["cli", "info", sf, "-quiet"], spark=spark) == 0
+    out = str(tmp_path / "warp.parquet")
+    assert cli.main(["cli", "trans", sf, "-t_srs", "utm", "-o", out, "-quiet"],
+                    spark=spark) == 0
+    import glob
+
+    assert glob.glob(out + "/*.parquet")
+    # existing output without -overwrite is skipped, with it rewritten
+    assert cli.main(["cli", "trans", sf, "-t_srs", "utm", "-o", out, "-quiet"],
+                    spark=spark) == 0
+    assert cli.main(["cli", "trans", sf, "-extent", "10", "30", "10", "30",
+                     "-o", out, "-overwrite", "-quiet"], spark=spark) == 0
