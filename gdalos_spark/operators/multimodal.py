@@ -8,11 +8,14 @@ processed in Arrow record batches by a pandas iterator UDF (never
 row-at-a-time Python), with the output schema declared up front so
 Catalyst can prune/plan around the opaque stage. `_decode_real` is a
 REAL struct/numpy decoder for the uncompressed container formats
-(PPM/PGM, 24-bit BMP, 16-bit PCM WAV), dispatched by magic bytes;
-compressed codecs (JPEG/MP3/H.264) would need PIL/librosa/av — absent
-from this container — and raise NotImplementedError, in which case the
-pipeline falls back to a deterministic byte-statistics extractor over
-the real bytes. Either way the distributed plan is identical.
+(PPM/PGM, 24-bit BMP, 16-bit PCM WAV), PNG (inflate + all 5 filters),
+GIF (variable-width LZW), and baseline JPEG (a full pure-numpy JFIF
+codec: Annex K tables, DCT, Huffman entropy coding — see _jpeg_consts
+and friends), dispatched by magic bytes; the remaining compressed
+codecs (MP3/H.264) genuinely need librosa/av — absent from this
+container — and raise NotImplementedError, in which case the pipeline
+falls back to a deterministic byte-statistics extractor over the real
+bytes. Either way the distributed plan is identical.
 
 This operator is rows-only in the driver contract (no SQL oracle): the
 pandas stage is not expressible in DuckDB SQL.
@@ -233,9 +236,10 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
     the uncompressed container formats that need no external codec
     library — PPM/PGM images (P6/P5), 24-bit BI_RGB BMP, and 16-bit PCM
     WAV — implemented with struct/numpy only and exercised in tests on
-    synthesized payloads. Compressed codecs (JPEG/PNG/MP3/H.264 — would
-    need PIL/librosa/av, absent from this container) still raise
-    NotImplementedError, and the pipeline falls back to the
+    synthesized payloads, plus PNG/GIF/baseline-JPEG via the real
+    pure-Python codecs below. The remaining compressed codecs (MP3 /
+    H.264 — would need librosa/av, absent from this container) still
+    raise NotImplementedError, and the pipeline falls back to the
     deterministic byte-statistics extractor for them.
 
     Returns {kind, width, height, channels, n_samples, feat_mean}.
@@ -424,8 +428,14 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
             else:
                 raise NotImplementedError(f"unexpected GIF block 0x{b0:02x}")
         raise NotImplementedError("GIF contained no image descriptor")
+    if payload[:2] == b"\xff\xd8":
+        px, h, w = _decode_jpeg_gray(payload)
+        return {
+            "kind": "jpeg", "width": w, "height": h, "channels": 1,
+            "n_samples": w * h, "feat_mean": float(px.mean()),
+        }
     raise NotImplementedError(
-        "remaining compressed codecs (JPEG/MP3/H.264) need PIL/librosa/av, "
+        "remaining compressed codecs (MP3/H.264) need librosa/av, "
         "which are not available in this container"
     )
 
@@ -445,7 +455,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         def feat(b: bytes) -> float:
             # real decode for self-describing uncompressed formats,
             # byte-statistics fallback for everything else
-            if b[:2] in (b"P6", b"P5", b"BM") or b[:4] == b"RIFF":
+            if b[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8") or b[:4] == b"RIFF":
                 try:
                     return round(_decode_real(b, "")["feat_mean"], 6)
                 except NotImplementedError:
@@ -755,6 +765,341 @@ def _decode_ppm_pixels(payload: bytes):
     return np.frombuffer(body, np.uint8, w * h * 3).reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (JFIF) codec — pure numpy/struct, no codec library.
+# ITU-T T.81 Annex K tables: luminance quant matrix (quality 50), zigzag
+# scan order, typical luminance DC/AC Huffman tables. Single-component
+# (grayscale) baseline sequential DCT: 8x8 blocks, level shift, exact
+# orthonormal DCT-II by matrix product, quantize, zigzag, DC-differential
+# + AC run-length Huffman entropy coding with 0xFF byte stuffing; the
+# decoder parses DQT/SOF0/DHT/SOS from the stream it is handed (it does
+# not assume the encoder's tables). MP3/H.264 remain stubbed — audio and
+# video transcoding genuinely needs external codec libraries.
+# ---------------------------------------------------------------------------
+
+# ITU-T T.81 Annex K: luminance quantization table (quality 50), zigzag order,
+# and the typical luminance DC/AC Huffman tables.
+# plain lists at module level (numpy is imported lazily in this module);
+# _jpeg_consts() materializes the arrays once per process
+_JPEG_QTAB = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_NP: dict = {}
+
+
+def _jpeg_consts():
+    """(qtab_8x8, zigzag_idx, dct_mat) as numpy arrays, cached per process."""
+    if not _JPEG_NP:
+        import numpy as np
+
+        k = np.arange(8)
+        c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+        m = c * np.sqrt(2.0 / 8.0)
+        m[0, :] = np.sqrt(1.0 / 8.0)
+        _JPEG_NP["q"] = np.array(_JPEG_QTAB, dtype=np.int64).reshape(8, 8)
+        _JPEG_NP["zz"] = np.array(_ZIGZAG, dtype=np.int64)
+        _JPEG_NP["dct"] = m
+    return _JPEG_NP["q"], _JPEG_NP["zz"], _JPEG_NP["dct"]
+
+_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+_DC_DEC = {v: k for k, v in _DC_ENC.items()}
+_AC_DEC = {v: k for k, v in _AC_ENC.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _cat_and_bits(v):
+    """JPEG magnitude category + appended bits for a coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_jpeg_gray(px) -> bytes:
+    """Baseline JFIF, single (luminance) component, Annex K tables."""
+    import struct
+
+    import numpy as np
+
+    _qtab, _ZZ, _DCT = _jpeg_consts()
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    q = _qtab.astype(np.float64)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = _DCT @ block @ _DCT.T
+            qc = np.round(coef / q).astype(np.int64)
+            zz = qc.flatten()[_ZZ]
+            # DC
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s, bits = _cat_and_bits(diff)
+            code, length = _DC_ENC[s]
+            bw.write(code, length)
+            if s:
+                bw.write(bits, s)
+            # AC
+            run = 0
+            for vi in zz[1:]:
+                v = int(vi)
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = _AC_ENC[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s, bits = _cat_and_bits(v)
+                code, length = _AC_ENC[run * 16 + s]
+                bw.write(code, length)
+                bw.write(bits, s)
+                run = 0
+            if run:
+                code, length = _AC_ENC[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (table 0, 8-bit)
+    zz_q = _qtab.flatten()[_ZZ]  # natural -> zigzag storage order
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in zz_q)
+    # SOF0: 8-bit precision, 1 component (id 1, sampling 1x1, qtable 0)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    # DHT: DC class 0 id 0, AC class 1 id 0
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_DC_VALS)) + b"\x00" + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(_AC_VALS)) + b"\x10" + bytes(_AC_BITS[1:]) + bytes(_AC_VALS)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                # stuffed zero follows a data 0xFF
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise NotImplementedError("unexpected marker in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v, s):
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode(br, table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _decode_jpeg_gray(payload: bytes):
+    """Parse a baseline single-component JFIF stream back to pixels."""
+    import struct
+
+    import numpy as np
+
+    _qtab, _ZZ, _DCT = _jpeg_consts()
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    qtabs = {}
+    dc_tab = ac_tab = None
+    h = w = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                tab = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZZ] = tab  # zigzag storage -> natural order
+                qtabs[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0:
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if ncomp != 1:
+                raise NotImplementedError("only single-component baseline JPEG")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline (SOF0) JPEG")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = [0] + list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                enc = _huff_codes(bits, vals)
+                dec = {v: k for k, v in enc.items()}
+                if tc == 0 and th == 0:
+                    dc_tab = dec
+                elif tc == 1 and th == 0:
+                    ac_tab = dec
+                i += 17 + nvals
+        elif marker == 0xDA:
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_start is None or h is None or dc_tab is None or ac_tab is None:
+        raise NotImplementedError("JPEG missing SOF0/DHT/SOS")
+    q = qtabs[0]
+    scan_end = payload.rfind(b"\xff\xd9")
+    br = _BitReader(payload[scan_start : scan_end if scan_end > 0 else len(payload)])
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _huff_decode(br, dc_tab)
+            diff = _extend(br.read_bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    raise NotImplementedError("invalid AC symbol")
+                k += run
+                zz[k] = _extend(br.read_bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_ZZ] = zz  # de-zigzag into natural order
+            block = (coef.reshape(8, 8) * q).astype(np.float64)
+            px = _DCT.T @ block @ _DCT + 128.0
+            out[by : by + 8, bx : bx + 8] = px
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8), h, w
+
+
 def _encode_wav(samples) -> bytes:
     """Real 16-bit mono PCM WAV container around an int16 array."""
     import struct
@@ -946,3 +1291,67 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(gif_batches, GIF_FRAMES_SCHEMA)
+
+
+JPEG_W, JPEG_H = 24, 16  # 6 DCT blocks per image — sized so a 500k-doc
+# corpus runs the full codec loop in seconds across cores
+
+JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, jpeg_bytes int, "
+    "px_mean_in double, px_mean_out double, max_err int, compression_ratio double"
+)
+
+
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction through the REAL JPEG path: each row's
+    text bytes tile into a JPEG_W x JPEG_H grayscale image, get encoded
+    as a genuine baseline JFIF stream (`_encode_jpeg_gray`: DCT +
+    quantization + Huffman), re-parsed by `_decode_jpeg_gray` (which
+    reads DQT/SOF0/DHT/SOS from the stream, trusting nothing from the
+    encoder), and reduced to the stats a data pipeline keeps per image:
+    pre/post pixel means, max quantization error, stream size and
+    compression ratio. Same Arrow-batched mapInPandas shape as the
+    resize/audio paths — the expensive Python codec loop is exactly the
+    stage shape a real PIL/libjpeg pipeline would occupy, so the plan
+    and its scaling behavior are the production ones."""
+    from gdalos_spark.datamodel import split_for_cpu
+
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
+
+    def jpeg_batches(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        px_n = JPEG_W * JPEG_H
+
+        def one(payload: bytes):
+            payload = payload or b"\x00"  # empty tiles to zero pixels
+            raw = (payload * (px_n // len(payload) + 1))[:px_n]
+            img = np.frombuffer(raw, np.uint8).reshape(JPEG_H, JPEG_W)
+            blob = _encode_jpeg_gray(img.astype(np.float64))
+            dec, h, w = _decode_jpeg_gray(blob)
+            err = int(np.abs(dec.astype(np.int64) - img.astype(np.int64)).max())
+            return (
+                len(blob),
+                round(float(img.mean()), 6),
+                round(float(dec.mean()), 6),
+                err,
+                round(px_n / len(blob), 6),
+            )
+
+        for pdf in batches:
+            res = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": JPEG_W,
+                    "height": JPEG_H,
+                    "jpeg_bytes": [r[0] for r in res],
+                    "px_mean_in": [r[1] for r in res],
+                    "px_mean_out": [r[2] for r in res],
+                    "max_err": [r[3] for r in res],
+                    "compression_ratio": [r[4] for r in res],
+                }
+            )
+
+    return media.mapInPandas(jpeg_batches, JPEG_SCHEMA)

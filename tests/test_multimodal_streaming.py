@@ -445,3 +445,54 @@ def test_gif_frames_operator(spark):
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     for doc, idxs in by_doc.items():
         assert len(idxs) == len(set(idxs))
+
+
+def test_jpeg_codec_roundtrip_precision():
+    """The pure-numpy JFIF codec is a real quality-50 baseline JPEG:
+    flat images round-trip within DC-quantization error, smooth images
+    within a few levels, and the stream carries genuine JFIF markers the
+    decoder re-parses (it never trusts the encoder's tables)."""
+    import numpy as np
+
+    from gdalos_spark.operators.multimodal import (
+        _decode_jpeg_gray,
+        _decode_real,
+        _encode_jpeg_gray,
+    )
+
+    flat = np.full((32, 24), 77, dtype=np.float64)
+    blob = _encode_jpeg_gray(flat)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in blob
+    dec, h, w = _decode_jpeg_gray(blob)
+    assert (h, w) == (32, 24)
+    assert np.abs(dec.astype(int) - 77).max() <= 1
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = np.clip(128 + 60 * np.cos(yy / 10.0) * np.sin(xx / 12.0), 0, 255)
+    dec2, h2, w2 = _decode_jpeg_gray(_encode_jpeg_gray(smooth))
+    assert (h2, w2) == (48, 64)
+    assert np.abs(dec2.astype(float) - smooth).max() <= 8  # Q50 bound
+
+    # the generic dispatch now recognizes JPEG magic
+    meta = _decode_real(_encode_jpeg_gray(flat), "image")
+    assert meta["kind"] == "jpeg" and meta["n_samples"] == 32 * 24
+
+
+def test_jpeg_features_operator(spark):
+    """Every document row survives the full encode->decode loop; streams
+    are valid (positive size), error bounded by 8-bit range, dims fixed."""
+    from gdalos_spark.operators.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        multimodal_jpeg_features,
+    )
+
+    rows = multimodal_jpeg_features(spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert (r.width, r.height) == (JPEG_W, JPEG_H)
+        assert r.jpeg_bytes > 0
+        assert 0 <= r.max_err <= 255
+        assert 0.0 <= r.px_mean_in <= 255.0 and 0.0 <= r.px_mean_out <= 255.0
