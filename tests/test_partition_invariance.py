@@ -29,6 +29,13 @@ INVARIANCE_KEYS = [
     "multivector_maxsim",
     "raster_zonal_stats",
     "item_item_similarity",
+    # round-6 additions: the Redfearn easting/northing doubles must land
+    # in the same 1 km cell under any layout; the combine modes are pure
+    # integers but ride a window whose frame order must not depend on
+    # partitioning; dedup_clusters pins the signature-collapse rebuild
+    "crs_reproject_utm",
+    "viewshed_combine_modes",
+    "dedup_clusters",
 ]
 
 
