@@ -58,6 +58,11 @@ class GdalosSpark:
     def warp(self) -> DataFrame:
         return raster.raster_warp_affine(self.spark, self.sf_dir)
 
+    def reproject(self) -> DataFrame:
+        """True CRS reprojection (warp_srs path): geographic -> UTM 36N
+        ellipsoidal regrid (gdalos_trans.py:82, osr_utm_util.py:52)."""
+        return raster.crs_reproject_utm(self.spark, self.sf_dir)
+
     def overviews(self) -> DataFrame:
         return raster.raster_overview(self.spark, self.sf_dir)
 
@@ -103,6 +108,15 @@ class GdalosSpark:
     def los(self, refraction: bool = False) -> DataFrame:
         fn = viewshed.viewshed_los_refraction if refraction else viewshed.viewshed_los
         return fn(self.spark, self.sf_dir)
+
+    def viewshed_combine(self) -> DataFrame:
+        """CalcOperation max/min/count_z/unique over the observer fan
+        (viewshed_calc.py:63, gdalos_combine.py)."""
+        return viewshed.viewshed_combine_modes(self.spark, self.sf_dir)
+
+    def jpeg_features(self) -> DataFrame:
+        """Real baseline-JPEG round-trip features over the media table."""
+        return multimodal_ops.multimodal_jpeg_features(self.spark, self.sf_dir)
 
     def viewshed(self) -> DataFrame:
         return viewshed.viewshed_observer_count(self.spark, self.sf_dir)
