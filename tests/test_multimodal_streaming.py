@@ -496,3 +496,34 @@ def test_jpeg_features_operator(spark):
         assert r.jpeg_bytes > 0
         assert 0 <= r.max_err <= 255
         assert 0.0 <= r.px_mean_in <= 255.0 and 0.0 <= r.px_mean_out <= 255.0
+
+
+def test_jpeg_codec_properties():
+    """Hypothesis sweep of the JFIF codec: any flat image of any
+    dimension round-trips within DC-quantization error (+-1 level), the
+    stream always carries valid SOI/EOI framing, and decode is total on
+    everything encode emits (no size/alignment edge crashes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gdalos_spark.operators.multimodal import (
+        _decode_jpeg_gray,
+        _encode_jpeg_gray,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=255),
+    )
+    def check(h, w, v):
+        img = np.full((h, w), v, dtype=np.float64)
+        blob = _encode_jpeg_gray(img)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        dec, dh, dw = _decode_jpeg_gray(blob)
+        assert (dh, dw) == (h, w)
+        assert np.abs(dec.astype(int) - v).max() <= 1
+
+    check()
