@@ -4206,11 +4206,20 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit (zonemap_prune_report) evaluated over THREE candidate orders —
     natural ingest (orderkey), shipdate-sorted, and a Morton/Z-order
     interleave of (day, orderkey) buckets — against the same one-year
-    predicate. Each layout is one global sort (offline planning cost,
-    stated) + the per-file min/max aggregation; the report ranks layouts
-    by true scan fraction, the number a table-maintenance job acts on.
-    Z-ordering serves BOTH the date predicate and key lookups — the
-    classic multi-dimensional compromise this report quantifies."""
+    predicate. The report ranks layouts by true scan fraction, the
+    number a table-maintenance job acts on. Z-ordering serves BOTH the
+    date predicate and key lookups — the classic multi-dimensional
+    compromise this report quantifies.
+
+    Scale shape: the exact global rank each layout needs is computed
+    WITHOUT a global sort. Every layout key has a known integer domain,
+    so rank = (rows in lower histogram buckets) + (rank within my
+    bucket): one tiny 1024-bucket count aggregate (broadcast back as
+    offsets) plus a per-bucket window — all 1024 partitions sort in
+    parallel. Because the bucket id is monotone in the key and the sort
+    key (key, l_orderkey, l_linenumber) is a TOTAL order, the ranks —
+    and therefore every file boundary — are bit-identical to the
+    single-partition ROW_NUMBER the SQL twin runs."""
     # l_shipdate scans as TIMESTAMP_NTZ — day arithmetic must be
     # zone-free DATE math (the events.ts lesson, datamodel.epoch_micros)
     li = load(spark, sf_dir, "lineitem").select(
@@ -4230,25 +4239,51 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_shipdate",
+        "mk",
         F.expr("CAST((day - d0) * 1023 div (d1 - d0 + 1) AS BIGINT)").alias("db"),
         F.expr("CAST(l_orderkey * 1023 div (mk + 1) AS BIGINT)").alias("kb"),
     )
+    # (key expression, bucket-domain size) per layout: db/kb are 10-bit,
+    # so the composed keys have static domains; the natural key's domain
+    # is the broadcast max orderkey
+    rank_buckets = 1024
     layouts = {
-        "natural_orderkey": F.expr("l_orderkey"),
-        "shipdate_sorted": F.expr("db * 2048 + kb"),
-        "zorder_day_key": F.expr(_zorder10_sql("db", "kb")),
+        "natural_orderkey": (F.expr("l_orderkey"), F.expr("mk + 1")),
+        "shipdate_sorted": (F.expr("db * 2048 + kb"), F.lit(1023 * 2048 + 1024)),
+        "zorder_day_key": (F.expr(_zorder10_sql("db", "kb")), F.lit(1 << 20)),
     }
     reports = []
-    for name, key in layouts.items():
+    for name, (key, domain) in layouts.items():
         # (l_orderkey, l_linenumber) is the lineitem PK — the trailing
         # tiebreakers make the sort a TOTAL order, so file boundaries are
         # bit-for-bit deterministic across engines and partitionings
-        w = Window.orderBy(key, "l_orderkey", "l_linenumber")
+        keyed = base.select(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            key.alias("k"),
+            (key * rank_buckets / domain).cast("bigint").alias("bk"),
+        )
+        counts = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+        # <= 1024 rows: the cumulative offsets and the grand total are a
+        # tiny window over the histogram, broadcast back to the fact
+        offs = counts.select(
+            "bk",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off"),
+            F.sum("c").over(Window.partitionBy()).alias("n"),
+        )
+        wloc = Window.partitionBy("bk").orderBy("k", "l_orderkey", "l_linenumber")
         files = (
-            base.select(
+            keyed.join(F.broadcast(offs), "bk")
+            .select(
                 "l_shipdate",
-                F.row_number().over(w).alias("rn"),
-                F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+                (F.col("off") + F.row_number().over(wloc)).alias("rn"),
+                "n",
             )
             .select(
                 F.expr(f"CAST((rn - 1) * {ZONEMAP_FILES} div n AS INT)").alias(
