@@ -700,17 +700,18 @@ def quality_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b = (rank-1)*10 div n — explicit integer floor, the
     minhash_calibration decile lesson), each bucket reporting its doc
     and token mass plus the token fraction RETAINED if every bucket at
-    or below it were dropped. Exact global deciles need a global sort —
-    the honest cost stated; at 100 TB you'd swap in approx_percentile
-    cuts and keep the same report shape."""
+    or below it were dropped. The exact global rank comes from the
+    histogram-offset decomposition (functions.ranking.exact_global_rank
+    — quality is a [0,1] double, so CAST(quality*1024) is a monotone
+    bounded bucket id), NOT a single-partition sort: the deciles stay
+    bit-identical to the oracle's global ROW_NUMBER while every bucket
+    sorts in parallel at any scale."""
+    from gdalos_spark.functions.ranking import exact_global_rank
+
     q = text_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
-    w = Window.orderBy("quality", "doc_id")
-    ranked = q.select(
-        "n_tokens",
-        "quality",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = exact_global_rank(
+        q, (F.col("quality") * 1024), ["quality", "doc_id"]
+    ).select("n_tokens", "quality", "rn", "n")
     b = ranked.select(
         F.expr("(CAST(rn - 1 AS BIGINT) * 10) div n").alias("bucket"),
         "n_tokens",

@@ -2300,9 +2300,13 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible), order count, and exact-cents lifetime value; each
     dimension quintiled with ntile(5) over a TOTAL order (tie-break on
     custkey — ANSI ntile is deterministic given a total order, so both
-    engines emit identical buckets). One orders scan, one custkey agg,
-    three windows that all reuse ONE single-partition pass over the
-    customer-sized aggregate (bounded: |customers| rows, not |orders|).
+    engines emit identical buckets). One orders scan, one custkey agg;
+    each quintile is reconstructed from an exact DISTRIBUTED rank
+    (functions.ranking: histogram-offset decomposition + ntile_from_rank
+    — every dimension's values have a broadcastable max, so the bucket
+    ids are monotone along each ordering) instead of three
+    single-partition window sorts of the customer-sized aggregate —
+    bit-identical tiles, no serial pass at any scale.
     Output counts per (r, f, m) segment cell."""
     # o_orderdate scans as TIMESTAMP_NTZ (no BIGINT cast); the zone-free
     # day index is unix_date over the wall-clock DATE
@@ -2316,17 +2320,37 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum("cents").alias("monetary_cents"),
     )
-    mx = per_cust.agg(F.max("last_day").alias("max_day"))
+    mx = per_cust.agg(
+        F.max("last_day").alias("max_day"),
+        F.min("last_day").alias("min_day"),
+        F.max("frequency").alias("max_f"),
+        F.max("monetary_cents").alias("max_m"),
+    )
     scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
         "recency_days", F.col("max_day") - F.col("last_day")
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
-    wm = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
-    rfm = scored.select(
-        F.ntile(RFM_BUCKETS).over(wr).alias("r"),
-        F.ntile(RFM_BUCKETS).over(wf).alias("f"),
-        F.ntile(RFM_BUCKETS).over(wm).alias("m"),
+    from gdalos_spark.functions.ranking import exact_global_rank, ntile_from_rank
+
+    B = 1024
+    # bucket ids monotone along each dimension's ordering (descending
+    # orders bucket on max-value so the id still ascends with the rank)
+    rmax = F.col("max_day") - F.col("min_day") + 1
+    s = exact_global_rank(
+        scored, F.col("recency_days") * B / rmax,
+        ["recency_days", "o_custkey"], rn="rk_r", n="n_r",
+    )
+    s = exact_global_rank(
+        s, (F.col("max_f") - F.col("frequency")) * B / (F.col("max_f") + 1),
+        [F.desc("frequency"), "o_custkey"], rn="rk_f", n="n_f",
+    )
+    s = exact_global_rank(
+        s, (F.col("max_m") - F.col("monetary_cents")) * B / (F.col("max_m") + 1),
+        [F.desc("monetary_cents"), "o_custkey"], rn="rk_m", n="n_m",
+    )
+    rfm = s.select(
+        ntile_from_rank(F.col("rk_r"), F.col("n_r"), RFM_BUCKETS).alias("r"),
+        ntile_from_rank(F.col("rk_f"), F.col("n_f"), RFM_BUCKETS).alias("f"),
+        ntile_from_rank(F.col("rk_m"), F.col("n_m"), RFM_BUCKETS).alias("m"),
         "monetary_cents",
     )
     return (
@@ -2493,21 +2517,28 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     C the tail — the Pareto cut every supply-chain report draws. The
     cumulative sum runs over exact microcents with a total (revenue
     desc, partkey) order, and the class gates cross-multiply integers
-    (cum * 100 <= pct * total). The ranking window is a single global
-    sort of the PART aggregate (|parts| rows, not |lineitem|) — at
-    100 TB that agg is the only data-sized shuffle. Report: per class,
-    part count + revenue share."""
+    (cum * 100 <= pct * total). The running sum comes from the
+    histogram-offset decomposition (functions.ranking: per-bucket sums
+    broadcast as offsets + a per-bucket window, bucketed on descending
+    revenue against the broadcast max) — bit-identical to a global-sort
+    cumsum with no single-partition pass, so the PART aggregate never
+    serializes at any scale. Report: per class, part count + revenue
+    share."""
+    from gdalos_spark.functions.ranking import exact_global_cumsum
+
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", _rev_microcents().alias("rev_u")
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("rev_u").alias("rev_u"))
-    w = Window.orderBy(F.desc("rev_u"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    total = per_part.agg(
+        F.sum("rev_u").alias("total_u"), F.max("rev_u").alias("max_u")
     )
-    total = per_part.agg(F.sum("rev_u").alias("total_u"))
-    ranked = (
-        per_part.withColumn("cum_u", F.sum("rev_u").over(w))
-        .crossJoin(F.broadcast(total))
+    ranked = exact_global_cumsum(
+        per_part.crossJoin(F.broadcast(total)),
+        (F.col("max_u") - F.col("rev_u")) * 1024 / (F.col("max_u") + 1),
+        [F.desc("rev_u"), "l_partkey"],
+        "rev_u",
+        out="cum_u",
     )
     cls = (
         F.when(F.col("cum_u") * 100 <= ABC_A_PCT * F.col("total_u"), "A")
@@ -2846,15 +2877,22 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-level companion of join_skew_report). From the sorted
     per-user counts: G = (2 * sum(i * c_i)) / (n * sum(c)) - (n + 1)/n,
     every sum an exact BIGINT over the BOUNDED user aggregate (the rank
-    window runs on |users| rows, not |events|); the two divisions
+    runs on |users| rows, not |events|, via the histogram-offset
+    decomposition — no single-partition sort); the two divisions
     happen once in double. Also reports the top-decile share, integer
     cross-multiplied (rank * 10 > 9 * n)."""
+    from gdalos_spark.functions.ranking import exact_global_rank
+
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("cnt", "user_id")
-    ranked = per_user.withColumn("i", F.row_number().over(w).cast("bigint")).withColumn(
-        "n_all", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
-    )
+    mx = per_user.agg(F.max("cnt").alias("max_cnt"))
+    ranked = exact_global_rank(
+        per_user.crossJoin(F.broadcast(mx)),
+        F.col("cnt") * 1024 / (F.col("max_cnt") + 1),
+        ["cnt", "user_id"],
+        rn="i",
+        n="n_all",
+    ).withColumn("i", F.col("i").cast("bigint"))
     return (
         ranked.agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -3583,20 +3621,43 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
            would skip parts cheaper by < 1.00 and leak dominated rows)
       m2 = max(size) among same-price parts          (PARTITION BY price)
 
-    dominated  <=>  m1 >= size  OR  m2 > size.  At 100 TB the sort is a
-    range-partitioned exchange and each max is a running prefix — no
-    pairwise work anywhere."""
-    p = load(spark, sf_dir, "part")
-    w1 = Window.orderBy("pc").rangeBetween(Window.unboundedPreceding, -1)
+    dominated  <=>  m1 >= size  OR  m2 > size.  The prefix max m1 uses
+    the histogram-offset decomposition (the functions.ranking pattern,
+    here with MAX as the monoid): max over strictly-lower price buckets
+    (a tiny broadcast table) combined with the within-bucket range
+    window — bit-identical to the single-partition running max, with
+    every price bucket processed in parallel. No pairwise work
+    anywhere."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").alias("pc"),
+    )
+    mx = p.agg(F.max("pc").alias("max_pc"))
+    keyed = p.crossJoin(F.broadcast(mx)).withColumn(
+        "__bk", (F.col("pc") * 1024 / (F.col("max_pc") + 1)).cast("bigint")
+    )
+    # strictly-lower-bucket max: same pc -> same bucket, so a lower
+    # bucket id implies a strictly lower price
+    gmax = keyed.groupBy("__bk").agg(F.max("p_size").alias("__gm"))
+    offs = gmax.select(
+        "__bk",
+        F.max("__gm")
+        .over(Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__om"),
+    )
+    w1 = (
+        Window.partitionBy("__bk")
+        .orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
     w2 = Window.partitionBy("pc")
     return (
-        p.select(
-            "p_partkey",
-            "p_retailprice",
-            "p_size",
-            F.expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").alias("pc"),
-        )
-        .withColumn("m1", F.max("p_size").over(w1))
+        keyed.join(F.broadcast(offs), "__bk")
+        # greatest() skips nulls: null only when NO strictly cheaper part
+        # exists anywhere — the same contract as the global range window
+        .withColumn("m1", F.greatest(F.col("__om"), F.max("p_size").over(w1)))
         .withColumn("m2", F.max("p_size").over(w2))
         .where(
             ~(
