@@ -16,6 +16,7 @@ from gdalos_spark.plans.asserts import (
     assert_not_in_plan,
     assert_pushed_filter,
     assert_whole_stage_codegen,
+    explain_str,
 )
 from tests.conftest import SF_DIR
 
@@ -369,9 +370,14 @@ def test_round5_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert_no_cartesian(bloom)
 
+    # skyline's prefix max now uses the histogram-offset decomposition:
+    # the only joins are BROADCASTS of the <=1025-row bucket tables (the
+    # max-pc scalar and the per-bucket offsets) — no shuffled join, no
+    # single-partition sort of the part table
     sky = q(spark, "parts_skyline")
     assert_no_cartesian(sky)
-    plan = assert_not_in_plan(sky, "Join")
+    plan = explain_str(sky)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
     assert_no_cartesian(q(spark, "raster_zonal_stats"))
 
