@@ -948,7 +948,10 @@ def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.cast("double") * x.cast("double"),
         )
     )
-    base = load(spark, sf_dir, "embeddings").select(
+    # re-spread the single-split scan before the CPU-bound broadcast-probe
+    # fold (the _base/split_for_cpu discipline — this op bypasses _base
+    # for its extra prefix-norm column and had kept the raw scan)
+    base = split_for_cpu(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.col("embedding").alias("emb"),
         vectors.norm2(F.col("embedding")).alias("n2"),
