@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gdalos_spark.datamodel import load, split_for_cpu
 from gdalos_spark.functions import hashing, vectors
@@ -419,25 +420,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hyperplane projections (sign-LSH), then exact cosine
     only WITHIN buckets — candidate generation is an equi-join on the
     bucket id, never an all-pairs cross join. Dot products are ordered
-    array folds, bit-identical across engines."""
+    array folds, bit-identical across engines.
+
+    Scale design — IDENTICAL-vector collapse before pairing (the
+    dedup_clusters signature-collapse lesson applied to exact arrays):
+    the sf10 upscale carries 100 byte-identical copies of each vector,
+    so sign-LSH buckets hold thousands of members and the raw bucket
+    self-join explodes to billions of pre-filter pairs (measured: ran
+    for >15 min before being killed). Cosine and bucket are pure
+    functions of the array, so the pair expression is evaluated ONCE per
+    distinct-vector pair (including each group against itself) and the
+    qualifying group pairs then EXPAND through the member lists — work
+    becomes O(distinct²-per-bucket) + output size, and every emitted
+    (vec_a, vec_b, bucket, cosine) row carries the byte-identical value
+    the unreduced join would have computed."""
     emb = load(spark, sf_dir, "embeddings")
     # the double-cast array and the norm root are per-VECTOR quantities:
-    # computing them once in the persisted base (instead of inside the
-    # pair expression) removes two 64-element array allocations and two
-    # sqrts from every candidate pair — value-identical (float->double
-    # is exact, sqrt is correctly rounded either way)
-    base = emb.select(
+    # computing them once (instead of inside the pair expression) removes
+    # two 64-element array allocations and two sqrts from every candidate
+    # pair — value-identical (float->double is exact, sqrt is correctly
+    # rounded either way)
+    base = split_for_cpu(emb, "vec_id").select(
         "vec_id",
         vectors.emb_double(F.col("embedding")).alias("emb"),
         F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
         vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    # group identical vectors: gid = min vec_id per distinct array (one
+    # shuffle on the array; sn/bucket are functions of it and ride along)
+    members = base.withColumn(
+        "gid", F.min("vec_id").over(Window.partitionBy("emb"))
     ).persist()
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+    reps = members.filter(F.col("vec_id") == F.col("gid"))
+    a = reps.select(
+        F.col("gid").alias("ga"), F.col("emb").alias("emb_a"),
         F.col("sn").alias("sn_a"), "bucket",
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+    b = reps.select(
+        F.col("gid").alias("gb"), F.col("emb").alias("emb_b"),
         F.col("sn").alias("sn_b"), "bucket",
     )
     cos = F.round(
@@ -445,11 +465,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("sn_a") * F.col("sn_b")),
         6,
     )
-    return (
+    # ga <= gb keeps the self pair: a group's in-group member pairs carry
+    # the group-vs-itself cosine (the exact expression value, ~1.0)
+    gpairs = (
         a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "bucket", cos.alias("cosine"))
+        .filter(F.col("ga") <= F.col("gb"))
+        .select("ga", "gb", "bucket", cos.alias("cosine"))
         .filter(F.col("cosine") >= COS_TAU)
+    )
+    ma = members.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("vec_id").alias("vb"))
+    # cross-group: every (member-of-A, member-of-B) combination is one
+    # unordered pair, oriented by least/greatest; in-group: va < vb
+    # avoids self-pairs and double emission
+    return (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
+        .filter((F.col("ga") != F.col("gb")) | (F.col("va") < F.col("vb")))
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+            "bucket",
+            "cosine",
+        )
     )
 
 
