@@ -1454,3 +1454,118 @@ SELECT doc_a, doc_b, exact, minhash, simhash,
        CAST(exact + minhash + simhash AS INTEGER) AS votes
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_minhash — delta batch deduped AGAINST the index, not
+# against itself
+# ---------------------------------------------------------------------------
+#
+# The production dedup shape: a daily crawl arrives and must be checked
+# against the existing corpus. Re-pairing the whole corpus (what
+# dedup_minhash_lsh does) is O(corpus) per day; the incremental form
+# joins only new-batch band keys against the stored signature index, so
+# per-day work is O(batch + matched buckets). Here the "index" is the
+# 90% of documents with doc_id % 10 != 7 and the "new batch" is the rest
+# — in production the index side is the persisted signature table
+# (signatures are tiny: 16 ints/doc) and only the batch side re-shingles.
+
+INC_BATCH_MOD = 10
+INC_BATCH_REM = 7
+INC_MIN_EST_JACCARD = 0.5
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-batch doc: the best near-dup match in the index (max
+    estimated Jaccard, ties to the smallest index doc_id) or a 'new'
+    verdict. Band keys restrict the join to new->index candidate pairs —
+    no index-index or batch-batch pair is ever generated, and the
+    duplicate candidate rows a shared multi-band pair produces collapse
+    in the per-doc max aggregation (no distinct shuffle needed)."""
+    sig = _signatures(spark, sf_dir).persist()
+    is_batch = (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws("-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]).alias("bkey"),
+        )
+        for j in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("ms"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("doc_id", "ms", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey"))
+    new_side = bands.filter(is_batch).select(
+        F.col("doc_id").alias("new_id"), F.col("ms").alias("ms_a"), "band_id", "bkey"
+    )
+    idx_side = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("idx_id"), F.col("ms").alias("ms_b"), "band_id", "bkey"
+    )
+    agree = F.expr("size(filter(zip_with(ms_a, ms_b, (x, y) -> x = y), t -> t))")
+    matches = (
+        new_side.join(idx_side, ["band_id", "bkey"])
+        .select("new_id", "idx_id", (agree / F.lit(float(N_PERM))).alias("est"))
+        .filter(F.col("est") >= INC_MIN_EST_JACCARD)
+        .groupBy("new_id")
+        .agg(F.max(F.struct(F.col("est"), (-F.col("idx_id")).alias("neg"))).alias("best"))
+        .select(
+            "new_id",
+            (-F.col("best.neg")).alias("match_id"),
+            F.col("best.est").alias("est_jaccard"),
+        )
+    )
+    batch_docs = sig.filter(is_batch).select(F.col("doc_id"))
+    return (
+        batch_docs.join(matches, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.col("match_id").cast("bigint").alias("match_id"),
+            "est_jaccard",
+            F.when(F.col("match_id").isNotNull(), "duplicate").otherwise("new").alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _inc_minhash_sql() -> str:
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {j} AS band_id, concat_ws('-', {cols}) AS bkey FROM sig".format(
+            j=j, cols=", ".join(f"m{j * BAND_R + r}" for r in range(BAND_R))
+        )
+        for j in range(N_BANDS)
+    )
+    agree = " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM))
+    return f"""
+WITH docsh AS ({DOCSH_SQL}),
+sig AS ({_sig_sql()}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey
+  WHERE a.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+    AND b.doc_id % {INC_BATCH_MOD} <> {INC_BATCH_REM}
+),
+scored AS (
+  SELECT new_id, idx_id, ({agree}) / {float(N_PERM)} AS est
+  FROM cand
+  JOIN sig sa ON sa.doc_id = new_id
+  JOIN sig sb ON sb.doc_id = idx_id
+),
+best AS (
+  SELECT new_id, idx_id AS match_id, est AS est_jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY est DESC, idx_id) AS rn
+  FROM scored WHERE est >= {INC_MIN_EST_JACCARD}
+)
+SELECT s.doc_id,
+       CAST(b.match_id AS BIGINT) AS match_id,
+       b.est_jaccard,
+       CASE WHEN b.match_id IS NOT NULL THEN 'duplicate' ELSE 'new' END AS verdict
+FROM sig s
+LEFT JOIN best b ON b.new_id = s.doc_id AND b.rn = 1
+WHERE s.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+ORDER BY s.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_MINHASH_SQL = _inc_minhash_sql()

@@ -836,3 +836,61 @@ SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
 
 
 REFERENTIAL_INTEGRITY_REPORT_SQL = _ri_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus_split_assign — deterministic leakage-free train/val/test split
+# ---------------------------------------------------------------------------
+#
+# The pipeline primitive behind split_leakage_report: assign every document
+# to a split by hashing ONLY its stable identity (never its content or
+# source), so the assignment is reproducible across runs, machines, and
+# engine versions, and re-crawled near-duplicates of a train doc can't
+# drift into test by content change. Map-only — no shuffle at any scale;
+# the per-(source, split) tally is one partial-aggregated count.
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test = 100 - train - val
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level split assignment: bucket = md5-hash of "split:<doc_id>"
+    mod 100, split = train (<90) / val (<95) / test. The salt string keeps
+    this split independent of every other hash-derived decision in the
+    pipeline (sampling, sharding) — hashing the same key with the same
+    function for two different decisions correlates them."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        hashing.md5_int60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            bucket.cast("int").alias("bucket"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+            .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SPLIT_ASSIGN_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CAST({hashing.md5_int60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+              AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+ORDER BY doc_id
+"""

@@ -1503,3 +1503,98 @@ QUALIFY rank <= {MAXSIM_TOP_K}
 
 
 MULTIVECTOR_MAXSIM_SQL = _maxsim_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_knn_graph — k-nearest-neighbor graph over the corpus (LSH-
+# bucketed, identical-vector collapsed)
+# ---------------------------------------------------------------------------
+#
+# The substrate for SemDeDup-style clustering, label propagation, and
+# graph-based coreset selection: every vector's k most-similar neighbors
+# as an edge list. Candidates come from the sign-LSH bucket equi-join
+# (never all-pairs); nodes are the DISTINCT vectors — byte-identical
+# embeddings collapse to their min-vec_id representative with the
+# multiplicity carried, because on a replica-heavy corpus (the sf10
+# upscale: 100 copies of each vector) the raw bucket self-join explodes
+# quadratically while the collapsed graph is identical information.
+
+KNN_K = 5
+
+
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges (src_id, dst_id, rank, cosine, src_n, dst_n) with rank =
+    1..k per src over candidates sharing the src's LSH bucket; ties
+    break to the smaller dst. One shuffle groups identical arrays, one
+    equi-join on the bucket id, and the rank<=k filter runs as a
+    WindowGroupLimit partial top-k before the final sort."""
+    emb = split_for_cpu(load(spark, sf_dir, "embeddings"), "vec_id")
+    grouped = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .select(
+            "gid",
+            "n_members",
+            vectors.emb_double(F.col("embedding")).alias("emb"),
+            F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
+            vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
+        )
+    )
+    a = grouped.select(
+        F.col("gid").alias("src_id"), F.col("n_members").alias("src_n"),
+        F.col("emb").alias("emb_a"), F.col("sn").alias("sn_a"), "bucket",
+    )
+    b = grouped.select(
+        F.col("gid").alias("dst_id"), F.col("n_members").alias("dst_n"),
+        F.col("emb").alias("emb_b"), F.col("sn").alias("sn_b"), "bucket",
+    )
+    cos = F.round(
+        vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("sn_a") * F.col("sn_b")), 6
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "src_n", "dst_id", "dst_n", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src_id", "dst_id", "rank", "cosine", "src_n", "dst_n")
+        .orderBy("src_id", "rank")
+    )
+
+
+def _knn_graph_sql() -> str:
+    n2 = vectors.norm2_sql("embedding")
+    return f"""
+WITH grouped AS (
+  SELECT MIN(vec_id) AS gid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         embedding AS emb,
+         sqrt({n2}) AS sn,
+         {vectors.lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+  GROUP BY embedding
+),
+scored AS (
+  SELECT a.gid AS src_id, a.n_members AS src_n,
+         b.gid AS dst_id, b.n_members AS dst_n,
+         ROUND({vectors.dot_sql("a.emb", "b.emb")} / (a.sn * b.sn), 6) AS cosine
+  FROM grouped a JOIN grouped b
+    ON a.bucket = b.bucket AND a.gid <> b.gid
+),
+ranked AS (
+  SELECT src_id, dst_id, cosine, src_n, dst_n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT src_id, dst_id, rank, cosine, src_n, dst_n
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY src_id, rank
+"""
+
+
+EMBEDDING_KNN_GRAPH_SQL = _knn_graph_sql()

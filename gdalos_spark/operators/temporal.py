@@ -678,3 +678,150 @@ SELECT event_type, MIN(day) AS start_day, MAX(day) AS end_day,
 FROM runs
 GROUP BY event_type, grp
 """
+
+
+# ---------------------------------------------------------------------------
+# events_resample_interpolate — regular-grid resampling with linear
+# interpolation (gap fill)
+# ---------------------------------------------------------------------------
+#
+# The time-series primitive every metering/feature pipeline needs: turn an
+# irregular event stream into a fixed-step series. The reference's nearest
+# analogue is raster resampling (gdalos_trans.py warp/overview paths
+# resample a regular 2-D grid); this is the 1-D event-time version.
+
+GRID_STEP_S = 21_600  # 6-hour grid
+
+
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user regular time grid (6-hour step, clipped to the user's own
+    [min, max] span) with linear interpolation between the bracketing
+    events.
+
+    Plan shape: grid points come from a per-user min/max agg + sequence()
+    explode (no driver loop, fan-out bounded by span/step); events and
+    grid points then UNION into one stream so ONE shuffle on user_id and
+    ONE within-partition sort serve both the carry-forward (prev event)
+    and carry-backward (next event) windows — the same merge shape as
+    asof_join_enrich, never a range join. Interpolation arithmetic is
+    exact-integer cents/seconds with one terminal double divide, so the
+    value is engine-identical by construction (no ROUND needed).
+
+    At 100 TB the stream shuffles once on user_id and the grid fan-out is
+    output-sized; state never exceeds the partition sort buffer.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id"),
+        F.col("ts").cast("long").alias("t"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_c"),
+    )
+    step = F.lit(GRID_STEP_S)
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    (F.floor((F.col("t0") + step - 1) / step) * step).cast("long"),
+                    (F.floor(F.col("t1") / step) * step).cast("long"),
+                    step.cast("long"),
+                )
+            ).alias("t"),
+        )
+    )
+    stream = ev.select(
+        "user_id", "t", F.lit(1).alias("kind"), "event_id", "v_c"
+    ).unionByName(
+        grid.select(
+            "user_id", "t", F.lit(0).alias("kind"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(None).cast("bigint").alias("v_c"),
+        )
+    )
+    order = [F.col("t"), F.desc("kind"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = stream.select(
+        "user_id", "t", "kind",
+        F.last("v_c", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(F.col("kind") == 1, F.col("t")), ignorenulls=True).over(wp).alias("pt"),
+        F.first("v_c", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(F.col("kind") == 1, F.col("t")), ignorenulls=True).over(wn).alias("nt"),
+    )
+    # grid start/end are clipped to the event span, so pt always exists and
+    # nt is only null when the grid point coincides with the last event —
+    # covered by the exact-hit branch
+    interp = F.when(F.col("pt") == F.col("t"), F.col("pv").cast("double")).otherwise(
+        F.col("pv").cast("double")
+        + ((F.col("nv") - F.col("pv")) * (F.col("t") - F.col("pt"))).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return (
+        marked.filter(F.col("kind") == 0)
+        .select(
+            "user_id",
+            F.col("t").alias("grid_ts"),
+            (interp / F.lit(100.0)).alias("v_interp"),
+            (F.col("pt") == F.col("t")).cast("int").alias("is_exact"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+EVENTS_RESAMPLE_INTERPOLATE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v_c
+  FROM events
+),
+span AS (
+  SELECT user_id,
+         CAST(FLOOR((MIN(t) + {GRID_STEP_S} - 1) / {GRID_STEP_S}) * {GRID_STEP_S} AS BIGINT) AS g0,
+         CAST(FLOOR(MAX(t) / {GRID_STEP_S}) * {GRID_STEP_S} AS BIGINT) AS g1
+  FROM ev GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(g.t AS BIGINT) AS t
+  FROM span, UNNEST(generate_series(g0, g1, {GRID_STEP_S})) AS g(t)
+),
+stream AS (
+  SELECT user_id, t, 1 AS kind, event_id, v_c FROM ev
+  UNION ALL
+  SELECT user_id, t, 0 AS kind, CAST(-1 AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS v_c
+  FROM grid
+),
+marked AS (
+  SELECT user_id, t, kind,
+         LAST_VALUE(v_c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN kind = 1 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         FIRST_VALUE(v_c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN kind = 1 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM stream
+)
+SELECT user_id, t AS grid_ts,
+       (CASE WHEN pt = t THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE)
+                  + CAST((nv - pv) * (t - pt) AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+        END) / 100.0 AS v_interp,
+       CAST(pt = t AS INTEGER) AS is_exact
+FROM marked
+WHERE kind = 0
+ORDER BY user_id, grid_ts
+"""

@@ -812,3 +812,148 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vol_c").cast("double") / 100.0).alias("volume"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_watermark_audit — REAL late-data drop semantics, made
+# deterministic by a three-file staged stream
+# ---------------------------------------------------------------------------
+
+WATERMARK_QUERY_NAME = "gdalos_stream_watermark_audit"
+WM_DELAY_S = 4 * 3600  # watermark delay
+WM_WINDOW_S = 3600     # tumbling window
+
+
+def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE parquet files — event_id mod 3 = 0, 1, 2 —
+    with strictly increasing mtimes, so maxFilesPerTrigger=1 processes
+    them as three deterministic micro-batches. Three, not two, because
+    Spark intentionally lags the LATE-EVENT watermark one batch behind
+    the EVICTION watermark (SPARK-24634: a row must not be dropped
+    before the eviction that finalized its window has actually run), so
+    the first batch whose rows can be dropped as late is the third. In
+    production the batches are whatever the source delivers; here
+    determinism is what lets the result be oracle-gated."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(), "gdalos_stream_wm", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ev = spark.read.parquet(src)
+    t0 = 1_600_000_000
+    for i, tag in enumerate(("batch_a", "batch_b", "batch_c")):
+        tmp = os.path.join(d, f"_tmp_{tag}")
+        ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, part), os.path.join(d, f"{tag}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def streaming_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-window counts per event_type through a REAL three-micro-batch
+    Structured Streaming run with a 4-hour watermark, append mode — the
+    one operator whose OUTPUT differs from its batch twin precisely by
+    watermark semantics, all of which are deterministic here:
+
+    * end of batch 2 evicts (emits) every window closed under the
+      watermark established by batch 1's data — max(ts of event_id%3=0)
+      minus 4h;
+    * batch 3's rows falling in those evicted windows are DROPPED late
+      data (Spark's late-event watermark is the previous batch's
+      eviction watermark, so batch 3 is the first batch that can drop);
+    * windows past the final watermark (global max ts - 4h) are never
+      emitted in append mode — they sit in state awaiting more data.
+
+    The same query pointed at a growing directory/Kafka topic runs
+    unbounded with state bounded to the watermark horizon; the audit's
+    oracle reproduces the batch-schedule watermark arithmetic in SQL, so
+    this is a hash-gated certification that the engine's late-data
+    behavior matches the declared semantics."""
+    staged = _stage_three_batches(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    for q in spark.streams.active:
+        if q.name == WATERMARK_QUERY_NAME:
+            q.stop()
+    # fresh in-memory state per invocation: the memory sink accumulates
+    # across runs if the checkpoint is reused
+    ckpt = tempfile.mkdtemp(prefix="gdalos_wm_ckpt_")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(epoch_micros(stream)))
+    agg = (
+        ev.withWatermark("ts", f"{WM_DELAY_S} seconds")
+        .groupBy(F.window("ts", f"{WM_WINDOW_S} seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(WATERMARK_QUERY_NAME)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return (
+        spark.table(WATERMARK_QUERY_NAME)
+        .select(
+            F.col("w").getField("start").cast("long").alias("window_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Oracle: the three-batch watermark arithmetic in closed form. Watermarks
+# compare in event-time microseconds against hour-aligned window ends, so
+# floor-second arithmetic is exactly equivalent (we <= x - 4h  <=>
+# we <= floor(x) - 4h for integer-second we); equality at the boundary
+# would need an exactly hour-aligned max timestamp, which the micro-
+# timestamped corpus never produces.
+STREAMING_WATERMARK_AUDIT_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events
+),
+w AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(t / {WM_WINDOW_S}) * {WM_WINDOW_S} AS BIGINT) AS ws,
+         CAST(FLOOR(t / {WM_WINDOW_S}) * {WM_WINDOW_S} + {WM_WINDOW_S} AS BIGINT) AS we
+  FROM ev
+),
+wm AS (
+  SELECT MAX(CASE WHEN event_id % 3 = 0 THEN t END) - {WM_DELAY_S} AS w_late,
+         MAX(t) - {WM_DELAY_S} AS w_final
+  FROM ev
+),
+kept AS (
+  SELECT w.* FROM w WHERE event_id % 3 IN (0, 1)
+  UNION ALL
+  SELECT w.* FROM w, wm WHERE event_id % 3 = 2 AND we > w_late
+)
+SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM kept, wm
+WHERE we <= w_final
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1,0 +1,124 @@
+"""Round-7-session additions: oracle parity + semantic property tests for
+the time-grid resampler, deterministic split assignment, incremental
+(delta-vs-index) minhash dedup, the LSH-bucketed kNN graph, and the
+three-batch watermark audit."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+NEW_KEYS = [
+    "events_resample_interpolate",
+    "corpus_split_assign",
+    "dedup_incremental_minhash",
+    "embedding_knn_graph",
+    "streaming_watermark_audit",
+]
+
+
+@pytest.mark.parametrize("key", NEW_KEYS)
+def test_matches_oracle(spark, ducks, key):
+    assert_matches_oracle(
+        spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+    )
+
+
+def test_resample_grid_bounds_and_interp(spark):
+    """Every grid point lies inside its user's [min, max] event span on
+    the 6-hour lattice, and interpolated values sit within the corpus
+    value range (a convex combination can't extrapolate)."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.datamodel import load
+    from gdalos_spark.operators.temporal import GRID_STEP_S, events_resample_interpolate
+
+    out = events_resample_interpolate(spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events").select(
+        "user_id", F.col("ts").cast("long").alias("t"), "value"
+    )
+    span = ev.groupBy("user_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    joined = out.join(span, "user_id")
+    assert joined.filter(
+        (F.col("grid_ts") < F.col("t0")) | (F.col("grid_ts") > F.col("t1"))
+    ).count() == 0
+    assert out.filter(F.col("grid_ts") % GRID_STEP_S != 0).count() == 0
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    bad = out.filter(
+        (F.col("v_interp") < vmin - 1e-9) | (F.col("v_interp") > vmax + 1e-9)
+    )
+    assert bad.count() == 0
+
+
+def test_split_assign_partitions_every_doc_once(spark):
+    """The three splits partition the corpus, and the realized train
+    fraction is within a few points of the declared 90% (md5 buckets are
+    near-uniform)."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.operators.pipeline import corpus_split_assign
+
+    out = corpus_split_assign(spark, SF_DIR).cache()
+    n_docs = out.count()
+    assert out.select("doc_id").distinct().count() == n_docs
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n_docs
+    assert 0.80 <= counts.get("train", 0) / n_docs <= 0.97
+    out.unpersist()
+
+
+def test_incremental_dedup_never_pairs_index_with_index(spark):
+    """Every reported match pairs a batch doc with an INDEX doc — the
+    delta-join contract (batch-batch and index-index pairs are never
+    generated)."""
+    from gdalos_spark.operators.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_REM,
+        dedup_incremental_minhash,
+    )
+
+    rows = dedup_incremental_minhash(spark, SF_DIR).collect()
+    assert rows, "batch side is empty"
+    for r in rows:
+        assert r.doc_id % INC_BATCH_MOD == INC_BATCH_REM
+        if r.match_id is not None:
+            assert r.match_id % INC_BATCH_MOD != INC_BATCH_REM
+            assert r.verdict == "duplicate"
+        else:
+            assert r.verdict == "new"
+
+
+def test_knn_graph_ranks_are_dense_and_bucket_bounded(spark):
+    """Per-source ranks are 1..deg with no gaps, capped at k, and no
+    self-edges; nodes are distinct-vector representatives so src == dst
+    never appears even on a replica corpus."""
+    from collections import defaultdict
+
+    from gdalos_spark.operators.similarity import KNN_K, embedding_knn_graph
+
+    rows = embedding_knn_graph(spark, SF_DIR).collect()
+    assert rows
+    per_src = defaultdict(list)
+    for r in rows:
+        assert r.src_id != r.dst_id
+        assert 1 <= r.rank <= KNN_K
+        per_src[r.src_id].append(r.rank)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_watermark_audit_drops_are_real(spark, ducks):
+    """The audit's total event count must sit strictly between zero and
+    the full corpus: late batch-3 rows were dropped and open windows
+    withheld (if it equals the batch-twin total, watermarking did
+    nothing and the operator is vacuous)."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.datamodel import load
+    from gdalos_spark.streaming.events import streaming_watermark_audit
+
+    out = streaming_watermark_audit(spark, SF_DIR)
+    streamed = out.agg(F.sum("n")).first()[0]
+    total = load(spark, SF_DIR, "events").count()
+    assert 0 < streamed < total
