@@ -686,3 +686,25 @@ class GdalosSpark:
     def sample_gif_frames(self) -> DataFrame:
         """Real animated-GIF frame sampling (encode->decode round trip)."""
         return multimodal_ops.multimodal_gif_frames(self.spark, self.sf_dir)
+
+    def resample_events(self) -> DataFrame:
+        """Per-user regular time grid with linear interpolation."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.events_resample_interpolate(self.spark, self.sf_dir)
+
+    def assign_splits(self) -> DataFrame:
+        """Deterministic leakage-free train/val/test assignment."""
+        return pipeline_ops.corpus_split_assign(self.spark, self.sf_dir)
+
+    def dedup_incremental(self) -> DataFrame:
+        """New-batch-vs-index minhash delta dedup (the daily-crawl shape)."""
+        return dedup_ops.dedup_incremental_minhash(self.spark, self.sf_dir)
+
+    def knn_graph(self) -> DataFrame:
+        """LSH-bucketed k-NN edge list over distinct embedding vectors."""
+        return similarity.embedding_knn_graph(self.spark, self.sf_dir)
+
+    def stream_watermark_audit(self) -> DataFrame:
+        """Three-micro-batch watermark run with real late-data drops."""
+        return streaming_events.streaming_watermark_audit(self.spark, self.sf_dir)

@@ -1481,9 +1481,29 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict. Band keys restrict the join to new->index candidate pairs —
     no index-index or batch-batch pair is ever generated, and the
     duplicate candidate rows a shared multi-band pair produces collapse
-    in the per-doc max aggregation (no distinct shuffle needed)."""
-    sig = _signatures(spark, sf_dir).persist()
+    in the per-doc max aggregation (no distinct shuffle needed).
+
+    Signature-identical collapse (the dedup_clusters lesson applied to
+    the delta join): est_jaccard is a pure function of the two
+    SIGNATURES, so the band join runs over one row per distinct
+    signature GROUP (sf10 replica corpus: 166k groups for 500k docs,
+    ~1000x fewer candidate pairs between replica cliques) and the best
+    match expands back to batch members afterwards. A group holding both
+    batch and index docs pairs with itself (est = 1.0 — exactly what
+    the uncollapsed join computes for identical signatures), and the
+    index-side tie representative is the group's min index doc_id, so
+    every emitted value is byte-identical to the uncollapsed algebra
+    (the sf0.01 oracle SQL stays the straightforward per-doc form)."""
+    sig = _signatures(spark, sf_dir)
+    ms = [F.col(f"m{i}") for i in range(N_PERM)]
     is_batch = (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
+    docs = sig.withColumn(
+        "gid", F.min("doc_id").over(Window.partitionBy(*ms))
+    ).persist()
+    groups = docs.groupBy("gid", *[f"m{i}" for i in range(N_PERM)]).agg(
+        F.min(F.when(~is_batch, F.col("doc_id"))).alias("min_idx"),
+        F.max(is_batch.cast("int")).alias("any_batch"),
+    )
     band_structs = [
         F.struct(
             F.lit(j).alias("band_id"),
@@ -1491,33 +1511,38 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(N_BANDS)
     ]
-    bands = sig.select(
-        "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("ms"),
+    bands = groups.select(
+        "gid",
+        "min_idx",
+        "any_batch",
+        F.array(*ms).alias("ms"),
         F.explode(F.array(*band_structs)).alias("b"),
-    ).select("doc_id", "ms", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey"))
-    new_side = bands.filter(is_batch).select(
-        F.col("doc_id").alias("new_id"), F.col("ms").alias("ms_a"), "band_id", "bkey"
+    ).select(
+        "gid", "min_idx", "any_batch", "ms",
+        F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey"),
     )
-    idx_side = bands.filter(~is_batch).select(
-        F.col("doc_id").alias("idx_id"), F.col("ms").alias("ms_b"), "band_id", "bkey"
+    new_side = bands.filter(F.col("any_batch") == 1).select(
+        F.col("gid").alias("new_gid"), F.col("ms").alias("ms_a"), "band_id", "bkey"
+    )
+    idx_side = bands.filter(F.col("min_idx").isNotNull()).select(
+        F.col("min_idx").alias("idx_id"), F.col("ms").alias("ms_b"), "band_id", "bkey"
     )
     agree = F.expr("size(filter(zip_with(ms_a, ms_b, (x, y) -> x = y), t -> t))")
-    matches = (
+    best_per_group = (
         new_side.join(idx_side, ["band_id", "bkey"])
-        .select("new_id", "idx_id", (agree / F.lit(float(N_PERM))).alias("est"))
+        .select("new_gid", "idx_id", (agree / F.lit(float(N_PERM))).alias("est"))
         .filter(F.col("est") >= INC_MIN_EST_JACCARD)
-        .groupBy("new_id")
+        .groupBy("new_gid")
         .agg(F.max(F.struct(F.col("est"), (-F.col("idx_id")).alias("neg"))).alias("best"))
         .select(
-            "new_id",
+            "new_gid",
             (-F.col("best.neg")).alias("match_id"),
             F.col("best.est").alias("est_jaccard"),
         )
     )
-    batch_docs = sig.filter(is_batch).select(F.col("doc_id"))
+    batch_docs = docs.filter(is_batch).select("doc_id", "gid")
     return (
-        batch_docs.join(matches, F.col("doc_id") == F.col("new_id"), "left")
+        batch_docs.join(best_per_group, F.col("gid") == F.col("new_gid"), "left")
         .select(
             "doc_id",
             F.col("match_id").cast("bigint").alias("match_id"),
