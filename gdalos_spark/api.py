@@ -708,3 +708,13 @@ class GdalosSpark:
     def stream_watermark_audit(self) -> DataFrame:
         """Three-micro-batch watermark run with real late-data drops."""
         return streaming_events.streaming_watermark_audit(self.spark, self.sf_dir)
+
+    def propagate_labels(self) -> DataFrame:
+        """Label spreading over the kNN graph from 20% trusted seeds."""
+        return similarity.embedding_label_propagation(self.spark, self.sf_dir)
+
+    def ingest_csv(self) -> DataFrame:
+        """Schema-enforced CSV ingest with corrupt-record accounting."""
+        from gdalos_spark.sources import csv_ingest
+
+        return csv_ingest.csv_ingest_audit(self.spark, self.sf_dir)

@@ -1598,3 +1598,145 @@ ORDER BY src_id, rank
 
 
 EMBEDDING_KNN_GRAPH_SQL = _knn_graph_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_label_propagation — semi-supervised label spreading over the
+# kNN graph (weak supervision for training data)
+# ---------------------------------------------------------------------------
+#
+# The standard trick for labeling a corpus from a small seed set: keep
+# the 20% of nodes whose label is trusted fixed, and for LP_ROUNDS
+# synchronous rounds every other node takes the majority label of its k
+# nearest neighbors (ties to the smallest label id). Fixed rounds +
+# integer counts + deterministic tie-break = a finite CTE chain oracle,
+# the pagerank_exact pattern applied to the LLM side of the house.
+
+LP_ROUNDS = 3
+LP_SEED_MOD = 5  # gid % 5 == 0 -> trusted seed label
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str):
+    """(src_id, dst_id) edges of embedding_knn_graph plus the node set
+    with each representative's own label — shared by the propagation
+    rounds below."""
+    edges = embedding_knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    emb = load(spark, sf_dir, "embeddings")
+    nodes = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("gid"), F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .join(
+            emb.select(F.col("vec_id").alias("gid"), F.col("label").cast("int").alias("true_label")),
+            "gid",
+        )
+        .select("gid", "n_members", "true_label")
+    )
+    return edges, nodes
+
+
+def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per node: the propagated label after LP_ROUNDS majority rounds,
+    whether it was a seed, and whether propagation recovered the held-out
+    true label — the evaluation every weak-supervision pipeline runs
+    before trusting spread labels.
+
+    Plan: the edge list and seed set build once (kNN graph machinery,
+    identical-vector collapse included); each round is ONE join of edges
+    to current labels and ONE (node, label) count agg with an argmax
+    fold — two shuffles per round, the scalable label-propagation shape.
+    localCheckpoint cuts lineage between rounds as in pagerank_exact."""
+    edges, nodes = _knn_edges(spark, sf_dir)
+    edges = edges.persist()
+    nodes = nodes.persist()
+    is_seed = (F.col("gid") % LP_SEED_MOD) == 0
+    cur = nodes.select(
+        "gid",
+        F.when(is_seed, F.col("true_label")).alias("label"),
+    )
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(cur.withColumnRenamed("gid", "dst_id"), "dst_id")
+            .filter(F.col("label").isNotNull())
+            .groupBy(F.col("src_id").alias("gid"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("gid")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("best"))
+            .select("gid", (-F.col("best.neg")).cast("int").alias("vote"))
+        )
+        cur = (
+            nodes.select("gid", F.when(is_seed, F.col("true_label")).alias("seed_label"))
+            .join(cur.select("gid", F.col("label").alias("prev")), "gid")
+            .join(votes, "gid", "left")
+            .select(
+                "gid",
+                F.coalesce(F.col("seed_label"), F.col("vote"), F.col("prev")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(cur, "gid")
+        .select(
+            "gid",
+            "n_members",
+            F.when(is_seed, 1).otherwise(0).cast("int").alias("is_seed"),
+            F.col("label").cast("int").alias("label"),
+            F.when(~is_seed & F.col("label").isNotNull(),
+                   (F.col("label") == F.col("true_label")).cast("int"))
+            .alias("recovered"),
+        )
+        .orderBy("gid")
+    )
+
+
+def _label_prop_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(
+            f"""v{i} AS (
+  SELECT e.src_id AS gid, c.label, COUNT(*) AS n
+  FROM edges e JOIN {prev} c ON e.dst_id = c.gid
+  WHERE c.label IS NOT NULL
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT gid, label AS vote,
+         ROW_NUMBER() OVER (PARTITION BY gid ORDER BY n DESC, label) AS rn
+  FROM v{i}
+),
+l{i} AS (
+  SELECT n.gid,
+         COALESCE(CASE WHEN n.gid % {LP_SEED_MOD} = 0 THEN n.true_label END,
+                  b.vote, c.label) AS label
+  FROM nodes n
+  JOIN {prev} c ON c.gid = n.gid
+  LEFT JOIN b{i} b ON b.gid = n.gid AND b.rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    knn = EMBEDDING_KNN_GRAPH_SQL.strip().rstrip(";")
+    return f"""
+WITH edges AS (SELECT src_id, dst_id FROM ({knn})),
+nodes AS (
+  SELECT g.gid, g.n_members, CAST(e.label AS INTEGER) AS true_label
+  FROM (SELECT MIN(vec_id) AS gid, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM embeddings GROUP BY embedding) g
+  JOIN embeddings e ON e.vec_id = g.gid
+),
+l0 AS (
+  SELECT gid, CASE WHEN gid % {LP_SEED_MOD} = 0 THEN true_label END AS label
+  FROM nodes
+),
+{chain}
+SELECT n.gid, n.n_members,
+       CAST(CASE WHEN n.gid % {LP_SEED_MOD} = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+       CAST(c.label AS INTEGER) AS label,
+       CASE WHEN n.gid % {LP_SEED_MOD} <> 0 AND c.label IS NOT NULL
+            THEN CAST(c.label = n.true_label AS INTEGER) END AS recovered
+FROM nodes n JOIN {prev} c ON c.gid = n.gid
+ORDER BY n.gid
+"""
+
+
+EMBEDDING_LABEL_PROPAGATION_SQL = _label_prop_sql()

@@ -122,3 +122,71 @@ def test_watermark_audit_drops_are_real(spark, ducks):
     streamed = out.agg(F.sum("n")).first()[0]
     total = load(spark, SF_DIR, "events").count()
     assert 0 < streamed < total
+
+
+def test_label_propagation_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["embedding_label_propagation"],
+        entrymod.oracle_sql()["embedding_label_propagation"],
+    )
+
+
+def test_csv_ingest_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["csv_ingest_audit"],
+        entrymod.oracle_sql()["csv_ingest_audit"],
+    )
+
+
+def test_label_propagation_seeds_are_clamped(spark):
+    """Seed nodes must come out carrying their own true label (clamping
+    is the defining property of label propagation with trusted seeds),
+    and propagation must actually spread: some non-seed node ends up
+    labeled."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.datamodel import load
+    from gdalos_spark.operators.similarity import (
+        LP_SEED_MOD,
+        embedding_label_propagation,
+    )
+
+    out = embedding_label_propagation(spark, SF_DIR).cache()
+    emb = load(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("gid"), F.col("label").cast("int").alias("true_label")
+    )
+    seeds = out.filter(F.col("is_seed") == 1).join(emb, "gid")
+    assert seeds.filter(F.col("label") != F.col("true_label")).count() == 0
+    assert out.filter((F.col("is_seed") == 0) & F.col("label").isNotNull()).count() > 0
+    out.unpersist()
+
+
+def test_csv_ingest_flags_exactly_the_corrupt_rows(spark):
+    """The PERMISSIVE parser must flag exactly the rows the staging
+    corrupted (event_id % 97 == 13) — no silent nulls, no over-flagging."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.datamodel import load
+    from gdalos_spark.sources.csv_ingest import (
+        CORRUPT_MOD,
+        CORRUPT_REM,
+        csv_ingest_audit,
+    )
+
+    # consume the FULL audit rows (as the driver does): a projection down
+    # to n_corrupt alone legitimately re-prunes the CSV parse to the
+    # corrupt column and reports zero — the exact trap the operator's
+    # docstring records
+    rows = csv_ingest_audit(spark, SF_DIR).collect()
+    flagged = sum(r.n_corrupt for r in rows)
+    expected = (
+        load(spark, SF_DIR, "events")
+        .filter((F.col("event_id") % CORRUPT_MOD) == CORRUPT_REM)
+        .count()
+    )
+    assert flagged == expected
+    assert sum(r.n_rows for r in rows) == load(spark, SF_DIR, "events").count()
