@@ -190,3 +190,34 @@ def test_csv_ingest_flags_exactly_the_corrupt_rows(spark):
     )
     assert flagged == expected
     assert sum(r.n_rows for r in rows) == load(spark, SF_DIR, "events").count()
+
+
+def test_round7_plan_shapes(spark):
+    """Scale pins for the round-7 additions: the resampler serves both
+    bracket windows from TWO exchanges total (span agg + the shared
+    user_id window sort — a third would mean the union stream shuffled
+    twice); the kNN graph ranks through WindowGroupLimit (partial top-k
+    before the final sort); the CSV audit is scan + ONE aggregation
+    exchange. The catalog-wide no-cartesian sweep in test_plans.py
+    covers these keys too."""
+    from gdalos_spark.operators.similarity import embedding_knn_graph
+    from gdalos_spark.operators.temporal import events_resample_interpolate
+    from gdalos_spark.sources.csv_ingest import csv_ingest_audit
+
+    plan = (
+        events_resample_interpolate(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    plan = (
+        embedding_knn_graph(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+    plan = (
+        csv_ingest_audit(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
