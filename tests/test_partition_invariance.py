@@ -36,6 +36,15 @@ INVARIANCE_KEYS = [
     "crs_reproject_utm",
     "viewshed_combine_modes",
     "dedup_clusters",
+    # round-7 additions: the resampler's interpolation divide must see
+    # the same bracketing events under any layout; the incremental dedup
+    # pins the signature-identical collapse; the kNN graph and label
+    # propagation pin rounded-cosine ranking and majority votes across
+    # partitionings
+    "events_resample_interpolate",
+    "dedup_incremental_minhash",
+    "embedding_knn_graph",
+    "embedding_label_propagation",
 ]
 
 
