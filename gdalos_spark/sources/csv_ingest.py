@@ -60,7 +60,10 @@ def _stage_csv(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "gdalos_csv", sf_dir.strip("/").replace("/", "_")
     )
     done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.exists(done) and open(done).read() == fp:
         return d
     ev = load(spark, sf_dir, "events")
     bad = (F.col("event_id") % CORRUPT_MOD) == CORRUPT_REM
@@ -75,6 +78,9 @@ def _stage_csv(spark: SparkSession, sf_dir: str) -> str:
         ),
     )
     ev.select(line.alias("value")).write.mode("overwrite").text(d + "_tmp")
+    import shutil as _sh
+
+    _sh.rmtree(d, ignore_errors=True)  # restage: drop any stale part files
     os.makedirs(d, exist_ok=True)
     i = 0
     for f in sorted(os.listdir(d + "_tmp")):
@@ -85,7 +91,7 @@ def _stage_csv(spark: SparkSession, sf_dir: str) -> str:
 
     shutil.rmtree(d + "_tmp")
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(fp)
     return d
 
 

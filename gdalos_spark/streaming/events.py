@@ -824,6 +824,13 @@ WM_DELAY_S = 4 * 3600  # watermark delay
 WM_WINDOW_S = 3600     # tumbling window
 
 
+def _source_fingerprint(path: str) -> str:
+    """mtime+size of the source parquet — staged copies restage when the
+    driver regenerates testdata between rounds."""
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as THREE parquet files — event_id mod 3 = 0, 1, 2 —
     with strictly increasing mtimes, so maxFilesPerTrigger=1 processes
@@ -841,7 +848,8 @@ def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "gdalos_stream_wm", sf_dir.strip("/").replace("/", "_")
     )
     done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
+    fp = _source_fingerprint(src)
+    if os.path.exists(done) and open(done).read() == fp:
         return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
@@ -857,7 +865,7 @@ def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(tmp)
         os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(fp)
     return d
 
 
