@@ -18,6 +18,8 @@ schema, not the derivation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -71,6 +73,13 @@ def epoch_micros_sql(df: DataFrame, col: str = "ts") -> str:
 
 def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
     return F.expr(epoch_micros_sql(df, col))
+
+
+def source_fingerprint(path: str) -> str:
+    """mtime+size cache key for staged copies of a source file — staging
+    helpers restage when the driver regenerates testdata between rounds."""
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

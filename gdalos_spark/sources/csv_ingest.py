@@ -22,6 +22,7 @@ files) and the report is one partial-aggregated groupBy.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, source_fingerprint
 
 CORRUPT_MOD = 97
 CORRUPT_REM = 13
@@ -61,8 +62,7 @@ def _stage_csv(spark: SparkSession, sf_dir: str) -> str:
     )
     done = os.path.join(d, "_STAGED")
     src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    fp = source_fingerprint(src)
     if os.path.exists(done) and open(done).read() == fp:
         return d
     ev = load(spark, sf_dir, "events")
@@ -78,17 +78,13 @@ def _stage_csv(spark: SparkSession, sf_dir: str) -> str:
         ),
     )
     ev.select(line.alias("value")).write.mode("overwrite").text(d + "_tmp")
-    import shutil as _sh
-
-    _sh.rmtree(d, ignore_errors=True)  # restage: drop any stale part files
+    shutil.rmtree(d, ignore_errors=True)  # restage: drop any stale part files
     os.makedirs(d, exist_ok=True)
     i = 0
     for f in sorted(os.listdir(d + "_tmp")):
         if f.endswith(".txt"):
             os.replace(os.path.join(d + "_tmp", f), os.path.join(d, f"part{i}.csv"))
             i += 1
-    import shutil
-
     shutil.rmtree(d + "_tmp")
     with open(done, "w") as f:
         f.write(fp)

@@ -24,7 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..datamodel import epoch_micros, epoch_micros_sql
+from ..datamodel import epoch_micros, epoch_micros_sql, source_fingerprint
 
 QUERY_NAME = "gdalos_stream_event_counts"
 
@@ -824,13 +824,6 @@ WM_DELAY_S = 4 * 3600  # watermark delay
 WM_WINDOW_S = 3600     # tumbling window
 
 
-def _source_fingerprint(path: str) -> str:
-    """mtime+size of the source parquet — staged copies restage when the
-    driver regenerates testdata between rounds."""
-    st = os.stat(path)
-    return f"{st.st_mtime_ns}:{st.st_size}"
-
-
 def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as THREE parquet files — event_id mod 3 = 0, 1, 2 —
     with strictly increasing mtimes, so maxFilesPerTrigger=1 processes
@@ -848,7 +841,7 @@ def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "gdalos_stream_wm", sf_dir.strip("/").replace("/", "_")
     )
     done = os.path.join(d, "_STAGED")
-    fp = _source_fingerprint(src)
+    fp = source_fingerprint(src)
     if os.path.exists(done) and open(done).read() == fp:
         return d
     shutil.rmtree(d, ignore_errors=True)
