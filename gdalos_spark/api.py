@@ -718,3 +718,7 @@ class GdalosSpark:
         from gdalos_spark.sources import csv_ingest
 
         return csv_ingest.csv_ingest_audit(self.spark, self.sf_dir)
+
+    def stream_to_parquet(self) -> DataFrame:
+        """Append-mode parquet file sink with the exactly-once commit log."""
+        return streaming_events.streaming_parquet_sink(self.spark, self.sf_dir)

@@ -958,3 +958,100 @@ WHERE we <= w_final
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_parquet_sink — the SINK side of the streaming story: append
+# parquet file sink with the exactly-once commit log
+# ---------------------------------------------------------------------------
+
+SINK_QUERY_NAME = "gdalos_stream_parquet_sink"
+
+
+def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the three staged event micro-batches through a stateless
+    projection into a real PARQUET FILE SINK (append mode + checkpoint),
+    then read the sink directory back and report per-type counts and
+    exact-cents sums.
+
+    What this certifies that the memory-sink operators can't: the file
+    sink's _spark_metadata commit log. Files become visible to readers
+    only when their batch commits, a re-run against the same checkpoint
+    processes nothing (no duplicate files — asserted in tests), and a
+    crashed batch's orphan files are invisible because they never enter
+    the log. That commit protocol IS the exactly-once contract a 100-TB
+    pipeline relies on when a thousand executors write a landing zone;
+    the batch oracle over the original events certifies no row was
+    dropped or duplicated on the way through.
+
+    The staged inputs, sink, and checkpoint all re-key on the source
+    fingerprint, so regenerated testdata restages instead of appending
+    to a stale sink."""
+    staged = _stage_three_batches(spark, sf_dir)
+    src = f"{sf_dir}/events.parquet"
+    fp = source_fingerprint(src).replace(":", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), "gdalos_stream_sink",
+        sf_dir.strip("/").replace("/", "_"), fp,
+    )
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(base, exist_ok=True)
+
+    for q in spark.streams.active:
+        if q.name == SINK_QUERY_NAME:
+            q.stop()
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    rows = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    q = (
+        rows.writeStream.format("parquet")
+        .queryName(SINK_QUERY_NAME)
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    sunk = spark.read.parquet(out_dir)
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+            "n_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_PARQUET_SINK_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value,
+       COUNT(DISTINCT event_id) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -221,3 +221,31 @@ def test_round7_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_parquet_sink_oracle_and_exactly_once(spark, ducks):
+    """The file sink must match the batch oracle AND a re-run against the
+    same checkpoint must add no files (availableNow with a committed log
+    has nothing left to process) — the exactly-once contract."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdalos_spark.datamodel import source_fingerprint
+    from gdalos_spark.streaming.events import streaming_parquet_sink
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["streaming_parquet_sink"],
+        entrymod.oracle_sql()["streaming_parquet_sink"],
+    )
+    fp = source_fingerprint(f"{SF_DIR}/events.parquet").replace(":", "_")
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(), "gdalos_stream_sink",
+        SF_DIR.strip("/").replace("/", "_"), fp, "out",
+    )
+    files_before = sorted(_glob.glob(f"{out_dir}/part-*"))
+    streaming_parquet_sink(spark, SF_DIR).collect()
+    files_after = sorted(_glob.glob(f"{out_dir}/part-*"))
+    assert files_before and files_before == files_after
