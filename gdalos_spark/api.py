@@ -722,3 +722,7 @@ class GdalosSpark:
     def stream_to_parquet(self) -> DataFrame:
         """Append-mode parquet file sink with the exactly-once commit log."""
         return streaming_events.streaming_parquet_sink(self.spark, self.sf_dir)
+
+    def stream_upsert(self) -> DataFrame:
+        """foreachBatch merge-upsert: per-user latest event, last-writer-wins."""
+        return streaming_events.streaming_upsert_sink(self.spark, self.sf_dir)

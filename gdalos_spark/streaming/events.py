@@ -1055,3 +1055,108 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_upsert_sink — foreachBatch MERGE into a keyed store
+# (last-writer-wins), the production streaming-merge idiom
+# ---------------------------------------------------------------------------
+
+UPSERT_QUERY_NAME = "gdalos_stream_upsert"
+
+
+def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-user LATEST-EVENT table from the staged three-batch
+    stream via foreachBatch: each micro-batch merges into the keyed store
+    (new key -> insert, existing key -> keep whichever row has the later
+    (ts, event_id)). The merged table is written to a NEW versioned
+    directory per batch and a _CURRENT pointer flips on success — the
+    swap pattern that stands in for MERGE INTO on plain parquet (no
+    self-overwrite of the directory being read, torn batches never
+    become visible; with a Delta/Iceberg table the foreachBatch body
+    would be a single MERGE statement).
+
+    Last-writer-wins over a total (ts, event_id) order is
+    batch-schedule-independent, so the final state equals the batch
+    argmax and the entry is fully oracle-gated."""
+    staged = _stage_three_batches(spark, sf_dir)
+    src = f"{sf_dir}/events.parquet"
+    fp = source_fingerprint(src).replace(":", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), "gdalos_stream_upsert",
+        sf_dir.strip("/").replace("/", "_"), fp,
+    )
+    ckpt = os.path.join(base, "ckpt")
+    cur_ptr = os.path.join(base, "_CURRENT")
+    os.makedirs(base, exist_ok=True)
+
+    for q in spark.streams.active:
+        if q.name == UPSERT_QUERY_NAME:
+            q.stop()
+
+    schema = spark.read.parquet(src).schema
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        news = batch_df.select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        )
+        if os.path.exists(cur_ptr):
+            with open(cur_ptr) as f:
+                cur = batch_df.sparkSession.read.parquet(f.read().strip())
+            merged = cur.unionByName(news)
+        else:
+            merged = news
+        w = W.partitionBy("user_id").orderBy(F.desc("ts_s"), F.desc("event_id"))
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        vdir = os.path.join(base, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(vdir)
+        tmp = cur_ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, cur_ptr)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(epoch_micros(stream)))
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .queryName(UPSERT_QUERY_NAME)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    with open(cur_ptr) as f:
+        final = spark.read.parquet(f.read().strip())
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "ts_s",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("last_value"),
+    ).orderBy("user_id")
+
+
+STREAMING_UPSERT_SINK_SQL = """
+SELECT user_id, event_id AS last_event_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS DOUBLE)
+         / 100.0 AS last_value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""

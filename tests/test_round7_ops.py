@@ -249,3 +249,29 @@ def test_parquet_sink_oracle_and_exactly_once(spark, ducks):
     streaming_parquet_sink(spark, SF_DIR).collect()
     files_after = sorted(_glob.glob(f"{out_dir}/part-*"))
     assert files_before and files_before == files_after
+
+
+def test_upsert_sink_oracle_and_idempotent_rerun(spark, ducks):
+    """foreachBatch merge must equal the batch argmax, and a re-run on
+    the committed checkpoint must leave the _CURRENT pointer unchanged
+    (no batch re-fires)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from gdalos_spark.datamodel import source_fingerprint
+    from gdalos_spark.streaming.events import streaming_upsert_sink
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["streaming_upsert_sink"],
+        entrymod.oracle_sql()["streaming_upsert_sink"],
+    )
+    fp = source_fingerprint(f"{SF_DIR}/events.parquet").replace(":", "_")
+    ptr = _os.path.join(
+        _tempfile.gettempdir(), "gdalos_stream_upsert",
+        SF_DIR.strip("/").replace("/", "_"), fp, "_CURRENT",
+    )
+    before = open(ptr).read()
+    streaming_upsert_sink(spark, SF_DIR).collect()
+    assert open(ptr).read() == before
