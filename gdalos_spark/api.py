@@ -726,3 +726,9 @@ class GdalosSpark:
     def stream_upsert(self) -> DataFrame:
         """foreachBatch merge-upsert: per-user latest event, last-writer-wins."""
         return streaming_events.streaming_upsert_sink(self.spark, self.sf_dir)
+
+    def seasonal_decompose(self) -> DataFrame:
+        """Trend + weekday seasonality + residual of daily event volume."""
+        from gdalos_spark.operators import temporal
+
+        return temporal.events_seasonal_decompose(self.spark, self.sf_dir)

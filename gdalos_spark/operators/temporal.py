@@ -825,3 +825,117 @@ FROM marked
 WHERE kind = 0
 ORDER BY user_id, grid_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_decompose — trend + weekday seasonality split
+# ---------------------------------------------------------------------------
+#
+# Classical decomposition of the daily event volume per type: trend =
+# centered 7-day moving average (full windows only), seasonal index =
+# per-weekday mean deviation from trend, residual = value - trend -
+# seasonal. Everything is exact integers (counts, micro-scaled means as
+# integer division) until the terminal double casts, so the three
+# components are engine-identical and the entry is fully oracle-gated.
+
+SEASON_SCALE = 1_000_000  # micro-units for trend/seasonal means
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): volume, 7-day centered trend, weekday
+    seasonal index, residual. One (type, day) agg, one 7-row window
+    frame, one weekday re-agg joined back — three shuffles total on tiny
+    keyed data however large the event stream (the daily rollup is the
+    only pass over the facts, partial-aggregated map-side)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(CAST(ts AS LONG) / 86400) AS BIGINT)").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    # trend only where the 7-day frame is full AND days are contiguous
+    # (first/last day of each type have partial frames; the synthetic
+    # stream has no day gaps, but the span check makes that explicit)
+    trended = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w7).alias("w_n"),
+        (F.max("day").over(w7) - F.min("day").over(w7)).alias("w_span"),
+        F.sum("x").over(w7).alias("w_sum"),
+    ).withColumn(
+        "trend_u",
+        F.when(
+            (F.col("w_n") == 7) & (F.col("w_span") == 6),
+            F.expr(f"(w_sum * {SEASON_SCALE}) div 7"),
+        ),
+    )
+    dev = trended.filter(F.col("trend_u").isNotNull()).select(
+        "event_type",
+        (F.col("day") % 7).alias("dow"),
+        (F.col("x") * SEASON_SCALE - F.col("trend_u")).alias("dev_u"),
+    )
+    seasonal = dev.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(dev_u) AS BIGINT) div count(*)").alias("seasonal_u")
+    )
+    return (
+        trended.withColumn("dow", F.col("day") % 7)
+        .join(seasonal, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("x").cast("bigint").alias("volume"),
+            (F.col("trend_u").cast("double") / SEASON_SCALE).alias("trend"),
+            (F.col("seasonal_u").cast("double") / SEASON_SCALE).alias("seasonal"),
+            F.when(
+                F.col("trend_u").isNotNull() & F.col("seasonal_u").isNotNull(),
+                (F.col("x") * SEASON_SCALE - F.col("trend_u") - F.col("seasonal_u"))
+                .cast("double") / SEASON_SCALE,
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_SEASONAL_DECOMPOSE_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS x FROM ev GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, day, x,
+         COUNT(*) OVER w AS w_n,
+         MAX(day) OVER w - MIN(day) OVER w AS w_span,
+         SUM(x) OVER w AS w_sum
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+tr AS (
+  SELECT event_type, day, x,
+         CASE WHEN w_n = 7 AND w_span = 6
+              THEN (w_sum * {SEASON_SCALE}) // 7 END AS trend_u
+  FROM trended
+),
+seasonal AS (
+  SELECT event_type, day % 7 AS dow,
+         CAST(SUM(x * {SEASON_SCALE} - trend_u) AS BIGINT) // COUNT(*) AS seasonal_u
+  FROM tr WHERE trend_u IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT t.event_type, t.day,
+       CAST(t.x AS BIGINT) AS volume,
+       CAST(t.trend_u AS DOUBLE) / {SEASON_SCALE} AS trend,
+       CAST(s.seasonal_u AS DOUBLE) / {SEASON_SCALE} AS seasonal,
+       CASE WHEN t.trend_u IS NOT NULL AND s.seasonal_u IS NOT NULL
+            THEN CAST(t.x * {SEASON_SCALE} - t.trend_u - s.seasonal_u AS DOUBLE)
+                 / {SEASON_SCALE} END AS residual
+FROM tr t
+LEFT JOIN seasonal s ON s.event_type = t.event_type AND s.dow = t.day % 7
+ORDER BY t.event_type, t.day
+"""

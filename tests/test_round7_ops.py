@@ -275,3 +275,20 @@ def test_upsert_sink_oracle_and_idempotent_rerun(spark, ducks):
     before = open(ptr).read()
     streaming_upsert_sink(spark, SF_DIR).collect()
     assert open(ptr).read() == before
+
+
+def test_seasonal_decompose_oracle_and_additivity(spark, ducks):
+    """Oracle parity plus the defining identity: wherever all three
+    components exist, volume == trend + seasonal + residual to micro-unit
+    exactness."""
+    from gdalos_spark.operators.temporal import events_seasonal_decompose
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["events_seasonal_decompose"],
+        entrymod.oracle_sql()["events_seasonal_decompose"],
+    )
+    for r in events_seasonal_decompose(spark, SF_DIR).collect():
+        if r.trend is not None and r.seasonal is not None:
+            assert abs(r.volume - (r.trend + r.seasonal + r.residual)) < 1e-6
