@@ -732,3 +732,7 @@ class GdalosSpark:
         from gdalos_spark.operators import temporal
 
         return temporal.events_seasonal_decompose(self.spark, self.sf_dir)
+
+    def ann_rerank(self) -> DataFrame:
+        """Two-stage search: PQ shortlist, exact-cosine rerank."""
+        return similarity.ann_ivfpq_rerank(self.spark, self.sf_dir)

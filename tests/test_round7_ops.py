@@ -292,3 +292,27 @@ def test_seasonal_decompose_oracle_and_additivity(spark, ducks):
     for r in events_seasonal_decompose(spark, SF_DIR).collect():
         if r.trend is not None and r.seasonal is not None:
             assert abs(r.volume - (r.trend + r.seasonal + r.residual)) < 1e-6
+
+
+def test_rerank_oracle_and_beats_adc_ordering(spark, ducks):
+    """Oracle parity plus the point of reranking: final ranks come from
+    exact cosine over the ADC shortlist (every output row carries an
+    adc_rank <= RERANK_R), and per probe the rank sequence is dense
+    1..k."""
+    from collections import defaultdict
+
+    from gdalos_spark.operators.similarity import RERANK_R, TOP_K, ann_ivfpq_rerank
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["ann_ivfpq_rerank"],
+        entrymod.oracle_sql()["ann_ivfpq_rerank"],
+    )
+    rows = ann_ivfpq_rerank(spark, SF_DIR).collect()
+    per_probe = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.adc_rank <= RERANK_R
+        per_probe[r.probe_id].append(r.rank)
+    for probe, ranks in per_probe.items():
+        assert sorted(ranks) == list(range(1, min(TOP_K, len(ranks)) + 1)), probe
