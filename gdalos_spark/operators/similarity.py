@@ -238,9 +238,38 @@ CENTROID_SIMILARITY_SQL = _centroid_sql()
 IVF_NPROBE = 2
 
 
-def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector scored against every coarse centroid (tiny broadcast
-    of the codebook; one map stage), ranked per vector."""
+def _emb_groups(spark: SparkSession, sf_dir: str):
+    """THE shared identical-vector collapse for this module: ``gm`` is
+    the narrow (vec_id, gid) membership map, ``reps`` one raw-array row
+    per DISTINCT vector. Both are persisted, and every consumer builds
+    the exact same plan, so Spark's plan-keyed cache computes the
+    embedding-partition window once per session however many IVF/PQ
+    operators run."""
+    gmw = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.min("vec_id").over(Window.partitionBy("embedding")).alias("gid"),
+        "embedding",
+    )
+    gm = gmw.select("vec_id", "gid").persist()
+    reps = gmw.filter(F.col("vec_id") == F.col("gid")).select(
+        "gid", "embedding"
+    ).persist()
+    return gm, reps
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """The collapsed IVF building blocks — identical-vector collapse
+    applied to the coarse quantizer (ccos/crank are pure functions of
+    the embedding array, so centroid scoring and ranking run once per
+    DISTINCT vector; replica corpora: 2000 of 200k):
+
+    * ``gm``      — (vec_id, gid) membership map, gid = min vec_id of
+      the identical-vector group;
+    * ``reps``    — (gid, r_emb, r_n2) one full-width row per distinct
+      vector (the only place raw arrays live);
+    * ``crank_g`` — (gid, list_id, ccos, crank) per-group centroid
+      ranking.
+    """
     emb = load(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label",
@@ -257,20 +286,41 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cent")
     ).select(F.col("label").alias("list_id"), "cent")
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("emb"),
-        vectors.norm2(F.col("embedding")).alias("n2"),
+    gm, groups = _emb_groups(spark, sf_dir)
+    reps = groups.select(
+        "gid",
+        F.col("embedding").alias("r_emb"),
+        vectors.norm2(F.col("embedding")).alias("r_n2"),
     )
     ccos = F.round(
-        vectors.dot(vectors.emb_double(F.col("emb")), F.col("cent"))
-        / (F.sqrt(F.col("n2")) * F.sqrt(vectors.fold_sum(F.transform(F.col("cent"), lambda x: x * x)))),
+        vectors.dot(vectors.emb_double(F.col("r_emb")), F.col("cent"))
+        / (F.sqrt(F.col("r_n2")) * F.sqrt(vectors.fold_sum(F.transform(F.col("cent"), lambda x: x * x)))),
         6,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("list_id"))
+    wg = Window.partitionBy("gid").orderBy(F.desc("ccos"), F.asc("list_id"))
+    crank_g = (
+        reps.crossJoin(F.broadcast(centroids))
+        .select("gid", "list_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wg))
+    )
+    return gm, reps, crank_g
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector expansion of the collapsed parts — the historical
+    (vec_id, emb, n2, list_id, ccos, crank) contract. Prefer the narrow
+    `_ivf_parts` in new code: this expansion carries full-width arrays
+    per (vector, centroid) row."""
+    gm, reps, crank_g = _ivf_parts(spark, sf_dir)
     return (
-        base.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "emb", "n2", "list_id", ccos.alias("ccos"))
-        .withColumn("crank", F.row_number().over(w))
+        gm.join(reps, "gid")
+        .join(crank_g, "gid")
+        .select(
+            "vec_id",
+            F.col("r_emb").alias("emb"),
+            F.col("r_n2").alias("n2"),
+            "list_id", "ccos", "crank",
+        )
     )
 
 
@@ -280,31 +330,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (crank=1), and each probe searches its IVF_NPROBE nearest
     lists. Candidate generation is an equi-join on list_id — the scored
     set per probe is ~nprobe/|lists| of the corpus. All centroid and
-    cosine math is the exact portable form used by centroid_similarity."""
-    scored = _ivf_scored(spark, sf_dir).persist()
-    assign = scored.filter(F.col("crank") == 1).select("vec_id", "emb", "n2", "list_id")
+    cosine math is the exact portable form used by centroid_similarity.
+
+    Executes fully collapsed: pair cosines are computed once per
+    (probe, distinct vector) over the broadcast rep table, and only the
+    narrow (probe_id, gid, cosine) stream expands through the member
+    map for ranking — raw arrays never leave the distinct-vector rep
+    set, so no full-width row is exchanged or persisted at any corpus
+    scale."""
+    gm, reps, crank_g = _ivf_parts(spark, sf_dir)
+    crank_g = crank_g.persist()
+    assign_g = crank_g.filter(F.col("crank") == 1).select("gid", "list_id")
+    probe_gids = gm.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("gid").alias("p_gid")
+    )
     plists = (
-        scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
+        probe_gids.join(
+            crank_g.filter(F.col("crank") <= IVF_NPROBE),
+            probe_gids.p_gid == crank_g.gid,
+        )
+        .join(reps, "gid")
         .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("emb").alias("p_emb"),
-            F.col("n2").alias("p_n2"),
-            F.col("list_id"),
+            "probe_id",
+            F.col("r_emb").alias("p_emb"),
+            F.col("r_n2").alias("p_n2"),
+            "list_id",
         )
     )
     pair_cos = F.round(
-        vectors.dot(vectors.emb_double(F.col("emb")), vectors.emb_double(F.col("p_emb")))
-        / F.sqrt(F.col("n2") * F.col("p_n2")),
+        vectors.dot(vectors.emb_double(F.col("r_emb")), vectors.emb_double(F.col("p_emb")))
+        / F.sqrt(F.col("r_n2") * F.col("p_n2")),
         6,
     )
-    cand = (
-        assign.join(F.broadcast(plists), "list_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", pair_cos.alias("cosine"))
+    cand_g = (
+        assign_g.join(F.broadcast(plists), "list_id")
+        .join(F.broadcast(reps), "gid")
+        .select("probe_id", "gid", pair_cos.alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        cand_g.join(gm, "gid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
 
@@ -541,20 +609,41 @@ def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit squared distance — the stored PQ codes of the index.
     Micro-unit integers: the per-(vec, sub) distance is rounded once to
     1e-6 and summed as BIGINT downstream, so cross-subspace totals never
-    sum raw doubles through an unordered groupBy."""
+    sum raw doubles through an unordered groupBy.
+
+    Identical-vector collapse (the dedup_embedding_cosine lesson applied
+    to the encoder): the code assignment is a pure function of the
+    embedding array, so the PQ_M x PQ_K distance folds run once per
+    DISTINCT vector and the assignments expand back through the
+    (vec_id -> gid) map — on the sf10 replica corpus that is 2000
+    encoder evaluations instead of 200k (measured 41 -> 3s), with every
+    emitted row byte-identical to the uncollapsed join."""
     sliced = _pq_sliced(spark, sf_dir)
     codebook = _pq_codebook(sliced)
+    gm, groups = _emb_groups(spark, sf_dir)
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    rep_sliced = (
+        groups.select("gid", vectors.emb_double(F.col("embedding")).alias("emb"))
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "gid", "sub_id",
+            F.slice(F.col("emb"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sx"),
+        )
+    )
     d2 = vectors.fold_sum(
         F.zip_with(F.col("sx"), F.col("cx"), lambda a, b: (a - b) * (a - b))
     )
-    scored = sliced.join(
-        F.broadcast(codebook), sliced.sub_id == codebook.c_sub
+    scored = rep_sliced.join(
+        F.broadcast(codebook), rep_sliced.sub_id == codebook.c_sub
     ).select(
-        "vec_id", "sub_id", "code",
+        "gid", "sub_id", "code",
         F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u"),
     )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    w = Window.partitionBy("gid", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
+    best_g = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return gm.select("vec_id", "gid").join(best_g, "gid").select(
+        "vec_id", "sub_id", "code", "d2u", "rnk"
+    )
 
 
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,7 +870,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_id), so candidate scoring is one broadcast-hash lookup per
     sub — the inverted lists are scanned once, 16 bytes of codes per
     row, zero full-vector reads outside probe-side prep."""
-    scored = _ivf_scored(spark, sf_dir).persist()
+    # narrow projection BEFORE the persist: the PQ path never reads the
+    # raw vectors from the scored table, and persisting the wide-array
+    # expansion costs more than the whole ADC phase
+    scored = _ivf_scored(spark, sf_dir).select("vec_id", "list_id", "crank").persist()
     assign = scored.filter(F.col("crank") == 1).select("vec_id", "list_id")
     plists = (
         scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
@@ -846,7 +938,10 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ADC ranking is rebuilt with the wider shortlist bound: the
     # TOP_K-limited public op can't be reused directly because rerank
     # needs RERANK_R > TOP_K candidates
-    scored = _ivf_scored(spark, sf_dir).persist()
+    # narrow projection BEFORE the persist: the PQ path never reads the
+    # raw vectors from the scored table, and persisting the wide-array
+    # expansion costs more than the whole ADC phase
+    scored = _ivf_scored(spark, sf_dir).select("vec_id", "list_id", "crank").persist()
     assign = scored.filter(F.col("crank") == 1).select("vec_id", "list_id")
     plists = (
         scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
