@@ -842,12 +842,14 @@ REFERENTIAL_INTEGRITY_REPORT_SQL = _ri_sql()
 # corpus_split_assign — deterministic leakage-free train/val/test split
 # ---------------------------------------------------------------------------
 #
-# The pipeline primitive behind split_leakage_report: assign every document
-# to a split by hashing ONLY its stable identity (never its content or
-# source), so the assignment is reproducible across runs, machines, and
-# engine versions, and re-crawled near-duplicates of a train doc can't
-# drift into test by content change. Map-only — no shuffle at any scale;
-# the per-(source, split) tally is one partial-aggregated count.
+# Assign every document to a split by hashing ONLY its stable identity
+# (never its content or source), so the assignment is reproducible across
+# runs, machines, and engine versions, and re-crawled near-duplicates of
+# a train doc can't drift into test by content change. Map-only — no
+# shuffle at any scale. (split_leakage_report audits an INDEPENDENT
+# unsalted two-way hash split — a deliberately different decision, per
+# the salting rule below; the two are related patterns, not one
+# mechanism.)
 
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test = 100 - train - val

@@ -306,24 +306,6 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     return gm, reps, crank_g
 
 
-def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector expansion of the collapsed parts — the historical
-    (vec_id, emb, n2, list_id, ccos, crank) contract. Prefer the narrow
-    `_ivf_parts` in new code: this expansion carries full-width arrays
-    per (vector, centroid) row."""
-    gm, reps, crank_g = _ivf_parts(spark, sf_dir)
-    return (
-        gm.join(reps, "gid")
-        .join(crank_g, "gid")
-        .select(
-            "vec_id",
-            F.col("r_emb").alias("emb"),
-            F.col("r_n2").alias("n2"),
-            "list_id", "ccos", "crank",
-        )
-    )
-
-
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: the per-label centroids act as the coarse
     codebook; every vector lands in the inverted list of its nearest
@@ -870,10 +852,30 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_id), so candidate scoring is one broadcast-hash lookup per
     sub — the inverted lists are scanned once, 16 bytes of codes per
     row, zero full-vector reads outside probe-side prep."""
-    # narrow projection BEFORE the persist: the PQ path never reads the
-    # raw vectors from the scored table, and persisting the wide-array
-    # expansion costs more than the whole ADC phase
-    scored = _ivf_scored(spark, sf_dir).select("vec_id", "list_id", "crank").persist()
+    adc = _adc_scores(spark, sf_dir)
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_u"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "vec_id",
+            F.round(F.col("adc_u").cast("double") / 1_000_000.0, 6).alias("adc_dist2"),
+            "rank",
+        )
+    )
+
+
+def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, vec_id, adc_u): every IVF candidate's compressed-domain
+    distance — the shared stage 1 of ann_ivfpq_topk (which ranks it
+    top-k) and ann_ivfpq_rerank (which shortlists top-R for the exact
+    stage). Built narrow from _ivf_parts: the (vec_id, list_id, crank)
+    table never touches the rep arrays, so no full-width row is joined
+    or persisted in the PQ path."""
+    gm, reps, crank_g = _ivf_parts(spark, sf_dir)
+    scored = (
+        gm.join(crank_g, "gid").select("vec_id", "list_id", "crank").persist()
+    )
     assign = scored.filter(F.col("crank") == 1).select("vec_id", "list_id")
     plists = (
         scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
@@ -902,19 +904,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_sub = cand.join(codes, "vec_id").join(
         F.broadcast(dtab), ["probe_id", "sub_id", "code"]
     )
-    adc = pair_sub.groupBy("probe_id", "vec_id").agg(
-        F.sum("pd2u").alias("adc_u")
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_u"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "probe_id", "vec_id",
-            F.round(F.col("adc_u").cast("double") / 1_000_000.0, 6).alias("adc_dist2"),
-            "rank",
-        )
-    )
+    return pair_sub.groupBy("probe_id", "vec_id").agg(F.sum("pd2u").alias("adc_u"))
 
 
 # ---------------------------------------------------------------------------
@@ -935,42 +925,7 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     most of brute-force recall at a fraction of its cost; at 100 TB the
     full vectors are fetched for the shortlist alone (a keyed join
     against the vector store), never scanned."""
-    # the ADC ranking is rebuilt with the wider shortlist bound: the
-    # TOP_K-limited public op can't be reused directly because rerank
-    # needs RERANK_R > TOP_K candidates
-    # narrow projection BEFORE the persist: the PQ path never reads the
-    # raw vectors from the scored table, and persisting the wide-array
-    # expansion costs more than the whole ADC phase
-    scored = _ivf_scored(spark, sf_dir).select("vec_id", "list_id", "crank").persist()
-    assign = scored.filter(F.col("crank") == 1).select("vec_id", "list_id")
-    plists = (
-        scored.filter((F.col("vec_id") < N_PROBES) & (F.col("crank") <= IVF_NPROBE))
-        .select(F.col("vec_id").alias("probe_id"), F.col("list_id"))
-    )
-    sliced = _pq_sliced(spark, sf_dir)
-    codebook = _pq_codebook(sliced)
-    psub = sliced.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("sub_id"), F.col("sx").alias("px")
-    )
-    pd2 = vectors.fold_sum(
-        F.zip_with(F.col("px"), F.col("cx"), lambda a, b: (a - b) * (a - b))
-    )
-    dtab = psub.join(F.broadcast(codebook), psub.sub_id == codebook.c_sub).select(
-        "probe_id", "sub_id", "code",
-        F.round(pd2 * 1_000_000.0).cast("bigint").alias("pd2u"),
-    )
-    codes = _pq_best(spark, sf_dir).select("vec_id", "sub_id", "code")
-    cand = (
-        assign.join(F.broadcast(plists), "list_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id")
-    )
-    adc = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(dtab), ["probe_id", "sub_id", "code"])
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum("pd2u").alias("adc_u"))
-    )
+    adc = _adc_scores(spark, sf_dir)
     w1 = Window.partitionBy("probe_id").orderBy(F.asc("adc_u"), F.asc("vec_id"))
     short = (
         adc.withColumn("adc_rank", F.row_number().over(w1).cast("int"))
@@ -1724,21 +1679,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     break to the smaller dst. One shuffle groups identical arrays, one
     equi-join on the bucket id, and the rank<=k filter runs as a
     WindowGroupLimit partial top-k before the final sort."""
-    emb = split_for_cpu(load(spark, sf_dir, "embeddings"), "vec_id")
-    grouped = (
-        emb.groupBy("embedding")
-        .agg(
-            F.min("vec_id").alias("gid"),
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        )
-        .select(
-            "gid",
-            "n_members",
-            vectors.emb_double(F.col("embedding")).alias("emb"),
-            F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
-            vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
-        )
-    )
+    grouped = _knn_grouped(spark, sf_dir)
     a = grouped.select(
         F.col("gid").alias("src_id"), F.col("n_members").alias("src_n"),
         F.col("emb").alias("emb_a"), F.col("sn").alias("sn_a"), "bucket",
@@ -1812,21 +1753,39 @@ LP_ROUNDS = 3
 LP_SEED_MOD = 5  # gid % 5 == 0 -> trusted seed label
 
 
+def _knn_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gid, n_members, emb, sn, bucket): one row per DISTINCT embedding
+    with the per-group attributes the kNN graph and label propagation
+    both need — ONE aggregation over the corpus, shared (label
+    propagation previously repeated the identical groupBy to rebuild
+    its node set)."""
+    emb = split_for_cpu(load(spark, sf_dir, "embeddings"), "vec_id")
+    return (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .select(
+            "gid",
+            "n_members",
+            vectors.emb_double(F.col("embedding")).alias("emb"),
+            F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
+            vectors.lsh_bucket(F.col("embedding")).alias("bucket"),
+        )
+    )
+
+
 def _knn_edges(spark: SparkSession, sf_dir: str):
     """(src_id, dst_id) edges of embedding_knn_graph plus the node set
     with each representative's own label — shared by the propagation
     rounds below."""
     edges = embedding_knn_graph(spark, sf_dir).select("src_id", "dst_id")
     emb = load(spark, sf_dir, "embeddings")
-    nodes = (
-        emb.groupBy("embedding")
-        .agg(F.min("vec_id").alias("gid"), F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .join(
-            emb.select(F.col("vec_id").alias("gid"), F.col("label").cast("int").alias("true_label")),
-            "gid",
-        )
-        .select("gid", "n_members", "true_label")
-    )
+    nodes = _knn_grouped(spark, sf_dir).join(
+        emb.select(F.col("vec_id").alias("gid"), F.col("label").cast("int").alias("true_label")),
+        "gid",
+    ).select("gid", "n_members", "true_label")
     return edges, nodes
 
 

@@ -717,16 +717,20 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_c"),
     )
     step = F.lit(GRID_STEP_S)
+    g0 = (F.floor((F.col("t0") + step - 1) / step) * step).cast("long")
+    g1 = (F.floor(F.col("t1") / step) * step).cast("long")
+    # a user whose whole span sits between two grid lines has g0 > g1;
+    # sequence() rejects that (unlike generate_series, which is empty),
+    # so gate it — the empty array explodes to no rows, matching the
+    # oracle
     grid = (
         ev.groupBy("user_id")
         .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
         .select(
             "user_id",
             F.explode(
-                F.sequence(
-                    (F.floor((F.col("t0") + step - 1) / step) * step).cast("long"),
-                    (F.floor(F.col("t1") / step) * step).cast("long"),
-                    step.cast("long"),
+                F.when(g0 <= g1, F.sequence(g0, g1, step.cast("long"))).otherwise(
+                    F.array().cast("array<long>")
                 )
             ).alias("t"),
         )

@@ -1099,10 +1099,13 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window as W
 
+        # full-microsecond event time in the store: the winner must be
+        # chosen on the same total (ts, event_id) order the oracle uses —
+        # second-truncated ordering would pick a different same-second row
         news = batch_df.select(
             "user_id",
             "event_id",
-            F.col("ts").cast("long").alias("ts_s"),
+            F.unix_micros("ts").alias("ts_us"),
             F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
         )
         if os.path.exists(cur_ptr):
@@ -1111,13 +1114,17 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = cur.unionByName(news)
         else:
             merged = news
-        w = W.partitionBy("user_id").orderBy(F.desc("ts_s"), F.desc("event_id"))
+        w = W.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
         latest = (
             merged.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        vdir = os.path.join(base, f"v{batch_id}")
+        # a NEW directory per (batch, attempt): a checkpoint-replayed
+        # batch must never overwrite the _CURRENT directory it is
+        # reading (mkdtemp makes the name collision-proof; superseded
+        # version dirs stay on disk until the fingerprint rotates)
+        vdir = tempfile.mkdtemp(prefix=f"v{batch_id}_", dir=base)
         latest.write.mode("overwrite").parquet(vdir)
         tmp = cur_ptr + ".tmp"
         with open(tmp, "w") as f:
@@ -1146,7 +1153,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
-        "ts_s",
+        F.expr("ts_us div 1000000").cast("bigint").alias("ts_s"),
         (F.col("cents").cast("double") / F.lit(100.0)).alias("last_value"),
     ).orderBy("user_id")
 
