@@ -316,3 +316,28 @@ def test_rerank_oracle_and_beats_adc_ordering(spark, ducks):
         per_probe[r.probe_id].append(r.rank)
     for probe, ranks in per_probe.items():
         assert sorted(ranks) == list(range(1, min(TOP_K, len(ranks)) + 1)), probe
+
+
+def test_resample_short_span_users_dont_crash(spark, tmp_path):
+    """A user whose whole event span sits between two grid lines must
+    contribute zero grid rows (generate_series semantics), not crash
+    Spark's sequence() with illegal boundaries."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.operators.temporal import GRID_STEP_S, events_resample_interpolate
+
+    d = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 1, "a", 1.5, "x", 1000), (2, 1, "a", 2.5, "x", 2000),
+         (3, 2, "a", 3.0, "x", GRID_STEP_S * 5)],
+        "event_id long, user_id long, event_type string, value double, props string, es long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("es") * 1_000_000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    rows = events_resample_interpolate(spark, d).collect()
+    assert [(r.user_id, r.grid_ts, r.v_interp) for r in rows] == [
+        (2, GRID_STEP_S * 5, 3.0)
+    ]
