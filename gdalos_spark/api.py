@@ -736,3 +736,9 @@ class GdalosSpark:
     def ann_rerank(self) -> DataFrame:
         """Two-stage search: PQ shortlist, exact-cosine rerank."""
         return similarity.ann_ivfpq_rerank(self.spark, self.sf_dir)
+
+    def ingest_jsonl(self) -> DataFrame:
+        """Schema-enforced JSONL ingest with torn-object accounting."""
+        from gdalos_spark.sources import csv_ingest
+
+        return csv_ingest.jsonl_ingest_audit(self.spark, self.sf_dir)

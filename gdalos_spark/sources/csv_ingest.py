@@ -155,3 +155,124 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# jsonl_ingest_audit — the JSON-lines twin of the CSV audit
+# ---------------------------------------------------------------------------
+#
+# JSONL is the lingua franca of training-data interchange (every dump in
+# export_jsonl_shards' world comes back in through a reader like this).
+# Same contract as csv_ingest_audit: declared schema, PERMISSIVE mode,
+# corrupt-record column, and an acceptance report that references every
+# schema column so the whole row is always parsed.
+
+JSON_CORRUPT_MOD = 89
+JSON_CORRUPT_REM = 7
+
+
+def _stage_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Write events as JSON-lines once per sf_dir: the corruption rule
+    truncates the corrupted rows' JSON mid-object (a torn write — the
+    failure mode JSONL drops actually exhibit)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "gdalos_jsonl", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(d, "_STAGED")
+    src = f"{sf_dir}/events.parquet"
+    fp = source_fingerprint(src)
+    if os.path.exists(done) and open(done).read() == fp:
+        return d
+    ev = load(spark, sf_dir, "events")
+    bad = (F.col("event_id") % JSON_CORRUPT_MOD) == JSON_CORRUPT_REM
+    obj = F.concat(
+        F.lit('{"event_id":'), F.col("event_id").cast("string"),
+        F.lit(',"ts_us":'), F.unix_micros("ts").cast("string"),
+        F.lit(',"user_id":'), F.col("user_id").cast("string"),
+        F.lit(',"event_type":"'), F.col("event_type"),
+        F.lit('","value":'), F.col("value").cast("decimal(18,2)").cast("string"),
+        F.lit("}"),
+    )
+    line = F.when(bad, F.substring(obj, 1, 25)).otherwise(obj)
+    ev.select(line.alias("value")).write.mode("overwrite").text(d + "_tmp")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    i = 0
+    for f in sorted(os.listdir(d + "_tmp")):
+        if f.endswith(".txt"):
+            os.replace(os.path.join(d + "_tmp", f), os.path.join(d, f"part{i}.jsonl"))
+            i += 1
+    shutil.rmtree(d + "_tmp")
+    with open(done, "w") as f:
+        f.write(fp)
+    return d
+
+
+def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: rows ingested, rows flagged corrupt by the
+    PERMISSIVE JSON parser (torn objects), exact-cents sum of the good
+    values, plus whole-row coverage stats. Unlike the CSV case a torn
+    JSON object loses ALL its fields (including event_type), so corrupt
+    rows land in a NULL event_type group — which is itself the point
+    the report certifies: field-level salvage is a CSV property, not a
+    JSON one."""
+    staged = _stage_jsonl(spark, sf_dir)
+    df = (
+        spark.read.schema(_CSV_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(staged)
+    )
+    # a torn object parses to all-NULL fields; give those rows a literal
+    # group key (NULL keys don't sort across engines' comparators)
+    df = df.withColumn(
+        "event_type",
+        F.when(F.col("_corrupt_record").isNotNull(), "_corrupt").otherwise(
+            F.col("event_type")
+        ),
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    F.round(F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("cents"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("user_id").alias("user_sum"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_corrupt",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("good_value_sum"),
+            "id_sum",
+            "user_sum",
+            "max_ts_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+JSONL_INGEST_AUDIT_SQL = f"""
+WITH tagged AS (
+  SELECT *, event_id % {JSON_CORRUPT_MOD} = {JSON_CORRUPT_REM} AS bad FROM events
+)
+SELECT CASE WHEN bad THEN '_corrupt' ELSE event_type END AS event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN bad THEN 0
+                     ELSE CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                END) AS DOUBLE) / 100.0 AS good_value_sum,
+       CAST(SUM(CASE WHEN bad THEN NULL ELSE event_id END) AS BIGINT) AS id_sum,
+       CAST(SUM(CASE WHEN bad THEN NULL ELSE user_id END) AS BIGINT) AS user_sum,
+       CAST(MAX(CASE WHEN bad THEN NULL ELSE epoch_us(ts) END) AS BIGINT) AS max_ts_us
+FROM tagged
+GROUP BY 1
+ORDER BY 1
+"""

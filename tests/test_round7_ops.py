@@ -341,3 +341,22 @@ def test_resample_short_span_users_dont_crash(spark, tmp_path):
     assert [(r.user_id, r.grid_ts, r.v_interp) for r in rows] == [
         (2, GRID_STEP_S * 5, 3.0)
     ]
+
+
+def test_jsonl_ingest_oracle_and_torn_rows_lose_all_fields(spark, ducks):
+    """Oracle parity, plus the JSON-vs-CSV semantic the operator
+    certifies: a torn object contributes NOTHING (all fields null, so
+    the corrupt group's sums are zero/null) while CSV salvages intact
+    fields."""
+    from gdalos_spark.sources.csv_ingest import jsonl_ingest_audit
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["jsonl_ingest_audit"],
+        entrymod.oracle_sql()["jsonl_ingest_audit"],
+    )
+    rows = {r.event_type: r for r in jsonl_ingest_audit(spark, SF_DIR).collect()}
+    corrupt = rows.get("_corrupt")
+    assert corrupt is not None and corrupt.n_corrupt == corrupt.n_rows > 0
+    assert corrupt.id_sum is None and corrupt.good_value_sum == 0.0
