@@ -72,10 +72,23 @@ def _resolve(eng, args) -> DataFrame:
         # the affine warp
         if args.warp_srs:
             return raster.crs_reproject_utm(eng.spark, eng.sf_dir)
-        if args.extent or args.projwin:
-            return raster.raster_crop(eng.spark, eng.sf_dir)
+        # thread the parsed window into the crop predicate (ADVICE r5:
+        # these used to parse and drop, silently cropping to the fixed
+        # built-in extent whatever the user asked for)
+        if args.extent:
+            return raster.raster_crop(eng.spark, eng.sf_dir, tuple(args.extent))
+        if args.projwin:
+            ulx, uly, lrx, lry = args.projwin
+            return raster.raster_crop(
+                eng.spark, eng.sf_dir,
+                (min(ulx, lrx), max(ulx, lrx), min(uly, lry), max(uly, lry)),
+            )
         if args.srcwin:
-            return raster.raster_crop(eng.spark, eng.sf_dir)
+            xoff, yoff, xsize, ysize = args.srcwin
+            return raster.raster_crop(
+                eng.spark, eng.sf_dir,
+                (xoff, xoff + xsize - 1, yoff, yoff + ysize - 1),
+            )
         return raster.raster_warp_affine(eng.spark, eng.sf_dir)
     fn = getattr(eng, args.verb, None)
     if fn is None or args.verb.startswith("_") or not callable(fn):

@@ -45,7 +45,14 @@ def tokens(col: Column) -> Column:
 
 def shingles3(text_col: Column) -> Column:
     """Word 3-gram shingles as an array; docs under 3 tokens shingle to
-    the whole text. Pure array ops — no explode until the caller asks."""
+    the whole text (so short/empty docs STILL get exactly one shingle and
+    hence a minhash signature row — exact-dup short docs cluster through
+    the signature-identical star like everyone else; pinned by
+    test_short_doc_clustering). NULL text coalesces to '' so the Spark
+    side agrees with the SQL twin (DuckDB's unnest(NULL) would otherwise
+    drop the doc while Spark emits a NULL-signature row). Pure array ops
+    — no explode until the caller asks."""
+    text_col = F.coalesce(text_col, F.lit(""))
     t = tokens(text_col)
     n = F.size(t)
     sh = F.transform(
@@ -70,7 +77,7 @@ SHINGLES3_SQL = (
 def _docsh_sql(src: str = "documents") -> str:
     return f"""
   SELECT doc_id, lang, unnest(list_distinct({SHINGLES3_SQL})) AS shingle
-  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM {src})
+  FROM (SELECT doc_id, lang, string_split(COALESCE(text, ''), ' ') AS t FROM {src})
 """
 
 

@@ -386,7 +386,7 @@ cum AS (
   FROM d
 )
 SELECT doc_id, source, shard, n_tokens,
-       cum_tokens - n_tokens AS offset,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS offset,
        CAST(FLOOR((cum_tokens - n_tokens) / {PACK_CTX}.0) AS BIGINT) AS first_seq,
        CAST(FLOOR((cum_tokens - 1) / {PACK_CTX}.0) AS BIGINT) AS last_seq,
        CAST(FLOOR((cum_tokens - 1) / {PACK_CTX}.0)

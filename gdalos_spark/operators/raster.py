@@ -74,13 +74,22 @@ FROM pts GROUP BY 1, 2
 CROP = (16, 47, 8, 39)  # min_x, max_x, min_y, max_y
 
 
-def raster_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def raster_crop(
+    spark: SparkSession,
+    sf_dir: str,
+    extent: tuple[float, float, float, float] = CROP,
+) -> DataFrame:
     """Crop = predicate on the pixel coords. On a tile-partitioned table the
-    filter prunes partitions at the scan (PushedFilters in explain)."""
+    filter prunes partitions at the scan (PushedFilters in explain).
+
+    `extent` is (min_x, max_x, min_y, max_y); the default is the fixed
+    oracle-gated window, and the CLI trans verb threads its parsed
+    -extent/-projwin/-srcwin coordinates here (ADVICE r5 — previously
+    parsed-and-dropped)."""
     g = dem_grid(spark, sf_dir)
     return g.filter(
-        (F.col("px") >= CROP[0]) & (F.col("px") <= CROP[1])
-        & (F.col("py") >= CROP[2]) & (F.col("py") <= CROP[3])
+        (F.col("px") >= extent[0]) & (F.col("px") <= extent[1])
+        & (F.col("py") >= extent[2]) & (F.col("py") <= extent[3])
     ).select("px", "py", F.col("elev").cast("double").alias("elev"),
              F.col("price").cast("double").alias("price"))
 

@@ -3990,7 +3990,7 @@ delta AS (
 ),
 merged AS (
   SELECT COALESCE(b.l_returnflag, d.l_returnflag) AS l_returnflag,
-         COALESCE(b.rev_c, 0) + COALESCE(d.rev_c, 0) AS merged_rev_c,
+         CAST(COALESCE(b.rev_c, 0) + COALESCE(d.rev_c, 0) AS BIGINT) AS merged_rev_c,
          COALESCE(b.n, 0) + COALESCE(d.n, 0) AS merged_n,
          GREATEST(COALESCE(b.mx, -1), COALESCE(d.mx, -1)) AS merged_mx
   FROM base b FULL OUTER JOIN delta d ON b.l_returnflag = d.l_returnflag

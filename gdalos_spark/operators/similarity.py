@@ -315,11 +315,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine math is the exact portable form used by centroid_similarity.
 
     Executes fully collapsed: pair cosines are computed once per
-    (probe, distinct vector) over the broadcast rep table, and only the
-    narrow (probe_id, gid, cosine) stream expands through the member
-    map for ranking — raw arrays never leave the distinct-vector rep
-    set, so no full-width row is exchanged or persisted at any corpus
-    scale."""
+    (probe, distinct vector), and only the narrow (probe_id, gid,
+    cosine) stream expands through the member map for ranking. The rep
+    table (the ONLY full-width stream) is exchanged exactly once, by
+    gid, for the candidate join — never broadcast-hinted, since on a
+    replica-free corpus it is essentially the whole embeddings table
+    (AQE still broadcasts small rep sets at runtime)."""
     gm, reps, crank_g = _ivf_parts(spark, sf_dir)
     crank_g = crank_g.persist()
     assign_g = crank_g.filter(F.col("crank") == 1).select("gid", "list_id")
@@ -344,9 +345,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("r_n2") * F.col("p_n2")),
         6,
     )
+    # plists is bounded by N_PROBES * IVF_NPROBE rows — always broadcast.
+    # reps is NOT hinted: on a replica-free corpus the distinct-vector set
+    # is essentially the whole embeddings table (full raw arrays), and a
+    # forced broadcast would OOM the driver at scale. Unhinted, the gid
+    # equi-join shuffles only once and AQE still picks broadcast when the
+    # rep set is genuinely small (ADVICE r5).
     cand_g = (
         assign_g.join(F.broadcast(plists), "list_id")
-        .join(F.broadcast(reps), "gid")
+        .join(reps, "gid")
         .select("probe_id", "gid", pair_cos.alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

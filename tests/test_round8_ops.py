@@ -1,0 +1,87 @@
+"""Round-8-session tests: ADVICE-r5 regressions and the new operators."""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array(
+                [len(r[1] or "") for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_short_doc_clustering(spark, tmp_path):
+    """ADVICE r5 claimed docs with <3 tokens get no signature and so
+    exact short-dup pairs silently vanish from dedup_clusters. The
+    shingles3 whole-text fallback means they DO get signatures; this
+    pins that exact duplicates of 1-, 2-token, and empty docs cluster
+    (signature-identical star), including with NULL text coalesced."""
+    from gdalos_spark.operators.dedup import dedup_clusters
+
+    d = _write_docs(
+        tmp_path,
+        [
+            (1, "hi"),
+            (2, "hi"),
+            (3, "one two"),
+            (4, "one two"),
+            (5, ""),
+            (6, ""),
+            (7, None),
+            (8, "completely unrelated longer document with many distinct words"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(spark, d).collect()}
+    assert rows[1].cluster_id == rows[2].cluster_id and rows[1].cluster_size >= 2
+    assert rows[3].cluster_id == rows[4].cluster_id and rows[3].cluster_size >= 2
+    # empty text and NULL text both coalesce to the '' whole-text shingle
+    empties = {rows[i].cluster_id for i in (5, 6, 7)}
+    assert len(empties) == 1 and rows[5].cluster_size == 3
+    # the unrelated doc shares no pair -> absent from the pair graph
+    assert 8 not in rows
+    # the two distinct short clusters are distinct
+    assert rows[1].cluster_id != rows[3].cluster_id != rows[5].cluster_id
+
+
+def test_cli_trans_extent_threads_into_crop(spark):
+    """ADVICE r5: -extent/-projwin/-srcwin used to parse-and-drop. Now
+    the window reaches the crop predicate: a sub-window of the default
+    CROP yields strictly fewer rows, and every surviving pixel is inside
+    the requested window; -projwin (ul/lr order) and -srcwin
+    (offset+size) map to the same predicate."""
+    from gdalos_spark.cli import _build_parser, _resolve
+    from gdalos_spark.api import GdalosSpark
+    from gdalos_spark.operators.raster import raster_crop
+
+    eng = GdalosSpark(spark, SF_DIR)
+    parser = _build_parser()
+
+    def resolve(*flags):
+        return _resolve(eng, parser.parse_args(["trans", SF_DIR, *flags]))
+
+    full = raster_crop(spark, SF_DIR).count()
+    sub = resolve("-extent", "20", "25", "10", "20")
+    rows = sub.collect()
+    assert 0 < len(rows) < full
+    assert all(20 <= r.px <= 25 and 10 <= r.py <= 20 for r in rows)
+    # projwin gives ul/lr corners -> same window as the extent above
+    assert resolve("-projwin", "20", "20", "25", "10").count() == len(rows)
+    # srcwin xoff/yoff/xsize/ysize: [20,25]x[10,20] == offset (20,10) size (6,11)
+    assert resolve("-srcwin", "20", "10", "6", "11").count() == len(rows)
