@@ -60,6 +60,70 @@ def test_short_doc_clustering(spark, tmp_path):
     assert rows[1].cluster_id != rows[3].cluster_id != rows[5].cluster_id
 
 
+def test_geotiff_codec_roundtrip():
+    """Byte-level GeoTIFF codec contract: tiled/deflate encode -> IFD
+    walk -> identical pixels + geotransform + EPSG; the stripped
+    uncompressed variant exercises the decoder's second layout path."""
+    import numpy as np
+
+    from gdalos_spark.sources.geotiff import (
+        NODATA,
+        _decode_geotiff,
+        _encode_geotiff,
+        _encode_strip_geotiff,
+    )
+
+    rng = np.random.RandomState(7)
+    grid = rng.randint(-(10**6), 10**6, size=(32, 32)).astype("<i4")
+    grid[3, 5] = NODATA  # holes survive the trip
+    for enc in (_encode_geotiff, _encode_strip_geotiff):
+        payload = enc(grid, -170.0, 58.5)
+        out, (olon, olat, sx, sy), epsg = _decode_geotiff(payload)
+        assert (out == grid).all()
+        assert (olon, olat, sx, sy) == (-170.0, 58.5, 0.5, 0.5)
+        assert epsg == 4326
+    # non-multiple-of-tile height pads and unpads cleanly (tiled path)
+    odd = rng.randint(0, 100, size=(19, 32)).astype("<i4")
+    payload = _encode_geotiff(odd, 0.0, 0.0)
+    out, _, _ = _decode_geotiff(payload)
+    assert (out == odd).all()
+
+
+def test_geotiff_ingest_to_tiled_layout(spark, tmp_path):
+    """End-to-end ingest: scene GeoTIFFs -> decoded pixels -> the
+    tile-partitioned parquet layout, with partition pruning intact and
+    pixel values matching the DEM source exactly."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.datamodel import dem_grid
+    from gdalos_spark.sources.geotiff import ingest_tiff_to_tiled
+    from gdalos_spark.sources.tiled import crop_tiled, read_tiled
+
+    path = str(tmp_path / "tiff_tiled")
+    ingest_tiff_to_tiled(spark, SF_DIR, path)
+    tiled_df = read_tiled(spark, path)
+    src = {
+        (r.px, r.py): r.cents
+        for r in dem_grid(spark, SF_DIR)
+        .select("px", "py", (F.col("elev") * 100).cast("long").alias("cents"))
+        .collect()
+    }
+    got = {(r.px, r.py): r.elev for r in tiled_df.collect()}
+    assert got == src
+    crop = crop_tiled(tiled_df, 0, 15, 0, 15)
+    assert "PartitionFilters: [" in crop._jdf.queryExecution().executedPlan().toString() or \
+        crop.count() == sum(1 for (x, y) in src if x <= 15 and y <= 15)
+
+
+def test_raster_ingest_tiff_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_ingest_tiff"],
+        entrymod.oracle_sql()["raster_ingest_tiff"],
+    )
+
+
 def test_cli_trans_extent_threads_into_crop(spark):
     """ADVICE r5: -extent/-projwin/-srcwin used to parse-and-drop. Now
     the window reaches the crop predicate: a sub-window of the default
