@@ -1601,3 +1601,122 @@ ORDER BY s.doc_id
 
 
 DEDUP_INCREMENTAL_MINHASH_SQL = _inc_minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_minhash_stored — the PRODUCTION shape of the delta
+# dedup: index signatures come from a persisted store, not a recompute.
+# ---------------------------------------------------------------------------
+
+
+def _sig_store_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), "gdalos_sigstore", sf_dir.strip("/").replace("/", "_")
+    )
+
+
+def signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index-signature table: one parquet row per DISTINCT
+    index-doc signature, carrying the group's min index doc_id (the tie
+    representative the per-doc algebra elects anyway). Built ONCE per
+    corpus fingerprint — this is the 77-96s one-time cost the sf10 study
+    measured — then every recurring delta-dedup run is a parquet scan.
+    At 100 TB this table is the dedup index a production pipeline owns
+    as a first-class dataset (append new signatures after each batch);
+    here the staging key is the documents.parquet fingerprint so the
+    store rebuilds when the driver regenerates testdata."""
+    import os
+
+    from gdalos_spark.datamodel import source_fingerprint
+
+    d = _sig_store_dir(sf_dir)
+    done = os.path.join(d, "_STAGED")
+    fp = source_fingerprint(f"{sf_dir}/documents.parquet")
+    if not (os.path.exists(done) and open(done).read() == fp):
+        docs = load(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % INC_BATCH_MOD) != INC_BATCH_REM
+        )
+        sig = _signatures(spark, sf_dir, split_for_cpu(docs, "doc_id"))
+        mcols = [f"m{i}" for i in range(N_PERM)]
+        store = sig.groupBy(*mcols).agg(F.min("doc_id").alias("idx_id"))
+        store.write.mode("overwrite").parquet(d)
+        with open(done, "w") as f:
+            f.write(fp)
+    return spark.read.parquet(d)
+
+
+def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_minhash against the persisted signature STORE:
+    only the new batch (10% of docs, filter pushed to the scan) is
+    shingled and minhashed; the index side is a parquet scan of
+    ``signature_store``. This is the recurring-cost shape VERDICT r5
+    asked to demonstrate — the measured sf10 cold cost of the inline
+    variant is ~95% index-signature build, which the store amortizes to
+    one ingest-time job.
+
+    Result-identical to dedup_incremental_minhash (same oracle SQL):
+    est_jaccard is a pure function of the signatures, distinct index
+    signatures carry their min member id, and for equal est the min
+    over candidate index docs IS the min over group representatives."""
+    store = signature_store(spark, sf_dir)
+    batch_docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
+    )
+    sig = _signatures(spark, sf_dir, split_for_cpu(batch_docs, "doc_id"))
+    ms = [F.col(f"m{i}") for i in range(N_PERM)]
+    mcols = [f"m{i}" for i in range(N_PERM)]
+    # collapse batch docs to distinct signatures too (replica cliques)
+    bdocs = sig.withColumn(
+        "gid", F.min("doc_id").over(Window.partitionBy(*ms))
+    ).persist()
+    bgroups = bdocs.select("gid", *mcols).distinct()
+
+    def bands_of(df: DataFrame, idcol: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.concat_ws(
+                    "-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]
+                ).alias("bkey"),
+            )
+            for j in range(N_BANDS)
+        ]
+        return df.select(
+            F.col(idcol), F.array(*ms).alias(f"ms_{idcol}"),
+            F.explode(F.array(*structs)).alias("b"),
+        ).select(
+            idcol, f"ms_{idcol}",
+            F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey"),
+        )
+
+    new_side = bands_of(bgroups, "gid")
+    idx_side = bands_of(store, "idx_id")
+    agree = F.expr("size(filter(zip_with(ms_gid, ms_idx_id, (x, y) -> x = y), t -> t))")
+    best = (
+        new_side.join(idx_side, ["band_id", "bkey"])
+        .select("gid", "idx_id", (agree / F.lit(float(N_PERM))).alias("est"))
+        .filter(F.col("est") >= INC_MIN_EST_JACCARD)
+        .groupBy("gid")
+        .agg(F.max(F.struct(F.col("est"), (-F.col("idx_id")).alias("neg"))).alias("best"))
+        .select(
+            F.col("gid").alias("b_gid"),
+            (-F.col("best.neg")).alias("match_id"),
+            F.col("best.est").alias("est_jaccard"),
+        )
+    )
+    return (
+        bdocs.select("doc_id", "gid")
+        .join(best, F.col("gid") == F.col("b_gid"), "left")
+        .select(
+            "doc_id",
+            F.col("match_id").cast("bigint").alias("match_id"),
+            "est_jaccard",
+            F.when(F.col("match_id").isNotNull(), "duplicate")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

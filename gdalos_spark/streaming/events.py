@@ -1167,3 +1167,194 @@ FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_watermark — dropDuplicatesWithinWatermark, the BOUNDED-
+# STATE production dedup (streaming_dedup's state grows with distinct
+# keys forever; this one's state is capped at the watermark horizon —
+# the only viable shape at 100 TB/day).
+# ---------------------------------------------------------------------------
+
+DWM_QUERY_NAME = "gdalos_stream_dedup_wm"
+DWM_DELAY_US = 2 * 86400 * 1_000_000  # 2-day dedup horizon
+DWM_WINDOW_DAYS = 10                  # batch = 10-day slice of event time
+DWM_STRAGGLER_MOD = 5                 # user_id % 5 == 0 keys re-send batch-1 rows
+
+
+def _stage_dedup_wm_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage three mtime-ordered batch files for the watermarked dedup:
+    batch k holds ONE row per (user_id, event_type) key — the key's min
+    event time inside the k-th 10-day slice — so the timestamp that
+    creates dedup state is a deterministic per-key value, not whichever
+    physical row a partition happened to deliver first. Batch 3 also
+    re-sends the batch-1 rows of user_id%5==0 keys, restricted to rows
+    at-or-under the batch-2 late watermark (the staging computes the
+    same wm arithmetic the oracle does), so the run exercises genuine
+    late-row drops alongside state-alive drops and post-eviction
+    re-emissions."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(), "gdalos_stream_dwm", sf_dir.strip("/").replace("/", "_")
+    )
+    done = os.path.join(d, "_STAGED")
+    fp = source_fingerprint(src)
+    if os.path.exists(done) and open(done).read() == fp:
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ev = spark.read.parquet(src)
+    us = F.expr(epoch_micros_sql(ev)).alias("us")
+    base = ev.select("user_id", "event_type", us)
+    day0 = base.agg(F.min(F.expr("us div 86400000000"))).collect()[0][0]
+    keyed = (
+        base.withColumn(
+            "w",
+            F.least(
+                F.expr(
+                    f"((us div 86400000000) - {day0}) div {DWM_WINDOW_DAYS}"
+                ),
+                F.lit(2),
+            ).cast("int"),
+        )
+        .groupBy("user_id", "event_type", "w")
+        .agg(F.min("us").alias("t_us"))
+        .persist()
+    )
+    # wm_1: watermark established by batch 1's data (max staged t - delay)
+    wm1 = (
+        keyed.filter(F.col("w") == 0).agg(F.max("t_us")).collect()[0][0]
+        - DWM_DELAY_US
+    )
+    stragglers = keyed.filter(
+        (F.col("w") == 0)
+        & (F.col("user_id") % DWM_STRAGGLER_MOD == 0)
+        & (F.col("t_us") <= wm1)  # guaranteed late in batch 3 (t <= wm lag)
+    )
+    t0 = 1_600_000_000
+    for i, tag in enumerate(("batch_a", "batch_b", "batch_c")):
+        part_df = keyed.filter(F.col("w") == i)
+        if i == 2:
+            part_df = part_df.unionByName(stragglers)
+        out = part_df.select(
+            "user_id", "event_type", F.timestamp_micros("t_us").alias("ts")
+        )
+        tmp = os.path.join(d, f"_tmp_{tag}")
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, part), os.path.join(d, f"{tag}.parquet"))
+        shutil.rmtree(tmp)
+        os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
+    keyed.unpersist()
+    with open(done, "w") as f:
+        f.write(fp)
+    return d
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a real three-micro-batch run —
+    the bounded-state streaming dedup (SURVEY §2 #60's production note,
+    now exercised): state for a key lives only until the watermark
+    passes its event time + delay, so at 100 TB/day the state store
+    holds the horizon's keys, not history's.
+
+    Every emission/drop is deterministic and oracle-reproduced from the
+    empirically pinned Spark semantics (verified on synthetic batches,
+    17/17 boundary observations):
+      * wm_k = max event time through batch k-1, minus delay (monotone);
+      * the LATE filter in batch k drops rows with t <= wm_(k-1) —
+        one batch behind eviction (SPARK-24634);
+      * a first-seen key emits and records expiry t + delay (duplicates
+        do NOT refresh it);
+      * end of batch k evicts state with expiry <= wm_k.
+    The staged corpus yields all four behaviors: batch-2 duplicates
+    dropped against live state, batch-3 re-emissions after eviction,
+    batch-3 duplicates still held by live state, and genuine late drops
+    of the straggler rows. Output: (user_id, event_type, t_us) of every
+    emitted row."""
+    staged = _stage_dedup_wm_batches(spark, sf_dir)
+
+    for q in spark.streams.active:
+        if q.name == DWM_QUERY_NAME:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix="gdalos_dwm_ckpt_")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    out = stream.withWatermark(
+        "ts", f"{DWM_DELAY_US // 1_000_000} seconds"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName(DWM_QUERY_NAME)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return (
+        spark.table(DWM_QUERY_NAME)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .orderBy("user_id", "event_type", "t_us")
+    )
+
+
+# Oracle: the staged-batch construction + the pinned dedup semantics in
+# closed form. b0 always emits; b1 emits only keys absent from b0 (no
+# state evicts before b1: wm_0 = 0); b2 emits keys that are NOT b1-new
+# (their state is always alive: t_1 + D >= window-1 start + D > wm_1)
+# and whose b0 state, if any, was evicted at end of b1 (t_0 + D <=
+# wm_1); stragglers all arrive at-or-under b2's late watermark (wm_1,
+# one-batch lag) by construction and are dropped.
+STREAMING_DEDUP_WATERMARK_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+),
+day0 AS (SELECT MIN(us // 86400000000) AS d0 FROM ev),
+keyed AS (
+  SELECT user_id, event_type,
+         LEAST(CAST(((us // 86400000000) - d0) // {DWM_WINDOW_DAYS} AS INTEGER), 2) AS w,
+         MIN(us) AS t_us
+  FROM ev, day0
+  GROUP BY 1, 2, 3
+),
+wm1 AS (
+  SELECT MAX(t_us) - {DWM_DELAY_US} AS wm FROM keyed WHERE w = 0
+),
+b0 AS (SELECT user_id, event_type, t_us FROM keyed WHERE w = 0),
+b1 AS (SELECT user_id, event_type, t_us FROM keyed WHERE w = 1),
+b2 AS (SELECT user_id, event_type, t_us FROM keyed WHERE w = 2),
+emitted AS (
+  SELECT * FROM b0
+  UNION ALL
+  SELECT b1.* FROM b1
+  WHERE NOT EXISTS (SELECT 1 FROM b0 WHERE b0.user_id = b1.user_id
+                      AND b0.event_type = b1.event_type)
+  UNION ALL
+  SELECT b2.* FROM b2, wm1
+  WHERE NOT EXISTS (  -- b1-new keys: state always alive at b2
+          SELECT 1 FROM b1
+          WHERE b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+            AND NOT EXISTS (SELECT 1 FROM b0 WHERE b0.user_id = b2.user_id
+                              AND b0.event_type = b2.event_type))
+    AND NOT EXISTS (  -- b0 state still alive at end of b1
+          SELECT 1 FROM b0
+          WHERE b0.user_id = b2.user_id AND b0.event_type = b2.event_type
+            AND b0.t_us + {DWM_DELAY_US} > wm1.wm)
+)
+SELECT user_id, event_type, t_us FROM emitted
+ORDER BY user_id, event_type, t_us
+"""

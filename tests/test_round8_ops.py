@@ -124,6 +124,62 @@ def test_raster_ingest_tiff_oracle(spark, ducks):
     )
 
 
+def test_sig_store_matches_inline_and_reuses(spark):
+    """The persisted-signature-store variant returns byte-identical rows
+    to the inline recompute (the production shape: index signatures are
+    a parquet scan, only the batch is shingled), and the second call
+    reuses the staged store without rebuilding."""
+    import os
+
+    from gdalos_spark.operators.dedup import (
+        _sig_store_dir,
+        dedup_incremental_minhash,
+        dedup_incremental_minhash_stored,
+    )
+
+    inline = dedup_incremental_minhash(spark, SF_DIR).collect()
+    stored = dedup_incremental_minhash_stored(spark, SF_DIR).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
+    marker = os.path.join(_sig_store_dir(SF_DIR), "_STAGED")
+    mtime = os.path.getmtime(marker)
+    again = dedup_incremental_minhash_stored(spark, SF_DIR).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in stored]
+    assert os.path.getmtime(marker) == mtime  # no rebuild on the warm path
+
+
+def test_streaming_dedup_watermark_semantics(spark, ducks):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    oracle parity, plus the two behaviors that distinguish it from plain
+    dropDuplicates — keys RE-EMIT after their state is evicted by the
+    watermark, and duplicates under live state are dropped."""
+    from collections import Counter
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["streaming_dedup_watermark"],
+        entrymod.oracle_sql()["streaming_dedup_watermark"],
+    )
+    rows = entrymod.queries()["streaming_dedup_watermark"](spark, SF_DIR).collect()
+    per_key = Counter((r.user_id, r.event_type) for r in rows)
+    assert max(per_key.values()) >= 2  # eviction -> re-emission happened
+    # some batch-2/3 duplicates were held by live state (fewer emissions
+    # than staged non-straggler rows)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gdalos_spark.streaming.events import _stage_dedup_wm_batches
+
+    staged = _stage_dedup_wm_batches(spark, SF_DIR)
+    n_staged = sum(
+        pq.read_table(os.path.join(staged, f)).num_rows
+        for f in os.listdir(staged)
+        if f.endswith(".parquet")
+    )
+    assert len(rows) < n_staged
+
+
 def test_cli_trans_extent_threads_into_crop(spark):
     """ADVICE r5: -extent/-projwin/-srcwin used to parse-and-drop. Now
     the window reaches the crop predicate: a sub-window of the default
