@@ -180,6 +180,41 @@ def test_streaming_dedup_watermark_semantics(spark, ducks):
     assert len(rows) < n_staged
 
 
+def test_mp3_header_walk_roundtrip(spark):
+    """Synthesized MPEG-1 Layer III streams round-trip through the
+    header walk: frame count, padded frame lengths, ID3v2 skip, ID3v1
+    stop, VBR detection, and duration arithmetic all recovered from the
+    headers alone; corrupt sync raises."""
+    import pytest as _pytest
+
+    from gdalos_spark.operators.multimodal import (
+        _MP3_RATES,
+        _encode_mp3_frames,
+        _mp3_header_walk,
+        multimodal_mp3_features,
+    )
+
+    payload = b"some deterministic document text"
+    stream = _encode_mp3_frames(payload)
+    meta = _mp3_header_walk(stream)
+    assert meta["n_frames"] == 4 + (len(payload) % 13)
+    assert meta["sample_rate"] == _MP3_RATES[payload[0] % 3]
+    assert meta["has_id3v2"] and meta["is_vbr"]
+    assert meta["duration_ms"] == meta["n_frames"] * 1152 * 1000 // meta["sample_rate"]
+    # constant-bitrate stream: every byte equal -> one bitrate -> not VBR
+    cbr = _mp3_header_walk(_encode_mp3_frames(b"\x07" * 40))
+    assert not cbr["is_vbr"]
+    # flipping a sync byte mid-stream loses sync
+    broken = bytearray(stream)
+    broken[len(broken) // 2] ^= 0xFF
+    pos = stream.find(b"\xff\xfb", 50)
+    broken = stream[:pos] + b"\x00" + stream[pos + 1 :]
+    with _pytest.raises(ValueError):
+        _mp3_header_walk(broken)
+    rows = multimodal_mp3_features(spark, SF_DIR).collect()
+    assert len(rows) > 0 and all(r.n_frames >= 4 and r.sample_rate in _MP3_RATES for r in rows)
+
+
 def test_cli_trans_extent_threads_into_crop(spark):
     """ADVICE r5: -extent/-projwin/-srcwin used to parse-and-drop. Now
     the window reaches the crop predicate: a sub-window of the default
