@@ -215,6 +215,34 @@ def test_mp3_header_walk_roundtrip(spark):
     assert len(rows) > 0 and all(r.n_frames >= 4 and r.sample_rate in _MP3_RATES for r in rows)
 
 
+def test_layout_advisor_sampled_agrees_with_exact(spark, ducks):
+    """The sampled-boundary advisor is oracle-gated (deterministic md5
+    sample) AND close to the exact three-pass report: boundary error
+    only moves rows between adjacent files, so scan_fraction differs by
+    at most a couple of file-widths, and the layout RANKING — the thing
+    the advisor exists to decide — matches."""
+    from gdalos_spark.operators.relational import (
+        layout_advisor_report,
+        layout_advisor_sampled,
+    )
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["layout_advisor_sampled"],
+        entrymod.oracle_sql()["layout_advisor_sampled"],
+    )
+    exact = {r.layout: r for r in layout_advisor_report(spark, SF_DIR).collect()}
+    samp = {r.layout: r for r in layout_advisor_sampled(spark, SF_DIR).collect()}
+    assert set(exact) == set(samp) == {
+        "natural_orderkey", "shipdate_sorted", "zorder_day_key",
+    }
+    for name in exact:
+        assert abs(exact[name].scan_fraction - samp[name].scan_fraction) < 0.08
+    rank = lambda d: sorted(d, key=lambda n: d[n].scan_fraction)  # noqa: E731
+    assert rank(exact) == rank(samp)
+
+
 def test_cli_trans_extent_threads_into_crop(spark):
     """ADVICE r5: -extent/-projwin/-srcwin used to parse-and-drop. Now
     the window reaches the crop predicate: a sub-window of the default
