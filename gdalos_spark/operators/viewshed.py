@@ -2160,3 +2160,119 @@ FROM coded GROUP BY px, py
 
 
 VIEWSHED_COMBINE_MODES_SQL = _combine_modes_sql()
+
+
+# ---------------------------------------------------------------------------
+# viewshed_grid_sweep — the reference's GRID-MODE viewshed API
+# (viewshed/viewshed_grid_params.py ViewshedGridParams.get_array(): a
+# base observer expanded into a (2j+1)^2 grid offset by `interval`,
+# each cell a named viewshed run, then combined). The Spark shape: the
+# parameter grid is DERIVED declaratively (sequence x sequence — the
+# get_array() double loop as a relational expression, never a driver
+# list), broadcast against one DEM scan bounded by max_r, and the
+# per-observer report is the many-viewshed summary the grid driver
+# (viewshed_grid_gdal.py / viewshed_grid_talos.py) materializes.
+# ---------------------------------------------------------------------------
+
+GRID_BASE_X, GRID_BASE_Y = 32, 32
+GRID_J = 1            # grid_range = -j..j  ->  (2j+1)^2 = 9 observers
+GRID_INTERVAL = 8     # ref: interval = max_r / (r_fact * 2)
+GRID_MAX_R2 = 400     # max_r = 20 px, compared in squared space
+
+
+def viewshed_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-grid viewshed sweep: 9 observers derived from the base
+    point by the reference's grid expansion, each running the exact
+    integer-ray LOS (same semantics as viewshed_observer_count) over the
+    DEM restricted to its max_r radius. One DEM scan fans out x9 against
+    the broadcast grid; one window shuffle on (observer, ray); one
+    per-observer aggregate. Output: (oname, ox, oy, n_in_range,
+    n_visible, vis_fraction) — the summary table the reference's grid
+    driver writes one raster per row for.
+
+    Scale: the grid dim is O((2j+1)^2) rows — always broadcast; the
+    radius predicate bounds the fan-out to pi*max_r^2 cells per observer
+    however large the DEM, and on the tiled layout it prunes tiles at
+    the scan."""
+    g = dem_grid(spark, sf_dir)
+    ij = F.sequence(F.lit(-GRID_J), F.lit(GRID_J))
+    obs = (
+        spark.range(1)
+        .select(F.explode(ij).alias("i"))
+        .select("i", F.explode(ij).alias("j"))
+        .select(
+            F.concat_ws("_", F.col("i"), F.col("j")).alias("oname"),
+            (F.lit(GRID_BASE_X) + F.col("i") * GRID_INTERVAL).cast("int").alias("ox"),
+            (F.lit(GRID_BASE_Y) + F.col("j") * GRID_INTERVAL).cast("int").alias("oy"),
+        )
+    )
+    cells = g.crossJoin(F.broadcast(obs)).filter(
+        ((F.col("px") != F.col("ox")) | (F.col("py") != F.col("oy")))
+    )
+    dx, dy = F.col("px") - F.col("ox"), F.col("py") - F.col("oy")
+    ray, d2 = _ray_cols(dx, dy)
+    scored = cells.select(
+        "oname", "ox", "oy",
+        ray.alias("ray"), d2.alias("d2"), "px", "py",
+        (
+            (F.col("elev").cast("double") - OBS_Z) / F.sqrt(d2.cast("double"))
+        ).alias("tan_angle"),
+    ).filter(F.col("d2") <= GRID_MAX_R2)
+    w = (
+        Window.partitionBy("oname", "ray")
+        .orderBy("d2", "px", "py")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_before = F.max("tan_angle").over(w)
+    vis = scored.select(
+        "oname", "ox", "oy",
+        F.when(max_before.isNull() | (F.col("tan_angle") >= max_before), 1)
+        .otherwise(0)
+        .alias("visible"),
+    )
+    return (
+        vis.groupBy("oname", "ox", "oy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in_range"),
+            F.sum("visible").cast("bigint").alias("n_visible"),
+            (F.sum("visible").cast("double") / F.count(F.lit(1))).alias("vis_fraction"),
+        )
+        .orderBy("oname")
+    )
+
+
+def _grid_sweep_sql() -> str:
+    ray, d2 = _ray_sql("(px - ox)", "(py - oy)")
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+grid AS (
+  SELECT CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS oname,
+         CAST({GRID_BASE_X} + i * {GRID_INTERVAL} AS INTEGER) AS ox,
+         CAST({GRID_BASE_Y} + j * {GRID_INTERVAL} AS INTEGER) AS oy
+  FROM (SELECT unnest(range(-{GRID_J}, {GRID_J} + 1)) AS i),
+       (SELECT unnest(range(-{GRID_J}, {GRID_J} + 1)) AS j)
+),
+cells AS (
+  SELECT oname, ox, oy, {ray} AS ray, {d2} AS d2, px, py,
+         (CAST(elev AS DOUBLE) - {OBS_Z}) / sqrt(CAST({d2} AS DOUBLE)) AS tan_angle
+  FROM dem CROSS JOIN grid
+  WHERE NOT (px = ox AND py = oy) AND {d2} <= {GRID_MAX_R2}
+),
+vis AS (
+  SELECT oname, ox, oy,
+         CASE WHEN mb IS NULL OR tan_angle >= mb THEN 1 ELSE 0 END AS visible
+  FROM (
+    SELECT *, MAX(tan_angle) OVER (PARTITION BY oname, ray ORDER BY d2, px, py
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb
+    FROM cells
+  )
+)
+SELECT oname, ox, oy, CAST(COUNT(*) AS BIGINT) AS n_in_range,
+       CAST(SUM(visible) AS BIGINT) AS n_visible,
+       CAST(SUM(visible) AS DOUBLE) / COUNT(*) AS vis_fraction
+FROM vis GROUP BY oname, ox, oy
+ORDER BY oname
+"""
+
+
+VIEWSHED_GRID_SWEEP_SQL = _grid_sweep_sql()

@@ -243,6 +243,32 @@ def test_layout_advisor_sampled_agrees_with_exact(spark, ducks):
     assert rank(exact) == rank(samp)
 
 
+def test_viewshed_grid_sweep(spark, ducks):
+    """Grid-mode viewshed (reference ViewshedGridParams.get_array()):
+    oracle parity plus the grid shape — 9 named observers at the
+    interval offsets, each with a bounded in-range cell count and a
+    sane visibility fraction."""
+    from gdalos_spark.operators.viewshed import (
+        GRID_BASE_X,
+        GRID_INTERVAL,
+        viewshed_grid_sweep,
+    )
+
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["viewshed_grid_sweep"],
+        entrymod.oracle_sql()["viewshed_grid_sweep"],
+    )
+    rows = {r.oname: r for r in viewshed_grid_sweep(spark, SF_DIR).collect()}
+    assert len(rows) == 9
+    assert rows["0_0"].ox == GRID_BASE_X
+    assert rows["-1_1"].ox == GRID_BASE_X - GRID_INTERVAL
+    for r in rows.values():
+        assert 0 < r.n_visible <= r.n_in_range
+        assert 0.0 < r.vis_fraction <= 1.0
+
+
 def test_cli_trans_extent_threads_into_crop(spark):
     """ADVICE r5: -extent/-projwin/-srcwin used to parse-and-drop. Now
     the window reaches the crop predicate: a sub-window of the default
