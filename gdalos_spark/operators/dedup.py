@@ -1734,7 +1734,8 @@ def signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_incremental_minhash against the persisted signature STORE:
-    only the new batch (10% of docs, filter pushed to the scan) is
+    only the new batch (10% of docs — the modulo filter evaluates right
+    above the scan; parquet stats cannot skip on arithmetic) is
     shingled and minhashed; the index side is a parquet scan of
     ``signature_store``. This is the recurring-cost shape VERDICT r5
     asked to demonstrate — the measured sf10 cold cost of the inline
