@@ -346,24 +346,40 @@ def _minhash_pairs(
     return _pairs_from_sig(_signatures(spark, sf_dir, docs).persist())
 
 
+def _band_explode(df: DataFrame, *carry: str) -> DataFrame:
+    """Explode a table carrying m0..m15 into one row per LSH band:
+    (carry..., band_id, bkey). The ONE place the banding construction
+    (band count, row width, key separator) lives — _pairs_from_sig,
+    dedup_incremental_minhash, and the stored variant all call it, so
+    the band keys of every LSH consumer stay in lockstep by
+    construction."""
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws(
+                "-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]
+            ).alias("bkey"),
+        )
+        for j in range(N_BANDS)
+    ]
+    return df.select(*carry, F.explode(F.array(*band_structs)).alias("b")).select(
+        *carry, F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey")
+    )
+
+
 def _pairs_from_sig(sig: DataFrame) -> DataFrame:
     """Band join + inline est_jaccard over a (doc_id, m0..m15) signature
     table — the pair-generation half of the LSH pipeline, reusable over a
     reduced signature table (dedup_clusters collapses signature-identical
     docs first)."""
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_id"),
-            F.concat_ws("-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]).alias("bkey"),
-        )
-        for j in range(N_BANDS)
-    ]
-    bands = sig.select(
+    bands = _band_explode(
+        sig.select(
+            "doc_id",
+            F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("ms"),
+            *[f"m{i}" for i in range(N_PERM)],
+        ),
         "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("ms"),
-        F.explode(F.array(*band_structs)).alias("b"),
-    ).select(
-        "doc_id", "ms", F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey")
+        "ms",
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("ms").alias("ms_a"), "band_id", "bkey"
@@ -1595,22 +1611,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(~is_batch, F.col("doc_id"))).alias("min_idx"),
         F.max(is_batch.cast("int")).alias("any_batch"),
     )
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_id"),
-            F.concat_ws("-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]).alias("bkey"),
-        )
-        for j in range(N_BANDS)
-    ]
-    bands = groups.select(
-        "gid",
-        "min_idx",
-        "any_batch",
-        F.array(*ms).alias("ms"),
-        F.explode(F.array(*band_structs)).alias("b"),
-    ).select(
+    bands = _band_explode(
+        groups.select(
+            "gid", "min_idx", "any_batch", F.array(*ms).alias("ms"),
+            *[f"m{i}" for i in range(N_PERM)],
+        ),
         "gid", "min_idx", "any_batch", "ms",
-        F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey"),
     )
     new_side = bands.filter(F.col("any_batch") == 1).select(
         F.col("gid").alias("new_gid"), F.col("ms").alias("ms_a"), "band_id", "bkey"
@@ -1760,21 +1766,10 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
     bgroups = bdocs.select("gid", *mcols).distinct()
 
     def bands_of(df: DataFrame, idcol: str) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.concat_ws(
-                    "-", *[F.col(f"m{j * BAND_R + r}") for r in range(BAND_R)]
-                ).alias("bkey"),
-            )
-            for j in range(N_BANDS)
-        ]
-        return df.select(
-            F.col(idcol), F.array(*ms).alias(f"ms_{idcol}"),
-            F.explode(F.array(*structs)).alias("b"),
-        ).select(
-            idcol, f"ms_{idcol}",
-            F.col("b.band_id").alias("band_id"), F.col("b.bkey").alias("bkey"),
+        return _band_explode(
+            df.select(F.col(idcol), F.array(*ms).alias(f"ms_{idcol}"), *mcols),
+            idcol,
+            f"ms_{idcol}",
         )
 
     new_side = bands_of(bgroups, "gid")

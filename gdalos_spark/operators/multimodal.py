@@ -11,12 +11,12 @@ REAL struct/numpy decoder for the uncompressed container formats
 (PPM/PGM, 24-bit BMP, 16-bit PCM WAV), PNG (inflate + all 5 filters),
 GIF (variable-width LZW), and baseline JPEG (a full pure-numpy JFIF
 codec: Annex K tables, DCT, Huffman entropy coding — see _jpeg_consts
-and friends), dispatched by magic bytes. MP3 gets a real FRAME-HEADER
-walk (multimodal_mp3_features — duration/bitrate/samplerate metadata
-with valid MPEG-1 Layer III framing; audio decode proper would need
-librosa). Only H.264 remains stubbed — video transcoding genuinely
-needs external codec libraries — and raises NotImplementedError, in
-which case the pipeline falls back to a deterministic byte-statistics
+and friends), dispatched by magic bytes. MP3 METADATA is real via the
+frame-header walk (multimodal_mp3_features — duration/bitrate/
+samplerate without touching an audio byte); full MP3 AUDIO decode and
+H.264 remain stubbed in the _decode_real dispatch path (they genuinely
+need librosa/av, absent here) and raise NotImplementedError, in which
+case the pipeline falls back to a deterministic byte-statistics
 extractor over the real bytes. Either way the distributed plan is
 identical.
 
@@ -438,8 +438,9 @@ def _decode_real(payload: bytes, media_type: str) -> dict:
             "n_samples": w * h, "feat_mean": float(px.mean()),
         }
     raise NotImplementedError(
-        "remaining compressed codecs (MP3/H.264) need librosa/av, "
-        "which are not available in this container"
+        "full MP3 audio decode and H.264 need librosa/av, which are not "
+        "available in this container (MP3 METADATA is real — see "
+        "multimodal_mp3_features' frame-header walk)"
     )
 
 
@@ -777,8 +778,8 @@ def _decode_ppm_pixels(payload: bytes):
 # + AC run-length Huffman entropy coding with 0xFF byte stuffing; the
 # decoder parses DQT/SOF0/DHT/SOS from the stream it is handed (it does
 # not assume the encoder's tables). MP3 metadata is real via the frame-
-# header walk below; only H.264 remains stubbed — video transcoding
-# genuinely needs external codec libraries.
+# header walk below; full MP3 audio decode and H.264 transcoding remain
+# stubbed — they genuinely need external codec libraries.
 # ---------------------------------------------------------------------------
 
 # ITU-T T.81 Annex K: luminance quantization table (quality 50), zigzag order,

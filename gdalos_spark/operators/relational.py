@@ -4438,9 +4438,9 @@ def layout_advisor_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """layout_advisor_report with SAMPLED file boundaries — the shape a
     recurring table-maintenance job runs at 100 TB:
 
-    * a deterministic md5-hash sample (pk-hash % {mod} == 0 — portable,
-      so the twin SQL reproduces it bit-for-bit; no rand()) estimates
-      the {files}-quantile boundary keys per layout. Sorting the sample
+    * a deterministic md5-hash sample (pk-hash % LAYOUT_SAMPLE_MOD == 0
+      — portable, so the twin SQL reproduces it bit-for-bit; no rand())
+      estimates the ZONEMAP_FILES-quantile boundaries. Sorting the sample
       on one partition is the standard boundary-estimation shape —
       Spark's own RangePartitioner does exactly this with a collected
       sample — and the sample size is mod-controlled, not fact-sized;
@@ -4455,7 +4455,7 @@ def layout_advisor_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     so scan_fraction stays within a file-width of the exact report
     (test-pinned). Deterministic sampling keeps the key fully
     oracle-gated — stronger than the t-digest-style "document the
-    approximation" fallback.""".format(mod=LAYOUT_SAMPLE_MOD, files=ZONEMAP_FILES)
+    approximation" fallback."""
     from gdalos_spark.functions import hashing
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",

@@ -238,7 +238,8 @@ WITH hashed AS (
   SELECT doc_id, md5(text) AS content_hash,
          list_sort(list_transform(list_distinct({SHINGLES3_SQL}),
                    s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS hs
-  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+  FROM (SELECT doc_id, text, string_split(COALESCE(text, ''), ' ') AS t
+        FROM documents)
 )
 SELECT doc_id, content_hash,
        array_to_string(list_transform(hs[1:{SKETCH_K}], x -> CAST(x AS VARCHAR)), '-') AS fingerprint,

@@ -58,60 +58,36 @@ _T_MODEL_SCALE, _T_MODEL_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
 _COMP_NONE, _COMP_DEFLATE = 1, 8
 
 
-def _encode_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
-    """Encode an int32 numpy grid (h, w) as a tiled deflate GeoTIFF.
+_GEOKEYS_4326 = struct.pack(
+    "<16H",
+    1, 1, 0, 3,          # version, rev 1.0, 3 keys follow
+    1024, 0, 1, 2,       # GTModelTypeGeoKey = 2 (geographic)
+    1025, 0, 1, 1,       # GTRasterTypeGeoKey = 1 (PixelIsArea)
+    2048, 0, 1, 4326,    # GeographicTypeGeoKey
+)
 
-    Layout mirrors the reference's COG profile (gdalos_trans.py:328
-    'COG' driver: tiled + compressed): 16x16 tiles, DEFLATE, one
-    int32 band, geotransform via pixel-scale + tiepoint.
-    """
-    import numpy as np
 
-    h, w = grid.shape
-    tiles_x = -(-w // TILE_W)
-    tiles_y = -(-h // TILE_H)
-    payloads = []
-    for ty in range(tiles_y):
-        for tx in range(tiles_x):
-            tile = np.full((TILE_H, TILE_W), NODATA, dtype="<i4")
-            block = grid[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W]
-            tile[: block.shape[0], : block.shape[1]] = block
-            payloads.append(zlib.compress(tile.tobytes(), 6))
+def _geo_externs(origin_lon: float, origin_lat: float) -> dict[int, bytes]:
+    return {
+        _T_MODEL_SCALE: struct.pack("<3d", PIX, PIX, 0.0),
+        _T_MODEL_TIEPOINT: struct.pack(
+            "<6d", 0.0, 0.0, 0.0, origin_lon, origin_lat, 0.0
+        ),
+        _T_GEOKEYS: _GEOKEYS_4326,
+    }
 
-    # GeoTIFF 1.1 directory: ModelTypeGeographic, RasterPixelIsArea,
-    # GeographicTypeGeoKey = EPSG:4326
-    geokeys = struct.pack(
-        "<16H",
-        1, 1, 0, 3,          # version, rev 1.0, 3 keys follow
-        1024, 0, 1, 2,       # GTModelTypeGeoKey = 2 (geographic)
-        1025, 0, 1, 1,       # GTRasterTypeGeoKey = 1 (PixelIsArea)
-        2048, 0, 1, 4326,    # GeographicTypeGeoKey
-    )
-    scale = struct.pack("<3d", PIX, PIX, 0.0)
-    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, origin_lon, origin_lat, 0.0)
 
-    # fixed-size IFD: 13 entries
-    entries = [
-        (_T_WIDTH, 3, 1, w),
-        (_T_HEIGHT, 3, 1, h),
-        (_T_BPS, 3, 1, 32),
-        (_T_COMPRESSION, 3, 1, _COMP_DEFLATE),
-        (_T_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
-        (_T_SPP, 3, 1, 1),
-        (_T_TILE_W, 3, 1, TILE_W),
-        (_T_TILE_H, 3, 1, TILE_H),
-        (_T_TILE_OFFSETS, 4, len(payloads), None),   # patched below
-        (_T_TILE_COUNTS, 4, len(payloads), None),
-        (_T_SAMPLE_FORMAT, 3, 1, 2),  # signed integer
-        (_T_MODEL_SCALE, 12, 3, None),
-        (_T_MODEL_TIEPOINT, 12, 6, None),
-        (_T_GEOKEYS, 3, len(geokeys) // 2, None),
-    ]
+def _assemble_tiff(entries, extern_vals, blocks, offsets_tag, counts_tag) -> bytes:
+    """Shared TIFF assembly for BOTH writers (tiled and stripped):
+    header + IFD + out-of-line values + data blocks, with the
+    offsets/counts arrays patched in. `entries` rows are
+    (tag, type, count, inline-value-or-None); None values resolve to
+    the extern slot of that tag or the block offset/count arrays.
+    One implementation means an alignment or offset-patching fix can
+    never diverge between the two layouts."""
     n = len(entries)
     ifd_off = 8
-    ifd_size = 2 + n * 12 + 4
-    ext_off = ifd_off + ifd_size  # out-of-line values start here
-
+    ext_off = ifd_off + 2 + n * 12 + 4  # out-of-line values start here
     ext = bytearray()
 
     def extern(data: bytes) -> int:
@@ -121,37 +97,30 @@ def _encode_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
             ext.append(0)
         return off
 
-    n_tiles = len(payloads)
-    offsets_slot = extern(b"\0" * (4 * n_tiles)) if n_tiles > 1 else None
-    counts_slot = extern(b"\0" * (4 * n_tiles)) if n_tiles > 1 else None
-    scale_off = extern(scale)
-    tie_off = extern(tiepoint)
-    geo_off = extern(geokeys)
+    nb = len(blocks)
+    off_slot = extern(b"\0" * (4 * nb)) if nb > 1 else None
+    cnt_slot = extern(b"\0" * (4 * nb)) if nb > 1 else None
+    slots = {tag: extern(v) for tag, v in extern_vals.items()}
 
     data_off = ext_off + len(ext)
-    tile_offsets, tile_counts, body = [], [], bytearray()
-    for p in payloads:
-        tile_offsets.append(data_off + len(body))
-        tile_counts.append(len(p))
+    offsets, counts, body = [], [], bytearray()
+    for p in blocks:
+        offsets.append(data_off + len(body))
+        counts.append(len(p))
         body.extend(p)
         if len(body) % 2:
             body.append(0)
-
-    if n_tiles > 1:
-        ext[offsets_slot - ext_off : offsets_slot - ext_off + 4 * n_tiles] = struct.pack(
-            f"<{n_tiles}I", *tile_offsets
+    if nb > 1:
+        ext[off_slot - ext_off : off_slot - ext_off + 4 * nb] = struct.pack(
+            f"<{nb}I", *offsets
         )
-        ext[counts_slot - ext_off : counts_slot - ext_off + 4 * n_tiles] = struct.pack(
-            f"<{n_tiles}I", *tile_counts
+        ext[cnt_slot - ext_off : cnt_slot - ext_off + 4 * nb] = struct.pack(
+            f"<{nb}I", *counts
         )
+    inline = dict(slots)
+    inline[offsets_tag] = offsets[0] if nb == 1 else off_slot
+    inline[counts_tag] = counts[0] if nb == 1 else cnt_slot
 
-    inline = {
-        _T_TILE_OFFSETS: tile_offsets[0] if n_tiles == 1 else offsets_slot,
-        _T_TILE_COUNTS: tile_counts[0] if n_tiles == 1 else counts_slot,
-        _T_MODEL_SCALE: scale_off,
-        _T_MODEL_TIEPOINT: tie_off,
-        _T_GEOKEYS: geo_off,
-    }
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
     out.extend(struct.pack("<H", n))
     for tag, typ, count, val in entries:
@@ -162,6 +131,56 @@ def _encode_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
     out.extend(ext)
     out.extend(body)
     return bytes(out)
+
+
+def _encode_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
+    """Encode an int32 numpy grid (h, w) as a tiled deflate GeoTIFF.
+
+    Layout mirrors the reference's COG profile (gdalos_trans.py:328
+    'COG' driver: tiled + compressed): 16x16 tiles, DEFLATE, one
+    int32 band, geotransform via pixel-scale + tiepoint. Raises on
+    values outside int32 (or colliding with the NODATA sentinel) —
+    silent numpy wrapping would corrupt pixels undetectably.
+    """
+    import numpy as np
+
+    h, w = grid.shape
+    g64 = np.asarray(grid, dtype="int64")
+    if ((g64 != NODATA) & ((g64 <= NODATA) | (g64 > 2**31 - 1))).any():
+        raise OverflowError(
+            "pixel value outside int32 (or equal to the NODATA sentinel); "
+            "use a wider sample format for this band"
+        )
+    tiles_x = -(-w // TILE_W)
+    tiles_y = -(-h // TILE_H)
+    payloads = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = np.full((TILE_H, TILE_W), NODATA, dtype="<i4")
+            block = grid[ty * TILE_H : (ty + 1) * TILE_H, tx * TILE_W : (tx + 1) * TILE_W]
+            tile[: block.shape[0], : block.shape[1]] = block
+            payloads.append(zlib.compress(tile.tobytes(), 6))
+
+    entries = [
+        (_T_WIDTH, 3, 1, w),
+        (_T_HEIGHT, 3, 1, h),
+        (_T_BPS, 3, 1, 32),
+        (_T_COMPRESSION, 3, 1, _COMP_DEFLATE),
+        (_T_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
+        (_T_SPP, 3, 1, 1),
+        (_T_TILE_W, 3, 1, TILE_W),
+        (_T_TILE_H, 3, 1, TILE_H),
+        (_T_TILE_OFFSETS, 4, len(payloads), None),
+        (_T_TILE_COUNTS, 4, len(payloads), None),
+        (_T_SAMPLE_FORMAT, 3, 1, 2),  # signed integer
+        (_T_MODEL_SCALE, 12, 3, None),
+        (_T_MODEL_TIEPOINT, 12, 6, None),
+        (_T_GEOKEYS, 3, len(_GEOKEYS_4326) // 2, None),
+    ]
+    return _assemble_tiff(
+        entries, _geo_externs(origin_lon, origin_lat), payloads,
+        _T_TILE_OFFSETS, _T_TILE_COUNTS,
+    )
 
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}
@@ -249,13 +268,10 @@ def _decode_geotiff(payload: bytes):
 def _encode_strip_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
     """Uncompressed STRIPPED variant (RowsPerStrip = 8) — the layout a
     plain `gdal_translate` (non-COG) writes; exercises the decoder's
-    strip path in tests."""
+    strip path in tests. Shares _assemble_tiff with the tiled writer."""
     h, w = grid.shape
     rps = 8
     strips = [grid[r : r + rps].astype("<i4").tobytes() for r in range(0, h, rps)]
-    geokeys = struct.pack("<16H", 1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
-    scale = struct.pack("<3d", PIX, PIX, 0.0)
-    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, origin_lon, origin_lat, 0.0)
     entries = [
         (_T_WIDTH, 3, 1, w),
         (_T_HEIGHT, 3, 1, h),
@@ -269,50 +285,12 @@ def _encode_strip_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
         (_T_SAMPLE_FORMAT, 3, 1, 2),
         (_T_MODEL_SCALE, 12, 3, None),
         (_T_MODEL_TIEPOINT, 12, 6, None),
-        (_T_GEOKEYS, 3, len(geokeys) // 2, None),
+        (_T_GEOKEYS, 3, len(_GEOKEYS_4326) // 2, None),
     ]
-    n = len(entries)
-    ifd_off = 8
-    ext_off = ifd_off + 2 + n * 12 + 4
-    ext = bytearray()
-
-    def extern(data: bytes) -> int:
-        off = ext_off + len(ext)
-        ext.extend(data)
-        if len(ext) % 2:
-            ext.append(0)
-        return off
-
-    ns = len(strips)
-    off_slot = extern(b"\0" * (4 * ns)) if ns > 1 else None
-    cnt_slot = extern(b"\0" * (4 * ns)) if ns > 1 else None
-    scale_off, tie_off, geo_off = extern(scale), extern(tiepoint), extern(geokeys)
-    data_off = ext_off + len(ext)
-    offsets, counts, body = [], [], bytearray()
-    for s in strips:
-        offsets.append(data_off + len(body))
-        counts.append(len(s))
-        body.extend(s)
-    if ns > 1:
-        ext[off_slot - ext_off : off_slot - ext_off + 4 * ns] = struct.pack(f"<{ns}I", *offsets)
-        ext[cnt_slot - ext_off : cnt_slot - ext_off + 4 * ns] = struct.pack(f"<{ns}I", *counts)
-    inline = {
-        _T_STRIP_OFFSETS: offsets[0] if ns == 1 else off_slot,
-        _T_STRIP_COUNTS: counts[0] if ns == 1 else cnt_slot,
-        _T_MODEL_SCALE: scale_off,
-        _T_MODEL_TIEPOINT: tie_off,
-        _T_GEOKEYS: geo_off,
-    }
-    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out.extend(struct.pack("<H", n))
-    for tag, typ, count, val in entries:
-        if val is None:
-            val = inline[tag]
-        out.extend(struct.pack("<HHII", tag, typ, count, val))
-    out.extend(struct.pack("<I", 0))
-    out.extend(ext)
-    out.extend(body)
-    return bytes(out)
+    return _assemble_tiff(
+        entries, _geo_externs(origin_lon, origin_lat), strips,
+        _T_STRIP_OFFSETS, _T_STRIP_COUNTS,
+    )
 
 
 def scene_tiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +312,9 @@ def scene_tiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sid = int(pdf["scene_id"].iloc[0])
         sy, sx = divmod(sid, GRID_W // SCENE)
         ox, oy = sx * SCENE, sy * SCENE
-        grid = np.full((SCENE, SCENE), NODATA, dtype="<i4")
+        # int64 until _encode_geotiff's range check has run — a direct
+        # int32 assignment would wrap silently on overflow
+        grid = np.full((SCENE, SCENE), NODATA, dtype="int64")
         grid[pdf["py"].to_numpy() - oy, pdf["px"].to_numpy() - ox] = pdf[
             "elev_cents"
         ].to_numpy()

@@ -204,11 +204,19 @@ def test_mp3_header_walk_roundtrip(spark):
     # constant-bitrate stream: every byte equal -> one bitrate -> not VBR
     cbr = _mp3_header_walk(_encode_mp3_frames(b"\x07" * 40))
     assert not cbr["is_vbr"]
-    # flipping a sync byte mid-stream loses sync
-    broken = bytearray(stream)
-    broken[len(broken) // 2] ^= 0xFF
-    pos = stream.find(b"\xff\xfb", 50)
-    broken = stream[:pos] + b"\x00" + stream[pos + 1 :]
+    # zeroing a frame-header sync byte (found via the walk itself, so it
+    # is guaranteed to be a header, not body) loses sync
+    meta1 = _mp3_header_walk(stream)
+    hdr_pos = len(stream) - 128  # start of ID3v1; walk back one frame
+    # recompute the second frame's header offset from the walk arithmetic
+    pos = 10 + 32  # ID3v2 header + body
+    kbps = (stream[pos + 2] >> 4) & 0xF
+    pad = (stream[pos + 2] >> 1) & 1
+    from gdalos_spark.operators.multimodal import _MP3_BITRATES
+
+    pos2 = pos + (144_000 * _MP3_BITRATES[kbps]) // meta1["sample_rate"] + pad
+    assert stream[pos2] == 0xFF  # second frame header, by construction
+    broken = stream[:pos2] + b"\x00" + stream[pos2 + 1 :]
     with _pytest.raises(ValueError):
         _mp3_header_walk(broken)
     rows = multimodal_mp3_features(spark, SF_DIR).collect()
@@ -267,6 +275,34 @@ def test_viewshed_grid_sweep(spark, ducks):
     for r in rows.values():
         assert 0 < r.n_visible <= r.n_in_range
         assert 0.0 < r.vis_fraction <= 1.0
+
+
+def test_minhash_lsh_collapse_matches_direct(spark, tmp_path, monkeypatch):
+    """The adaptive signature-group collapse is unreachable at oracle
+    scales (COLLAPSE_MIN_DOCS short-circuits them), so pin its algebra
+    directly: on a replica-heavy corpus, the collapsed plan's pair list
+    is byte-identical to the direct band-join + distinct — including
+    in-group self pairs (est=1.0), cross-group expansion, and the
+    least/greatest orientation."""
+    from gdalos_spark.operators import dedup as D
+
+    rows = []
+    did = 0
+    for i in range(8):
+        base = f"doc {i} alpha beta gamma delta epsilon zeta eta theta iota"
+        for _ in range(12):  # 12 exact replicas -> one signature group
+            rows.append((did, base))
+            did += 1
+        rows.append((did, base + " extra"))  # near-dup variant
+        did += 1
+    d = _write_docs(tmp_path, rows)
+    direct = sorted(
+        tuple(r) for r in D._minhash_pairs(spark, d).distinct().collect()
+    )
+    monkeypatch.setattr(D, "COLLAPSE_MIN_DOCS", 0)
+    collapsed = sorted(tuple(r) for r in D.dedup_minhash_lsh(spark, d).collect())
+    assert len(direct) > 100  # the replica cliques really are quadratic
+    assert collapsed == direct
 
 
 def test_cli_trans_extent_threads_into_crop(spark):

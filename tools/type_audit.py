@@ -1,6 +1,10 @@
 """Oracle type audit: compare the Spark result schema of every queries()
-entry against the DuckDB column types of its oracle_sql() twin WITHOUT
-executing either (Spark .schema is lazy; DuckDB DESCRIBE plans only).
+entry against the DuckDB column types of its oracle_sql() twin. The
+DuckDB side only plans (DESCRIBE); the Spark side reads .schema, which
+is lazy for plan-only operators — but driver-side-eager entries
+(streaming keys stage files and run real queries; the stored dedup
+builds its signature store) DO execute while being audited, so run this
+against a small SF (the sf0.001 default), not an upscale.
 
 The driver's correctness hash is type-sensitive, so a DuckDB HUGEINT
 (SUM over BIGINT) vs a Spark BIGINT is a hash-red even when every value
