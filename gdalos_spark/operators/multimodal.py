@@ -1506,3 +1506,35 @@ def multimodal_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(mp3_batches, MP3_SCHEMA)
+
+
+# Closed-form oracle: every feature the walk recovers is a pure function
+# of the payload bytes the encoder consumed (frame count from length,
+# samplerate from byte 0, per-frame bitrate from byte i mod len), and the
+# corpus text is pure ASCII so substr/ord indexes bytes exactly. Gating
+# the real encode->walk round trip against this SQL certifies that the
+# header walk recovers precisely what the framing encoded.
+MULTIMODAL_MP3_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS plen,
+         4 + len(text) % 13 AS n_frames,
+         [44100, 48000, 32000][(ord(substr(text, 1, 1)) % 3) + 1] AS rate
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n_frames, rate,
+         list_transform(range(0, n_frames),
+           i -> {list(_MP3_BITRATES)}[
+                  (1 + ord(substr(text, CAST(i % plen AS INTEGER) + 1, 1)) % 14) + 1
+                ]) AS kbps
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(n_frames * {_MP3_SAMPLES_PER_FRAME} * 1000 // rate AS BIGINT) AS duration_ms,
+       ROUND(CAST(list_sum(kbps) AS DOUBLE) / n_frames, 6) AS mean_bitrate_kbps,
+       CAST(rate AS INTEGER) AS sample_rate,
+       len(list_distinct(kbps)) > 1 AS is_vbr,
+       TRUE AS has_id3v2
+FROM fr
+"""
