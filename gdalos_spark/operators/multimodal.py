@@ -461,7 +461,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             # byte-statistics fallback for everything else
             if b[:2] in (b"P6", b"P5", b"BM", b"\xff\xd8") or b[:4] == b"RIFF":
                 try:
-                    return round(_decode_real(b, "")["feat_mean"], 6)
+                    return _decode_real(b, "")["feat_mean"]
                 except NotImplementedError:
                     pass
             return float(np.frombuffer(b, dtype=np.uint8).mean()) if len(b) else 0.0
@@ -475,7 +475,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": byte_len.astype("int32"),
-                    "feat_mean": feat_mean.round(6),
+                    # UNROUNDED: the byte mean is a correctly-rounded
+                    # division of exact integers (engine-identical);
+                    # round(6) would reintroduce 7th-digit ties
+                    "feat_mean": feat_mean,
                     "n_frames": (byte_len // 1024 + 1).astype("int32"),
                     "width": pdf["width"],
                     "height": pdf["height"],
@@ -525,7 +528,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame_idx"].append(idx)
                     out["frame_offset"].append(idx * FRAME_SIZE)
                     out["frame_bytes"].append(len(chunk))
-                    out["frame_mean"].append(round(float(chunk.mean()), 6))
+                    # UNROUNDED: sum/len of exact byte ints — the
+                    # /256 denominators produce genuine round-at-6 ties
+                    out["frame_mean"].append(float(chunk.mean()))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
@@ -1152,9 +1157,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yi = (np.arange(k) * h) // k
             xi = (np.arange(k) * w) // k
             out = px[yi][:, xi]
-            return int(out.sum()), round(float(px.mean()), 6), round(
-                float(out.mean()), 6
-            )
+            # UNROUNDED: both means are correctly-rounded divisions of
+            # exact integers, engine-identical by construction — ROUND
+            # would reintroduce the 7th-digit-tie divergence (out_sum is
+            # often divisible by 3, making /768 terminate exactly at a
+            # x.xxxxxx5 boundary where Python and DuckDB round apart)
+            return int(out.sum()), float(px.mean()), float(out.mean())
 
         for pdf in batches:
             res = [
@@ -1536,5 +1544,156 @@ SELECT doc_id,
        CAST(rate AS INTEGER) AS sample_rate,
        len(list_distinct(kbps)) > 1 AS is_vbr,
        TRUE AS has_id3v2
+FROM fr
+"""
+
+
+# Closed-form oracle for the WAV round trip: int16 LE samples are byte
+# pairs of the tiled ASCII payload (high byte < 128, so the signed
+# interpretation is the unsigned one and every sample is positive —
+# zero_crossings is genuinely 0 on this corpus, expressed honestly
+# below). sum of squares is exact BIGINT, /2048.0 and sqrt are IEEE
+# correctly-rounded in both engines.
+MULTIMODAL_AUDIO_FEATURES_SQL = f"""
+WITH d AS (SELECT doc_id, text, len(text) AS plen FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(range(0, {AUDIO_N_SAMPLES}),
+           k -> ord(substr(text, CAST((2 * k) % plen AS INTEGER) + 1, 1))
+              + 256 * ord(substr(text, CAST((2 * k + 1) % plen AS INTEGER) + 1, 1))
+         ) AS sm
+  FROM d
+)
+SELECT doc_id,
+       {AUDIO_N_SAMPLES} AS n_samples,
+       CAST(list_max(sm) AS INTEGER) AS peak,
+       CAST(len(list_filter(range(1, {AUDIO_N_SAMPLES}),
+                            k -> (sm[CAST(k AS INTEGER)] >= 0)
+                              <> (sm[CAST(k AS INTEGER) + 1] >= 0))) AS INTEGER)
+         AS zero_crossings,
+       ROUND(sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE)
+                  / {AUDIO_N_SAMPLES}), 6) AS rms
+FROM s
+"""
+
+
+# Closed-form oracle for the GIF frame walk: frame i pixel j is
+# (payload byte (i*px + j) mod len) % 4, palette-mapped to v*85 on all
+# three channels, so rgb_mean is the byte-arithmetic average — the LZW
+# encode/decode round trip must reproduce it exactly.
+MULTIMODAL_GIF_FRAMES_SQL = f"""
+WITH d AS (SELECT doc_id, text, len(text) AS plen,
+                  2 + (doc_id % 3) * 2 AS n_frames
+           FROM documents),
+fr AS (
+  SELECT doc_id, n_frames, plen, text,
+         unnest(range(0, n_frames)) AS frame_idx
+  FROM d
+),
+px AS (
+  SELECT doc_id, n_frames, frame_idx,
+         list_transform(range(0, {GIF_FRAME_W * GIF_FRAME_H}),
+           j -> (ord(substr(text,
+                   CAST((frame_idx * {GIF_FRAME_W * GIF_FRAME_H} + j) % plen
+                        AS INTEGER) + 1, 1)) % 4) * 85) AS vals
+  FROM fr WHERE frame_idx % 2 = 0
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       {GIF_FRAME_W} AS width,
+       {GIF_FRAME_H} AS height,
+       ROUND(CAST(list_sum(vals) AS DOUBLE) / {GIF_FRAME_W * GIF_FRAME_H}, 6)
+         AS rgb_mean
+FROM px
+"""
+
+
+# Closed-form oracle for the PPM resize: pixel (y, x, c) of the tiled
+# body is payload byte ((y*w + x)*3 + c) mod len. The full-image mean
+# uses tiling PERIODICITY (full_cycles * per-cycle byte sum + remainder
+# prefix sum) instead of enumerating w*h*3 indices; the 16x16 output
+# indexes just 768 bytes per doc through the same nearest-neighbor
+# arithmetic the operator ships.
+MULTIMODAL_RESIZE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS plen,
+         CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS w,
+         CAST(64 + (doc_id % 5) * 32 AS BIGINT) AS h
+  FROM documents
+),
+sums AS (
+  SELECT doc_id, text, plen, w, h, w * h * 3 AS need,
+         list_sum(list_transform(range(1, plen + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS cyc_sum
+  FROM d
+),
+tot AS (
+  SELECT doc_id, text, plen, w, h, need, cyc_sum,
+         (need // plen) * cyc_sum
+         + COALESCE(list_sum(list_transform(range(1, CAST(need % plen AS INTEGER) + 1),
+                    i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS total,
+         list_sum(list_transform(range(0, {RESIZE_OUT * RESIZE_OUT * 3}),
+           k -> ord(substr(text, CAST(
+                  ((((((k // 3) // {RESIZE_OUT}) * h) // {RESIZE_OUT}) * w
+                    + (((k // 3) % {RESIZE_OUT}) * w) // {RESIZE_OUT}) * 3
+                   + k % 3) % plen AS INTEGER) + 1, 1)))) AS out_sum
+  FROM sums
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       {RESIZE_OUT} AS out_w, {RESIZE_OUT} AS out_h,
+       CAST(out_sum AS BIGINT) AS px_sum,
+       CAST(total AS DOUBLE) / need AS mean_in,
+       CAST(out_sum AS DOUBLE) / {RESIZE_OUT * RESIZE_OUT * 3} AS mean_out
+FROM tot
+"""
+
+
+# Closed-form oracles for the two byte-statistics stages (the corpus
+# text carries no container magic bytes, so decode's fallback arm is the
+# one that runs — the SQL twin computes the same byte means; means are
+# emitted UNROUNDED on both sides because /256-style denominators land
+# on exact 7th-digit ties where Python and DuckDB round apart).
+MULTIMODAL_DECODE_SQL = """
+WITH d AS (
+  SELECT doc_id, text, len(text) AS plen,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+         CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(plen AS INTEGER) AS byte_len,
+       CAST(list_sum(list_transform(range(1, plen + 1),
+              i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE) / plen
+         AS feat_mean,
+       CAST(plen // 1024 + 1 AS INTEGER) AS n_frames,
+       width, height
+FROM d
+"""
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS plen,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, media_type, text, plen,
+         unnest(range(0, (plen + {FRAME_SIZE - 1}) // {FRAME_SIZE}, 2)) AS fi
+  FROM d
+)
+SELECT doc_id, media_type,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(fi * {FRAME_SIZE} AS INTEGER) AS frame_offset,
+       CAST(LEAST({FRAME_SIZE}, plen - fi * {FRAME_SIZE}) AS INTEGER) AS frame_bytes,
+       CAST(list_sum(list_transform(
+              range(1, CAST(LEAST({FRAME_SIZE}, plen - fi * {FRAME_SIZE}) AS INTEGER) + 1),
+              i -> ord(substr(text, CAST(fi * {FRAME_SIZE} + i AS INTEGER), 1))))
+            AS DOUBLE)
+         / LEAST({FRAME_SIZE}, plen - fi * {FRAME_SIZE}) AS frame_mean
 FROM fr
 """
