@@ -228,6 +228,42 @@ def _sig_sql() -> str:
 COLLAPSE_MIN_DOCS = 200_000  # below this the pair distinct is cheap regardless
 
 
+def _docs_footer_count(sf_dir: str) -> int:
+    """Driver-side parquet-footer row count for the documents table —
+    the same metadata a catalog or manifest would serve; no Spark job."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    p = f"{sf_dir}/documents.parquet"
+    files = [p] if _os.path.isfile(p) else _glob.glob(f"{p}/*.parquet")
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _expand_group_pairs(
+    gpairs: DataFrame, members: DataFrame, out_a: str, out_b: str, *payload: str
+) -> DataFrame:
+    """Expand deduplicated GROUP pairs (ga, gb, payload...) through a
+    (gid, doc_id) member map into oriented doc pairs: cross-group pairs
+    emit every member combination (least/greatest matches the direct
+    band join's doc_id orientation); in-group pairs emit da < db only
+    (no self pairs, no double emission). Shared by the minhash and
+    simhash collapses so the expansion algebra lives once."""
+    ma = members.select(F.col("gid").alias("ga"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("doc_id").alias("db"))
+    return (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
+        .filter((F.col("ga") != F.col("gb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias(out_a),
+            F.greatest("da", "db").alias(out_b),
+            *payload,
+        )
+    )
+
+
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -278,19 +314,7 @@ def dedup_minhash_lsh(
     circuits straight to the direct plan without even building the
     signature stats; the stats job only runs at a scale where its cost
     is noise against the signature build it shares."""
-    if docs is not None:
-        n_src = docs.count()
-    else:
-        # parquet footer row count, driver-side — no Spark job at all
-        # (the same metadata a catalog or manifest would serve)
-        import glob as _glob
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
-        p = f"{sf_dir}/documents.parquet"
-        files = [p] if _os.path.isfile(p) else _glob.glob(f"{p}/*.parquet")
-        n_src = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_src = docs.count() if docs is not None else _docs_footer_count(sf_dir)
     if n_src < COLLAPSE_MIN_DOCS:
         return _minhash_pairs(spark, sf_dir, docs).distinct()
     sig = _signatures(spark, sf_dir, docs).persist()
@@ -317,18 +341,8 @@ def dedup_minhash_lsh(
         F.col("gid").alias("gb"),
         F.lit(1.0).alias("est_jaccard"),
     )
-    ma = members.select(F.col("gid").alias("ga"), F.col("doc_id").alias("da"))
-    mb = members.select(F.col("gid").alias("gb"), F.col("doc_id").alias("db"))
-    return (
-        cross.union(selfp)
-        .join(ma, "ga")
-        .join(mb, "gb")
-        .filter((F.col("ga") != F.col("gb")) | (F.col("da") < F.col("db")))
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "est_jaccard",
-        )
+    return _expand_group_pairs(
+        cross.union(selfp), members, "doc_a", "doc_b", "est_jaccard"
     )
 
 
@@ -461,32 +475,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     # both sides of the self-join reuse the per-doc fingerprint table
     fp = votes.select("doc_id", simhash.alias("simhash")).persist()
-    byte_structs = [
-        F.struct(
-            F.lit(bi).alias("byte_id"),
-            F.shiftright(F.col("simhash"), 8 * bi).bitwiseAND(F.lit(255)).alias("byte"),
+
+    def byte_pairs(t: DataFrame) -> DataFrame:
+        """Byte-band self-join + inline hamming over any (doc_id,
+        simhash) table — runs over raw docs on the direct path, over
+        distinct-fingerprint reps on the collapsed path."""
+        byte_structs = [
+            F.struct(
+                F.lit(bi).alias("byte_id"),
+                F.shiftright(F.col("simhash"), 8 * bi)
+                .bitwiseAND(F.lit(255))
+                .alias("byte"),
+            )
+            for bi in range(SIM_BYTES)
+        ]
+        bands = t.select(
+            "doc_id", "simhash", F.explode(F.array(*byte_structs)).alias("b")
+        ).select(
+            "doc_id", "simhash",
+            F.col("b.byte_id").alias("byte_id"), F.col("b.byte").alias("byte"),
         )
-        for bi in range(SIM_BYTES)
-    ]
-    bands = fp.select("doc_id", "simhash", F.explode(F.array(*byte_structs)).alias("b")).select(
-        "doc_id", "simhash", F.col("b.byte_id").alias("byte_id"), F.col("b.byte").alias("byte")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.byte_id") == F.col("b.byte_id"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.byte_id") == F.col("b.byte_id"))
+                & (F.col("a.byte") == F.col("b.byte"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .cast("int")
+                .alias("hamming"),
+            )
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= HAMMING_MAX)
-    )
+
+    # adaptive fingerprint collapse (the dedup_minhash_lsh shape):
+    # simhash is ROBUST to small edits, so on a replica-heavy corpus
+    # whole near-dup cliques share one fingerprint and the byte-bucket
+    # join is quadratic in clique size for nothing — hamming is a pure
+    # function of the two fingerprints, so pair, filter, and DISTINCT
+    # over distinct fingerprints only, then expand through the member
+    # map. Identical fingerprints always share all four bytes and have
+    # hamming 0, so in-group pairs are a constant-payload self pair.
+    if _docs_footer_count(sf_dir) >= COLLAPSE_MIN_DOCS:
+        groups = fp.groupBy("simhash").agg(
+            F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("k")
+        ).persist()
+        n_groups, n_docs = groups.agg(F.count(F.lit(1)), F.sum("k")).first()
+        if n_groups < 0.95 * n_docs:
+            reps = groups.select(F.col("gid").alias("doc_id"), "simhash")
+            cross = (
+                byte_pairs(reps)
+                .filter(F.col("hamming") <= HAMMING_MAX)  # below the distinct
+                .distinct()
+                .select(
+                    F.col("doc_a").alias("ga"), F.col("doc_b").alias("gb"), "hamming"
+                )
+            )
+            selfp = groups.filter("k > 1").select(
+                F.col("gid").alias("ga"),
+                F.col("gid").alias("gb"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+            members = fp.join(groups.select("gid", "simhash"), "simhash").select(
+                "doc_id", "gid"
+            )
+            return _expand_group_pairs(
+                cross.union(selfp), members, "doc_a", "doc_b", "hamming"
+            )
+    return byte_pairs(fp).distinct().filter(F.col("hamming") <= HAMMING_MAX)
 
 
 def _simhash_sql() -> str:

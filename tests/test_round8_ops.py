@@ -299,10 +299,15 @@ def test_minhash_lsh_collapse_matches_direct(spark, tmp_path, monkeypatch):
     direct = sorted(
         tuple(r) for r in D._minhash_pairs(spark, d).distinct().collect()
     )
+    sim_direct = sorted(tuple(r) for r in D.dedup_simhash(spark, d).collect())
     monkeypatch.setattr(D, "COLLAPSE_MIN_DOCS", 0)
     collapsed = sorted(tuple(r) for r in D.dedup_minhash_lsh(spark, d).collect())
     assert len(direct) > 100  # the replica cliques really are quadratic
     assert collapsed == direct
+    # same pin for the simhash fingerprint collapse
+    sim_collapsed = sorted(tuple(r) for r in D.dedup_simhash(spark, d).collect())
+    assert len(sim_direct) > 100
+    assert sim_collapsed == sim_direct
 
 
 def test_cli_trans_extent_threads_into_crop(spark):
