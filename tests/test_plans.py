@@ -440,3 +440,57 @@ def test_text_quality_zero_exchange_on_wide_scan(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
         spark.conf.unset("spark.sql.files.openCostInBytes")
+
+
+def test_round8_plan_shapes(spark):
+    """Round-8 scale pins. GeoTIFF ingest: one groupBy exchange feeds the
+    scene encoder, payloads never shuffle again, and the decode stage is
+    Arrow-batched (no row-at-a-time BatchEvalPython). Grid-mode viewshed:
+    the parameter grid is a broadcast, the LOS window is the only wide
+    shuffle, no cartesian fan-out. Sampled layout advisor: no global
+    (partition-less) sort of the fact — the only Window sorts run on the
+    md5-hash sample — and the boundary arrays arrive by broadcast."""
+    from gdalos_spark.plans.asserts import explain_str
+
+    tiff = q(spark, "raster_ingest_tiff")
+    plan = explain_str(tiff, "simple")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1  # one encode stage
+    assert plan.count("MapInPandas") == 1            # one decode stage
+    assert_no_cartesian(tiff)
+
+    sweep = q(spark, "viewshed_grid_sweep")
+    plan = explain_str(sweep)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    adv = q(spark, "layout_advisor_sampled")
+    plan = explain_str(adv)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # every Sort with a global ordering must sit above the SAMPLE filter
+    # (the in_sample hash predicate), never over the raw fact: the plan
+    # contains no partition-less Sort feeding a fact-sized window
+    import re
+
+    sorts = [ln for ln in plan.splitlines() if re.search(r"\bSort \[", ln)]
+    # the boundary windows sort on (k, l_orderkey, l_linenumber) only —
+    # any sort mentioning l_shipdate would be a fact-wide ordering
+    assert all("l_shipdate" not in ln for ln in sorts), sorts
+
+
+def test_stored_dedup_reads_store_not_corpus(spark):
+    """The recurring-path promise made executable: the stored delta
+    dedup's plan scans the persisted signature store (parquet under
+    gdalos_sigstore) and restricts the documents scan to the batch —
+    the index side's text is never re-shingled."""
+    from gdalos_spark.operators.dedup import signature_store
+    from gdalos_spark.plans.asserts import explain_str
+
+    signature_store(spark, SF_DIR)  # ensure staged
+    df = q(spark, "dedup_incremental_minhash_stored")
+    plan = explain_str(df)
+    assert "gdalos_sigstore" in plan  # the store scan is in the plan
+    # exactly one documents scan (the batch side); the index signatures
+    # come from the store, not a second corpus pass
+    assert plan.count("documents.parquet") == 1
