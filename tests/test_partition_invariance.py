@@ -45,6 +45,18 @@ INVARIANCE_KEYS = [
     "dedup_incremental_minhash",
     "embedding_knn_graph",
     "embedding_label_propagation",
+    # round-8 additions: GeoTIFF pixels must reassemble identically from
+    # any scene/partition layout; the grid sweep's LOS windows and
+    # vis_fraction doubles must not depend on partitioning; the sampled
+    # advisor's boundary ranks come from a single deterministic sample
+    # however the fact is split; the stored delta dedup pins the
+    # store-read path; the watermark dedup's staged batches must produce
+    # the same emissions whatever the executor layout
+    "raster_ingest_tiff",
+    "viewshed_grid_sweep",
+    "layout_advisor_sampled",
+    "dedup_incremental_minhash_stored",
+    "streaming_dedup_watermark",
 ]
 
 
