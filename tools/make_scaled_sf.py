@@ -10,8 +10,12 @@ scaled table is K replicas with join keys shifted by replica stride, so
 FK joins resolve within a replica and per-key cardinalities match the
 original. Document texts get a per-replica suffix (replicas become
 near-duplicates, not exact ones — the realistic load for minhash/simhash
-candidate generation). Dimension tables (region, nation) and events
-(TIMESTAMP-NANOS encoding must survive byte-exact) are copied as-is.
+candidate generation). Events replicate with shifted event_ids and a
+per-replica 37 ms time jitter — user_ids are KEPT, so the same
+one-month window densifies K-fold (the realistic scale shape for
+sessionization, windows, and watermark state: more events per user per
+unit time, not a longer history). Dimension tables (region, nation)
+are copied as-is.
 
 This data is for THROUGHPUT measurement only — correctness gates always
 run on the driver's own testdata.
@@ -41,8 +45,9 @@ SCALED = {
     },
     "documents": {"keys": {"doc_id": "documents.doc_id"}, "suffix": "text"},
     "embeddings": {"keys": {"vec_id": "embeddings.vec_id"}},
+    "events": {"keys": {"event_id": "events.event_id"}, "jitter_ts": True},
 }
-COPIED = ("region", "nation", "events")
+COPIED = ("region", "nation")
 
 
 def main() -> None:
@@ -80,6 +85,8 @@ def main() -> None:
                 out.append(f"{c} + r.i * {strides[spec['keys'][c]]} AS {c}")
             elif c == spec.get("suffix"):
                 out.append(f"CASE WHEN r.i = 0 THEN {c} ELSE {c} || ' r' || r.i END AS {c}")
+            elif c == "ts" and spec.get("jitter_ts"):
+                out.append("ts + r.i * INTERVAL 37 MILLISECOND AS ts")
             elif c == "n_chars" and spec.get("suffix"):
                 out.append(
                     f"CASE WHEN r.i = 0 THEN n_chars ELSE n_chars + 2 + length(CAST(r.i AS VARCHAR)) END AS n_chars"
