@@ -89,6 +89,46 @@ def test_geotiff_codec_roundtrip():
     assert (out == odd).all()
 
 
+def test_geotiff_decoder_rejects_malformed_streams():
+    """A foreign-byte ingest path must fail loudly, not emit garbage:
+    wrong magic, unsupported sample layouts, missing offsets, and
+    out-of-range pixel values at encode time all raise with a message
+    naming the problem."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from gdalos_spark.sources.geotiff import (
+        NODATA,
+        _decode_geotiff,
+        _encode_geotiff,
+    )
+
+    grid = np.arange(64, dtype="<i4").reshape(8, 8)
+    good = _encode_geotiff(grid, 0.0, 0.0)
+
+    with _pytest.raises(ValueError, match="little-endian TIFF"):
+        _decode_geotiff(b"MM\x00\x2a" + good[4:])  # big-endian magic
+    with _pytest.raises(ValueError, match="sample layout"):
+        # flip BitsPerSample (tag 258, SHORT) to 16 in the IFD
+        bad = bytearray(good)
+        n = struct.unpack_from("<H", bad, 8)[0]
+        for i in range(n):
+            tag = struct.unpack_from("<H", bad, 10 + i * 12)[0]
+            if tag == 258:
+                struct.pack_into("<I", bad, 10 + i * 12 + 8, 16)
+        _decode_geotiff(bytes(bad))
+    # int64 values outside int32 range are rejected at ENCODE time
+    with _pytest.raises(OverflowError):
+        _encode_geotiff(np.full((8, 8), 2**31, dtype="int64"), 0.0, 0.0)
+    with _pytest.raises(OverflowError):
+        _encode_geotiff(np.full((8, 8), NODATA - 1, dtype="int64"), 0.0, 0.0)
+    # truncated body: the tile offsets point past the end -> zlib error
+    with _pytest.raises(Exception):
+        _decode_geotiff(good[: len(good) // 2])
+
+
 def test_geotiff_ingest_to_tiled_layout(spark, tmp_path):
     """End-to-end ingest: scene GeoTIFFs -> decoded pixels -> the
     tile-partitioned parquet layout, with partition pruning intact and
