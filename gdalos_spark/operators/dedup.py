@@ -546,7 +546,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _expand_group_pairs(
                 cross.union(selfp), members, "doc_a", "doc_b", "hamming"
             )
-    return byte_pairs(fp).distinct().filter(F.col("hamming") <= HAMMING_MAX)
+    # hamming is computed inline in the band join, so filtering BEFORE the
+    # pair-distinct drops supra-threshold candidates (most co-bucketed pairs
+    # at HAMMING_MAX) without paying the distinct shuffle for them
+    return byte_pairs(fp).filter(F.col("hamming") <= HAMMING_MAX).distinct()
 
 
 def _simhash_sql() -> str:
