@@ -16,9 +16,23 @@ per pipeline.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 8
+
+# The facts the default loader serves bucketed when a staged copy exists.
+# Both bucket on orderkey: it is THE repeated fact-join edge (Q3/Q5/Q21
+# family) — at 100 TB every orders⋈lineitem runs bucket-to-bucket with
+# zero exchanges once the ingest shuffle is paid.
+BUCKETED_FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+STAGE_BUCKETS = 32
+_MARKER = "_GDALOS_BUCKETED"  # leading underscore: invisible to the scan
 
 
 def write_bucketed(
@@ -31,14 +45,114 @@ def write_bucketed(
     """Materialize `df` as a bucketed+sorted table on `key`. Spark only
     records bucketing metadata through the table catalog, so this is a
     saveAsTable with an explicit path — the parquet layout is plain
-    files plus the bucket spec."""
+    files plus the bucket spec. The repartition puts each bucket's rows
+    in exactly ONE task → ONE file per bucket, which is what lets the
+    read side report sorted output (multi-file buckets lose the
+    ordering and re-sort under every sort-merge join)."""
     (
-        df.write.mode("overwrite")
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
         .option("path", path)
         .bucketBy(buckets, key)
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def _stage_root() -> str:
+    return os.environ.get("GDALOS_BUCKETED_ROOT", "/tmp/gdalos_bucketed")
+
+
+def _slug(sf_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
+def _fingerprint(sf_dir: str, name: str) -> str:
+    from gdalos_spark.datamodel import source_fingerprint
+
+    return source_fingerprint(f"{sf_dir}/{name}.parquet")
+
+
+def _final_dir(sf_dir: str, name: str) -> str:
+    return os.path.join(_stage_root(), _slug(sf_dir), name)
+
+
+def _marker_meta(final: str) -> dict | None:
+    try:
+        with open(os.path.join(final, _MARKER)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def stage_facts(
+    spark: SparkSession, sf_dir: str, buckets: int = STAGE_BUCKETS
+) -> list[str]:
+    """Pay the bucketing shuffle ONCE per source fingerprint: write the
+    orderkey-bucketed copies of orders/lineitem under the stage root so
+    every later session's `datamodel.load` serves them exchange-free.
+
+    Staging is atomic (build in a unique temp dir, `os.rename` into
+    place) so a concurrent reader only ever sees a complete store —
+    never the rmtree/overwrite window. Returns the table names staged
+    this call (empty when everything was already current)."""
+    staged: list[str] = []
+    for name, key in BUCKETED_FACTS.items():
+        final = _final_dir(sf_dir, name)
+        fp = _fingerprint(sf_dir, name)
+        meta = _marker_meta(final)
+        if meta and meta.get("fingerprint") == fp and meta.get("buckets") == buckets:
+            continue
+        parent = os.path.dirname(final)
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f".stage_{name}_", dir=parent)
+        tmp_table = f"gdalos_stage_{name}_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
+        try:
+            src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            write_bucketed(src, os.path.join(tmp, "data"), tmp_table, key, buckets)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # external: files stay
+        with open(os.path.join(tmp, "data", _MARKER), "w") as f:
+            json.dump({"fingerprint": fp, "buckets": buckets, "key": key}, f)
+        old = None
+        if os.path.exists(final):
+            old = f"{final}.old.{os.path.basename(tmp)}"
+            os.rename(final, old)
+        os.rename(os.path.join(tmp, "data"), final)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+        staged.append(name)
+    return staged
+
+
+def attach(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """Serve the staged bucketed copy of `name` for `sf_dir`, or None.
+
+    The bucket spec only lives in a session catalog, so a fresh session
+    re-registers the staged layout as an external `CREATE TABLE ...
+    CLUSTERED BY ... INTO n BUCKETS LOCATION` — the files are already
+    bucket-id-named, Spark trusts the spec. The marker's fingerprint
+    gates staleness: regenerated testdata silently falls back to the
+    plain parquet scan until someone re-stages."""
+    key = BUCKETED_FACTS.get(name)
+    if key is None:
+        return None
+    final = _final_dir(sf_dir, name)
+    meta = _marker_meta(final)
+    if not meta or meta.get("fingerprint") != _fingerprint(sf_dir, name):
+        return None
+    tag = hashlib.md5(meta["fingerprint"].encode()).hexdigest()[:8]
+    tbl = f"gdalos_b_{name}_{_slug(sf_dir)}_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        schema = spark.read.parquet(final).schema
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING parquet "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {meta['buckets']} BUCKETS LOCATION '{final}'"
+        )
+    return spark.table(tbl)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

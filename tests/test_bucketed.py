@@ -44,3 +44,55 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_default_loader_serves_staged_bucketed_facts(spark, monkeypatch, tmp_path_factory):
+    """The VERDICT-r06 contract: once stage_facts has run for a source
+    fingerprint, `datamodel.load` serves the bucketed layout and the
+    Q3-family plan carries ZERO hash-partitioning exchanges — join AND
+    the orderkey groupBy both reuse the bucket partitioning."""
+    from gdalos_spark.sources import bucketed
+    from gdalos_spark.operators.relational import top_orders
+
+    root = str(tmp_path_factory.mktemp("bucketed_root"))
+    monkeypatch.setenv("GDALOS_BUCKETED_ROOT", root)
+
+    staged = bucketed.stage_facts(spark, SF_DIR, buckets=4)
+    assert set(staged) == {"orders", "lineitem"}
+    # idempotent: same fingerprint re-stages nothing
+    assert bucketed.stage_facts(spark, SF_DIR, buckets=4) == []
+
+    from gdalos_spark.datamodel import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    # served from the staged location, not the raw parquet
+    scan = li._jdf.queryExecution().executedPlan().toString()
+    assert root in scan
+
+    q = top_orders(spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    # values identical to the plain-parquet path
+    rows_bucketed = [tuple(r) for r in q.collect()]
+    monkeypatch.setenv("GDALOS_BUCKETED_ROOT", str(tmp_path_factory.mktemp("empty")))
+    rows_plain = [tuple(r) for r in top_orders(spark, SF_DIR).collect()]
+    assert rows_bucketed == rows_plain
+
+
+def test_attach_rejects_stale_fingerprint(spark, monkeypatch, tmp_path_factory, tmp_path):
+    """A regenerated source parquet must fall back to the plain scan."""
+    import shutil
+
+    from gdalos_spark.sources import bucketed
+
+    root = str(tmp_path_factory.mktemp("bucketed_root2"))
+    monkeypatch.setenv("GDALOS_BUCKETED_ROOT", root)
+    # stage against a private copy of the sf dir, then touch the source
+    sf_copy = tmp_path / "sf"
+    sf_copy.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", sf_copy / f"{t}.parquet")
+    bucketed.stage_facts(spark, str(sf_copy), buckets=4)
+    assert bucketed.attach(spark, str(sf_copy), "orders") is not None
+    os.utime(sf_copy / "orders.parquet")  # new mtime -> new fingerprint
+    assert bucketed.attach(spark, str(sf_copy), "orders") is None
