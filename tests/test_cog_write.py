@@ -1,0 +1,122 @@
+"""The GeoTIFF/COG WRITE path (reference: gdalos_trans.py:91 two-step
+write, :328 COG profile with BuildOverviews): multi-IFD encode, the
+atomic write-then-rename commit, the skip protocol, and the oracle-gated
+manifest."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as entrymod
+from gdalos_spark.sources.geotiff import (
+    NODATA,
+    OVERVIEW_LEVELS,
+    SCENE,
+    _decode_cog_levels,
+    _decode_geotiff,
+    _encode_geotiff_cog,
+    _overview_grid,
+    _read_ifds,
+    _scene_encode_fn,
+    _T_SUBFILE_TYPE,
+    write_cog_scenes,
+)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_cog_multilevel_codec_roundtrip():
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 10**6, size=(32, 32)).astype("int64")
+    g[rng.rand(32, 32) < 0.25] = NODATA
+    payload = _encode_geotiff_cog(g, -180.0, 60.0, levels=2)
+
+    ifds = _read_ifds(payload)
+    assert len(ifds) == 3
+    # overview IFDs are marked reduced-resolution; IFD0 is not
+    assert _T_SUBFILE_TYPE not in ifds[0]
+    assert ifds[1][_T_SUBFILE_TYPE] == (1,) and ifds[2][_T_SUBFILE_TYPE] == (1,)
+
+    levels = _decode_cog_levels(payload)
+    assert (levels[0][1] == g).all()
+    assert (levels[1][1] == _overview_grid(g, 2)).all()
+    assert (levels[2][1] == _overview_grid(g, 4)).all()
+    # IFD0 still decodes as a plain GeoTIFF (ingest path unchanged)
+    grid, (olon, olat, sx, sy), epsg = _decode_geotiff(payload)
+    assert (grid == g).all() and epsg == 4326 and (olon, olat) == (-180.0, 60.0)
+
+
+def test_overview_is_floor_average_of_present_cells():
+    g = np.full((4, 4), NODATA, dtype="int64")
+    g[0, 0], g[0, 1], g[1, 1] = 10, 11, 13  # avg 34/3 -> floor 11
+    ov = _overview_grid(g, 2)
+    assert ov[0, 0] == 11
+    assert ov[0, 1] == NODATA and ov[1, 0] == NODATA and ov[1, 1] == NODATA
+    # negatives floor toward -inf (matches the FLOOR() oracle, not C trunc)
+    g[0, 0], g[0, 1], g[1, 1] = -10, -11, NODATA  # -21/2 -> -11
+    assert _overview_grid(g, 2)[0, 0] == -11
+
+
+def test_scene_encoder_rejects_nodata_sentinel_value():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"scene_id": [0, 0], "px": [0, 1], "py": [0, 0],
+         "elev_cents": [100, NODATA]}
+    )
+    with pytest.raises(OverflowError, match="NODATA sentinel"):
+        _scene_encode_fn(_encode_geotiff_cog)(pdf)
+
+
+def test_write_cog_scenes_commit_skip_overwrite(spark, tmp_path):
+    out = str(tmp_path / "cogs")
+    first = {r["scene_id"]: r for r in write_cog_scenes(spark, SF_DIR, out).collect()}
+    assert first and all(r["action"] == "written" for r in first.values())
+    # no temp droppings survive the rename commit
+    assert all(not f.startswith(".") for f in os.listdir(out))
+
+    # the written files round-trip: full-res pixels equal the engine's
+    # own ingest of the same scenes
+    from gdalos_spark.sources.geotiff import raster_ingest_tiff
+
+    expect = {
+        (r["scene_id"], r["px"], r["py"]): r["elev_cents"]
+        for r in raster_ingest_tiff(spark, SF_DIR).collect()
+    }
+    got = {}
+    for sid, row in first.items():
+        with open(row["path"], "rb") as f:
+            payload = f.read()
+        levels = _decode_cog_levels(payload)
+        assert len(levels) == OVERVIEW_LEVELS + 1
+        base = levels[0][1]
+        gx0 = (sid % 2) * SCENE
+        gy0 = (sid // 2) * SCENE
+        ys, xs = np.nonzero(base != NODATA)
+        for x, y in zip(xs, ys):
+            got[(sid, gx0 + int(x), gy0 + int(y))] = int(base[y, x])
+        # each overview level is the from-base reduction of the file's own base
+        assert (levels[1][1] == _overview_grid(base.astype("int64"), 2)).all()
+        assert (levels[2][1] == _overview_grid(base.astype("int64"), 4)).all()
+    assert got == expect
+
+    # rerun: every file skipped, bytes untouched
+    mtimes = {r["path"]: os.path.getmtime(r["path"]) for r in first.values()}
+    again = write_cog_scenes(spark, SF_DIR, out).collect()
+    assert all(r["action"] == "skipped" for r in again)
+    assert mtimes == {r["path"]: os.path.getmtime(r["path"]) for r in again}
+    # overwrite=True rewrites
+    forced = write_cog_scenes(spark, SF_DIR, out, overwrite=True).collect()
+    assert all(r["action"] == "written" for r in forced)
+
+
+def test_cog_write_manifest_matches_oracle(spark, ducks, tmp_path, monkeypatch):
+    monkeypatch.setenv("GDALOS_COG_ROOT", str(tmp_path / "cog_root"))
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["cog_write_manifest"],
+        entrymod.oracle_sql()["cog_write_manifest"],
+    )
