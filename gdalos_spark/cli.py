@@ -74,14 +74,27 @@ def _resolve(eng, args) -> DataFrame:
             return raster.crs_reproject_utm(eng.spark, eng.sf_dir)
         # thread the parsed window into the crop predicate (ADVICE r5:
         # these used to parse and drop, silently cropping to the fixed
-        # built-in extent whatever the user asked for)
+        # built-in extent whatever the user asked for). -extent/-projwin
+        # are GEOREFERENCED in the reference/GDAL, so they go through the
+        # (LON0, LAT0, PIX) north-up geotransform to pixel space (ADVICE
+        # r6: they used to be applied raw as px/py bounds, so realistic
+        # lon/lat windows cropped to nothing); -srcwin stays pixel/line,
+        # as in gdal_translate.
+        from gdalos_spark.sources.geotiff import LAT0, LON0, PIX
+
+        def geo_window(min_x, max_x, min_y, max_y):
+            return (
+                (min_x - LON0) / PIX, (max_x - LON0) / PIX,
+                (LAT0 - max_y) / PIX, (LAT0 - min_y) / PIX,
+            )
+
         if args.extent:
-            return raster.raster_crop(eng.spark, eng.sf_dir, tuple(args.extent))
+            return raster.raster_crop(eng.spark, eng.sf_dir, geo_window(*args.extent))
         if args.projwin:
             ulx, uly, lrx, lry = args.projwin
             return raster.raster_crop(
                 eng.spark, eng.sf_dir,
-                (min(ulx, lrx), max(ulx, lrx), min(uly, lry), max(uly, lry)),
+                geo_window(min(ulx, lrx), max(ulx, lrx), min(uly, lry), max(uly, lry)),
             )
         if args.srcwin:
             xoff, yoff, xsize, ysize = args.srcwin

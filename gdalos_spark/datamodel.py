@@ -82,6 +82,43 @@ def source_fingerprint(path: str) -> str:
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
+def publish_staged_dir(build, final_dir: str, fingerprint: str) -> str:
+    """Fingerprint-gated staging with an ATOMIC publish: if `final_dir`
+    already carries `fingerprint` in its `_STAGED` marker, return it
+    untouched; otherwise `build(tmp_path)` populates a unique hidden
+    sibling dir, the marker is stamped INTO it, and one `os.rename`
+    swaps it into place. A concurrent session therefore only ever sees
+    a complete store — never the rmtree/overwrite window of the naive
+    check-then-rebuild (a marker written after an in-place rebuild
+    leaves readers a missing or partially written store mid-build)."""
+    import shutil
+    import tempfile
+
+    marker = os.path.join(final_dir, "_STAGED")
+    try:
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return final_dir
+    except OSError:
+        pass
+    parent = os.path.dirname(final_dir) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{os.path.basename(final_dir)}.", dir=parent)
+    data = os.path.join(tmp, "data")
+    build(data)
+    with open(os.path.join(data, "_STAGED"), "w") as f:
+        f.write(fingerprint)
+    old = None
+    if os.path.exists(final_dir):
+        old = os.path.join(parent, f".old.{os.path.basename(tmp)}")
+        os.rename(final_dir, old)
+    os.rename(data, final_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    return final_dir
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in ("orders", "lineitem"):
         # serve the orderkey-bucketed copy when one is staged for this

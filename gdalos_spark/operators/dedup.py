@@ -1781,23 +1781,21 @@ def signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a first-class dataset (append new signatures after each batch);
     here the staging key is the documents.parquet fingerprint so the
     store rebuilds when the driver regenerates testdata."""
-    import os
+    from gdalos_spark.datamodel import publish_staged_dir, source_fingerprint
 
-    from gdalos_spark.datamodel import source_fingerprint
-
-    d = _sig_store_dir(sf_dir)
-    done = os.path.join(d, "_STAGED")
-    fp = source_fingerprint(f"{sf_dir}/documents.parquet")
-    if not (os.path.exists(done) and open(done).read() == fp):
+    def build(path: str) -> None:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") % INC_BATCH_MOD) != INC_BATCH_REM
         )
         sig = _signatures(spark, sf_dir, split_for_cpu(docs, "doc_id"))
         mcols = [f"m{i}" for i in range(N_PERM)]
         store = sig.groupBy(*mcols).agg(F.min("doc_id").alias("idx_id"))
-        store.write.mode("overwrite").parquet(d)
-        with open(done, "w") as f:
-            f.write(fp)
+        store.write.mode("overwrite").parquet(path)
+
+    d = publish_staged_dir(
+        build, _sig_store_dir(sf_dir),
+        source_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
     return spark.read.parquet(d)
 
 

@@ -1447,6 +1447,7 @@ def _mp3_header_walk(data: bytes) -> dict:
     rate = 0
     kbps_sum = 0
     kbps_set = set()
+    frames_by_rate: dict[int, int] = {}
     while pos + 4 <= len(data):
         if data[pos : pos + 3] == b"TAG":
             break
@@ -1466,11 +1467,18 @@ def _mp3_header_walk(data: bytes) -> dict:
         rate = _MP3_RATES[sr_idx]
         kbps_sum += kbps
         kbps_set.add(kbps)
+        frames_by_rate[rate] = frames_by_rate.get(rate, 0) + 1
         n_frames += 1
         pos += (144_000 * kbps) // rate + pad
     if not n_frames:
         raise ValueError("no MPEG frames found")
-    duration_ms = n_frames * _MP3_SAMPLES_PER_FRAME * 1000 // rate
+    # duration accumulates PER RATE: a foreign stream that switches
+    # sample rate mid-file would otherwise get every earlier frame timed
+    # at the LAST frame's rate (single-rate streams reduce to the old
+    # n_frames * spf * 1000 // rate exactly)
+    duration_ms = sum(
+        n * _MP3_SAMPLES_PER_FRAME * 1000 // r for r, n in frames_by_rate.items()
+    )
     return {
         "n_frames": n_frames,
         "duration_ms": duration_ms,

@@ -3454,9 +3454,20 @@ _UTM_RAD = 0.017453292519943295         # pi/180
 # source extent: px,py in [0,64) -> lon in [30,30.64), lat in [30,30.64)
 # => UTM zone 36 (get_utm_zone_by_lon: floor(30/6)+31 = 36), lon0 = 33 E
 _UTM_LON_0, _UTM_LAT_0, _UTM_DEG_PER_PX = 30.0, 30.0, 0.01
-_UTM_ZONE = 36
-_UTM_CM = (_UTM_ZONE - 31) * 6 + 3      # central meridian, deg
 _UTM_CELL_M = 1000.0                    # target grid cell edge, meters
+
+
+def utm_zone_by_lon(lon: float) -> int:
+    """The reference's zone pick (backports/osr_utm_util.py:52
+    get_utm_zone_by_lon): floor(lon/6) + 31."""
+    import math
+
+    return int(math.floor(lon / 6.0)) + 31
+
+
+def utm_central_meridian(zone: int) -> float:
+    """osr_utm_util.py proj_string_from_utm_zone: lon_0 = zone*6 - 183."""
+    return float((zone - 31) * 6 + 3)
 # sin(x) = x*P(x^2), cos(x) = Q(x^2) — 8 terms, exact to last ulp for
 # |x| <= 0.28 (the halved latitude); same coefficient set as the
 # sector_ring_points arc polynomials
@@ -3477,12 +3488,24 @@ def _utm_horner(var: str, coeffs: list[float]) -> str:
     return s
 
 
-def _utm_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
+def _utm_extent_zone(lon_0: float) -> int:
+    """Zone derived from the EXTENT CENTER longitude — the reference
+    picks the zone from the dataset extent (osr_utm_util.py
+    get_utm_zone_by_lon over the warp extent), never a literal."""
+    from gdalos_spark.datamodel import GRID_W as _W
+
+    return utm_zone_by_lon(lon_0 + (_W / 2.0) * _UTM_DEG_PER_PX)
+
+
+def _utm_stages(
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0
+) -> tuple[tuple[tuple[str, str], ...], ...]:
+    cm = utm_central_meridian(_utm_extent_zone(lon_0))
     keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
     return (
         keep + (
-            ("phi", f"((({_UTM_LAT_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
-            ("omega", f"((({_UTM_LON_0!r} + CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r}) - {float(_UTM_CM)!r}) * {_UTM_RAD!r})"),
+            ("phi", f"((({lat_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
+            ("omega", f"((({lon_0!r} + CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r}) - {cm!r}) * {_UTM_RAD!r})"),
         ),
         keep + (
             ("phi", "phi"), ("omega", "omega"),
@@ -3550,20 +3573,28 @@ def _utm_easting_northing() -> tuple[str, str]:
     return easting, northing
 
 
-_UTM_STAGES = _utm_stages()
 
 
-def crs_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def crs_reproject_utm(
+    spark: SparkSession,
+    sf_dir: str,
+    lon_0: float = _UTM_LON_0,
+    lat_0: float = _UTM_LAT_0,
+) -> DataFrame:
     """True CRS reprojection of the DEM: every source cell's geographic
-    coordinate is forward-projected to WGS-84 / UTM zone 36N (ellipsoidal
+    coordinate is forward-projected to WGS-84 / UTM (ellipsoidal
     transverse Mercator, Redfearn series, k0=0.9996, FE=500000 — the
     exact parameters of the reference's proj_string_from_utm_zone), and
     the raster is regridded onto 1 km UTM cells: per target cell the
     averaged elevation, source-cell count, and the cell's projected
-    bounding box in meters."""
+    bounding box in meters. The zone (hence the series' central-meridian
+    constant) is DERIVED from the extent-center longitude exactly as the
+    reference does (osr_utm_util.py:52 get_utm_zone_by_lon) — the
+    default extent lands in zone 36N, a shifted extent reprojects into
+    its own zone with no other change."""
     g = dem_grid(spark, sf_dir)
     df = g
-    for stage in _UTM_STAGES:
+    for stage in _utm_stages(lon_0, lat_0):
         df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
     e_sql, n_sql = _utm_easting_northing()
     pts = df.select(
@@ -3585,9 +3616,11 @@ def crs_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _crs_reproject_sql() -> str:
+def _crs_reproject_sql(
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0
+) -> str:
     q = f"({DEM_GRID_SQL})"
-    for stage in _UTM_STAGES:
+    for stage in _utm_stages(lon_0, lat_0):
         cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
         q = f"(SELECT {cols} FROM {q})"
     e_sql, n_sql = _utm_easting_northing()

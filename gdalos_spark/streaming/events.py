@@ -836,30 +836,32 @@ def _stage_three_batches(spark: SparkSession, sf_dir: str) -> str:
     determinism is what lets the result be oracle-gated."""
     import shutil
 
+    from gdalos_spark.datamodel import publish_staged_dir
+
     src = f"{sf_dir}/events.parquet"
-    d = os.path.join(
-        tempfile.gettempdir(), "gdalos_stream_wm", sf_dir.strip("/").replace("/", "_")
+
+    def build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        ev = spark.read.parquet(src)
+        t0 = 1_600_000_000
+        for i, tag in enumerate(("batch_a", "batch_b", "batch_c")):
+            tmp = os.path.join(d, f"_tmp_{tag}")
+            ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.replace(os.path.join(tmp, part), os.path.join(d, f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+            os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
+
+    return publish_staged_dir(
+        build,
+        os.path.join(
+            tempfile.gettempdir(), "gdalos_stream_wm",
+            sf_dir.strip("/").replace("/", "_"),
+        ),
+        source_fingerprint(src),
     )
-    done = os.path.join(d, "_STAGED")
-    fp = source_fingerprint(src)
-    if os.path.exists(done) and open(done).read() == fp:
-        return d
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    ev = spark.read.parquet(src)
-    t0 = 1_600_000_000
-    for i, tag in enumerate(("batch_a", "batch_b", "batch_c")):
-        tmp = os.path.join(d, f"_tmp_{tag}")
-        ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.replace(os.path.join(tmp, part), os.path.join(d, f"{tag}.parquet"))
-        shutil.rmtree(tmp)
-        os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
-    with open(done, "w") as f:
-        f.write(fp)
-    return d
 
 
 def streaming_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,62 +1197,64 @@ def _stage_dedup_wm_batches(spark: SparkSession, sf_dir: str) -> str:
     re-emissions."""
     import shutil
 
+    from gdalos_spark.datamodel import publish_staged_dir
+
     src = f"{sf_dir}/events.parquet"
-    d = os.path.join(
-        tempfile.gettempdir(), "gdalos_stream_dwm", sf_dir.strip("/").replace("/", "_")
-    )
-    done = os.path.join(d, "_STAGED")
-    fp = source_fingerprint(src)
-    if os.path.exists(done) and open(done).read() == fp:
-        return d
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    ev = spark.read.parquet(src)
-    us = F.expr(epoch_micros_sql(ev)).alias("us")
-    base = ev.select("user_id", "event_type", us)
-    day0 = base.agg(F.min(F.expr("us div 86400000000"))).collect()[0][0]
-    keyed = (
-        base.withColumn(
-            "w",
-            F.least(
-                F.expr(
-                    f"((us div 86400000000) - {day0}) div {DWM_WINDOW_DAYS}"
-                ),
-                F.lit(2),
-            ).cast("int"),
+
+    def build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        ev = spark.read.parquet(src)
+        us = F.expr(epoch_micros_sql(ev)).alias("us")
+        base = ev.select("user_id", "event_type", us)
+        day0 = base.agg(F.min(F.expr("us div 86400000000"))).collect()[0][0]
+        keyed = (
+            base.withColumn(
+                "w",
+                F.least(
+                    F.expr(
+                        f"((us div 86400000000) - {day0}) div {DWM_WINDOW_DAYS}"
+                    ),
+                    F.lit(2),
+                ).cast("int"),
+            )
+            .groupBy("user_id", "event_type", "w")
+            .agg(F.min("us").alias("t_us"))
+            .persist()
         )
-        .groupBy("user_id", "event_type", "w")
-        .agg(F.min("us").alias("t_us"))
-        .persist()
-    )
-    # wm_1: watermark established by batch 1's data (max staged t - delay)
-    wm1 = (
-        keyed.filter(F.col("w") == 0).agg(F.max("t_us")).collect()[0][0]
-        - DWM_DELAY_US
-    )
-    stragglers = keyed.filter(
-        (F.col("w") == 0)
-        & (F.col("user_id") % DWM_STRAGGLER_MOD == 0)
-        & (F.col("t_us") <= wm1)  # guaranteed late in batch 3 (t <= wm lag)
-    )
-    t0 = 1_600_000_000
-    for i, tag in enumerate(("batch_a", "batch_b", "batch_c")):
-        part_df = keyed.filter(F.col("w") == i)
-        if i == 2:
-            part_df = part_df.unionByName(stragglers)
-        out = part_df.select(
-            "user_id", "event_type", F.timestamp_micros("t_us").alias("ts")
+        # wm_1: watermark established by batch 1's data (max staged t - delay)
+        wm1 = (
+            keyed.filter(F.col("w") == 0).agg(F.max("t_us")).collect()[0][0]
+            - DWM_DELAY_US
         )
-        tmp = os.path.join(d, f"_tmp_{tag}")
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.replace(os.path.join(tmp, part), os.path.join(d, f"{tag}.parquet"))
-        shutil.rmtree(tmp)
-        os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
-    keyed.unpersist()
-    with open(done, "w") as f:
-        f.write(fp)
-    return d
+        stragglers = keyed.filter(
+            (F.col("w") == 0)
+            & (F.col("user_id") % DWM_STRAGGLER_MOD == 0)
+            & (F.col("t_us") <= wm1)  # guaranteed late in batch 3 (t <= wm lag)
+        )
+        t0 = 1_600_000_000
+        for i, tag in enumerate(("batch_a", "batch_b", "batch_c")):
+            part_df = keyed.filter(F.col("w") == i)
+            if i == 2:
+                part_df = part_df.unionByName(stragglers)
+            out = part_df.select(
+                "user_id", "event_type", F.timestamp_micros("t_us").alias("ts")
+            )
+            tmp = os.path.join(d, f"_tmp_{tag}")
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.replace(os.path.join(tmp, part), os.path.join(d, f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+            os.utime(os.path.join(d, f"{tag}.parquet"), (t0 + 100 * i, t0 + 100 * i))
+        keyed.unpersist()
+
+    return publish_staged_dir(
+        build,
+        os.path.join(
+            tempfile.gettempdir(), "gdalos_stream_dwm",
+            sf_dir.strip("/").replace("/", "_"),
+        ),
+        source_fingerprint(src),
+    )
 
 
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,3 +120,29 @@ def test_cog_write_manifest_matches_oracle(spark, ducks, tmp_path, monkeypatch):
         entrymod.queries()["cog_write_manifest"],
         entrymod.oracle_sql()["cog_write_manifest"],
     )
+
+
+def test_crs_reproject_extent_derived_zone(spark, ducks):
+    """VERDICT-r06 item 5: the Redfearn central meridian comes from the
+    extent-derived zone, not a UTM-36N literal — the same oracle holds
+    values-exact in at least two other zones."""
+    from gdalos_spark.operators.raster import (
+        _crs_reproject_sql,
+        _utm_extent_zone,
+        crs_reproject_utm,
+        utm_central_meridian,
+        utm_zone_by_lon,
+    )
+
+    assert utm_zone_by_lon(30.32) == 36 and utm_central_meridian(36) == 33.0
+    assert utm_zone_by_lon(6.5) == 32 and utm_central_meridian(32) == 9.0
+    assert utm_zone_by_lon(-122.0) == 10 and utm_central_meridian(10) == -123.0
+
+    for lon_0, lat_0, zone in ((6.2, 45.0, 32), (-122.3, 37.0, 10)):
+        assert _utm_extent_zone(lon_0) == zone
+        assert_matches_oracle(
+            spark,
+            ducks,
+            lambda s, d, lon=lon_0, lat=lat_0: crs_reproject_utm(s, d, lon, lat),
+            _crs_reproject_sql(lon_0, lat_0),
+        )

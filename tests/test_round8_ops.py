@@ -367,11 +367,15 @@ def test_cli_trans_extent_threads_into_crop(spark):
         return _resolve(eng, parser.parse_args(["trans", SF_DIR, *flags]))
 
     full = raster_crop(spark, SF_DIR).count()
-    sub = resolve("-extent", "20", "25", "10", "20")
+    # GEO window (ADVICE r6: -extent/-projwin are georeferenced): on the
+    # (-180, 60, 0.5 deg) north-up grid, lon [-170, -167.5] x lat [50, 55]
+    # is the pixel window [20, 25] x [10, 20]
+    sub = resolve("-extent", "-170", "-167.5", "50", "55")
     rows = sub.collect()
     assert 0 < len(rows) < full
     assert all(20 <= r.px <= 25 and 10 <= r.py <= 20 for r in rows)
     # projwin gives ul/lr corners -> same window as the extent above
-    assert resolve("-projwin", "20", "20", "25", "10").count() == len(rows)
-    # srcwin xoff/yoff/xsize/ysize: [20,25]x[10,20] == offset (20,10) size (6,11)
+    assert resolve("-projwin", "-170", "55", "-167.5", "50").count() == len(rows)
+    # srcwin stays PIXEL/line, as in gdal_translate:
+    # [20,25]x[10,20] == offset (20,10) size (6,11)
     assert resolve("-srcwin", "20", "10", "6", "11").count() == len(rows)
