@@ -438,6 +438,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", ann_lsh_topk),
         ("ivf", ann_ivf_topk),
         ("ivfpq", ann_ivfpq_topk),
+        ("ivfpq_t", ann_ivfpq_trained_topk),
     ):
         approx = fn(spark, sf_dir).select(
             "probe_id", "vec_id", F.lit(1).alias("hit")
@@ -593,9 +594,11 @@ def _pq_codebook(sliced: DataFrame) -> DataFrame:
     )
 
 
-def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_best(spark: SparkSession, sf_dir: str, codebook: DataFrame | None = None) -> DataFrame:
     """Per (vec_id, sub_id): the argmin codeword assignment and its
     micro-unit squared distance — the stored PQ codes of the index.
+    `codebook` defaults to the seeded one; pass `_pq_trained_codebook`
+    to encode against the k-means-trained codewords.
     Micro-unit integers: the per-(vec, sub) distance is rounded once to
     1e-6 and summed as BIGINT downstream, so cross-subspace totals never
     sum raw doubles through an unordered groupBy.
@@ -608,7 +611,8 @@ def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder evaluations instead of 200k (measured 41 -> 3s), with every
     emitted row byte-identical to the uncollapsed join."""
     sliced = _pq_sliced(spark, sf_dir)
-    codebook = _pq_codebook(sliced)
+    if codebook is None:
+        codebook = _pq_codebook(sliced)
     gm, groups = _emb_groups(spark, sf_dir)
     subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_id"))
     rep_sliced = (
@@ -835,6 +839,165 @@ KMEANS_REFINE_SQL = _kmeans_sql()
 
 
 # ---------------------------------------------------------------------------
+# kmeans_train — ITERATED Lloyd training (VERDICT r6 item 7): the loop a
+#     production pipeline runs to produce the IVF/PQ codebooks, not just
+#     one step of it.
+# ---------------------------------------------------------------------------
+
+KM_ROUNDS = 3
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ROUNDS exact Lloyd iterations over the embeddings (seeds = the
+    first KM_K vectors, the ones kmeans_refine takes one step from).
+    Per round: broadcast the 8-row centroid table, argmin-assign on the
+    micro-unit integer distance, recompute centroids from exact BIGINT
+    per-dim micro sums — so every iterated centroid is the same double
+    on both engines and the whole trajectory is hash-stable. Centroids
+    are localCheckpoint'ed between rounds (the pagerank_exact pattern):
+    the lineage stays flat however many rounds run.
+
+    Identical-vector collapse (the shared `_emb_groups` discipline):
+    assignment is a pure function of the array, so distances run once
+    per DISTINCT vector and counts/sums are weighted by group size —
+    exact integer algebra, result-identical to the uncollapsed loop the
+    SQL oracle runs.
+
+    Output: (round, cluster, n_members, inertia) — the convergence
+    table; inertia is non-increasing in round for every run."""
+    gm, reps = _emb_groups(spark, sf_dir)
+    kdf = gm.groupBy("gid").agg(F.count(F.lit(1)).alias("k"))
+    base = reps.join(kdf, "gid").select(
+        "gid", vectors.emb_double(F.col("embedding")).alias("emb"), "k"
+    ).persist()
+    cents = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KM_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            vectors.emb_double(F.col("embedding")).alias("cx"),
+        )
+    )
+    d2 = vectors.fold_sum(
+        F.zip_with(F.col("emb"), F.col("cx"), lambda a, b: (a - b) * (a - b))
+    )
+    rounds = []
+    for r in range(1, KM_ROUNDS + 1):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "gid", "emb", "k", "cid",
+            F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u"),
+        )
+        w = Window.partitionBy("gid").orderBy(F.asc("d2u"), F.asc("cid"))
+        assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") == 1
+        )
+        rounds.append(
+            assigned.groupBy("cid").agg(
+                F.sum("k").alias("n_members"),
+                F.sum(F.col("d2u") * F.col("k")).alias("inertia_u"),
+            ).select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("cid").alias("cluster"),
+                F.col("n_members").cast("bigint").alias("n_members"),
+                F.round(F.col("inertia_u").cast("double") / 1_000_000.0, 6).alias(
+                    "inertia"
+                ),
+            )
+        )
+        if r < KM_ROUNDS:
+            dims = assigned.select(
+                "cid", "k", F.posexplode(F.col("emb")).alias("dim", "x")
+            ).select(
+                "cid", "k", "dim",
+                F.round(F.col("x") * 1_000_000.0).cast("bigint").alias("xu"),
+            )
+            per_dim = dims.groupBy("cid", "dim").agg(
+                F.sum(F.col("xu") * F.col("k")).alias("sum_xu"),
+                F.sum("k").alias("n"),
+            )
+            cents = (
+                per_dim.select(
+                    "cid", "dim",
+                    (
+                        (F.col("sum_xu").cast("double") / F.lit(1_000_000.0))
+                        / F.col("n").cast("double")
+                    ).alias("v"),
+                )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                        lambda s: s["v"],
+                    ).alias("cx")
+                )
+                .localCheckpoint()
+            )
+    out = rounds[0]
+    for rep in rounds[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def _kmeans_train_sql() -> str:
+    dim = vectors.EMB_DIM
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"j -> (emb[j] - cx[j]) * (emb[j] - cx[j])))"
+    )
+    parts = [f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+jdim AS (SELECT CAST(range AS INTEGER) + 1 AS j FROM range({dim})),
+cents1 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, emb AS cx FROM base WHERE vec_id < {KM_K}
+)"""]
+    for r in range(1, KM_ROUNDS + 1):
+        parts.append(f""",
+scored{r} AS (
+  SELECT b.vec_id, b.emb, c.cid, CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
+  FROM base b CROSS JOIN cents{r} c
+),
+assigned{r} AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2u ASC, cid ASC) AS rnk
+    FROM scored{r}
+  ) WHERE rnk = 1
+),
+rep{r} AS (
+  SELECT CAST({r} AS INTEGER) AS round, cid AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(CAST(SUM(d2u) AS DOUBLE) / 1000000.0, 6) AS inertia
+  FROM assigned{r} GROUP BY 2
+)""")
+        if r < KM_ROUNDS:
+            parts.append(f""",
+per_dim{r} AS (
+  SELECT cid, CAST(j - 1 AS INTEGER) AS dim,
+         SUM(CAST(ROUND(emb[j] * 1000000.0) AS BIGINT)) AS sum_xu,
+         COUNT(*) AS n
+  FROM assigned{r} CROSS JOIN jdim GROUP BY 1, 2
+),
+cents{r + 1} AS (
+  SELECT cid, list(v ORDER BY dim) AS cx
+  FROM (
+    SELECT cid, dim,
+           (CAST(sum_xu AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS v
+    FROM per_dim{r}
+  ) GROUP BY cid
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM rep{r}" for r in range(1, KM_ROUNDS + 1)
+    )
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+KMEANS_TRAIN_SQL = _kmeans_train_sql()
+
+
+# ---------------------------------------------------------------------------
 # 105. ann_ivfpq_topk — IVF candidate lists scanned with PQ asymmetric
 #     distance (ADC): the production ANN combination (Jegou et al. 2011).
 #     IVF bounds WHICH vectors are scored; PQ bounds WHAT is read to score
@@ -872,13 +1035,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _adc_scores(
+    spark: SparkSession, sf_dir: str, codebook: DataFrame | None = None
+) -> DataFrame:
     """(probe_id, vec_id, adc_u): every IVF candidate's compressed-domain
     distance — the shared stage 1 of ann_ivfpq_topk (which ranks it
     top-k) and ann_ivfpq_rerank (which shortlists top-R for the exact
     stage). Built narrow from _ivf_parts: the (vec_id, list_id, crank)
     table never touches the rep arrays, so no full-width row is joined
-    or persisted in the PQ path."""
+    or persisted in the PQ path. `codebook` defaults to the seeded one
+    (pass the trained codebook for the ivfpq_t path)."""
     gm, reps, crank_g = _ivf_parts(spark, sf_dir)
     scored = (
         gm.join(crank_g, "gid").select("vec_id", "list_id", "crank").persist()
@@ -891,7 +1057,8 @@ def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe-side ADC tables: slice probes, score against the broadcast
     # codebook exactly as the encoder did
     sliced = _pq_sliced(spark, sf_dir)
-    codebook = _pq_codebook(sliced)
+    if codebook is None:
+        codebook = _pq_codebook(sliced)
     psub = sliced.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("sub_id"), F.col("sx").alias("px")
     )
@@ -902,7 +1069,7 @@ def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "sub_id", "code",
         F.round(pd2 * 1_000_000.0).cast("bigint").alias("pd2u"),
     )
-    codes = _pq_best(spark, sf_dir).select("vec_id", "sub_id", "code")
+    codes = _pq_best(spark, sf_dir, codebook).select("vec_id", "sub_id", "code")
     cand = (
         assign.join(F.broadcast(plists), "list_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -912,6 +1079,97 @@ def _adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dtab), ["probe_id", "sub_id", "code"]
     )
     return pair_sub.groupBy("probe_id", "vec_id").agg(F.sum("pd2u").alias("adc_u"))
+
+
+PQ_TRAIN_ROUNDS = 2
+
+
+def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-TRAINED PQ codebooks (VERDICT r6 item 7): PQ_TRAIN_ROUNDS
+    Lloyd rounds per subspace, seeded from the first-PQ_K subvectors the
+    seeded path uses — so the comparison in ann_recall_report isolates
+    exactly what training buys. Same exactness discipline as
+    kmeans_train: argmin on micro-unit integer distances, codeword
+    update from exact BIGINT per-dim micro sums, identical-vector
+    collapse with group-size weights (result-identical to the
+    uncollapsed loop the SQL oracle runs), localCheckpoint between
+    rounds. A codeword that loses every member drops out — deterministic
+    on both engines."""
+    gm, reps = _emb_groups(spark, sf_dir)
+    kdf = gm.groupBy("gid").agg(F.count(F.lit(1)).alias("k"))
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("sub_id"))
+    rep_sliced = (
+        reps.join(kdf, "gid")
+        .select("gid", vectors.emb_double(F.col("embedding")).alias("emb"), "k")
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "gid", "sub_id", "k",
+            F.slice(F.col("emb"), F.col("sub_id") * PQ_SUB + 1, PQ_SUB).alias("sx"),
+        )
+        .persist()
+    )
+    cb = _pq_codebook(_pq_sliced(spark, sf_dir))
+    d2 = vectors.fold_sum(
+        F.zip_with(F.col("sx"), F.col("cx"), lambda a, b: (a - b) * (a - b))
+    )
+    for _ in range(PQ_TRAIN_ROUNDS):
+        scored = rep_sliced.join(
+            F.broadcast(cb), rep_sliced.sub_id == cb.c_sub
+        ).select(
+            "gid", "sub_id", "k", "sx", "code",
+            F.round(d2 * 1_000_000.0).cast("bigint").alias("d2u"),
+        )
+        w = Window.partitionBy("gid", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
+        assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") == 1
+        )
+        dims = assigned.select(
+            "sub_id", "code", "k", F.posexplode(F.col("sx")).alias("dim", "x")
+        ).select(
+            "sub_id", "code", "k", "dim",
+            F.round(F.col("x") * 1_000_000.0).cast("bigint").alias("xu"),
+        )
+        per_dim = dims.groupBy("sub_id", "code", "dim").agg(
+            F.sum(F.col("xu") * F.col("k")).alias("sum_xu"),
+            F.sum("k").alias("n"),
+        )
+        cb = (
+            per_dim.select(
+                "sub_id", "code", "dim",
+                (
+                    (F.col("sum_xu").cast("double") / F.lit(1_000_000.0))
+                    / F.col("n").cast("double")
+                ).alias("v"),
+            )
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("cx")
+            )
+            .select(F.col("sub_id").alias("c_sub"), "code", "cx")
+            .localCheckpoint()
+        )
+    return cb
+
+
+def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_topk with the k-means-TRAINED PQ codebook: identical
+    candidate generation and ADC mechanics, only the codewords differ —
+    the measurement ann_recall_report uses to show what codebook
+    training buys over the seeded baseline."""
+    adc = _adc_scores(spark, sf_dir, _pq_trained_codebook(spark, sf_dir))
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_u"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "vec_id",
+            F.round(F.col("adc_u").cast("double") / 1_000_000.0, 6).alias("adc_dist2"),
+            "rank",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -958,13 +1216,55 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql(limit: int = TOP_K) -> str:
+def _pq_train_ctes() -> str:
+    """The unrolled k-means training rounds as SQL CTEs: cb0 = the
+    seeded codebook, each round assigns (argmin over d2u, code tiebreak)
+    and recomputes codewords from exact micro-int per-dim sums — the
+    uncollapsed twin of `_pq_trained_codebook`."""
+    d2 = "list_sum(list_transform(range(1, %d), j -> (sx[j] - cx[j]) * (sx[j] - cx[j])))" % (PQ_SUB + 1)
+    parts = [f""",
+cb0 AS (SELECT c_sub, code, cx FROM codebook),
+cjdim AS (SELECT CAST(range AS INTEGER) + 1 AS j FROM range({PQ_SUB}))"""]
+    for r in range(1, PQ_TRAIN_ROUNDS + 1):
+        parts.append(f""",
+cs{r} AS (
+  SELECT s.vec_id, s.sub_id, c.code, s.sx,
+         CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
+  FROM sliced s JOIN cb{r - 1} c ON s.sub_id = c.c_sub
+),
+ca{r} AS (
+  SELECT vec_id, sub_id, code, sx FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                 ORDER BY d2u ASC, code ASC) AS rnk
+    FROM cs{r}
+  ) WHERE rnk = 1
+),
+cpd{r} AS (
+  SELECT sub_id, code, CAST(j - 1 AS INTEGER) AS dim,
+         SUM(CAST(ROUND(sx[j] * 1000000.0) AS BIGINT)) AS sum_xu,
+         COUNT(*) AS n
+  FROM ca{r} CROSS JOIN cjdim GROUP BY 1, 2, 3
+),
+cb{r} AS (
+  SELECT sub_id AS c_sub, code, list(v ORDER BY dim) AS cx
+  FROM (
+    SELECT sub_id, code, dim,
+           (CAST(sum_xu AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS v
+    FROM cpd{r}
+  ) GROUP BY 1, 2
+)""")
+    return "".join(parts)
+
+
+def _ivfpq_sql(limit: int = TOP_K, trained: bool = False) -> str:
     n2 = vectors.norm2_sql("embedding")
     cent_dot = vectors.dot_sql("b.emb", "c.cent")
     cent_n2 = vectors.norm2_sql("c.cent")
     sub_slice = f"list_transform(range(1, {PQ_SUB + 1}), j -> CAST(embedding[sub_id * {PQ_SUB} + j] AS DOUBLE))"
     d2 = "list_sum(list_transform(range(1, %d), j -> (sx[j] - cx[j]) * (sx[j] - cx[j])))" % (PQ_SUB + 1)
     pd2 = "list_sum(list_transform(range(1, %d), j -> (px[j] - cx[j]) * (px[j] - cx[j])))" % (PQ_SUB + 1)
+    train = _pq_train_ctes() if trained else ""
+    cb = f"cb{PQ_TRAIN_ROUNDS}" if trained else "codebook"
     return f"""
 WITH flat AS (
   SELECT label, pos,
@@ -1003,11 +1303,11 @@ sliced AS (
 codebook AS (
   SELECT sub_id AS c_sub, CAST(vec_id AS INTEGER) AS code, sx AS cx
   FROM sliced WHERE vec_id < {PQ_K}
-),
+){train},
 cod_scored AS (
   SELECT vec_id, sub_id, code,
          CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
-  FROM sliced s JOIN codebook c ON s.sub_id = c.c_sub
+  FROM sliced s JOIN {cb} c ON s.sub_id = c.c_sub
 ),
 codes AS (
   SELECT vec_id, sub_id, code FROM (
@@ -1022,7 +1322,7 @@ psub AS (
 dtab AS (
   SELECT probe_id, c.c_sub AS sub_id, c.code,
          CAST(ROUND({pd2} * 1000000.0) AS BIGINT) AS pd2u
-  FROM psub p JOIN codebook c ON p.sub_id = c.c_sub
+  FROM psub p JOIN {cb} c ON p.sub_id = c.c_sub
 ),
 cand AS (
   SELECT p.probe_id, a.vec_id
@@ -1074,8 +1374,14 @@ SELECT probe_id, vec_id, cosine, adc_rank, rank FROM rr WHERE rank <= {TOP_K}
 
 ANN_IVFPQ_RERANK_SQL = _ivfpq_rerank_sql()
 
+ANN_IVFPQ_TRAINED_TOPK_SQL = _ivfpq_sql(trained=True)
+
 ANN_RECALL_REPORT_SQL = (
-    ANN_RECALL_REPORT_SQL + "\nUNION ALL\n" + _recall_one("ivfpq", ANN_IVFPQ_TOPK_SQL)
+    ANN_RECALL_REPORT_SQL
+    + "\nUNION ALL\n"
+    + _recall_one("ivfpq", ANN_IVFPQ_TOPK_SQL)
+    + "\nUNION ALL\n"
+    + _recall_one("ivfpq_t", ANN_IVFPQ_TRAINED_TOPK_SQL)
 )
 
 
