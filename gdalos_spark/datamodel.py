@@ -82,6 +82,20 @@ def source_fingerprint(path: str) -> str:
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
+def footer_count(sf_dir: str, name: str) -> int:
+    """Driver-side parquet-footer row count for a table — the same
+    metadata a catalog or manifest would serve; no Spark job. Used to
+    gate two-regime operators (collapse paths, exact-vs-sampled
+    delegation) on actual data size."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir}/{name}.parquet"
+    files = [p] if os.path.isfile(p) else glob.glob(f"{p}/*.parquet")
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def publish_staged_dir(build, final_dir: str, fingerprint: str) -> str:
     """Fingerprint-gated staging with an ATOMIC publish: if `final_dir`
     already carries `fingerprint` in its `_STAGED` marker, return it

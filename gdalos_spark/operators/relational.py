@@ -4262,6 +4262,9 @@ def _zorder10_sql(a: str, b: str, div_op: str = "div") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+LAYOUT_EXACT_MAX_ROWS = 10_000_000  # sf1 stays exact; sf10+ delegates
+
+
 def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which physical layout serves the workload: the zone-map skipping
     audit (zonemap_prune_report) evaluated over THREE candidate orders —
@@ -4280,7 +4283,18 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel. Because the bucket id is monotone in the key and the sort
     key (key, l_orderkey, l_linenumber) is a TOTAL order, the ranks —
     and therefore every file boundary — are bit-identical to the
-    single-partition ROW_NUMBER the SQL twin runs."""
+    single-partition ROW_NUMBER the SQL twin runs.
+
+    Above LAYOUT_EXACT_MAX_ROWS fact rows (parquet-footer count, no
+    job) the exact variant DELEGATES to layout_advisor_sampled — the
+    recurring-maintenance shape (VERDICT r6 perf: 116 s vs 26.7 s at
+    sf10, identical layout ranking, scan_fraction within one
+    file-width, test-pinned). The exact three-pass rank stays the
+    small-table / one-off-audit path."""
+    from gdalos_spark.datamodel import footer_count
+
+    if footer_count(sf_dir, "lineitem") > LAYOUT_EXACT_MAX_ROWS:
+        return layout_advisor_sampled(spark, sf_dir)
     # l_shipdate scans as TIMESTAMP_NTZ — day arithmetic must be
     # zone-free DATE math (the events.ts lesson, datamodel.epoch_micros)
     li = load(spark, sf_dir, "lineitem").select(

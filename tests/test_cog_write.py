@@ -211,3 +211,16 @@ def test_trained_pq_codebook_beats_seeded(spark, monkeypatch):
         .collect()
     }
     assert rep["ivfpq_t"] > rep["ivfpq"], rep
+
+
+def test_layout_advisor_exact_delegates_above_threshold(spark, monkeypatch):
+    """VERDICT-r06 perf item: the exact advisor is the small-table path;
+    above the footer-count threshold it serves the sampled report."""
+    from gdalos_spark.operators import relational as R
+
+    monkeypatch.setattr(R, "LAYOUT_EXACT_MAX_ROWS", 0)
+    delegated = {r["layout"]: r for r in R.layout_advisor_report(spark, SF_DIR).collect()}
+    sampled = {r["layout"]: r for r in R.layout_advisor_sampled(spark, SF_DIR).collect()}
+    assert {k: tuple(v) for k, v in delegated.items()} == {
+        k: tuple(v) for k, v in sampled.items()
+    }
