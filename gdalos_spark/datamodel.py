@@ -123,10 +123,15 @@ def publish_staged_dir(build, final_dir: str, fingerprint: str) -> str:
     with open(os.path.join(data, "_STAGED"), "w") as f:
         f.write(fingerprint)
     old = None
-    if os.path.exists(final_dir):
-        old = os.path.join(parent, f".old.{os.path.basename(tmp)}")
-        os.rename(final_dir, old)
-    os.rename(data, final_dir)
+    try:
+        if os.path.exists(final_dir):
+            old = os.path.join(parent, f".old.{os.path.basename(tmp)}")
+            os.rename(final_dir, old)
+        os.rename(data, final_dir)
+    except OSError:
+        # a concurrent session published between our check and rename —
+        # its store is complete (markers publish atomically), use it
+        pass
     shutil.rmtree(tmp, ignore_errors=True)
     if old:
         shutil.rmtree(old, ignore_errors=True)

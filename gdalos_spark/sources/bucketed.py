@@ -115,10 +115,15 @@ def stage_facts(
         with open(os.path.join(tmp, "data", _MARKER), "w") as f:
             json.dump({"fingerprint": fp, "buckets": buckets, "key": key}, f)
         old = None
-        if os.path.exists(final):
-            old = f"{final}.old.{os.path.basename(tmp)}"
-            os.rename(final, old)
-        os.rename(os.path.join(tmp, "data"), final)
+        try:
+            if os.path.exists(final):
+                old = f"{final}.old.{os.path.basename(tmp)}"
+                os.rename(final, old)
+            os.rename(os.path.join(tmp, "data"), final)
+        except OSError:
+            # a concurrent session published first — its store is
+            # complete (the marker rides inside the renamed dir)
+            pass
         shutil.rmtree(tmp, ignore_errors=True)
         if old:
             shutil.rmtree(old, ignore_errors=True)
@@ -142,7 +147,10 @@ def attach(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     meta = _marker_meta(final)
     if not meta or meta.get("fingerprint") != _fingerprint(sf_dir, name):
         return None
-    tag = hashlib.md5(meta["fingerprint"].encode()).hexdigest()[:8]
+    # the tag hashes LOCATION + fingerprint: switching stage roots (or
+    # regenerated data) within one session must register a fresh table,
+    # never serve the previously attached location under the same name
+    tag = hashlib.md5(f"{final}:{meta['fingerprint']}".encode()).hexdigest()[:8]
     tbl = f"gdalos_b_{name}_{_slug(sf_dir)}_{tag}"
     if not spark.catalog.tableExists(tbl):
         schema = spark.read.parquet(final).schema

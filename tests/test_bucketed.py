@@ -65,9 +65,17 @@ def test_default_loader_serves_staged_bucketed_facts(spark, monkeypatch, tmp_pat
     from gdalos_spark.datamodel import load
 
     li = load(spark, SF_DIR, "lineitem")
-    # served from the staged location, not the raw parquet
+    # served from a catalog table whose location is THIS root (the plan
+    # string truncates paths, so check the catalog, not the plan text)
     scan = li._jdf.queryExecution().executedPlan().toString()
-    assert root in scan
+    assert "gdalos_b_lineitem" in scan
+    tbl = next(
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("gdalos_b_lineitem")
+        and root in spark.sql(f"DESCRIBE FORMATTED {t.name}")
+        .filter("col_name = 'Location'").first()["data_type"]
+    )
+    assert tbl in scan
 
     q = top_orders(spark, SF_DIR)
     plan = q._jdf.queryExecution().executedPlan().toString()
