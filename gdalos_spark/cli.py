@@ -71,7 +71,15 @@ def _resolve(eng, args) -> DataFrame:
         # srcwin the pixel-window path; otherwise plain translate ==
         # the affine warp
         if args.warp_srs:
-            return raster.crs_reproject_utm(eng.spark, eng.sf_dir)
+            # the reference's -t_srs takes talos tokens like 'w84u36' /
+            # 'u33' (parse_proj_string_and_zone); an explicit zone in the
+            # token overrides the extent-derived zone, bare 'utm'/'w84u'
+            # keeps the derivation
+            import re as _re
+
+            m = _re.search(r"u\s*(\d+)", args.warp_srs.lower())
+            zone = int(m.group(1)) if m else None
+            return raster.crs_reproject_utm(eng.spark, eng.sf_dir, zone=zone)
         # thread the parsed window into the crop predicate (ADVICE r5:
         # these used to parse and drop, silently cropping to the fixed
         # built-in extent whatever the user asked for). -extent/-projwin

@@ -3498,9 +3498,9 @@ def _utm_extent_zone(lon_0: float) -> int:
 
 
 def _utm_stages(
-    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0, zone: int | None = None
 ) -> tuple[tuple[tuple[str, str], ...], ...]:
-    cm = utm_central_meridian(_utm_extent_zone(lon_0))
+    cm = utm_central_meridian(zone if zone is not None else _utm_extent_zone(lon_0))
     keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
     return (
         keep + (
@@ -3580,6 +3580,7 @@ def crs_reproject_utm(
     sf_dir: str,
     lon_0: float = _UTM_LON_0,
     lat_0: float = _UTM_LAT_0,
+    zone: int | None = None,
 ) -> DataFrame:
     """True CRS reprojection of the DEM: every source cell's geographic
     coordinate is forward-projected to WGS-84 / UTM (ellipsoidal
@@ -3591,10 +3592,12 @@ def crs_reproject_utm(
     constant) is DERIVED from the extent-center longitude exactly as the
     reference does (osr_utm_util.py:52 get_utm_zone_by_lon) — the
     default extent lands in zone 36N, a shifted extent reprojects into
-    its own zone with no other change."""
+    its own zone with no other change. An explicit `zone` (the
+    reference's 'w84u36'-style token, parse_proj_string_and_zone)
+    overrides the extent derivation."""
     g = dem_grid(spark, sf_dir)
     df = g
-    for stage in _utm_stages(lon_0, lat_0):
+    for stage in _utm_stages(lon_0, lat_0, zone):
         df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
     e_sql, n_sql = _utm_easting_northing()
     pts = df.select(
@@ -3617,10 +3620,10 @@ def crs_reproject_utm(
 
 
 def _crs_reproject_sql(
-    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0, zone: int | None = None
 ) -> str:
     q = f"({DEM_GRID_SQL})"
-    for stage in _utm_stages(lon_0, lat_0):
+    for stage in _utm_stages(lon_0, lat_0, zone):
         cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
         q = f"(SELECT {cols} FROM {q})"
     e_sql, n_sql = _utm_easting_northing()

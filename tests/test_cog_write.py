@@ -224,3 +224,22 @@ def test_layout_advisor_exact_delegates_above_threshold(spark, monkeypatch):
     assert {k: tuple(v) for k, v in delegated.items()} == {
         k: tuple(v) for k, v in sampled.items()
     }
+
+
+def test_cli_t_srs_zone_token_threads_into_warp(spark, ducks):
+    """The reference's -t_srs 'w84u33' token pins the zone; bare 'utm'
+    keeps the extent-derived one."""
+    from gdalos_spark.api import GdalosSpark
+    from gdalos_spark.cli import _build_parser, _resolve
+    from gdalos_spark.operators.raster import _crs_reproject_sql
+
+    eng = GdalosSpark(spark, SF_DIR)
+    parser = _build_parser()
+    pinned = _resolve(eng, parser.parse_args(["trans", SF_DIR, "-t_srs", "w84u33"]))
+    assert_matches_oracle(
+        spark, ducks, lambda s, d: pinned, _crs_reproject_sql(zone=33)
+    )
+    derived = _resolve(eng, parser.parse_args(["trans", SF_DIR, "-t_srs", "utm"]))
+    assert_matches_oracle(
+        spark, ducks, lambda s, d: derived, _crs_reproject_sql()
+    )
