@@ -1639,6 +1639,269 @@ FROM fr
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_h264_features — H.264 Annex-B NAL walk + real exp-Golomb SPS
+# parse: video METADATA without pixel decode (the MP3 pattern applied to
+# the last stubbed codec; full pixel decode genuinely needs libav and
+# stays out of scope, exactly as the reference treats media datasets as
+# opaque inputs whose metadata drives planning — gdalos_util.py open_ds).
+# ---------------------------------------------------------------------------
+
+H264_SCHEMA = (
+    "doc_id bigint, n_nalus int, n_frames int, n_idr int, width int, "
+    "height int, profile_idc int, level_idc int"
+)
+_H264_GOP = 4  # every 4th frame is an IDR
+
+
+class _BitWriter:
+    """MSB-first bit writer with u(n)/ue(v)/se(v) and RBSP trailing —
+    the H.264 7.3 bitstream primitives."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:  # Exp-Golomb unsigned (9.1)
+        k = v + 1
+        n = k.bit_length() - 1
+        self.u(0, n) if n else None
+        self.u(k, n + 1)
+
+    def se(self, v: int) -> None:  # signed mapping (9.1.1)
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader with the matching u(n)/ue()/se()."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        n = 0
+        while self.u(1) == 0:
+            n += 1
+            if n > 31:
+                raise ValueError("malformed exp-Golomb code")
+        return (1 << n) - 1 + (self.u(n) if n else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _h264_nal(ref_idc: int, nal_type: int, body: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + body
+
+
+def _encode_h264_stream(payload: bytes, width: int, height: int) -> bytes:
+    """Synthesize a REAL H.264 Annex-B byte stream: SPS + PPS with
+    genuine exp-Golomb coding (baseline profile 66, level 3.0, frame_mbs
+    only, MB-aligned dimensions), then n_frames slice NALs — IDR every
+    _H264_GOP frames — whose bodies are dummy bytes forced >= 0x80 so no
+    start-code emulation can occur (the walk never reads slice bodies,
+    exactly as the MP3 walk never reads audio)."""
+    payload = payload or b"\x00"
+    if width % 16 or height % 16:
+        raise ValueError("dimensions must be MB-aligned for this profile")
+    n_frames = 3 + payload[0] % 10
+    sps = _BitWriter()
+    sps.u(66, 8)       # profile_idc: baseline
+    sps.u(0, 8)        # constraint flags + reserved
+    sps.u(30, 8)       # level_idc 3.0
+    sps.ue(0)          # seq_parameter_set_id
+    sps.ue(0)          # log2_max_frame_num_minus4
+    sps.ue(2)          # pic_order_cnt_type
+    sps.ue(1)          # max_num_ref_frames
+    sps.u(0, 1)        # gaps_in_frame_num_value_allowed
+    sps.ue(width // 16 - 1)   # pic_width_in_mbs_minus1
+    sps.ue(height // 16 - 1)  # pic_height_in_map_units_minus1
+    sps.u(1, 1)        # frame_mbs_only_flag
+    sps.u(1, 1)        # direct_8x8_inference_flag
+    sps.u(0, 1)        # frame_cropping_flag
+    sps.u(0, 1)        # vui_parameters_present_flag
+    pps = _BitWriter()
+    pps.ue(0)          # pic_parameter_set_id
+    pps.ue(0)          # seq_parameter_set_id
+    pps.u(0, 1)        # entropy_coding_mode (CAVLC)
+    pps.u(0, 1)        # bottom_field_pic_order_in_frame_present
+    pps.ue(0)          # num_slice_groups_minus1
+    pps.ue(0)          # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)          # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)        # weighted_pred_flag
+    pps.u(0, 2)        # weighted_bipred_idc
+    pps.se(0)          # pic_init_qp_minus26
+    pps.se(0)          # pic_init_qs_minus26
+    pps.se(0)          # chroma_qp_index_offset
+    pps.u(0, 1)        # deblocking_filter_control_present
+    pps.u(0, 1)        # constrained_intra_pred
+    pps.u(0, 1)        # redundant_pic_cnt_present
+    out = bytearray(_h264_nal(3, 7, sps.rbsp()))
+    out += _h264_nal(3, 8, pps.rbsp())
+    for i in range(n_frames):
+        body = bytes(payload[(i + j) % len(payload)] | 0x80 for j in range(8))
+        if i % _H264_GOP == 0:
+            out += _h264_nal(3, 5, body)  # IDR slice
+        else:
+            out += _h264_nal(2, 1, body)  # non-IDR slice
+    return bytes(out)
+
+
+def _h264_header_walk(data: bytes) -> dict:
+    """Walk the Annex-B start codes and parse the SPS with a REAL
+    exp-Golomb reader (7.3.2.1): NAL census + profile/level + decoded
+    frame dimensions (cropping honored), never touching a slice body."""
+    nals = []
+    i = 0
+    while True:
+        j = data.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        start = j + 3
+        k = data.find(b"\x00\x00\x01", start)
+        end = len(data) if k < 0 else (k - 1 if k and data[k - 1] == 0 else k)
+        nals.append(data[start:end])
+        i = start
+    if not nals:
+        raise ValueError("no Annex-B start codes found")
+    n_frames = n_idr = 0
+    width = height = profile = level = None
+    for nal in nals:
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        nal_type = hdr & 0x1F
+        if nal_type in (1, 5):
+            n_frames += 1
+            n_idr += nal_type == 5
+        elif nal_type == 7:
+            r = _BitReader(nal[1:])
+            profile = r.u(8)
+            r.u(8)  # constraint flags + reserved
+            level = r.u(8)
+            r.ue()  # sps_id
+            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+                raise ValueError("high-profile SPS not supported by this walk")
+            r.ue()  # log2_max_frame_num_minus4
+            poc = r.ue()
+            if poc == 0:
+                r.ue()
+            elif poc != 2:
+                raise ValueError(f"pic_order_cnt_type {poc} not supported")
+            r.ue()  # max_num_ref_frames
+            r.u(1)  # gaps allowed
+            w_mbs = r.ue() + 1
+            h_units = r.ue() + 1
+            frame_mbs_only = r.u(1)
+            if not frame_mbs_only:
+                r.u(1)  # mb_adaptive_frame_field
+            r.u(1)  # direct_8x8_inference
+            cl = cr = ct = cb = 0
+            if r.u(1):  # frame_cropping_flag
+                cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+            width = w_mbs * 16 - 2 * (cl + cr)
+            height = (2 - frame_mbs_only) * h_units * 16 - 2 * (ct + cb)
+    if width is None:
+        raise ValueError("stream carries no SPS")
+    return {
+        "n_nalus": len(nals),
+        "n_frames": n_frames,
+        "n_idr": n_idr,
+        "width": width,
+        "height": height,
+        "profile_idc": profile,
+        "level_idc": level,
+    }
+
+
+def multimodal_h264_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 metadata over the media table: synthesize a valid Annex-B
+    stream per doc (real SPS/PPS exp-Golomb coding at the doc's MB-
+    aligned dimensions, GOP-4 IDR cadence), then recover the NAL census
+    and the SPS-decoded geometry purely from headers. Fully
+    ORACLE-GATED: every recovered value is a closed-form function of the
+    payload bytes / doc metadata the encoder consumed, so the SQL twin
+    certifies that the walk decodes exactly what the bitstream encoded
+    (the MP3 discipline applied to video)."""
+    media = media_table(spark, sf_dir)
+
+    def h264_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(payload: bytes, width: int, height: int):
+            meta = _h264_header_walk(
+                _encode_h264_stream(bytes(payload or b""), int(width), int(height))
+            )
+            return (
+                meta["n_nalus"], meta["n_frames"], meta["n_idr"],
+                meta["width"], meta["height"],
+                meta["profile_idc"], meta["level_idc"],
+            )
+
+        for pdf in batches:
+            res = [
+                one(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_nalus": [r[0] for r in res],
+                    "n_frames": [r[1] for r in res],
+                    "n_idr": [r[2] for r in res],
+                    "width": [r[3] for r in res],
+                    "height": [r[4] for r in res],
+                    "profile_idc": [r[5] for r in res],
+                    "level_idc": [r[6] for r in res],
+                }
+            )
+
+    return media.mapInPandas(h264_batches, H264_SCHEMA)
+
+
+MULTIMODAL_H264_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         3 + ord(substr(text, 1, 1)) % 10 AS n_frames,
+         CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+         CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS height
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_frames + 2 AS INTEGER) AS n_nalus,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST((n_frames + {_H264_GOP - 1}) // {_H264_GOP} AS INTEGER) AS n_idr,
+       width, height,
+       66 AS profile_idc,
+       30 AS level_idc
+FROM d
+"""
+
+
 # Closed-form oracle for the WAV round trip: int16 LE samples are byte
 # pairs of the tiled ASCII payload (high byte < 128, so the signed
 # interpretation is the unsigned one and every sample is positive —

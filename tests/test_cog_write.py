@@ -243,3 +243,72 @@ def test_cli_t_srs_zone_token_threads_into_warp(spark, ducks):
     assert_matches_oracle(
         spark, ducks, lambda s, d: derived, _crs_reproject_sql()
     )
+
+
+def test_h264_walk_parses_foreign_sps_shapes():
+    """The SPS parser is a real exp-Golomb reader, not a mirror of our
+    writer: cropping, poc_type 0, interlaced map units, 3-byte start
+    codes, and the error paths all behave."""
+    from gdalos_spark.operators.multimodal import (
+        _BitReader,
+        _BitWriter,
+        _encode_h264_stream,
+        _h264_header_walk,
+        _h264_nal,
+    )
+
+    # exp-Golomb round trip incl. signed values
+    w = _BitWriter()
+    for v in (0, 1, 2, 7, 31, 255):
+        w.ue(v)
+    for v in (0, 1, -1, 5, -9):
+        w.se(v)
+    r = _BitReader(w.rbsp())
+    assert [r.ue() for _ in range(6)] == [0, 1, 2, 7, 31, 255]
+    assert [r.se() for _ in range(5)] == [0, 1, -1, 5, -9]
+
+    # a foreign SPS: poc_type 0, cropping 2px each side, 3-byte starts
+    sps = _BitWriter()
+    sps.u(77, 8); sps.u(0, 8); sps.u(41, 8)     # main profile, level 4.1
+    sps.ue(0); sps.ue(4)
+    sps.ue(0); sps.ue(8)                        # poc_type 0 + its log2
+    sps.ue(2); sps.u(0, 1)
+    sps.ue(7)                                   # pic_width_in_mbs_minus1: 8 MBs
+    sps.ue(4)                                   # 5 map units
+    sps.u(1, 1); sps.u(1, 1)
+    sps.u(1, 1)                                 # cropping
+    sps.ue(1); sps.ue(1); sps.ue(2); sps.ue(2)  # l/r/t/b
+    stream = b"\x00\x00\x01" + bytes([0x67]) + sps.rbsp()
+    stream += b"\x00\x00\x01" + bytes([0x65]) + b"\x80\x81"
+    meta = _h264_header_walk(stream)
+    assert meta["profile_idc"] == 77 and meta["level_idc"] == 41
+    assert meta["width"] == 8 * 16 - 2 * (1 + 1)     # 124
+    assert meta["height"] == 5 * 16 - 2 * (2 + 2)    # 72
+    assert meta["n_nalus"] == 2 and meta["n_frames"] == 1 and meta["n_idr"] == 1
+
+    # writer/walk round trip at our media dimensions
+    meta = _h264_header_walk(_encode_h264_stream(b"hello", 96, 64))
+    assert (meta["width"], meta["height"]) == (96, 64)
+    assert meta["n_frames"] == 3 + ord("h") % 10
+    assert meta["n_idr"] == (meta["n_frames"] + 3) // 4
+
+    # error paths
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no Annex-B"):
+        _h264_header_walk(b"\xff\xfe")
+    with _pytest.raises(ValueError, match="forbidden_zero_bit"):
+        _h264_header_walk(b"\x00\x00\x01\xe7\x80")
+    with _pytest.raises(ValueError, match="no SPS"):
+        _h264_header_walk(_h264_nal(2, 1, b"\x80"))
+    with _pytest.raises(ValueError, match="MB-aligned"):
+        _encode_h264_stream(b"x", 100, 64)
+
+
+def test_multimodal_h264_features_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["multimodal_h264_features"],
+        entrymod.oracle_sql()["multimodal_h264_features"],
+    )
