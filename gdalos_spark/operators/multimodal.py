@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load
+from gdalos_spark.datamodel import load, split_for_cpu
 
 def _gif_lzw_decode(data: bytes, min_code: int) -> bytearray:
     """GIF variable-width LZW decode (clear/end codes, 4095-entry cap) —
@@ -450,7 +450,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     real bytes (mean byte value, 1KiB pseudo frame count) so the batch
     shapes, schema contract, and partition behavior match a real codec
     run."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def decode_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -505,7 +505,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     in numpy. The actual video codec is stubbed (see _decode_real); the
     fixed-stride slicing over real bytes keeps the batch shapes and
     distributed behavior identical."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def frame_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1144,7 +1144,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one mapInPandas stage over Arrow batches: bytes never hit the
     driver, partitions stay independent, and the declared output schema
     lets Catalyst plan around the opaque stage."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def resize_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1199,7 +1199,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk walker in `_decode_real`, and reduced to the standard audio-ML
     features — peak amplitude, zero-crossing count, RMS. Same
     Arrow-batched mapInPandas shape as the image path."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def audio_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1254,7 +1254,7 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-stride stand-in, the codec loop here is the real thing
     end-to-end — encode, container walk, LZW decode — in one
     Arrow-batched mapInPandas stage."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def gif_batches(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1578,7 +1578,7 @@ def multimodal_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recover duration / bitrate / samplerate purely from the frame-header
     walk. Arrow-batched mapInPandas like the other codec ops; rows-only
     certification (the frame arithmetic is not SQL-expressible)."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def mp3_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1847,7 +1847,7 @@ def multimodal_h264_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes / doc metadata the encoder consumed, so the SQL twin
     certifies that the walk decodes exactly what the bitstream encoded
     (the MP3 discipline applied to video)."""
-    media = media_table(spark, sf_dir)
+    media = split_for_cpu(media_table(spark, sf_dir), "doc_id")
 
     def h264_batches(batches: Iterator) -> Iterator:
         import pandas as pd
