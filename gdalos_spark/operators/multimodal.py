@@ -1654,7 +1654,7 @@ H264_SCHEMA = (
 _H264_GOP = 4  # every 4th frame is an IDR
 
 
-class _BitWriter:
+class _EgWriter:
     """MSB-first bit writer with u(n)/ue(v)/se(v) and RBSP trailing —
     the H.264 7.3 bitstream primitives."""
 
@@ -1687,7 +1687,7 @@ class _BitWriter:
         return bytes(out)
 
 
-class _BitReader:
+class _EgReader:
     """MSB-first reader with the matching u(n)/ue()/se()."""
 
     def __init__(self, data: bytes) -> None:
@@ -1729,7 +1729,7 @@ def _encode_h264_stream(payload: bytes, width: int, height: int) -> bytes:
     if width % 16 or height % 16:
         raise ValueError("dimensions must be MB-aligned for this profile")
     n_frames = 3 + payload[0] % 10
-    sps = _BitWriter()
+    sps = _EgWriter()
     sps.u(66, 8)       # profile_idc: baseline
     sps.u(0, 8)        # constraint flags + reserved
     sps.u(30, 8)       # level_idc 3.0
@@ -1744,7 +1744,7 @@ def _encode_h264_stream(payload: bytes, width: int, height: int) -> bytes:
     sps.u(1, 1)        # direct_8x8_inference_flag
     sps.u(0, 1)        # frame_cropping_flag
     sps.u(0, 1)        # vui_parameters_present_flag
-    pps = _BitWriter()
+    pps = _EgWriter()
     pps.ue(0)          # pic_parameter_set_id
     pps.ue(0)          # seq_parameter_set_id
     pps.u(0, 1)        # entropy_coding_mode (CAVLC)
@@ -1799,7 +1799,7 @@ def _h264_header_walk(data: bytes) -> dict:
             n_frames += 1
             n_idr += nal_type == 5
         elif nal_type == 7:
-            r = _BitReader(nal[1:])
+            r = _EgReader(nal[1:])
             profile = r.u(8)
             r.u(8)  # constraint flags + reserved
             level = r.u(8)

@@ -250,25 +250,25 @@ def test_h264_walk_parses_foreign_sps_shapes():
     writer: cropping, poc_type 0, interlaced map units, 3-byte start
     codes, and the error paths all behave."""
     from gdalos_spark.operators.multimodal import (
-        _BitReader,
-        _BitWriter,
+        _EgReader,
+        _EgWriter,
         _encode_h264_stream,
         _h264_header_walk,
         _h264_nal,
     )
 
     # exp-Golomb round trip incl. signed values
-    w = _BitWriter()
+    w = _EgWriter()
     for v in (0, 1, 2, 7, 31, 255):
         w.ue(v)
     for v in (0, 1, -1, 5, -9):
         w.se(v)
-    r = _BitReader(w.rbsp())
+    r = _EgReader(w.rbsp())
     assert [r.ue() for _ in range(6)] == [0, 1, 2, 7, 31, 255]
     assert [r.se() for _ in range(5)] == [0, 1, -1, 5, -9]
 
     # a foreign SPS: poc_type 0, cropping 2px each side, 3-byte starts
-    sps = _BitWriter()
+    sps = _EgWriter()
     sps.u(77, 8); sps.u(0, 8); sps.u(41, 8)     # main profile, level 4.1
     sps.ue(0); sps.ue(4)
     sps.ue(0); sps.ue(8)                        # poc_type 0 + its log2
