@@ -119,9 +119,13 @@ def publish_staged_dir(build, final_dir: str, fingerprint: str) -> str:
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".{os.path.basename(final_dir)}.", dir=parent)
     data = os.path.join(tmp, "data")
-    build(data)
-    with open(os.path.join(data, "_STAGED"), "w") as f:
-        f.write(fingerprint)
+    try:
+        build(data)
+        with open(os.path.join(data, "_STAGED"), "w") as f:
+            f.write(fingerprint)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # never leak a partial build
+        raise
     old = None
     try:
         if os.path.exists(final_dir):
@@ -129,9 +133,23 @@ def publish_staged_dir(build, final_dir: str, fingerprint: str) -> str:
             os.rename(final_dir, old)
         os.rename(data, final_dir)
     except OSError:
-        # a concurrent session published between our check and rename —
-        # its store is complete (markers publish atomically), use it
-        pass
+        # Swallow ONLY the concurrent-publish race: the swap may fail
+        # because another session installed a store between our check
+        # and rename — legitimate iff the installed marker carries OUR
+        # fingerprint. Any other failure restores the previous store
+        # and re-raises instead of silently serving stale data.
+        published = False
+        try:
+            with open(marker) as f:
+                published = f.read() == fingerprint
+        except OSError:
+            pass
+        if not published:
+            if old is not None and not os.path.exists(final_dir):
+                os.rename(old, final_dir)
+                old = None
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     shutil.rmtree(tmp, ignore_errors=True)
     if old:
         shutil.rmtree(old, ignore_errors=True)

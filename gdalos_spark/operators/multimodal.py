@@ -1429,26 +1429,30 @@ def multimodal_jpeg_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the tiled image repeats the payload q = 384 // plen times plus the
 # first r = 384 % plen bytes, so the exact pixel sum is q * total byte
-# sum + prefix-byte sum — pure integer arithmetic over the ASCII corpus
+# sum + prefix-byte sum — pure integer arithmetic over the ASCII corpus.
+# An EMPTY document tiles to zero pixels on the Spark side, so the
+# div/mod-by-plen arithmetic is guarded (384 % 0 is NULL in DuckDB).
 MULTIMODAL_JPEG_MANIFEST_SQL = f"""
 WITH d AS (
   SELECT doc_id, text, len(text) AS plen FROM documents
 ),
 s AS (
   SELECT doc_id, plen,
-         list_sum(list_transform(range(1, plen + 1),
-           i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS tot,
-         COALESCE(list_sum(list_transform(range(1, ({JPEG_W * JPEG_H} % plen) + 1),
-           i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS pre
+         CASE WHEN plen = 0 THEN 0 ELSE
+           ({JPEG_W * JPEG_H} // plen)
+           * list_sum(list_transform(range(1, plen + 1),
+               i -> ord(substr(text, CAST(i AS INTEGER), 1))))
+           + COALESCE(list_sum(list_transform(range(1, ({JPEG_W * JPEG_H} % plen) + 1),
+               i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+         END AS px_sum
   FROM d
 )
 SELECT doc_id,
        {JPEG_W} AS width, {JPEG_H} AS height,
        {(JPEG_W // 8) * (JPEG_H // 8)} AS n_blocks,
        CAST(plen AS INTEGER) AS payload_len,
-       CAST(({JPEG_W * JPEG_H} // plen) * tot + pre AS BIGINT) AS px_sum_in,
-       CAST(({JPEG_W * JPEG_H} // plen) * tot + pre AS DOUBLE) / {float(JPEG_W * JPEG_H)!r}
-         AS px_mean_in
+       CAST(px_sum AS BIGINT) AS px_sum_in,
+       CAST(px_sum AS DOUBLE) / {float(JPEG_W * JPEG_H)!r} AS px_mean_in
 FROM s
 """
 
@@ -1771,10 +1775,26 @@ def _encode_h264_stream(payload: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
+def _strip_epb(ebsp: bytes) -> bytes:
+    """Remove 00 00 03 emulation-prevention bytes (7.4.1): the encoder
+    must insert 03 after any 00 00 inside an RBSP, so a conforming
+    foreign SPS cannot be bit-read raw."""
+    out = bytearray()
+    zeros = 0
+    for b in ebsp:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
 def _h264_header_walk(data: bytes) -> dict:
     """Walk the Annex-B start codes and parse the SPS with a REAL
     exp-Golomb reader (7.3.2.1): NAL census + profile/level + decoded
-    frame dimensions (cropping honored), never touching a slice body."""
+    frame dimensions (cropping honored, 4:2:0 crop units, interlaced
+    map-unit doubling), never touching a slice body."""
     nals = []
     i = 0
     while True:
@@ -1791,6 +1811,8 @@ def _h264_header_walk(data: bytes) -> dict:
     n_frames = n_idr = 0
     width = height = profile = level = None
     for nal in nals:
+        if not nal:
+            raise ValueError("empty NAL unit (dangling start code)")
         hdr = nal[0]
         if hdr & 0x80:
             raise ValueError("forbidden_zero_bit set")
@@ -1799,32 +1821,12 @@ def _h264_header_walk(data: bytes) -> dict:
             n_frames += 1
             n_idr += nal_type == 5
         elif nal_type == 7:
-            r = _EgReader(nal[1:])
-            profile = r.u(8)
-            r.u(8)  # constraint flags + reserved
-            level = r.u(8)
-            r.ue()  # sps_id
-            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-                raise ValueError("high-profile SPS not supported by this walk")
-            r.ue()  # log2_max_frame_num_minus4
-            poc = r.ue()
-            if poc == 0:
-                r.ue()
-            elif poc != 2:
-                raise ValueError(f"pic_order_cnt_type {poc} not supported")
-            r.ue()  # max_num_ref_frames
-            r.u(1)  # gaps allowed
-            w_mbs = r.ue() + 1
-            h_units = r.ue() + 1
-            frame_mbs_only = r.u(1)
-            if not frame_mbs_only:
-                r.u(1)  # mb_adaptive_frame_field
-            r.u(1)  # direct_8x8_inference
-            cl = cr = ct = cb = 0
-            if r.u(1):  # frame_cropping_flag
-                cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
-            width = w_mbs * 16 - 2 * (cl + cr)
-            height = (2 - frame_mbs_only) * h_units * 16 - 2 * (ct + cb)
+            try:
+                width, height, profile, level = _h264_parse_sps(
+                    _strip_epb(nal[1:])
+                )
+            except IndexError as e:
+                raise ValueError("truncated SPS") from e
     if width is None:
         raise ValueError("stream carries no SPS")
     return {
@@ -1836,6 +1838,41 @@ def _h264_header_walk(data: bytes) -> dict:
         "profile_idc": profile,
         "level_idc": level,
     }
+
+
+def _h264_parse_sps(rbsp: bytes):
+    """SPS bit parse (7.3.2.1) -> (width, height, profile, level)."""
+    r = _EgReader(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level = r.u(8)
+    r.ue()  # sps_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS not supported by this walk")
+    r.ue()  # log2_max_frame_num_minus4
+    poc = r.ue()
+    if poc == 0:
+        r.ue()
+    elif poc != 2:
+        raise ValueError(f"pic_order_cnt_type {poc} not supported")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps allowed
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field
+    r.u(1)  # direct_8x8_inference
+    cl = cr = ct = cb = 0
+    if r.u(1):  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+    # 4:2:0 crop units (baseline/main imply chroma_format 1):
+    # CropUnitX = 2, CropUnitY = 2 * (2 - frame_mbs_only)
+    width = w_mbs * 16 - 2 * (cl + cr)
+    height = (2 - frame_mbs_only) * h_units * 16 - 2 * (2 - frame_mbs_only) * (
+        ct + cb
+    )
+    return width, height, profile, level
 
 
 def multimodal_h264_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1883,10 +1920,13 @@ def multimodal_h264_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(h264_batches, H264_SCHEMA)
 
 
+# an EMPTY document encodes as b"\\x00" on the Spark side -> first byte 0
+# (DuckDB's ord('') is -1, so the guard keeps the engines identical)
 MULTIMODAL_H264_FEATURES_SQL = f"""
 WITH d AS (
   SELECT doc_id,
-         3 + ord(substr(text, 1, 1)) % 10 AS n_frames,
+         3 + (CASE WHEN len(text) = 0 THEN 0
+                   ELSE ord(substr(text, 1, 1)) END) % 10 AS n_frames,
          CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
          CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS height
   FROM documents

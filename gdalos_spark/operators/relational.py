@@ -4651,3 +4651,17 @@ SELECT * FROM ({union}) ORDER BY layout
 
 
 LAYOUT_ADVISOR_SAMPLED_SQL = _layout_sampled_sql()
+
+
+# the oracle delegates at the SAME footer-row threshold as the engine
+# key, so queries()/oracle_sql() agree at EVERY scale, not just the
+# certification SFs — the WHERE gates are scalar, so DuckDB evaluates
+# only the selected branch's aggregates over matching rows
+LAYOUT_ADVISOR_REPORT_SQL = f"""
+WITH nrows AS (SELECT COUNT(*) AS c FROM lineitem)
+SELECT * FROM ({LAYOUT_ADVISOR_REPORT_SQL}) exact_side
+WHERE (SELECT c FROM nrows) <= {LAYOUT_EXACT_MAX_ROWS}
+UNION ALL
+SELECT * FROM ({LAYOUT_ADVISOR_SAMPLED_SQL}) sampled_side
+WHERE (SELECT c FROM nrows) > {LAYOUT_EXACT_MAX_ROWS}
+"""

@@ -891,6 +891,8 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(
             F.col("rnk") == 1
         )
+        # localCheckpoint the KM_K-row report so `base` can be released
+        # at the end instead of staying pinned for the consumer's sake
         rounds.append(
             assigned.groupBy("cid").agg(
                 F.sum("k").alias("n_members"),
@@ -902,7 +904,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("inertia_u").cast("double") / 1_000_000.0, 6).alias(
                     "inertia"
                 ),
-            )
+            ).localCheckpoint()
         )
         if r < KM_ROUNDS:
             dims = assigned.select(
@@ -932,6 +934,7 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
+    base.unpersist()
     out = rounds[0]
     for rep in rounds[1:]:
         out = out.unionByName(rep)
@@ -1151,6 +1154,9 @@ def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("sub_id").alias("c_sub"), "code", "cx")
             .localCheckpoint()
         )
+    # the final checkpoint truncated the lineage, so the rep slices can
+    # be released instead of staying pinned for the session
+    rep_sliced.unpersist()
     return cb
 
 

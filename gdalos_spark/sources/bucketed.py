@@ -19,8 +19,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,7 +30,7 @@ DEFAULT_BUCKETS = 8
 # zero exchanges once the ingest shuffle is paid.
 BUCKETED_FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
 STAGE_BUCKETS = 32
-_MARKER = "_GDALOS_BUCKETED"  # leading underscore: invisible to the scan
+_MARKER = "_STAGED"  # publish_staged_dir's marker; underscore = scan-invisible
 
 
 def write_bucketed(
@@ -77,6 +75,16 @@ def _final_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_stage_root(), _slug(sf_dir), name)
 
 
+def _marker_blob(sf_dir: str, name: str, buckets: int, key: str) -> str:
+    """The marker CONTENT is the staging identity: source fingerprint,
+    bucket count, and key — sorted-key JSON so string equality is the
+    validity check publish_staged_dir runs."""
+    return json.dumps(
+        {"buckets": buckets, "fingerprint": _fingerprint(sf_dir, name), "key": key},
+        sort_keys=True,
+    )
+
+
 def _marker_meta(final: str) -> dict | None:
     try:
         with open(os.path.join(final, _MARKER)) as f:
@@ -88,45 +96,33 @@ def _marker_meta(final: str) -> dict | None:
 def stage_facts(
     spark: SparkSession, sf_dir: str, buckets: int = STAGE_BUCKETS
 ) -> list[str]:
-    """Pay the bucketing shuffle ONCE per source fingerprint: write the
-    orderkey-bucketed copies of orders/lineitem under the stage root so
-    every later session's `datamodel.load` serves them exchange-free.
+    """Pay the bucketing shuffle ONCE per (source fingerprint, bucket
+    count): write the orderkey-bucketed copies of orders/lineitem under
+    the stage root so every later session's `datamodel.load` serves
+    them exchange-free. Publication goes through
+    `datamodel.publish_staged_dir` — one atomic-swap protocol, not two
+    — so a concurrent reader only ever sees a complete store and a
+    failed build leaves no temp droppings. Returns the table names
+    staged this call (empty when everything was already current)."""
+    from gdalos_spark.datamodel import publish_staged_dir
 
-    Staging is atomic (build in a unique temp dir, `os.rename` into
-    place) so a concurrent reader only ever sees a complete store —
-    never the rmtree/overwrite window. Returns the table names staged
-    this call (empty when everything was already current)."""
     staged: list[str] = []
     for name, key in BUCKETED_FACTS.items():
         final = _final_dir(sf_dir, name)
-        fp = _fingerprint(sf_dir, name)
+        blob = _marker_blob(sf_dir, name, buckets, key)
         meta = _marker_meta(final)
-        if meta and meta.get("fingerprint") == fp and meta.get("buckets") == buckets:
+        if meta is not None and json.dumps(meta, sort_keys=True) == blob:
             continue
-        parent = os.path.dirname(final)
-        os.makedirs(parent, exist_ok=True)
-        tmp = tempfile.mkdtemp(prefix=f".stage_{name}_", dir=parent)
-        tmp_table = f"gdalos_stage_{name}_{os.path.basename(tmp).rsplit('_', 1)[-1]}"
-        try:
-            src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            write_bucketed(src, os.path.join(tmp, "data"), tmp_table, key, buckets)
-        finally:
-            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # external: files stay
-        with open(os.path.join(tmp, "data", _MARKER), "w") as f:
-            json.dump({"fingerprint": fp, "buckets": buckets, "key": key}, f)
-        old = None
-        try:
-            if os.path.exists(final):
-                old = f"{final}.old.{os.path.basename(tmp)}"
-                os.rename(final, old)
-            os.rename(os.path.join(tmp, "data"), final)
-        except OSError:
-            # a concurrent session published first — its store is
-            # complete (the marker rides inside the renamed dir)
-            pass
-        shutil.rmtree(tmp, ignore_errors=True)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+
+        def build(path: str, name: str = name, key: str = key) -> None:
+            tmp_table = f"gdalos_stage_{name}_{os.urandom(6).hex()}"
+            try:
+                src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+                write_bucketed(src, path, tmp_table, key, buckets)
+            finally:
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # files stay
+
+        publish_staged_dir(build, final, blob)
         staged.append(name)
     return staged
 
@@ -147,10 +143,14 @@ def attach(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     meta = _marker_meta(final)
     if not meta or meta.get("fingerprint") != _fingerprint(sf_dir, name):
         return None
-    # the tag hashes LOCATION + fingerprint: switching stage roots (or
-    # regenerated data) within one session must register a fresh table,
-    # never serve the previously attached location under the same name
-    tag = hashlib.md5(f"{final}:{meta['fingerprint']}".encode()).hexdigest()[:8]
+    # the tag hashes LOCATION + the full staging identity (fingerprint
+    # AND bucket count): switching stage roots, regenerated data, or a
+    # re-stage at a different bucket count within one session must all
+    # register a fresh table — serving new files under a previously
+    # attached (and now wrong) bucket spec would silently corrupt every
+    # bucketed join
+    ident = json.dumps(meta, sort_keys=True)
+    tag = hashlib.md5(f"{final}:{ident}".encode()).hexdigest()[:8]
     tbl = f"gdalos_b_{name}_{_slug(sf_dir)}_{tag}"
     if not spark.catalog.tableExists(tbl):
         schema = spark.read.parquet(final).schema

