@@ -134,6 +134,14 @@ class GdalosSpark:
     def to_czml(self) -> DataFrame:
         return export.raster_to_czml(self.spark, self.sf_dir)
 
+    def to_cog(self, path: str, overwrite: bool = False):
+        """Write the whole DEM as ONE Cloud-Optimized GeoTIFF (full-res
+        + overview IFDs, atomic temp+rename commit, skip-if-exists) —
+        the reference's gdalos_trans output product."""
+        from gdalos_spark.sources.geotiff import write_cog_file
+
+        return write_cog_file(self.spark, self.sf_dir, path, overwrite)
+
     def sample_points(self) -> DataFrame:
         return raster.pixel_lookup(self.spark, self.sf_dir)
 

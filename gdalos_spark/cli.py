@@ -29,7 +29,7 @@ from argparse import ArgumentParser
 
 from pyspark.sql import DataFrame, SparkSession
 
-_WRITE_FORMATS = ("parquet", "csv", "json")
+_WRITE_FORMATS = ("parquet", "csv", "json", "gtiff")
 
 
 def _build_parser() -> ArgumentParser:
@@ -143,6 +143,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         )
         spark.sparkContext.setLogLevel("ERROR")
     eng = GdalosSpark(spark, args.sf_dir)
+
+    if args.of == "gtiff":
+        # the reference's core product: one COG file (gdalos_trans
+        # GTiff/COG driver) — the skip/overwrite protocol lives in the
+        # writer itself (atomic temp+rename)
+        if not args.out_filename:
+            raise SystemExit("-of gtiff requires -o <filename>")
+        from gdalos_spark.sources.geotiff import write_cog_file
+
+        row = write_cog_file(
+            spark, args.sf_dir, args.out_filename, overwrite=args.overwrite
+        )
+        if not args.quiet:
+            print(f"{row['action']}: {row['path']} ({row['n_bytes']} bytes)")
+        return 0
+
     df = _resolve(eng, args)
 
     if args.out_filename:

@@ -580,6 +580,79 @@ def write_cog_scenes(
     )
 
 
+def full_grid_tiff(spark: SparkSession, sf_dir: str, encoder=None) -> DataFrame:
+    """(payload): the WHOLE DEM as one GeoTIFF byte stream — the
+    single-output shape of a `gdalos_trans <in> -o out.tif` job. One
+    bounded group (the raster extent), same applyInPandas stage as the
+    scene writer."""
+    encoder = encoder or _encode_geotiff_cog
+    g = dem_grid(spark, sf_dir).select(
+        "px", "py",
+        (F.col("elev") * 100).cast("long").alias("elev_cents"),
+        F.lit(0).alias("scene_id"),
+    )
+
+    def encode(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from gdalos_spark.datamodel import GRID_H
+
+        vals = pdf["elev_cents"].to_numpy()
+        if (vals == NODATA).any():
+            raise OverflowError(
+                "pixel value equals the NODATA sentinel; use a wider "
+                "sample format for this band"
+            )
+        grid = np.full((GRID_H, GRID_W), NODATA, dtype="int64")
+        grid[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = vals
+        return pd.DataFrame({"payload": [encoder(grid, LON0, LAT0)]})
+
+    return g.groupBy("scene_id").applyInPandas(encode, schema="payload binary")
+
+
+def write_cog_file(
+    spark: SparkSession, sf_dir: str, path: str, overwrite: bool = False
+):
+    """The reference CLI's core product: ONE Cloud-Optimized-GeoTIFF
+    file for the whole dataset (gdalos_trans.py:91 two-step write —
+    temp file, then atomic rename; existing output skipped unless
+    overwrite). Returns the (path, action, n_bytes) row."""
+
+    def write(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                if os.path.exists(path) and not overwrite:
+                    action = "skipped"
+                else:
+                    d = os.path.dirname(os.path.abspath(path))
+                    fd, tmp = tempfile.mkstemp(
+                        dir=d, prefix=f".{os.path.basename(path)}.", suffix=".part"
+                    )
+                    try:
+                        with os.fdopen(fd, "wb") as f:
+                            f.write(bytes(payload))
+                        os.replace(tmp, path)
+                    except BaseException:
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
+                        raise
+                    action = "written"
+                rows.append((path, action, os.path.getsize(path)))
+            yield pd.DataFrame(rows, columns=["path", "action", "n_bytes"])
+
+    out = full_grid_tiff(spark, sf_dir).mapInPandas(
+        write, schema="path string, action string, n_bytes bigint"
+    )
+    return out.collect()[0]  # one row: the job's commit record
+
+
 def _cog_out_dir(sf_dir: str) -> str:
     """Fingerprint-keyed output dir: rerunning over unchanged data skips
     every file (exercising the skip protocol); regenerated testdata gets

@@ -372,3 +372,35 @@ SELECT * FROM ({R.LAYOUT_ADVISOR_SAMPLED_SQL}) sampled_side
 WHERE (SELECT c FROM nrows) > 0
 """
     assert_matches_oracle(spark, ducks, R.layout_advisor_report, delegating)
+
+
+def test_cli_writes_single_cog_file(spark, tmp_path):
+    """`trans <sf> -o out.tif -of gtiff` — the reference CLI's core
+    product: ONE multi-IFD COG, atomic commit, skip-unless-overwrite."""
+    from gdalos_spark.cli import main
+    from gdalos_spark.datamodel import dem_grid
+
+    out = str(tmp_path / "dem.tif")
+    assert main(["cli", "trans", SF_DIR, "-o", out, "-of", "gtiff", "-quiet"],
+                spark=spark) == 0
+    with open(out, "rb") as f:
+        payload = f.read()
+    levels = _decode_cog_levels(payload)
+    assert [g.shape for _, g in levels] == [(64, 64), (32, 32), (16, 16)]
+    expect = {
+        (r["px"], r["py"]): int(r["elev"] * 100)
+        for r in dem_grid(spark, SF_DIR).collect()
+    }
+    base = levels[0][1]
+    ys, xs = np.nonzero(base != NODATA)
+    got = {(int(x), int(y)): int(base[y, x]) for x, y in zip(xs, ys)}
+    assert got == expect
+
+    # skip protocol: second run leaves the file untouched
+    mtime = os.path.getmtime(out)
+    assert main(["cli", "trans", SF_DIR, "-o", out, "-of", "gtiff", "-quiet"],
+                spark=spark) == 0
+    assert os.path.getmtime(out) == mtime
+    # -overwrite rewrites
+    assert main(["cli", "trans", SF_DIR, "-o", out, "-of", "gtiff",
+                 "-overwrite", "-quiet"], spark=spark) == 0
