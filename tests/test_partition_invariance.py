@@ -57,6 +57,17 @@ INVARIANCE_KEYS = [
     "layout_advisor_sampled",
     "dedup_incremental_minhash_stored",
     "streaming_dedup_watermark",
+    # round-9 additions: the COG manifest's per-level aggregates must
+    # reassemble identically from any scene layout; the jpeg/h264
+    # manifests pin the Arrow-batch tiling/bitstream walks; kmeans_train
+    # pins the iterated micro-int centroid trajectory (every round's
+    # doubles must be layout-independent); the trained ADC ranking pins
+    # the per-subspace training + integer distance sort
+    "cog_write_manifest",
+    "multimodal_jpeg_manifest",
+    "multimodal_h264_features",
+    "kmeans_train",
+    "ann_ivfpq_trained_topk",
 ]
 
 
