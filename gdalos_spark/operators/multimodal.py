@@ -1618,11 +1618,13 @@ def multimodal_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the real encode->walk round trip against this SQL certifies that the
 # header walk recovers precisely what the framing encoded.
 MULTIMODAL_MP3_FEATURES_SQL = f"""
-WITH d AS (
-  SELECT doc_id, text, len(text) AS plen,
-         4 + len(text) % 13 AS n_frames,
+WITH d0 AS (SELECT doc_id, CASE WHEN len(text) = 0 THEN chr(0) ELSE text END AS text,
+                  GREATEST(len(text), 1) AS plen FROM documents),
+d AS (
+  SELECT doc_id, text, plen,
+         4 + plen % 13 AS n_frames,
          [44100, 48000, 32000][(ord(substr(text, 1, 1)) % 3) + 1] AS rate
-  FROM documents
+  FROM d0
 ),
 fr AS (
   SELECT doc_id, n_frames, rate,
@@ -1949,7 +1951,8 @@ FROM d
 # below). sum of squares is exact BIGINT, /2048.0 and sqrt are IEEE
 # correctly-rounded in both engines.
 MULTIMODAL_AUDIO_FEATURES_SQL = f"""
-WITH d AS (SELECT doc_id, text, len(text) AS plen FROM documents),
+WITH d AS (SELECT doc_id, CASE WHEN len(text) = 0 THEN chr(0) ELSE text END AS text,
+                  GREATEST(len(text), 1) AS plen FROM documents),
 s AS (
   SELECT doc_id,
          list_transform(range(0, {AUDIO_N_SAMPLES}),
@@ -1976,7 +1979,8 @@ FROM s
 # three channels, so rgb_mean is the byte-arithmetic average — the LZW
 # encode/decode round trip must reproduce it exactly.
 MULTIMODAL_GIF_FRAMES_SQL = f"""
-WITH d AS (SELECT doc_id, text, len(text) AS plen,
+WITH d AS (SELECT doc_id, CASE WHEN len(text) = 0 THEN chr(0) ELSE text END AS text,
+                  GREATEST(len(text), 1) AS plen,
                   2 + (doc_id % 3) * 2 AS n_frames
            FROM documents),
 fr AS (
@@ -2011,7 +2015,8 @@ FROM px
 # arithmetic the operator ships.
 MULTIMODAL_RESIZE_SQL = f"""
 WITH d AS (
-  SELECT doc_id, text, len(text) AS plen,
+  SELECT doc_id, CASE WHEN len(text) = 0 THEN chr(0) ELSE text END AS text,
+                  GREATEST(len(text), 1) AS plen,
          CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS w,
          CAST(64 + (doc_id % 5) * 32 AS BIGINT) AS h
   FROM documents

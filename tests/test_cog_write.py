@@ -404,3 +404,34 @@ def test_cli_writes_single_cog_file(spark, tmp_path):
     # -overwrite rewrites
     assert main(["cli", "trans", SF_DIR, "-o", out, "-of", "gtiff",
                  "-overwrite", "-quiet"], spark=spark) == 0
+
+
+def test_codec_oracles_handle_empty_documents(spark, tmp_path):
+    """The codec oracles normalize an EMPTY document exactly like the
+    Spark sides' `payload or b"\\x00"` (one NUL byte) instead of relying
+    on the corpus never containing one — DuckDB's `% 0` -> NULL and
+    `ord('')` -> -1 would silently diverge."""
+    import duckdb
+
+    from tests.test_round8_ops import _write_docs
+
+    sf = _write_docs(tmp_path, [(1, ""), (2, "hello world"), (3, "x")])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for key in (
+        "multimodal_audio_features",
+        "multimodal_gif_frames",
+        "multimodal_resize",
+        "multimodal_mp3_features",
+        "multimodal_jpeg_manifest",
+        "multimodal_h264_features",
+    ):
+        assert_matches_oracle(
+            spark,
+            con,
+            entrymod.queries()[key],
+            entrymod.oracle_sql()[key],
+            sf_dir=sf,
+        )
