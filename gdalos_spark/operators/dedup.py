@@ -739,8 +739,14 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
             .distinct()
             .localCheckpoint()
         )
-        new_only = small.join(edges, ["u", "v"], "left_anti").count()
-        if new_only == 0 and small.count() == edges.count():
+        # edge-set fixed point = empty symmetric difference; ONE
+        # short-circuiting job (isEmpty) instead of the previous
+        # anti-join count + two counts (both sides are distinct sets,
+        # so the two anti-joins together ARE set equality)
+        sym_diff = small.join(edges, ["u", "v"], "left_anti").union(
+            edges.join(small, ["u", "v"], "left_anti")
+        )
+        if sym_diff.isEmpty():
             edges = small
             converged = True
             break
