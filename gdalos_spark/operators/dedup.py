@@ -202,16 +202,36 @@ BAND_R = 4
 
 
 def _signatures(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    n_hint: int | None = None,
+    collapse: bool | None = None,
 ) -> DataFrame:
-    # materialize the md5 base once per (doc, shingle) row; the 16 perm
-    # mins then reference the cheap column, not 16 md5 evaluations
-    docsh = doc_shingles(spark, sf_dir, docs).select(
-        "doc_id", hash_base(F.col("shingle")).alias("hb")
-    )
-    return docsh.groupBy("doc_id").agg(
-        *[F.min(perm_hash(F.col("hb"), i)).alias(f"m{i}") for i in range(N_PERM)]
-    )
+    """Per-doc minhash signature (doc_id, m0..m15). The shingle+md5 build
+    is the measured CPU floor of the whole minhash family (198 s of the
+    639 s dedup_clusters run at sf100), and it is a pure function of the
+    text — so it runs behind the adaptive distinct-text collapse: replica
+    corpora shingle each distinct text once. ``n_hint`` sizes the
+    adaptive gate when the caller passes an explicit ``docs`` subset
+    (parquet footers for full-corpus callers; omitted = direct plan, the
+    safe choice for unknown-size batches)."""
+    if docs is None:
+        if n_hint is None:
+            n_hint = _docs_footer_count(sf_dir)
+        docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+
+    def build(d: DataFrame) -> DataFrame:
+        # materialize the md5 base once per (doc, shingle) row; the 16 perm
+        # mins then reference the cheap column, not 16 md5 evaluations
+        docsh = doc_shingles(spark, sf_dir, d).select(
+            "doc_id", hash_base(F.col("shingle")).alias("hb")
+        )
+        return docsh.groupBy("doc_id").agg(
+            *[F.min(perm_hash(F.col("hb"), i)).alias(f"m{i}") for i in range(N_PERM)]
+        )
+
+    return collapse_by_text(docs, build, n_hint or 0, collapse)
 
 
 def _sig_sql() -> str:
@@ -226,6 +246,75 @@ def _sig_sql() -> str:
 
 
 COLLAPSE_MIN_DOCS = 200_000  # below this the pair distinct is cheap regardless
+
+# distinct-text collapse: engage only when >=5% of docs are exact replicas
+TEXT_COLLAPSE_DISTINCT_FRAC = 0.95
+# md5(NULL) is NULL in both engines; group NULL-text docs under a sentinel
+# that can never collide with an md5 hex digest so the join-back stays an
+# ordinary equi-join (no null-safe comparison in the shuffle key)
+_TH_NULL = "\x00null"
+
+
+def collapse_by_text(
+    docs: DataFrame,
+    build,
+    n_src: int,
+    collapse: bool | None = None,
+) -> DataFrame:
+    """Adaptive distinct-text collapse around a per-doc derivation that is
+    a pure function of ``text``: exact-replica documents (ubiquitous in
+    crawl corpora — and the dominant structure of the upscaled test
+    corpora) pay the shingle+md5 CPU once per DISTINCT text instead of
+    once per copy. ``build`` receives a subset of ``docs`` rows and must
+    return one row per input doc keyed by ``doc_id`` with every other
+    column depending on the text alone — identical text therefore implies
+    an identical row, so re-attaching the representative's row to every
+    group member is result-IDENTICAL to the direct computation (pinned by
+    tests/test_text_collapse.py against the direct plan on a replica
+    corpus).
+
+    Physical shape: one cheap md5-per-doc pass groups docs by content
+    hash (only (doc_id, th) rows shuffle — text never leaves the scan);
+    the representative rows are selected by a semi-join on doc_id whose
+    build side is just the distinct rep ids (AQE broadcasts it while it
+    fits — ~8 B/distinct text); the heavy per-doc build then runs over
+    distinct texts only, and two narrow joins fan the rows back out.
+
+    Adaptive exactly like the signature-group collapse downstream:
+    ``n_src`` below COLLAPSE_MIN_DOCS short-circuits to the direct plan
+    with no job at all (the sf0.1 bench path), and above it one aggregate
+    over the content-hash groups bails out when >=95% of texts are
+    distinct (nothing to collapse — the extra joins would be pure
+    overhead). ``collapse=True/False`` forces the choice (tests)."""
+    if collapse is False or (collapse is None and n_src < COLLAPSE_MIN_DOCS):
+        return build(docs)
+    th_col = (
+        F.when(F.col("text").isNull(), F.lit(_TH_NULL))
+        .otherwise(F.md5("text"))
+        .alias("th")
+    )
+    th = docs.select("doc_id", th_col).persist()
+    tgroups = (
+        th.groupBy("th")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    if collapse is None:
+        n_texts, n_docs = tgroups.agg(F.count(F.lit(1)), F.sum("k")).first()
+        if n_texts >= TEXT_COLLAPSE_DISTINCT_FRAC * n_docs:
+            th.unpersist()
+            tgroups.unpersist()
+            return build(docs)
+    reps = docs.join(
+        tgroups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    rep_out = build(reps)
+    payload = [c for c in rep_out.columns if c != "doc_id"]
+    return (
+        th.join(tgroups.select("th", "rep_id"), "th")
+        .join(rep_out.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select("doc_id", *payload)
+    )
 
 
 def _docs_footer_count(sf_dir: str) -> int:
@@ -317,7 +406,7 @@ def dedup_minhash_lsh(
     n_src = docs.count() if docs is not None else _docs_footer_count(sf_dir)
     if n_src < COLLAPSE_MIN_DOCS:
         return _minhash_pairs(spark, sf_dir, docs).distinct()
-    sig = _signatures(spark, sf_dir, docs).persist()
+    sig = _signatures(spark, sf_dir, docs, n_hint=n_src).persist()
     mcols = [f"m{i}" for i in range(N_PERM)]
     groups = sig.groupBy(*mcols).agg(
         F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("k")
@@ -455,26 +544,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     build fingerprints; the byte join is the hamming-band trick.
     Features are word 3-grams, not tokens — token sets are near-identical
     across same-vocabulary documents and would collapse the fingerprint."""
-    # materialize the 60-bit md5 hash once per (doc, shingle) row; the 32
-    # bit-vote sums then read the column instead of re-hashing
-    doctok = doc_shingles(spark, sf_dir).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint").alias("h"),
-    )
-    hc = F.col("h")
-    votes = doctok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(hc, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
+    n_src = _docs_footer_count(sf_dir)
+
+    def build_fp(d: DataFrame) -> DataFrame:
+        # materialize the 60-bit md5 hash once per (doc, shingle) row; the
+        # 32 bit-vote sums then read the column instead of re-hashing
+        doctok = doc_shingles(spark, sf_dir, d).select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        hc = F.col("h")
+        votes = doctok.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(hc, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"s{j}")
+                for j in range(SIM_BITS)
+            ]
+        )
+        simhash = sum(
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
             for j in range(SIM_BITS)
-        ]
-    )
-    simhash = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(SIM_BITS)
-    ).cast("bigint")
-    # both sides of the self-join reuse the per-doc fingerprint table
-    fp = votes.select("doc_id", simhash.alias("simhash")).persist()
+        ).cast("bigint")
+        return votes.select("doc_id", simhash.alias("simhash"))
+
+    # both sides of the self-join reuse the per-doc fingerprint table;
+    # the shingle+vote build runs once per DISTINCT text (adaptive)
+    fp = collapse_by_text(
+        split_for_cpu(load(spark, sf_dir, "documents"), "doc_id"), build_fp, n_src
+    ).persist()
 
     def byte_pairs(t: DataFrame) -> DataFrame:
         """Byte-band self-join + inline hamming over any (doc_id,
@@ -520,7 +620,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over distinct fingerprints only, then expand through the member
     # map. Identical fingerprints always share all four bytes and have
     # hamming 0, so in-group pairs are a constant-payload self pair.
-    if _docs_footer_count(sf_dir) >= COLLAPSE_MIN_DOCS:
+    if n_src >= COLLAPSE_MIN_DOCS:
         groups = fp.groupBy("simhash").agg(
             F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("k")
         ).persist()
@@ -789,7 +889,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction) gates.
     """
     docs = load(spark, sf_dir, "documents")
-    sig = _signatures(spark, sf_dir, split_for_cpu(docs, "doc_id")).persist()
+    sig = _signatures(
+        spark, sf_dir, split_for_cpu(docs, "doc_id"), n_hint=_docs_footer_count(sf_dir)
+    ).persist()
     mcols = [f"m{i}" for i in range(N_PERM)]
     sgroups = sig.groupBy(*mcols).agg(F.min("doc_id").alias("srep"))
     # star edges: signature-identical docs -> their min member (always
@@ -1793,7 +1895,13 @@ def signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents").filter(
             (F.col("doc_id") % INC_BATCH_MOD) != INC_BATCH_REM
         )
-        sig = _signatures(spark, sf_dir, split_for_cpu(docs, "doc_id"))
+        sig = _signatures(
+            spark,
+            sf_dir,
+            split_for_cpu(docs, "doc_id"),
+            # index side is ~90% of the corpus; footers size the gate
+            n_hint=_docs_footer_count(sf_dir) * (INC_BATCH_MOD - 1) // INC_BATCH_MOD,
+        )
         mcols = [f"m{i}" for i in range(N_PERM)]
         store = sig.groupBy(*mcols).agg(F.min("doc_id").alias("idx_id"))
         store.write.mode("overwrite").parquet(path)
@@ -1823,7 +1931,13 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
     batch_docs = load(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
     )
-    sig = _signatures(spark, sf_dir, split_for_cpu(batch_docs, "doc_id"))
+    sig = _signatures(
+        spark,
+        sf_dir,
+        split_for_cpu(batch_docs, "doc_id"),
+        # the batch is 1/INC_BATCH_MOD of the corpus
+        n_hint=_docs_footer_count(sf_dir) // INC_BATCH_MOD,
+    )
     ms = [F.col(f"m{i}") for i in range(N_PERM)]
     mcols = [f"m{i}" for i in range(N_PERM)]
     # collapse batch docs to distinct signatures too (replica cliques)

@@ -208,29 +208,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dash-joined ascending) — a compact signature that is stable under
     small edits, unlike the content hash. Entirely array ops on the
     document row: no explode, no window, no shuffle — a narrow
-    map-only pipeline at any scale."""
-    from gdalos_spark.operators.dedup import shingles3
+    map-only pipeline at small scale, and once per DISTINCT text behind
+    the adaptive distinct-text collapse above COLLAPSE_MIN_DOCS (the
+    sketch is a pure function of the text, so the collapse is
+    result-identical; the md5 gram CPU was the measured 21 s cost at
+    the replica-heavy sf10 upscale)."""
+    from gdalos_spark.operators.dedup import (
+        _docs_footer_count,
+        collapse_by_text,
+        shingles3,
+    )
 
     # parallelize the per-doc md5 pipeline when the table arrives as one
     # input split (split-starved scans only; skipped when the scan is wide)
     docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
-    hashes = F.array_sort(
-        F.transform(
-            F.array_distinct(shingles3(F.col("text"))),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+
+    def build(d: DataFrame) -> DataFrame:
+        hashes = F.array_sort(
+            F.transform(
+                F.array_distinct(shingles3(F.col("text"))),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            )
         )
-    )
-    d = docs.select("doc_id", F.md5("text").alias("content_hash"), hashes.alias("hs"))
-    sketch = F.concat_ws(
-        "-", F.transform(F.slice(F.col("hs"), 1, SKETCH_K), lambda x: x.cast("string"))
-    )
-    return d.select(
-        "doc_id",
-        "content_hash",
-        sketch.alias("fingerprint"),
-        F.least(F.size("hs"), F.lit(SKETCH_K)).cast("int").alias("k_used"),
-        F.size("hs").cast("bigint").alias("n_shingles"),
-    )
+        dd = d.select(
+            "doc_id", F.md5("text").alias("content_hash"), hashes.alias("hs")
+        )
+        sketch = F.concat_ws(
+            "-",
+            F.transform(F.slice(F.col("hs"), 1, SKETCH_K), lambda x: x.cast("string")),
+        )
+        return dd.select(
+            "doc_id",
+            "content_hash",
+            sketch.alias("fingerprint"),
+            F.least(F.size("hs"), F.lit(SKETCH_K)).cast("int").alias("k_used"),
+            F.size("hs").cast("bigint").alias("n_shingles"),
+        )
+
+    # every output column is a pure function of the text, so above
+    # COLLAPSE_MIN_DOCS the per-doc pipeline runs once per DISTINCT text
+    # behind the adaptive distinct-text collapse (result-identical)
+    return collapse_by_text(docs, build, _docs_footer_count(sf_dir))
 
 
 DOC_FINGERPRINT_SQL = f"""
