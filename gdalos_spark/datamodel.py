@@ -156,23 +156,31 @@ def publish_staged_dir(build, final_dir: str, fingerprint: str) -> str:
     return final_dir
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name in ("orders", "lineitem"):
-        # serve the orderkey-bucketed copy when one is staged for this
-        # exact source fingerprint (sources/bucketed.py): the repeated
-        # orders⋈lineitem edge then plans bucket-to-bucket, zero
-        # exchanges — the layout contract that survives 100 TB
-        from gdalos_spark.sources import bucketed
-
-        bt = bucketed.attach(spark, sf_dir, name)
-        if bt is not None:
-            return bt
+def read_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The plain parquet scan with load()'s value normalization but no
+    layout substitution — what staging helpers read so their copies are
+    value-identical to the un-staged path."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and not isinstance(df.schema["ts"].dataType, TimestampType):
         # normalize ts to a zone-adjusted TIMESTAMP whose internal micros
         # equal the stored epoch value, whatever type the scan produced
         df = df.withColumn("ts", F.timestamp_micros(epoch_micros(df)))
     return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from gdalos_spark.sources import bucketed
+
+    if name in bucketed.BUCKETED_FACTS:
+        # serve the bucketed copy when one is staged for this exact
+        # source fingerprint (sources/bucketed.py): the repeated
+        # orders⋈lineitem edge then plans bucket-to-bucket and the
+        # user_id window family reads pre-clustered, pre-sorted events —
+        # zero exchanges, the layout contract that survives 100 TB
+        bt = bucketed.attach(spark, sf_dir, name)
+        if bt is not None:
+            return bt
+    return read_plain(spark, sf_dir, name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

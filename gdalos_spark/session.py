@@ -24,6 +24,12 @@ def get_spark(app_name: str = "gdalos_spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bucketed scans report their SORTED BY order when each bucket is
+        # one file (write_bucketed guarantees that): sort-merge joins and
+        # user_id-window plans over staged facts then skip the Sort too,
+        # not just the Exchange. Off by default upstream only because
+        # multi-file buckets can't claim order — ours can't be multi-file.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

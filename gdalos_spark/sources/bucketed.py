@@ -24,11 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 8
 
-# The facts the default loader serves bucketed when a staged copy exists.
-# Both bucket on orderkey: it is THE repeated fact-join edge (Q3/Q5/Q21
-# family) — at 100 TB every orders⋈lineitem runs bucket-to-bucket with
-# zero exchanges once the ingest shuffle is paid.
-BUCKETED_FACTS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+# The facts the default loader serves bucketed when a staged copy exists,
+# as name -> (bucket key, sort columns). orders/lineitem bucket on
+# orderkey: it is THE repeated fact-join edge (Q3/Q5/Q21 family) — at
+# 100 TB every orders⋈lineitem runs bucket-to-bucket with zero exchanges
+# once the ingest shuffle is paid. events buckets on user_id and sorts
+# (user_id, ts, event_id): that is the `Window.partitionBy("user_id")
+# .orderBy("ts", ...)` requirement of the whole sessionize / funnel /
+# retention / streaks family, so with one file per bucket (write_bucketed
+# guarantees it) and bucketed-scan output ordering on (session.py) those
+# plans carry ZERO exchanges AND ZERO sorts.
+BUCKETED_FACTS = {
+    "orders": ("o_orderkey", ()),
+    "lineitem": ("l_orderkey", ()),
+    "events": ("user_id", ("ts", "event_id")),
+}
 STAGE_BUCKETS = 32
 _MARKER = "_STAGED"  # publish_staged_dir's marker; underscore = scan-invisible
 
@@ -39,20 +49,22 @@ def write_bucketed(
     table: str,
     key: str,
     buckets: int = DEFAULT_BUCKETS,
+    sort: tuple[str, ...] = (),
 ) -> None:
-    """Materialize `df` as a bucketed+sorted table on `key`. Spark only
-    records bucketing metadata through the table catalog, so this is a
-    saveAsTable with an explicit path — the parquet layout is plain
-    files plus the bucket spec. The repartition puts each bucket's rows
-    in exactly ONE task → ONE file per bucket, which is what lets the
-    read side report sorted output (multi-file buckets lose the
-    ordering and re-sort under every sort-merge join)."""
+    """Materialize `df` as a bucketed+sorted table on `key` (secondary
+    sort columns via `sort`). Spark only records bucketing metadata
+    through the table catalog, so this is a saveAsTable with an explicit
+    path — the parquet layout is plain files plus the bucket spec. The
+    repartition puts each bucket's rows in exactly ONE task → ONE file
+    per bucket, which is what lets the read side report sorted output
+    (multi-file buckets lose the ordering and re-sort under every
+    sort-merge join or window)."""
     (
         df.repartition(buckets, key)
         .write.mode("overwrite")
         .option("path", path)
         .bucketBy(buckets, key)
-        .sortBy(key)
+        .sortBy(key, *sort)
         .saveAsTable(table)
     )
 
@@ -75,12 +87,20 @@ def _final_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_stage_root(), _slug(sf_dir), name)
 
 
-def _marker_blob(sf_dir: str, name: str, buckets: int, key: str) -> str:
+def _marker_blob(
+    sf_dir: str, name: str, buckets: int, key: str, sort: tuple[str, ...]
+) -> str:
     """The marker CONTENT is the staging identity: source fingerprint,
-    bucket count, and key — sorted-key JSON so string equality is the
-    validity check publish_staged_dir runs."""
+    bucket count, key, and sort columns — sorted-key JSON so string
+    equality is the validity check publish_staged_dir runs. Adding the
+    sort field restages any copy written under an older spec."""
     return json.dumps(
-        {"buckets": buckets, "fingerprint": _fingerprint(sf_dir, name), "key": key},
+        {
+            "buckets": buckets,
+            "fingerprint": _fingerprint(sf_dir, name),
+            "key": key,
+            "sort": list(sort),
+        },
         sort_keys=True,
     )
 
@@ -104,21 +124,28 @@ def stage_facts(
     — so a concurrent reader only ever sees a complete store and a
     failed build leaves no temp droppings. Returns the table names
     staged this call (empty when everything was already current)."""
-    from gdalos_spark.datamodel import publish_staged_dir
+    from gdalos_spark.datamodel import publish_staged_dir, read_plain
 
     staged: list[str] = []
-    for name, key in BUCKETED_FACTS.items():
+    for name, (key, sort) in BUCKETED_FACTS.items():
+        if not os.path.exists(f"{sf_dir}/{name}.parquet"):
+            continue  # partial source dirs stage what they have
         final = _final_dir(sf_dir, name)
-        blob = _marker_blob(sf_dir, name, buckets, key)
+        blob = _marker_blob(sf_dir, name, buckets, key, sort)
         meta = _marker_meta(final)
         if meta is not None and json.dumps(meta, sort_keys=True) == blob:
             continue
 
-        def build(path: str, name: str = name, key: str = key) -> None:
+        def build(
+            path: str, name: str = name, key: str = key, sort: tuple = sort
+        ) -> None:
             tmp_table = f"gdalos_stage_{name}_{os.urandom(6).hex()}"
             try:
-                src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-                write_bucketed(src, path, tmp_table, key, buckets)
+                # read_plain applies load()'s scan normalization (events
+                # ts -> zone-adjusted TIMESTAMP) so the staged copy is
+                # value-identical to what the plain path would serve
+                src = read_plain(spark, sf_dir, name)
+                write_bucketed(src, path, tmp_table, key, buckets, sort)
             finally:
                 spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # files stay
 
@@ -136,13 +163,17 @@ def attach(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     bucket-id-named, Spark trusts the spec. The marker's fingerprint
     gates staleness: regenerated testdata silently falls back to the
     plain parquet scan until someone re-stages."""
-    key = BUCKETED_FACTS.get(name)
-    if key is None:
+    spec = BUCKETED_FACTS.get(name)
+    if spec is None:
         return None
+    key = spec[0]
     final = _final_dir(sf_dir, name)
     meta = _marker_meta(final)
     if not meta or meta.get("fingerprint") != _fingerprint(sf_dir, name):
         return None
+    # pre-sort-field markers carry no "sort"; the DDL below must match
+    # what was actually written, so take the sort list from the marker
+    sort_cols = [key] + list(meta.get("sort", []))
     # the tag hashes LOCATION + the full staging identity (fingerprint
     # AND bucket count): switching stage roots, regenerated data, or a
     # re-stage at a different bucket count within one session must all
@@ -155,9 +186,10 @@ def attach(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     if not spark.catalog.tableExists(tbl):
         schema = spark.read.parquet(final).schema
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        sorted_by = ", ".join(f"`{c}`" for c in sort_cols)
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING parquet "
-            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"CLUSTERED BY (`{key}`) SORTED BY ({sorted_by}) "
             f"INTO {meta['buckets']} BUCKETS LOCATION '{final}'"
         )
     return spark.table(tbl)

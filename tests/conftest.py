@@ -20,7 +20,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # Pin the bucketed-stage root to a fresh empty dir so test plans are
+    # deterministic (a bench run staging /tmp/gdalos_bucketed for the
+    # test SF must not flip the suite's plan shapes mid-round). Bucketed
+    # coverage opts in explicitly via test_bucketed.py's monkeypatched
+    # roots.
+    os.environ["GDALOS_BUCKETED_ROOT"] = str(tmp_path_factory.mktemp("bucketed_off"))
     s = get_spark("gdalos_spark_tests", shuffle_partitions=8)
     yield s
     s.stop()

@@ -58,7 +58,7 @@ def test_default_loader_serves_staged_bucketed_facts(spark, monkeypatch, tmp_pat
     monkeypatch.setenv("GDALOS_BUCKETED_ROOT", root)
 
     staged = bucketed.stage_facts(spark, SF_DIR, buckets=4)
-    assert set(staged) == {"orders", "lineitem"}
+    assert set(staged) == {"orders", "lineitem", "events"}
     # idempotent: same fingerprint re-stages nothing
     assert bucketed.stage_facts(spark, SF_DIR, buckets=4) == []
 
@@ -104,3 +104,30 @@ def test_attach_rejects_stale_fingerprint(spark, monkeypatch, tmp_path_factory, 
     assert bucketed.attach(spark, str(sf_copy), "orders") is not None
     os.utime(sf_copy / "orders.parquet")  # new mtime -> new fingerprint
     assert bucketed.attach(spark, str(sf_copy), "orders") is None
+
+
+def test_default_loader_serves_bucketed_events_window(spark, monkeypatch, tmp_path_factory):
+    """The user_id window family (sessionize/funnel/retention/streaks)
+    over staged events must carry ZERO exchanges and ZERO sorts: the
+    bucket spec satisfies the window's ClusteredDistribution and the
+    (user_id, ts, event_id) SORTED BY — one file per bucket — satisfies
+    its required ordering. Values pinned against the plain-scan path."""
+    from gdalos_spark.operators.relational import events_sessionize
+    from gdalos_spark.sources import bucketed
+
+    root = str(tmp_path_factory.mktemp("bucketed_root_ev"))
+    monkeypatch.setenv("GDALOS_BUCKETED_ROOT", root)
+    assert "events" in bucketed.stage_facts(spark, SF_DIR, buckets=4)
+
+    q = events_sessionize(spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "gdalos_b_events" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # the only Sort allowed is the final presentation orderBy (a range
+    # exchange), not a hashpartitioning-feeding window sort
+    win_part = plan[plan.index("Window") :] if "Window" in plan else plan
+    assert "Sort [user_id" not in win_part.replace("#", " #"), plan
+    rows_bucketed = [tuple(r) for r in q.collect()]
+    monkeypatch.setenv("GDALOS_BUCKETED_ROOT", str(tmp_path_factory.mktemp("empty_ev")))
+    rows_plain = [tuple(r) for r in events_sessionize(spark, SF_DIR).collect()]
+    assert rows_bucketed == rows_plain

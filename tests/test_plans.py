@@ -238,7 +238,9 @@ def test_asof_join_is_single_shuffle_window(spark):
     degenerate to BNLJ."""
     df = q(spark, "asof_join_enrich")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # one exchange on the plain scan; ZERO when the loader serves the
+    # user_id-bucketed events (the scan itself carries the distribution)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct",
                        "SortMergeJoin", "BroadcastHashJoin")
 
