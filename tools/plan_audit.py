@@ -37,7 +37,12 @@ PATTERNS = {
     "single_exchanges": r"Exchange SinglePartition",
     "sorts": r"\bSort \[",
     "python_eval": r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
-    "cartesian": r"CartesianProduct|BroadcastNestedLoopJoin",
+    # CartesianProduct is always a defect; BroadcastNestedLoopJoin is
+    # counted separately because the catalog's instances are 1-row
+    # scalar-aggregate broadcasts (join with a stats frame) — benign by
+    # construction, pinned by test_plans' no-cartesian invariants.
+    "cartesian": r"CartesianProduct",
+    "bnlj": r"BroadcastNestedLoopJoin",
     "bhj": r"BroadcastHashJoin",
     "smj": r"SortMergeJoin",
 }
