@@ -88,14 +88,34 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is small relative to lineitem → explicit broadcast; the
     orders⋈lineitem join shuffles on orderkey (AQE coalesces).
     """
+    from gdalos_spark.datamodel import footer_count
+
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    if footer_count(sf_dir, "orders") <= CUSTKEY_BROADCAST_MAX_ROWS * 10:
+        # small regime: ship the filtered, customer-joined orders to every
+        # task — the lineitem side then never leaves its scan layout
+        enriched = F.broadcast(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        )
+    else:
+        # large regime: a fact-sized frame must not broadcast. customer
+        # is filter-only here (no customer column survives), so the
+        # custkey edge is a SEMI join against the key projection —
+        # 8 B/row build side, AQE broadcasts it while it fits and the
+        # orders scan keeps its bucketed layout either way; the orderkey
+        # SMJ below is then exchange-free on BOTH sides. Identical to
+        # the inner join because c_custkey is unique.
+        enriched = orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "leftsemi",
+        )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-                F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(enriched, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).alias("rev"))
         .orderBy(F.desc("rev"), "l_orderkey")
@@ -127,12 +147,30 @@ LIMIT 10
 """
 
 
+# Above this many customer rows the Q3/Q5 custkey edge abandons the
+# customer broadcast: a 100-TB-scale customer dim cannot ship to every
+# executor, so the plan pre-joins customer into a NARROW orders frame
+# first (custkey SMJ over small projections — exchange-free on the
+# customer side when the bucketed layout is staged), then hits lineitem
+# on the orderkey edge where the bucketed fact layout already removes
+# the big shuffle. The 600M-row orders⋈lineitem intermediate never
+# shuffles on custkey under this shape. Result-identical (decimal sums
+# are order-insensitive); driver scale factors stay on the broadcast
+# plan below the gate.
+CUSTKEY_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-style 5-way join: revenue by nation within a region.
 
-    nation/region/supplier/customer all broadcast; only the
-    orders⋈lineitem edge shuffles.
+    nation/region/supplier broadcast. customer broadcasts below
+    CUSTKEY_BROADCAST_MAX_ROWS; above it (parquet-footer count, no job)
+    the custkey edge runs as an SMJ of two NARROW projections BEFORE the
+    lineitem join, so the fat fact intermediate never shuffles on
+    custkey and nothing dim-sized broadcasts.
     """
+    from gdalos_spark.datamodel import footer_count
+
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -141,13 +179,24 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+    if footer_count(sf_dir, "customer") > CUSTKEY_BROADCAST_MAX_ROWS:
+        # narrow custkey edge first: (o_orderkey, c_nationkey) is all the
+        # downstream plan needs from the customer side
+        enriched = orders.select("o_orderkey", "o_custkey").join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("o_orderkey", "c_nationkey")
+        joined = li.join(enriched, li.l_orderkey == F.col("o_orderkey"))
+    else:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        joined
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter((F.col("r_name") == "ASIA") & (cust.c_nationkey == sup.s_nationkey))
+        .filter((F.col("r_name") == "ASIA") & (F.col("c_nationkey") == sup.s_nationkey))
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

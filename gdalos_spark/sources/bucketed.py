@@ -38,6 +38,12 @@ BUCKETED_FACTS = {
     "orders": ("o_orderkey", ()),
     "lineitem": ("l_orderkey", ()),
     "events": ("user_id", ("ts", "event_id")),
+    # customer buckets on custkey: with orders projected to a narrow
+    # (o_orderkey, o_custkey[, ...]) frame, the Q3/Q5 custkey edge at
+    # scale becomes an SMJ whose customer side is exchange-free — the
+    # alternative (broadcasting a 100-TB-scale customer dim) dies on a
+    # real cluster even where local[32] survives it.
+    "customer": ("c_custkey", ()),
 }
 STAGE_BUCKETS = 32
 _MARKER = "_STAGED"  # publish_staged_dir's marker; underscore = scan-invisible

@@ -58,7 +58,7 @@ def test_default_loader_serves_staged_bucketed_facts(spark, monkeypatch, tmp_pat
     monkeypatch.setenv("GDALOS_BUCKETED_ROOT", root)
 
     staged = bucketed.stage_facts(spark, SF_DIR, buckets=4)
-    assert set(staged) == {"orders", "lineitem", "events"}
+    assert set(staged) == {"orders", "lineitem", "events", "customer"}
     # idempotent: same fingerprint re-stages nothing
     assert bucketed.stage_facts(spark, SF_DIR, buckets=4) == []
 
@@ -131,3 +131,26 @@ def test_default_loader_serves_bucketed_events_window(spark, monkeypatch, tmp_pa
     monkeypatch.setenv("GDALOS_BUCKETED_ROOT", str(tmp_path_factory.mktemp("empty_ev")))
     rows_plain = [tuple(r) for r in events_sessionize(spark, SF_DIR).collect()]
     assert rows_bucketed == rows_plain
+
+
+def test_large_regime_custkey_edge(spark, monkeypatch, tmp_path_factory):
+    """Above CUSTKEY_BROADCAST_MAX_ROWS the Q3/Q5 custkey edge must stop
+    broadcasting fact-sized frames: top_orders runs the semi-join + SMJ
+    shape with ZERO hash exchanges over the staged layout, and both keys
+    stay value-identical to the small-regime (broadcast) plan."""
+    import gdalos_spark.operators.relational as R
+    from gdalos_spark.sources import bucketed
+
+    small_t = [tuple(r) for r in R.top_orders(spark, SF_DIR).collect()]
+    small_r = [tuple(r) for r in R.region_volume(spark, SF_DIR).collect()]
+
+    root = str(tmp_path_factory.mktemp("bucketed_root_lr"))
+    monkeypatch.setenv("GDALOS_BUCKETED_ROOT", root)
+    bucketed.stage_facts(spark, SF_DIR, buckets=4)
+    monkeypatch.setattr(R, "CUSTKEY_BROADCAST_MAX_ROWS", 0)
+
+    t = R.top_orders(spark, SF_DIR)
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert [tuple(r) for r in t.collect()] == small_t
+    assert [tuple(r) for r in R.region_volume(spark, SF_DIR).collect()] == small_r
