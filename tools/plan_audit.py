@@ -2,7 +2,13 @@
 every query's executed plan and write a per-key inventory.
 
 Usage:
-    python tools/plan_audit.py [--sf DIR] [--out plans_audit.json] [key ...]
+    python tools/plan_audit.py [--sf DIR] [--out plans_audit.json] [--staged] [key ...]
+
+By default the audit pins GDALOS_BUCKETED_ROOT to a fresh empty dir so
+the plans reflect the PLAIN parquet layout regardless of leftover /tmp
+staging; --staged stages the bucketed facts into that private root
+first and audits the layout-served plans instead (diff the two files to
+see which keys the layout strips exchanges/sorts from).
 
 For each `__spark_entry__.queries()` key this builds the DataFrame and
 reads its (pre-execution) executed plan — no job runs for batch keys;
@@ -56,6 +62,7 @@ def main() -> int:
     args = sys.argv[1:]
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     out_path = "plans_audit.json"
+    staged = False
     only: set[str] = set()
     i = 0
     while i < len(args):
@@ -65,14 +72,25 @@ def main() -> int:
         elif args[i] == "--out":
             out_path = args[i + 1]
             i += 2
+        elif args[i] == "--staged":
+            staged = True
+            i += 1
         else:
             only.add(args[i])
             i += 1
+
+    import tempfile
+
+    os.environ["GDALOS_BUCKETED_ROOT"] = tempfile.mkdtemp(prefix="plan_audit_")
 
     from gdalos_spark.session import get_spark
 
     spark = get_spark("plan_audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if staged:
+        from gdalos_spark.sources import bucketed
+
+        bucketed.stage_facts(spark, sf, buckets=8)
     import __spark_entry__ as E
 
     rows: dict[str, dict] = {}
