@@ -88,31 +88,33 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is small relative to lineitem → explicit broadcast; the
     orders⋈lineitem join shuffles on orderkey (AQE coalesces).
     """
-    from gdalos_spark.datamodel import footer_count
-
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
-    if footer_count(sf_dir, "orders") <= CUSTKEY_BROADCAST_MAX_ROWS * 10:
-        # small regime: ship the filtered, customer-joined orders to every
-        # task — the lineitem side then never leaves its scan layout
-        enriched = F.broadcast(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        )
-    else:
-        # large regime: a fact-sized frame must not broadcast. customer
-        # is filter-only here (no customer column survives), so the
-        # custkey edge is a SEMI join against the key projection —
-        # 8 B/row build side, AQE broadcasts it while it fits and the
-        # orders scan keeps its bucketed layout either way; the orderkey
-        # SMJ below is then exchange-free on BOTH sides. Identical to
-        # the inner join because c_custkey is unique.
+    if _custkey_large_regime(
+        spark, sf_dir, "orders", CUSTKEY_BROADCAST_MAX_ROWS * 10, "orders"
+    ):
+        # large regime (bucketed layout staged): a fact-sized frame must
+        # not broadcast. customer is filter-only here (no customer column
+        # survives), so the custkey edge is a SEMI join against the key
+        # projection — 8 B/row build side, AQE broadcasts it while it
+        # fits and the orders scan keeps its bucketed layout either way;
+        # the orderkey SMJ below is then exchange-free on BOTH sides.
+        # Identical to the inner join because c_custkey is unique.
         enriched = orders.join(
             cust.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "leftsemi",
+        )
+    else:
+        # small / unstaged regime: ship the filtered, customer-joined
+        # orders to every task — the lineitem side then never leaves its
+        # scan layout (2x faster than the SMJ tree on plain parquet,
+        # BASELINE.md sf100 A/B)
+        enriched = F.broadcast(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         )
     return (
         li.join(enriched, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -147,17 +149,38 @@ LIMIT 10
 """
 
 
-# Above this many customer rows the Q3/Q5 custkey edge abandons the
-# customer broadcast: a 100-TB-scale customer dim cannot ship to every
-# executor, so the plan pre-joins customer into a NARROW orders frame
-# first (custkey SMJ over small projections — exchange-free on the
-# customer side when the bucketed layout is staged), then hits lineitem
-# on the orderkey edge where the bucketed fact layout already removes
-# the big shuffle. The 600M-row orders⋈lineitem intermediate never
-# shuffles on custkey under this shape. Result-identical (decimal sums
-# are order-insensitive); driver scale factors stay on the broadcast
-# plan below the gate.
+# Above this many customer rows — AND only when the bucketed fact
+# layout is actually staged — the Q3/Q5 custkey edge abandons fact-sized
+# broadcasts: a 100-TB-scale frame cannot ship to every executor, so the
+# plan pre-joins customer into a NARROW orders frame first (custkey SMJ,
+# exchange-free on the bucketed customer side), then hits lineitem on
+# the orderkey edge where the bucketed layout removes the big shuffle.
+# The fat orders⋈lineitem intermediate never shuffles on custkey under
+# this shape. Result-identical (decimal sums are order-insensitive).
+# Both halves of the gate are measured, not guessed (BASELINE.md sf100
+# A/B): WITHOUT the layout the broadcast tree wins locally by 2x
+# (region_volume 229 vs 373 s — the narrow shape just adds shuffles),
+# so plain layouts keep it at every size; WITH the layout the narrow
+# shape is wall-parity locally (88 vs 81 s) while deleting the
+# 240 MB-per-executor customer broadcast and the fact exchange — the
+# costs that dominate on a real cluster.
 CUSTKEY_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _custkey_large_regime(
+    spark: SparkSession,
+    sf_dir: str,
+    count_table: str,
+    threshold: int,
+    attach_table: str,
+) -> bool:
+    from gdalos_spark.datamodel import footer_count
+    from gdalos_spark.sources import bucketed
+
+    return (
+        footer_count(sf_dir, count_table) > threshold
+        and bucketed.attach(spark, sf_dir, attach_table) is not None
+    )
 
 
 def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,8 +192,6 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem join, so the fat fact intermediate never shuffles on
     custkey and nothing dim-sized broadcasts.
     """
-    from gdalos_spark.datamodel import footer_count
-
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -179,7 +200,9 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
-    if footer_count(sf_dir, "customer") > CUSTKEY_BROADCAST_MAX_ROWS:
+    if _custkey_large_regime(
+        spark, sf_dir, "customer", CUSTKEY_BROADCAST_MAX_ROWS, "customer"
+    ):
         # narrow custkey edge first: (o_orderkey, c_nationkey) is all the
         # downstream plan needs from the customer side
         enriched = orders.select("o_orderkey", "o_custkey").join(
