@@ -130,8 +130,9 @@ def main() -> None:
     # ingest" contract, exercised the way a real deployment would.
     # SPARK_GRAFT_SKIP_STAGE=1 skips the ingest staging — the A/B knob for
     # measuring the plain-parquet arm (pair it with a throwaway
-    # GDALOS_BUCKETED_ROOT so attach() finds nothing).
-    if not os.environ.get("SPARK_GRAFT_SKIP_STAGE"):
+    # GDALOS_BUCKETED_ROOT so attach() finds nothing). Compared against
+    # the literal "1" so =0/false doesn't silently skip.
+    if os.environ.get("SPARK_GRAFT_SKIP_STAGE") != "1":
         try:
             from gdalos_spark.sources.bucketed import stage_facts
 

@@ -254,6 +254,24 @@ TEXT_COLLAPSE_DISTINCT_FRAC = 0.95
 # ordinary equi-join (no null-safe comparison in the shuffle key)
 _TH_NULL = "\x00null"
 
+# Caches persisted by the PREVIOUS collapse_by_text call: the (doc_id, md5)
+# frames must stay cached until the caller materializes the returned plan,
+# so each new collapse (or an explicit release) frees the prior pair —
+# bounding a long session to at most one query's worth of cached hashes
+# instead of leaking a pair per dedup/fingerprint query.
+_COLLAPSE_CACHES: list[DataFrame] = []
+
+
+def release_collapse_caches() -> None:
+    """Unpersist the (doc_id, md5) frames cached by the most recent
+    collapse_by_text call. Safe any time after the caller has
+    materialized the returned DataFrame."""
+    while _COLLAPSE_CACHES:
+        try:
+            _COLLAPSE_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+
 
 def collapse_by_text(
     docs: DataFrame,
@@ -288,6 +306,7 @@ def collapse_by_text(
     overhead). ``collapse=True/False`` forces the choice (tests)."""
     if collapse is False or (collapse is None and n_src < COLLAPSE_MIN_DOCS):
         return build(docs)
+    release_collapse_caches()
     th_col = (
         F.when(F.col("text").isNull(), F.lit(_TH_NULL))
         .otherwise(F.md5("text"))
@@ -301,7 +320,10 @@ def collapse_by_text(
     )
     if collapse is None:
         n_texts, n_docs = tgroups.agg(F.count(F.lit(1)), F.sum("k")).first()
-        if n_texts >= TEXT_COLLAPSE_DISTINCT_FRAC * n_docs:
+        # zero groups -> SUM(k) is NULL: an over-estimated n_hint on a
+        # filtered-empty subset must fall through to the direct plan, not
+        # TypeError on float * None
+        if not n_docs or n_texts >= TEXT_COLLAPSE_DISTINCT_FRAC * n_docs:
             th.unpersist()
             tgroups.unpersist()
             return build(docs)
@@ -309,6 +331,7 @@ def collapse_by_text(
         tgroups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
     rep_out = build(reps)
+    _COLLAPSE_CACHES.extend((th, tgroups))
     payload = [c for c in rep_out.columns if c != "doc_id"]
     return (
         th.join(tgroups.select("th", "rep_id"), "th")

@@ -94,7 +94,8 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
     if _custkey_large_regime(
-        spark, sf_dir, "orders", CUSTKEY_BROADCAST_MAX_ROWS * 10, "orders"
+        spark, sf_dir, "orders", CUSTKEY_BROADCAST_MAX_ROWS * 10,
+        "orders", "lineitem",
     ):
         # large regime (bucketed layout staged): a fact-sized frame must
         # not broadcast. customer is filter-only here (no customer column
@@ -172,14 +173,18 @@ def _custkey_large_regime(
     sf_dir: str,
     count_table: str,
     threshold: int,
-    attach_table: str,
+    *attach_tables: str,
 ) -> bool:
+    """True only when the corpus is past ``threshold`` AND every staged
+    table the narrow shape's win depends on is actually attached — a
+    partially-staged source dir (one fact staged, the other skipped)
+    must keep the broadcast tree, which is 2x faster on plain layouts
+    (BASELINE.md sf100 A/B)."""
     from gdalos_spark.datamodel import footer_count
     from gdalos_spark.sources import bucketed
 
-    return (
-        footer_count(sf_dir, count_table) > threshold
-        and bucketed.attach(spark, sf_dir, attach_table) is not None
+    return footer_count(sf_dir, count_table) > threshold and all(
+        bucketed.attach(spark, sf_dir, t) is not None for t in attach_tables
     )
 
 
@@ -201,7 +206,8 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
     if _custkey_large_regime(
-        spark, sf_dir, "customer", CUSTKEY_BROADCAST_MAX_ROWS, "customer"
+        spark, sf_dir, "customer", CUSTKEY_BROADCAST_MAX_ROWS,
+        "customer", "orders", "lineitem",
     ):
         # narrow custkey edge first: (o_orderkey, c_nationkey) is all the
         # downstream plan needs from the customer side

@@ -238,9 +238,10 @@ def test_asof_join_is_single_shuffle_window(spark):
     degenerate to BNLJ."""
     df = q(spark, "asof_join_enrich")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # one exchange on the plain scan; ZERO when the loader serves the
-    # user_id-bucketed events (the scan itself carries the distribution)
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # conftest pins a fresh empty bucketed root for the suite, so the
+    # plain-scan plan deterministically has exactly one exchange (the
+    # bucketed opt-in zero-exchange shape is pinned in test_bucketed.py)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     assert_not_in_plan(df, "BroadcastNestedLoopJoin", "CartesianProduct",
                        "SortMergeJoin", "BroadcastHashJoin")
 
