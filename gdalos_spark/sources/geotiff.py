@@ -58,8 +58,10 @@ _T_WIDTH, _T_HEIGHT, _T_BPS, _T_COMPRESSION, _T_PHOTOMETRIC = 256, 257, 258, 259
 _T_STRIP_OFFSETS, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_COUNTS = 273, 277, 278, 279
 _T_TILE_W, _T_TILE_H, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 325
 _T_SAMPLE_FORMAT = 339
+_T_PREDICTOR, _T_PLANAR = 317, 284
 _T_MODEL_SCALE, _T_MODEL_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
-_COMP_NONE, _COMP_DEFLATE = 1, 8
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE = 1, 5, 8
+_COMP_PACKBITS, _COMP_DEFLATE_OLD = 32773, 32946
 
 
 _GEOKEYS_4326 = struct.pack(
@@ -82,7 +84,8 @@ def _geo_externs(origin_lon: float, origin_lat: float) -> dict[int, bytes]:
 
 
 def _ifd_segment(
-    entries, extern_vals, blocks, offsets_tag, counts_tag, base: int, next_off: int
+    entries, extern_vals, blocks, offsets_tag, counts_tag, base: int, next_off: int,
+    bo: str = "<",
 ) -> bytes:
     """One IFD segment (directory + out-of-line values + data blocks)
     with ABSOLUTE offsets assuming the segment starts at file offset
@@ -117,29 +120,34 @@ def _ifd_segment(
             body.append(0)
     if nb > 1:
         ext[off_slot - ext_off : off_slot - ext_off + 4 * nb] = struct.pack(
-            f"<{nb}I", *offsets
+            f"{bo}{nb}I", *offsets
         )
         ext[cnt_slot - ext_off : cnt_slot - ext_off + 4 * nb] = struct.pack(
-            f"<{nb}I", *counts
+            f"{bo}{nb}I", *counts
         )
     inline = dict(slots)
     inline[offsets_tag] = offsets[0] if nb == 1 else off_slot
     inline[counts_tag] = counts[0] if nb == 1 else cnt_slot
 
-    out = bytearray(struct.pack("<H", n))
+    out = bytearray(struct.pack(bo + "H", n))
     for tag, typ, count, val in entries:
         if val is None:
             val = inline[tag]
-        out.extend(struct.pack("<HHII", tag, typ, count, val))
-    out.extend(struct.pack("<I", next_off))
+        if typ == 3 and count == 1 and val is not None and bo == ">":
+            # an inline SHORT occupies the LEFT half of the big-endian
+            # value word: shift it so readers see the value, not zero
+            out.extend(struct.pack(">HHIHH", tag, typ, count, val, 0))
+            continue
+        out.extend(struct.pack(bo + "HHII", tag, typ, count, val))
+    out.extend(struct.pack(bo + "I", next_off))
     out.extend(ext)
     out.extend(body)
     return bytes(out)
 
 
-def _assemble_multi(ifds) -> bytes:
+def _assemble_multi(ifds, bo: str = "<") -> bytes:
     """Chain one or more IFD specs — (entries, extern_vals, blocks,
-    offsets_tag, counts_tag) — into a single little-endian TIFF: the
+    offsets_tag, counts_tag) — into a single TIFF (II or MM): the
     multi-resolution file the reference's COG profile produces (full-res
     IFD0 + one reduced-resolution IFD per overview level). Segment
     lengths are offset-independent, so a dry pass with pointer 0 sizes
@@ -147,11 +155,13 @@ def _assemble_multi(ifds) -> bytes:
     bases, base = [], 8
     for spec in ifds:
         bases.append(base)
-        base += len(_ifd_segment(*spec, base=base, next_off=0))
-    out = bytearray(struct.pack("<2sHI", b"II", 42, bases[0]))
+        base += len(_ifd_segment(*spec, base=base, next_off=0, bo=bo))
+    out = bytearray(
+        struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, bases[0])
+    )
     for i, spec in enumerate(ifds):
         nxt = bases[i + 1] if i + 1 < len(ifds) else 0
-        out.extend(_ifd_segment(*spec, base=bases[i], next_off=nxt))
+        out.extend(_ifd_segment(*spec, base=bases[i], next_off=nxt, bo=bo))
     return bytes(out)
 
 
@@ -276,24 +286,219 @@ def _encode_geotiff_cog(grid, origin_lon: float, origin_lat: float, levels: int 
     return _assemble_multi(specs)
 
 
+# --- block codecs for the real-world TIFF flavors GDAL emits -----------
+# The reference ingests arbitrary GDAL rasters (gdalos_util.py open_ds);
+# beyond deflate that means LZW (TIFF 6.0 §13, MSB-first codes with the
+# "early change" width bump libtiff implements) and PackBits (§9), plus
+# horizontal-differencing Predictor=2 (§14) which GDAL pairs with both.
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW: 9->12 bit MSB-first codes, ClearCode=256,
+    EOI=257, code width grows EARLY (when the next free slot reaches
+    2^width - 1). Spec-pinned by tests/test_geotiff_flavors.py against
+    the TIFF 6.0 worked example."""
+    out = bytearray()
+    literals = [bytes([i]) for i in range(256)]
+    table: list[bytes] = []
+    width = 9
+    acc = bits = pos = 0
+    n = len(data)
+    old: bytes | None = None
+    while True:
+        while bits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == 256:  # Clear
+            table = literals + [b"", b""]  # 256/257 placeholders
+            width = 9
+            old = None
+            continue
+        if code == 257:  # EndOfInformation
+            return bytes(out)
+        if old is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = old + old[:1]
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        if old is not None:
+            table.append(old + entry[:1])
+            # early change, seen from the decoder: its table add for a
+            # given emitted code lands one code LATER than the
+            # encoder's, so the width bump fires at next-free-slot
+            # 2^w - 2 to stay aligned with the encoder's 2^w - 1
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        old = entry
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Inverse of _lzw_decode (same early-change discipline; emits Clear
+    when the table fills at 12 bits, like libtiff)."""
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, bits
+        acc = (acc << w) | code
+        bits += w
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)
+    w = b""
+    for ch in data:
+        k = w + bytes([ch])
+        if k in table:
+            w = k
+            continue
+        put(table[w], width)
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:
+                put(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([ch])
+    if w:
+        put(table[w], width)
+    put(257, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        h = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if h >= 0:  # h+1 literal bytes
+            out += data[pos : pos + h + 1]
+            pos += h + 1
+        elif h != -128:  # next byte repeated 1-h times (-128 is a noop)
+            out += data[pos : pos + 1] * (1 - h)
+            pos += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _decompress_block(raw: bytes, comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return raw
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if comp == _COMP_LZW:
+        return _lzw_decode(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_decode(raw)
+    raise ValueError(f"unsupported compression {comp}")
+
+
+def _compress_block(raw: bytes, comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return raw
+    if comp == _COMP_DEFLATE:
+        return zlib.compress(raw, 6)
+    if comp == _COMP_LZW:
+        return _lzw_encode(raw)
+    if comp == _COMP_PACKBITS:
+        return _packbits_encode(raw)
+    raise ValueError(f"unsupported compression {comp}")
+
+
+# (BitsPerSample, SampleFormat) -> numpy dtype char; SampleFormat 1 =
+# unsigned, 2 = signed, 3 = IEEE float (TIFF 6.0 §19 + TIFF/EP)
+_SAMPLE_DTYPES = {
+    (8, 1): "u1", (8, 2): "i1",
+    (16, 1): "u2", (16, 2): "i2",
+    (32, 1): "u4", (32, 2): "i4", (32, 3): "f4",
+    (64, 3): "f8",
+}
+
+
+def _sample_dtype(bps: int, fmt: int, bo: str) -> str:
+    try:
+        base = _SAMPLE_DTYPES[(bps, fmt)]
+    except KeyError:
+        raise ValueError(f"unsupported sample layout bits={bps} fmt={fmt}") from None
+    return ("|" if bps == 8 else bo) + base
+
+
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 12: "d"}
 
+# private pseudo-tag: _read_ifds stashes the stream byte order per
+# directory so _grid_from_tags can size numpy dtypes without a second
+# header parse (public tag ids are all positive)
+_BO_KEY = -1
+
 
 def _read_ifds(buf: bytes) -> list[dict[int, tuple]]:
-    """Walk the FULL IFD chain of a little-endian TIFF; returns one
-    tag -> values dict per directory (IFD0 first, overviews after).
-    Supports BYTE/SHORT/LONG/DOUBLE — the types a GeoTIFF raster
-    directory uses."""
-    magic, version, ifd_off = struct.unpack_from("<2sHI", buf, 0)
-    if magic != b"II" or version != 42:
-        raise ValueError("not a little-endian TIFF 6.0 stream")
+    """Walk the FULL IFD chain of a TIFF (either byte order); returns
+    one tag -> values dict per directory (IFD0 first, overviews after).
+    Supports BYTE/ASCII/SHORT/LONG/DOUBLE — the types a GeoTIFF raster
+    directory uses. Out-of-line SHORT values stored in a LONG slot are
+    handled; inline values shorter than 4 bytes read from the left of
+    the value word per the spec (byte-order dependent)."""
+    magic = bytes(buf[:2])
+    if magic == b"II":
+        bo = "<"
+    elif magic == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    version, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
+    if version != 42:
+        raise ValueError("not a TIFF 6.0 stream")
     out: list[dict[int, tuple]] = []
     while ifd_off:
-        (n,) = struct.unpack_from("<H", buf, ifd_off)
-        tags: dict[int, tuple] = {}
+        (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+        tags: dict[int, tuple] = {_BO_KEY: (bo,)}
         for i in range(n):
-            tag, typ, count, raw = struct.unpack_from("<HHII", buf, ifd_off + 2 + i * 12)
+            tag, typ, count, raw = struct.unpack_from(
+                bo + "HHII", buf, ifd_off + 2 + i * 12
+            )
             if typ not in _TYPE_SIZE:
                 continue
             size = _TYPE_SIZE[typ] * count
@@ -301,9 +506,11 @@ def _read_ifds(buf: bytes) -> list[dict[int, tuple]]:
             if typ == 2:
                 tags[tag] = (buf[off : off + count].split(b"\0")[0].decode("ascii"),)
             else:
-                tags[tag] = struct.unpack_from(f"<{count}{_TYPE_FMT[typ]}", buf, off)
+                tags[tag] = struct.unpack_from(
+                    f"{bo}{count}{_TYPE_FMT[typ]}", buf, off
+                )
         out.append(tags)
-        (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + n * 12)
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + n * 12)
         if len(out) > 64:
             raise ValueError("IFD chain too long (cyclic next pointer?)")
     return out
@@ -315,31 +522,56 @@ def _read_ifd(buf: bytes) -> dict[int, tuple]:
 
 
 def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
-    """Reconstruct one directory's pixel grid (h, w) int32 — tiled OR
-    stripped layout, compression none/deflate."""
+    """Reconstruct one directory's pixel grid — tiled OR stripped
+    layout; compression none/LZW/deflate(+old 32946)/PackBits;
+    uint8/int8/uint16/int16/uint32/int32/float32/float64 samples;
+    horizontal-differencing Predictor=2; chunky multi-band
+    (PlanarConfiguration=1); either byte order. Returns (h, w) for one
+    band, (h, w, spp) for several, in the file's sample dtype."""
     import numpy as np
 
+    bo = tags.get(_BO_KEY, ("<",))[0]
     w, h = tags[_T_WIDTH][0], tags[_T_HEIGHT][0]
     comp = tags.get(_T_COMPRESSION, (_COMP_NONE,))[0]
-    bps = tags.get(_T_BPS, (32,))[0]
-    fmt = tags.get(_T_SAMPLE_FORMAT, (1,))[0]
-    if bps != 32 or fmt != 2:
-        raise ValueError(f"unsupported sample layout bits={bps} fmt={fmt}")
-    if comp not in (_COMP_NONE, _COMP_DEFLATE):
-        raise ValueError(f"unsupported compression {comp}")
+    spp = tags.get(_T_SPP, (1,))[0]
+    bps_all = tags.get(_T_BPS, (32,) * spp)
+    if len(set(bps_all)) != 1:
+        raise ValueError(f"heterogeneous bits-per-sample {bps_all}")
+    bps = bps_all[0]
+    fmt = tags.get(_T_SAMPLE_FORMAT, (1,) * spp)[0]
+    pred = tags.get(_T_PREDICTOR, (1,))[0]
+    planar = tags.get(_T_PLANAR, (1,))[0]
+    dtype = _sample_dtype(bps, fmt, bo)
+    if spp > 1 and planar != 1:
+        raise ValueError(f"unsupported planar configuration {planar}")
+    if pred not in (1, 2):
+        raise ValueError(f"unsupported predictor {pred}")
+    if pred == 2 and fmt == 3:
+        raise ValueError("floating-point predictor not supported")
+
+    def unpack(raw: bytes, rows: int, cols: int):
+        a = np.frombuffer(raw, dtype=dtype, count=rows * cols * spp)
+        a = a.reshape(rows, cols, spp)
+        if pred == 2:
+            # horizontal differencing: undo with a modular row cumsum
+            # per sample channel (C wrap-around semantics match libtiff)
+            a = np.cumsum(a, axis=1, dtype=a.dtype)
+        return a
 
     def blocks(offsets, counts):
         for off, cnt in zip(offsets, counts):
-            raw = payload[off : off + cnt]
-            yield zlib.decompress(raw) if comp == _COMP_DEFLATE else raw
+            yield _decompress_block(payload[off : off + cnt], comp)
 
-    grid = np.full((h, w), NODATA, dtype="<i4")
+    # the engine's own int32 scenes keep the NODATA fill for absent
+    # blocks; foreign sample types fill 0 (their nodata rides GDAL_NODATA)
+    fill = NODATA if (bps, fmt) == (32, 2) else 0
+    grid = np.full((h, w, spp), fill, dtype=dtype)
     if _T_TILE_OFFSETS in tags:
         tw, th = tags[_T_TILE_W][0], tags[_T_TILE_H][0]
         tiles_x = -(-w // tw)
         for i, raw in enumerate(blocks(tags[_T_TILE_OFFSETS], tags[_T_TILE_COUNTS])):
             ty, tx = divmod(i, tiles_x)
-            tile = np.frombuffer(raw, dtype="<i4").reshape(th, tw)
+            tile = unpack(raw, th, tw)
             oy, ox = ty * th, tx * tw
             grid[oy : oy + th, ox : ox + tw] = tile[
                 : max(0, min(th, h - oy)), : max(0, min(tw, w - ox))
@@ -349,11 +581,11 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
         row = 0
         for raw in blocks(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS]):
             rows = min(rps, h - row)
-            grid[row : row + rows] = np.frombuffer(raw, dtype="<i4").reshape(rows, w)
+            grid[row : row + rows] = unpack(raw, rows, w)
             row += rows
     else:
         raise ValueError("TIFF has neither tile nor strip offsets")
-    return grid
+    return grid[:, :, 0] if spp == 1 else grid
 
 
 def _decode_geotiff(payload: bytes):
@@ -413,6 +645,254 @@ def _encode_strip_geotiff(grid, origin_lon: float, origin_lat: float) -> bytes:
         entries, _geo_externs(origin_lon, origin_lat), strips,
         _T_STRIP_OFFSETS, _T_STRIP_COUNTS,
     )
+
+
+def _encode_flavor_tiff(
+    arr,
+    comp: int = _COMP_NONE,
+    predictor: int = 1,
+    origin_lon: float = LON0,
+    origin_lat: float = LAT0,
+    bo: str = "<",
+    rows_per_strip: int = 16,
+) -> bytes:
+    """Encode a (h, w) or (h, w, spp) numpy array as a stripped GeoTIFF
+    in ITS OWN sample type — the writer half of the real-world flavor
+    matrix (uint8/int16/uint16/float32/multi-band x none/LZW/deflate/
+    PackBits x Predictor — the layouts `gdal_translate -co COMPRESS=...`
+    emits and gdalos_util.py open_ds must accept). Exists so the flavor
+    decode paths are exercised by true round trips, not synthetic
+    buffers."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    kind = {"u": 1, "i": 2, "f": 3}[a.dtype.kind]
+    bps = a.dtype.itemsize * 8
+    dtype = _sample_dtype(bps, kind, bo)
+    a = a.astype(dtype)
+
+    strips = []
+    for r in range(0, h, rows_per_strip):
+        block = a[r : r + rows_per_strip]
+        if predictor == 2:
+            # per-channel horizontal diff vs the ORIGINAL left neighbor
+            block = np.concatenate(
+                [block[:, :1], block[:, 1:] - block[:, :-1]], axis=1
+            )
+        strips.append(
+            _compress_block(np.ascontiguousarray(block).tobytes(), comp)
+        )
+
+    entries = [
+        (_T_WIDTH, 3, 1, w),
+        (_T_HEIGHT, 3, 1, h),
+        (_T_BPS, 3, spp, bps if spp == 1 else None),
+        (_T_COMPRESSION, 3, 1, comp),
+        (_T_PHOTOMETRIC, 3, 1, 2 if spp == 3 else 1),
+        (_T_STRIP_OFFSETS, 4, len(strips), None),
+        (_T_SPP, 3, 1, spp),
+        (_T_ROWS_PER_STRIP, 3, 1, rows_per_strip),
+        (_T_STRIP_COUNTS, 4, len(strips), None),
+        (_T_PLANAR, 3, 1, 1),
+        (_T_SAMPLE_FORMAT, 3, spp, kind if spp == 1 else None),
+        (_T_MODEL_SCALE, 12, 3, None),
+        (_T_MODEL_TIEPOINT, 12, 6, None),
+        (_T_GEOKEYS, 3, len(_GEOKEYS_4326) // 2, None),
+    ]
+    if predictor == 2:
+        entries.insert(5, (_T_PREDICTOR, 3, 1, 2))
+    externs = {
+        _T_MODEL_SCALE: struct.pack(bo + "3d", PIX, PIX, 0.0),
+        _T_MODEL_TIEPOINT: struct.pack(
+            bo + "6d", 0.0, 0.0, 0.0, origin_lon, origin_lat, 0.0
+        ),
+        _T_GEOKEYS: _GEOKEYS_4326 if bo == "<" else struct.pack(
+            ">16H", *struct.unpack("<16H", _GEOKEYS_4326)
+        ),
+    }
+    if spp > 1:
+        externs[_T_BPS] = struct.pack(f"{bo}{spp}H", *((bps,) * spp))
+        externs[_T_SAMPLE_FORMAT] = struct.pack(f"{bo}{spp}H", *((kind,) * spp))
+    return _assemble_multi(
+        [(entries, externs, strips, _T_STRIP_OFFSETS, _T_STRIP_COUNTS)], bo=bo
+    )
+
+
+def open_tiff_file(path: str):
+    """Open a foreign GeoTIFF from disk the way the reference's
+    open_ds does (gdalos_util.py): full-res grid in the file's own
+    sample type, (origin_lon, origin_lat, pix_x, pix_y) geotransform,
+    and the geographic EPSG code. Accepts every flavor
+    _grid_from_tags handles — the first real .tif a user points the
+    CLI at (e.g. /root/reference/data/maps/srtm1_x35_y32.tif: int16,
+    deflate, 256x256 tiles) now decodes instead of raising."""
+    with open(path, "rb") as f:
+        payload = f.read()
+    tags = _read_ifd(payload)
+    grid = _grid_from_tags(tags, payload)
+    sx, sy = tags[_T_MODEL_SCALE][0], tags[_T_MODEL_SCALE][1]
+    tie = tags[_T_MODEL_TIEPOINT]
+    origin_lon = tie[3] - tie[0] * sx
+    origin_lat = tie[4] + tie[1] * sy
+    geokeys = tags.get(_T_GEOKEYS, ())
+    epsg = 0
+    for k in range(4, len(geokeys), 4):
+        if geokeys[k] == 2048:
+            epsg = geokeys[k + 3]
+    return grid, (origin_lon, origin_lat, sx, sy), epsg
+
+
+# flavor matrix for the oracle-gated round trip: name -> (numpy dtype,
+# compression, predictor, byte order). Values are derived from
+# elev_cents by mask arithmetic that is identical in Spark, DuckDB and
+# numpy, so every flavor is LOSSLESS and fully hash-gated.
+_TIFF_FLAVORS = {
+    "u8_packbits": ("u1", _COMP_PACKBITS, 1, "<"),
+    "i16_deflate_pred2": ("i2", _COMP_DEFLATE, 2, "<"),
+    "u16_lzw": ("u2", _COMP_LZW, 1, "<"),
+    "f32_none_be": ("f4", _COMP_NONE, 1, ">"),
+    "rgb_u8_lzw_pred2": ("u1", _COMP_LZW, 2, "<"),  # 3-band chunky
+}
+
+
+def raster_ingest_tiff_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the real-world TIFF flavor matrix end to end: each DEM
+    quadrant scene is encoded as uint8+PackBits, int16+deflate+
+    Predictor2, uint16+LZW, big-endian float32, and 3-band chunky
+    uint8+LZW+Predictor2 (the layouts GDAL emits and the reference
+    ingests via gdalos_util.py open_ds), then decoded back and reduced
+    to exact per-band aggregates. Band values are mask-arithmetic
+    projections of elev_cents (holes encode as 0), so DuckDB recomputes
+    every row from lineitem — the full encode -> bytes -> decode trip is
+    hash-gated for all five flavors.
+
+    Output: (flavor, scene_id, band, px_count, sum_val, min_val,
+    max_val)."""
+    g = dem_grid(spark, sf_dir).select(
+        "px",
+        "py",
+        (F.col("elev") * 100).cast("long").alias("elev_cents"),
+        ((F.col("py") / SCENE).cast("int") * (GRID_W // SCENE)
+         + (F.col("px") / SCENE).cast("int")).alias("scene_id"),
+    )
+
+    def encode(pdf):
+        import numpy as np
+        import pandas as pd
+
+        sid = int(pdf["scene_id"].iloc[0])
+        sy, sx = divmod(sid, GRID_W // SCENE)
+        ox, oy = sx * SCENE, sy * SCENE
+        ys = pdf["py"].to_numpy() - oy
+        xs = pdf["px"].to_numpy() - ox
+        v = pdf["elev_cents"].to_numpy().astype("int64")
+        olon, olat = LON0 + ox * PIX, LAT0 - oy * PIX
+
+        def band_grid(vals, dt):
+            grid = np.zeros((SCENE, SCENE), dtype=dt)
+            grid[ys, xs] = vals
+            return grid
+
+        rows = []
+        for name, (dt, comp, pred, bo) in _TIFF_FLAVORS.items():
+            if name.startswith("rgb"):
+                arr = np.stack(
+                    [
+                        band_grid(v & 255, dt),
+                        band_grid((v & 65280) >> 8, dt),
+                        band_grid((v & 16711680) >> 16, dt),
+                    ],
+                    axis=2,
+                )
+            elif dt == "u1":
+                arr = band_grid(v & 255, dt)
+            elif dt == "i2":
+                arr = band_grid((v & 32767) - 16384, dt)
+            else:  # u2 / f4 carry the low 16 bits (exact in float32)
+                arr = band_grid(v & 65535, dt)
+            rows.append(
+                (name, sid, _encode_flavor_tiff(arr, comp, pred, olon, olat, bo))
+            )
+        return pd.DataFrame(rows, columns=["flavor", "scene_id", "payload"])
+
+    scenes = g.groupBy("scene_id").applyInPandas(
+        encode, schema="flavor string, scene_id int, payload binary"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for name, sid, payload in zip(
+                pdf["flavor"], pdf["scene_id"], pdf["payload"]
+            ):
+                grid = _grid_from_tags(_read_ifd(bytes(payload)), bytes(payload))
+                bands = [grid] if grid.ndim == 2 else [
+                    grid[:, :, b] for b in range(grid.shape[2])
+                ]
+                for b, a in enumerate(bands):
+                    a64 = a.astype("float64")
+                    rows.append(
+                        (
+                            name, int(sid), b, int(a.size),
+                            int(round(a64.sum())), int(a.min()), int(a.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "flavor", "scene_id", "band", "px_count",
+                    "sum_val", "min_val", "max_val",
+                ],
+            )
+
+    return scenes.mapInPandas(
+        decode,
+        schema="flavor string, scene_id int, band int, px_count bigint, "
+        "sum_val bigint, min_val bigint, max_val bigint",
+    )
+
+
+def _flavor_stats_sql(expr: str, flavor: str, band: int) -> str:
+    """Per-scene stats of one flavor band over the FULL encoded grid:
+    absent cells encode as 0, so min/max fold a zero in whenever the
+    scene has holes and the sum is unchanged."""
+    return f"""
+SELECT '{flavor}' AS flavor, scene_id, {band} AS band,
+       CAST({SCENE * SCENE} AS BIGINT) AS px_count,
+       CAST(SUM({expr}) AS BIGINT) AS sum_val,
+       CAST(CASE WHEN COUNT(*) < {SCENE * SCENE}
+                 THEN LEAST(0, MIN({expr})) ELSE MIN({expr}) END AS BIGINT) AS min_val,
+       CAST(CASE WHEN COUNT(*) < {SCENE * SCENE}
+                 THEN GREATEST(0, MAX({expr})) ELSE MAX({expr}) END AS BIGINT) AS max_val
+FROM base GROUP BY scene_id"""
+
+
+RASTER_INGEST_TIFF_FLAVORS_SQL = (
+    f"""
+WITH dem AS ({DEM_GRID_SQL}),
+base AS (
+  SELECT CAST((py // {SCENE}) * {GRID_W // SCENE} + (px // {SCENE}) AS INTEGER) AS scene_id,
+         CAST(elev * 100 AS BIGINT) AS v
+  FROM dem
+)
+"""
+    + "\nUNION ALL\n".join(
+        [
+            _flavor_stats_sql("v & 255", "u8_packbits", 0),
+            _flavor_stats_sql("(v & 32767) - 16384", "i16_deflate_pred2", 0),
+            _flavor_stats_sql("v & 65535", "u16_lzw", 0),
+            _flavor_stats_sql("v & 65535", "f32_none_be", 0),
+            _flavor_stats_sql("v & 255", "rgb_u8_lzw_pred2", 0),
+            _flavor_stats_sql("(v & 65280) >> 8", "rgb_u8_lzw_pred2", 1),
+            _flavor_stats_sql("(v & 16711680) >> 16", "rgb_u8_lzw_pred2", 2),
+        ]
+    )
+)
 
 
 def scene_tiffs(spark: SparkSession, sf_dir: str, encoder=None) -> DataFrame:

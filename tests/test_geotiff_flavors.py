@@ -1,0 +1,128 @@
+"""Real-world TIFF flavor breadth: LZW/PackBits codecs (spec-pinned),
+Predictor=2, uint8/int16/uint16/float32/float64, multi-band chunky, both
+byte orders — and the decode of an actual GDAL-written raster from the
+reference tree (/root/reference/data/maps/srtm1_x35_y32.tif), the file
+class gdalos_util.py open_ds ingests daily."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from gdalos_spark.sources import geotiff as G
+from tests.conftest import assert_matches_oracle
+
+SRTM = "/root/reference/data/maps/srtm1_x35_y32.tif"
+
+
+def test_lzw_spec_vector():
+    """TIFF 6.0 §13 worked example: 7 7 7 8 8 7 7 6 must encode to the
+    code sequence Clear 7 258 8 8 258 6 EOI."""
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6])
+    enc = G._lzw_encode(data)
+    assert G._lzw_decode(enc) == data
+    codes, acc, bits, width, nc = [], 0, 0, 9, 258
+    for b in enc:
+        acc = (acc << 8) | b
+        bits += 8
+        while bits >= width:
+            c = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            codes.append(c)
+            if c == 256:
+                nc = 258
+            elif c != 257:
+                nc += 1
+            if nc == (1 << width) - 1 and width < 12:
+                width += 1
+            if c == 257:
+                bits = 0
+                break
+    assert codes == [256, 7, 258, 8, 8, 258, 6, 257]
+
+
+def test_lzw_width_boundaries_and_clear():
+    """Round trips crossing the 9->10->11->12 early-change boundaries
+    and the table-full Clear reset."""
+    rng = np.random.default_rng(42)
+    for size in (1000, 5000, 60000, 200000):
+        raw = rng.integers(0, 40, size=size, dtype=np.uint8).tobytes()
+        assert G._lzw_decode(G._lzw_encode(raw)) == raw
+    raw = rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes()
+    assert G._lzw_decode(G._lzw_encode(raw)) == raw
+
+
+def test_packbits_edges():
+    rng = np.random.default_rng(7)
+    cases = [
+        b"", b"x", b"\x00" * 1000, bytes(range(256)) * 4, b"ababab" * 100,
+        rng.integers(0, 4, 5000, dtype=np.uint8).tobytes(),
+    ]
+    for raw in cases:
+        assert G._packbits_decode(G._packbits_encode(raw)) == raw
+
+
+def test_flavor_round_trips():
+    """Every (dtype, compression, predictor, byte order) cell the reader
+    claims to support survives a lossless encode -> decode trip,
+    including odd (non-strip-multiple) dimensions."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (32, 32), dtype=np.uint8), G._COMP_PACKBITS, 1, "<"),
+        (rng.integers(-16384, 16384, (32, 32)).astype(np.int16), G._COMP_DEFLATE, 2, "<"),
+        (rng.integers(0, 65536, (32, 32)).astype(np.uint16), G._COMP_LZW, 1, "<"),
+        (rng.integers(0, 65536, (32, 32)).astype(np.float32), G._COMP_NONE, 1, ">"),
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), G._COMP_LZW, 2, "<"),
+        (rng.integers(0, 256, (31, 29), dtype=np.uint8), G._COMP_LZW, 2, "<"),
+        (rng.integers(0, 2**31, (20, 20)).astype(np.uint32), G._COMP_DEFLATE, 1, ">"),
+        (rng.standard_normal((16, 16)).astype(np.float64), G._COMP_DEFLATE, 1, "<"),
+        (rng.integers(-128, 128, (16, 16)).astype(np.int8), G._COMP_PACKBITS, 2, "<"),
+    ]
+    for i, (arr, comp, pred, bo) in enumerate(cases):
+        payload = G._encode_flavor_tiff(arr, comp, pred, bo=bo)
+        back = G._grid_from_tags(G._read_ifd(payload), payload)
+        assert back.shape == arr.shape, i
+        assert back.dtype.kind == arr.dtype.kind, i
+        assert back.dtype.itemsize == arr.dtype.itemsize, i
+        assert np.array_equal(back, arr), f"flavor case {i} not lossless"
+
+
+def test_unsupported_layouts_raise():
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    payload = G._encode_flavor_tiff(arr, G._COMP_NONE)
+    tags = dict(G._read_ifd(payload))
+    tags[G._T_COMPRESSION] = (3,)  # CCITT G3 — out of scope
+    with pytest.raises(ValueError, match="compression"):
+        G._grid_from_tags(tags, payload)
+    tags = dict(G._read_ifd(payload))
+    tags[G._T_BPS] = (12,)  # packed 12-bit — out of scope
+    with pytest.raises(ValueError, match="sample layout"):
+        G._grid_from_tags(tags, payload)
+
+
+@pytest.mark.skipif(not os.path.exists(SRTM), reason="reference tree absent")
+def test_reference_srtm_decodes():
+    """The reference's own sample raster (int16, deflate, 256x256 tiles,
+    GDAL-written) decodes end to end: dimensions, sample type,
+    geotransform (1 arc-second), EPSG, and plausible terrain values."""
+    grid, (olon, olat, sx, sy), epsg = G.open_tiff_file(SRTM)
+    assert grid.shape == (361, 361)
+    assert grid.dtype == np.int16
+    assert epsg == 4326
+    assert abs(sx - 1 / 3600) < 1e-12 and abs(sy - 1 / 3600) < 1e-12
+    # srtm1_x35_y32: a 361x361 cutout anchored near (35.0 E, 32.1 N)
+    assert abs(olon - 35.0) < 0.01 and abs(olat - 32.1) < 0.01
+    # Jordan-valley terrain: all samples populated, 0 < elev <= 600 m
+    assert int(grid.min()) > 0 and int(grid.max()) <= 600
+    assert 200 < float(grid.mean()) < 400
+
+
+def test_flavors_query_matches_oracle(spark, ducks):
+    from __spark_entry__ import oracle_sql
+
+    assert_matches_oracle(
+        spark, ducks, G.raster_ingest_tiff_flavors,
+        oracle_sql()["raster_ingest_tiff_flavors"],
+    )
