@@ -1,0 +1,388 @@
+"""Vector-layer ingest — OGR's two bread-and-butter formats, pure stdlib.
+
+The reference rasterizes OGR vector layers (reference
+rasterize/gdalos_rasterize.py:1, backports/ogr_utils.py — its sample
+layer lives at /root/reference/data/shp/comb_poly.gml); this module
+closes that source-format gap Spark-first:
+
+- ESRI Shapefile (.shp): a real binary codec (struct only) for the
+  Point (type 1) and Polygon (type 5) shapes the reference rasterizes.
+  Coordinates are IEEE doubles in the file, so integer-valued
+  geometry survives the byte round trip LOSSLESSLY and the ingest is
+  fully hash-gated against a SQL oracle.
+- GML (the OGR default XML container): ElementTree parse of
+  FeatureCollection / featureMember / Polygon / LinearRing /
+  coordinates — the exact shape of the reference's sample layer, which
+  tests/test_vector.py ingests end to end.
+
+Scale shape: layers are the unit of parallelism (one binary/text row
+per layer, partitioned by layer id — a continental extract is millions
+of tiles); geometry rows only exist AFTER the Arrow-batched decode and
+feed the same rasterize/cutline operators table-derived geometry does.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdalos_spark.datamodel import load
+
+SHP_POINT, SHP_POLYGON = 1, 5
+
+
+# --- ESRI Shapefile codec (spec: ESRI Shapefile Technical Description,
+# July 1998: 100-byte header, BE record headers, LE record contents) ---
+
+
+def shp_encode(shapes: list) -> bytes:
+    """Encode a list of shapes into one .shp byte stream. Each shape is
+    ('point', (x, y)) or ('polygon', [ring, ...]) where a ring is a
+    list of (x, y) tuples WITH the closing vertex repeated (the spec's
+    ring contract)."""
+    records = bytearray()
+    xs: list[float] = []
+    ys: list[float] = []
+    shape_type = SHP_POINT
+    for rec_no, (kind, geom) in enumerate(shapes, start=1):
+        if kind == "point":
+            x, y = geom
+            content = struct.pack("<idd", SHP_POINT, float(x), float(y))
+            xs.append(float(x))
+            ys.append(float(y))
+            shape_type = SHP_POINT
+        elif kind == "polygon":
+            pts = [p for ring in geom for p in ring]
+            rx = [float(p[0]) for p in pts]
+            ry = [float(p[1]) for p in pts]
+            xs += rx
+            ys += ry
+            parts, acc = [], 0
+            for ring in geom:
+                parts.append(acc)
+                acc += len(ring)
+            content = struct.pack(
+                "<i4dii", SHP_POLYGON, min(rx), min(ry), max(rx), max(ry),
+                len(geom), len(pts),
+            )
+            content += struct.pack(f"<{len(parts)}i", *parts)
+            content += b"".join(struct.pack("<2d", x, y) for x, y in pts)
+            shape_type = SHP_POLYGON
+        else:
+            raise ValueError(f"unsupported shape kind {kind!r}")
+        # record header: number + content length, both BIG-endian, length
+        # in 16-bit words
+        records += struct.pack(">2i", rec_no, len(content) // 2) + content
+    total_words = (100 + len(records)) // 2
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    header += struct.pack(">i", total_words)
+    header += struct.pack("<2i", 1000, shape_type)
+    header += struct.pack(
+        "<8d",
+        min(xs) if xs else 0.0, min(ys) if ys else 0.0,
+        max(xs) if xs else 0.0, max(ys) if ys else 0.0,
+        0.0, 0.0, 0.0, 0.0,  # z / m ranges
+    )
+    return bytes(header + records)
+
+
+def shp_decode(payload: bytes) -> list[dict]:
+    """Parse a .shp byte stream into [{'rec_no', 'shape_type', 'points',
+    'parts'}] — Point and Polygon records (null shape 0 skipped)."""
+    if struct.unpack_from(">i", payload, 0)[0] != 9994:
+        raise ValueError("not an ESRI shapefile stream (bad file code)")
+    file_words = struct.unpack_from(">i", payload, 24)[0]
+    version = struct.unpack_from("<i", payload, 28)[0]
+    if version != 1000:
+        raise ValueError(f"unsupported shapefile version {version}")
+    end = min(len(payload), file_words * 2)
+    out: list[dict] = []
+    off = 100
+    while off + 8 <= end:
+        rec_no, words = struct.unpack_from(">2i", payload, off)
+        off += 8
+        body_end = off + words * 2
+        (stype,) = struct.unpack_from("<i", payload, off)
+        if stype == SHP_POINT:
+            x, y = struct.unpack_from("<2d", payload, off + 4)
+            out.append(
+                {"rec_no": rec_no, "shape_type": stype,
+                 "points": [(x, y)], "parts": [0]}
+            )
+        elif stype == SHP_POLYGON:
+            n_parts, n_points = struct.unpack_from("<2i", payload, off + 36)
+            parts = list(
+                struct.unpack_from(f"<{n_parts}i", payload, off + 44)
+            )
+            pts_off = off + 44 + 4 * n_parts
+            flat = struct.unpack_from(f"<{2 * n_points}d", payload, pts_off)
+            pts = list(zip(flat[0::2], flat[1::2]))
+            out.append(
+                {"rec_no": rec_no, "shape_type": stype,
+                 "points": pts, "parts": parts}
+            )
+        elif stype != 0:
+            raise ValueError(f"unsupported shape type {stype}")
+        off = body_end
+    return out
+
+
+# --- GML (OGR FeatureCollection flavor) --------------------------------
+
+_GML_NS = "http://www.opengis.net/gml"
+
+
+def gml_parse(text: str) -> list[dict]:
+    """Parse an OGR-flavor GML FeatureCollection into [{'fid',
+    'geom_type', 'srs', 'rings'}] where rings is a list of coordinate
+    lists [(x, y), ...]. Handles Polygon (outerBoundaryIs/LinearRing/
+    coordinates — the reference sample's shape) and Point."""
+    root = ElementTree.fromstring(text)
+    out: list[dict] = []
+    for member in root.iter(f"{{{_GML_NS}}}featureMember"):
+        feature = next(iter(member))
+        fid = feature.attrib.get("fid", "")
+        for geom in feature.iter():
+            tag = geom.tag.rsplit("}", 1)[-1]
+            if tag not in ("Polygon", "Point"):
+                continue
+            srs = geom.attrib.get("srsName", "")
+            rings = [
+                _gml_coords(c.text or "")
+                for c in geom.iter(f"{{{_GML_NS}}}coordinates")
+            ]
+            out.append(
+                {"fid": fid, "geom_type": tag, "srs": srs, "rings": rings}
+            )
+            break
+    return out
+
+
+def _gml_coords(text: str) -> list[tuple[float, float]]:
+    """GML coordinate string: whitespace-separated tuples, comma-
+    separated ordinates."""
+    pts = []
+    for tok in text.split():
+        x, y = tok.split(",")[:2]
+        pts.append((float(x), float(y)))
+    return pts
+
+
+def gml_render(layer_name: str, features: list) -> str:
+    """Render (fid, ring) polygon features as an OGR-flavor GML
+    FeatureCollection — the writer half of the round trip (coordinates
+    are emitted with repr so integer-valued geometry is lossless)."""
+
+    def fmt(v: float) -> str:
+        return repr(int(v)) if float(v).is_integer() else repr(v)
+
+    parts = [
+        '<?xml version="1.0" encoding="utf-8" ?>',
+        "<ogr:FeatureCollection"
+        ' xmlns:ogr="http://ogr.maptools.org/"'
+        f' xmlns:gml="{_GML_NS}">',
+    ]
+    for fid, ring in features:
+        coords = " ".join(f"{fmt(x)},{fmt(y)}" for x, y in ring)
+        parts.append(
+            "  <gml:featureMember>"
+            f'<ogr:{layer_name} fid="{layer_name}.{fid}">'
+            "<ogr:geometryProperty>"
+            '<gml:Polygon srsName="EPSG:4326"><gml:outerBoundaryIs>'
+            f"<gml:LinearRing><gml:coordinates>{coords}</gml:coordinates>"
+            "</gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>"
+            "</ogr:geometryProperty>"
+            f"</ogr:{layer_name}></gml:featureMember>"
+        )
+    parts.append("</ogr:FeatureCollection>")
+    return "\n".join(parts)
+
+
+# --- the ingest operators ----------------------------------------------
+
+# supplier-derived integer geometry (same derivation family as
+# datamodel.customer_points): exact in IEEE doubles AND in the SQL
+# oracle, so the full encode -> bytes -> parse trip hash-gates.
+_SUPPLIER_RING_SQL = """
+SELECT s_nationkey AS feature_id, s_suppkey,
+       s_suppkey * 17 % 6400 AS x,
+       s_suppkey * 23 % 6400 AS y
+FROM supplier
+"""
+
+
+def _supplier_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    return sup.select(
+        F.col("s_nationkey").alias("feature_id"),
+        "s_suppkey",
+        (F.col("s_suppkey") * 17 % 6400).alias("x"),
+        (F.col("s_suppkey") * 23 % 6400).alias("y"),
+    )
+
+
+def _ring_points(pdf):
+    """One nation group -> the closed polygon ring (suppkey order,
+    first vertex repeated)."""
+    g = pdf.sort_values("s_suppkey")
+    pts = list(zip(g["x"].astype(float), g["y"].astype(float)))
+    return pts + pts[:1]
+
+
+def vector_ingest_shp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest real ESRI Shapefile bytes the way the reference ingests
+    OGR layers (rasterize/gdalos_rasterize.py:1): each nation's
+    suppliers become one closed polygon ring encoded as a genuine .shp
+    stream (applyInPandas — one layer per group, the layer manifest
+    shape), then shp_decode parses the bytes back and reduces each
+    feature to exact integer stats. Doubles are IEEE-exact for the
+    integer grid, so every column is recomputed by DuckDB from
+    supplier alone — a full hash gate over encode -> bytes -> parse.
+
+    Output: (feature_id, shape_type, n_points, sum_x, sum_y,
+    area2) — area2 = |shoelace cross-product sum| of the ring."""
+
+    def encode(pdf):
+        import pandas as pd
+
+        fid = int(pdf["feature_id"].iloc[0])
+        payload = shp_encode([("polygon", [_ring_points(pdf)])])
+        return pd.DataFrame({"feature_id": [fid], "payload": [payload]})
+
+    layers = _supplier_rings(spark, sf_dir).groupBy("feature_id").applyInPandas(
+        encode, schema="feature_id int, payload binary"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["feature_id"], pdf["payload"]):
+                for rec in shp_decode(bytes(payload)):
+                    pts = rec["points"]
+                    area2 = sum(
+                        int(ax) * int(by) - int(bx) * int(ay)
+                        for (ax, ay), (bx, by) in zip(pts, pts[1:])
+                    )
+                    rows.append(
+                        (
+                            int(fid), rec["shape_type"], len(pts),
+                            int(sum(x for x, _ in pts)),
+                            int(sum(y for _, y in pts)),
+                            abs(area2),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "feature_id", "shape_type", "n_points",
+                    "sum_x", "sum_y", "area2",
+                ],
+            )
+
+    return layers.mapInPandas(
+        decode,
+        schema="feature_id int, shape_type int, n_points int, "
+        "sum_x bigint, sum_y bigint, area2 bigint",
+    )
+
+
+VECTOR_INGEST_SHP_SQL = f"""
+WITH pts AS ({_SUPPLIER_RING_SQL}),
+ring AS (
+  SELECT feature_id, x, y,
+         LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny,
+         FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy
+  FROM pts
+  WINDOW w AS (PARTITION BY feature_id ORDER BY s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT feature_id,
+       {SHP_POLYGON} AS shape_type,
+       CAST(COUNT(*) + 1 AS INTEGER) AS n_points,
+       CAST(SUM(x) + MIN(fx) AS BIGINT) AS sum_x,
+       CAST(SUM(y) + MIN(fy) AS BIGINT) AS sum_y,
+       CAST(ABS(SUM(x * COALESCE(ny, fy) - COALESCE(nx, fx) * y)) AS BIGINT) AS area2
+FROM ring
+GROUP BY feature_id
+"""
+
+
+def vector_ingest_gml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GML half of the OGR surface (the reference's sample layer at
+    data/shp/comb_poly.gml is exactly this flavor): render each
+    nation's supplier ring as a FeatureCollection XML document, parse
+    it back with ElementTree inside the same task, and reduce to exact
+    integer stats. Integer coordinates print and parse losslessly, so
+    the text round trip is hash-gated end to end.
+
+    Output: (feature_id, geom_type, n_vertices, sum_x, sum_y, min_x,
+    max_x)."""
+
+    def encode(pdf):
+        import pandas as pd
+
+        fid = int(pdf["feature_id"].iloc[0])
+        text = gml_render("nation_ring", [(fid, _ring_points(pdf))])
+        return pd.DataFrame({"feature_id": [fid], "doc": [text]})
+
+    docs = _supplier_rings(spark, sf_dir).groupBy("feature_id").applyInPandas(
+        encode, schema="feature_id int, doc string"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fid, doc in zip(pdf["feature_id"], pdf["doc"]):
+                for feat in gml_parse(doc):
+                    pts = feat["rings"][0]
+                    rows.append(
+                        (
+                            int(fid), feat["geom_type"], len(pts),
+                            int(sum(x for x, _ in pts)),
+                            int(sum(y for _, y in pts)),
+                            int(min(x for x, _ in pts)),
+                            int(max(x for x, _ in pts)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "feature_id", "geom_type", "n_vertices",
+                    "sum_x", "sum_y", "min_x", "max_x",
+                ],
+            )
+
+    return docs.mapInPandas(
+        decode,
+        schema="feature_id int, geom_type string, n_vertices int, "
+        "sum_x bigint, sum_y bigint, min_x bigint, max_x bigint",
+    )
+
+
+VECTOR_INGEST_GML_SQL = f"""
+WITH pts AS ({_SUPPLIER_RING_SQL}),
+ring AS (
+  SELECT feature_id, x, y,
+         FIRST_VALUE(x) OVER w AS fx, FIRST_VALUE(y) OVER w AS fy
+  FROM pts
+  WINDOW w AS (PARTITION BY feature_id ORDER BY s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT feature_id,
+       'Polygon' AS geom_type,
+       CAST(COUNT(*) + 1 AS INTEGER) AS n_vertices,
+       CAST(SUM(x) + MIN(fx) AS BIGINT) AS sum_x,
+       CAST(SUM(y) + MIN(fy) AS BIGINT) AS sum_y,
+       CAST(MIN(x) AS BIGINT) AS min_x,
+       CAST(MAX(x) AS BIGINT) AS max_x
+FROM ring
+GROUP BY feature_id
+"""

@@ -1,0 +1,88 @@
+"""Vector-layer ingest: the pure-stdlib ESRI Shapefile codec, the GML
+reader (including the reference's real sample layer at
+/root/reference/data/shp/comb_poly.gml), and the two oracle-gated
+ingest operators."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gdalos_spark.sources import vector as V
+from tests.conftest import assert_matches_oracle
+
+GML_SAMPLE = "/root/reference/data/shp/comb_poly.gml"
+
+
+def test_shp_point_round_trip():
+    shapes = [("point", (3.5, -2.25)), ("point", (0.0, 100.0))]
+    recs = V.shp_decode(V.shp_encode(shapes))
+    assert [r["shape_type"] for r in recs] == [V.SHP_POINT, V.SHP_POINT]
+    assert recs[0]["points"] == [(3.5, -2.25)]
+    assert recs[1]["points"] == [(0.0, 100.0)]
+    assert [r["rec_no"] for r in recs] == [1, 2]
+
+
+def test_shp_polygon_round_trip():
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    inner = [(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (2.0, 2.0)]
+    recs = V.shp_decode(V.shp_encode([("polygon", [outer, inner])]))
+    assert len(recs) == 1
+    assert recs[0]["shape_type"] == V.SHP_POLYGON
+    assert recs[0]["parts"] == [0, 5]
+    assert recs[0]["points"] == outer + inner
+
+
+def test_shp_rejects_garbage():
+    with pytest.raises(ValueError, match="file code"):
+        V.shp_decode(b"\x00" * 128)
+
+
+def test_gml_render_parse_round_trip():
+    ring = [(100, 200), (300, 200), (300, 400), (100, 200)]
+    text = V.gml_render("t", [(7, ring)])
+    feats = V.gml_parse(text)
+    assert len(feats) == 1
+    assert feats[0]["fid"] == "t.7"
+    assert feats[0]["geom_type"] == "Polygon"
+    assert feats[0]["rings"][0] == [(float(x), float(y)) for x, y in ring]
+
+
+@pytest.mark.skipif(not os.path.exists(GML_SAMPLE), reason="reference tree absent")
+def test_reference_gml_sample_parses():
+    """The reference's actual OGR-written sample layer parses end to
+    end: one EPSG:4326 polygon, 5 ring vertices (closed), bbox matching
+    the file's boundedBy envelope."""
+    with open(GML_SAMPLE) as f:
+        feats = V.gml_parse(f.read())
+    assert len(feats) == 1
+    (feat,) = feats
+    assert feat["fid"] == "comb_poly.0"
+    assert feat["geom_type"] == "Polygon"
+    assert feat["srs"] == "EPSG:4326"
+    ring = feat["rings"][0]
+    assert len(ring) == 5
+    assert ring[0] == ring[-1]  # closed
+    xs = [x for x, _ in ring]
+    ys = [y for _, y in ring]
+    assert abs(min(xs) - 35.09942551535836) < 1e-9
+    assert abs(max(xs) - 35.13428943344709) < 1e-9
+    assert abs(min(ys) - 32.04549480546075) < 1e-9
+    assert abs(max(ys) - 32.08511289419796) < 1e-9
+
+
+def test_vector_ingest_shp_matches_oracle(spark, ducks):
+    from __spark_entry__ import oracle_sql
+
+    assert_matches_oracle(
+        spark, ducks, V.vector_ingest_shp, oracle_sql()["vector_ingest_shp"]
+    )
+
+
+def test_vector_ingest_gml_matches_oracle(spark, ducks):
+    from __spark_entry__ import oracle_sql
+
+    assert_matches_oracle(
+        spark, ducks, V.vector_ingest_gml, oracle_sql()["vector_ingest_gml"]
+    )
