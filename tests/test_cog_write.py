@@ -202,6 +202,25 @@ def test_trained_pq_codebook_beats_seeded(spark, monkeypatch):
     err_trained = S._pq_best(spark, SF_DIR, cb).agg(F.sum("d2u")).first()[0]
     assert err_trained < err_seeded
 
+    # residual 32x2-dim/128-codeword codebook: ~1% of the seeded
+    # quantization error (measured 0.0113x — BASELINE.md r9)
+    from pyspark.sql import Window
+
+    sl = S._res_sliced(spark, SF_DIR)
+    rcb = S._res_codebook(spark, SF_DIR)
+    d2u = F.round(S._res_d2() * 1_000_000.0).cast("bigint")
+    sc = sl.join(F.broadcast(rcb), sl.sub_id == rcb.c_sub).select(
+        "gid", "sub_id", "code", d2u.alias("d2u")
+    )
+    w = Window.partitionBy("gid", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
+    err_res = (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .agg(F.sum("d2u"))
+        .first()[0]
+    )
+    assert err_res < err_trained * 0.1, (err_res, err_trained)
+
     monkeypatch.setattr(S, "N_PROBES", 100)
     rep = {
         r["method"]: r["m"]
@@ -211,6 +230,10 @@ def test_trained_pq_codebook_beats_seeded(spark, monkeypatch):
         .collect()
     }
     assert rep["ivfpq_t"] > rep["ivfpq"], rep
+    # the VERDICT-r8 item-5 'Done' bar: the recall-tuned residual index
+    # holds mean recall@5 >= 0.5 at the documented probe budget
+    # (RES_NPROBE=5 of 10 lists, 100 probes; measured 0.634)
+    assert rep["ivfpq_r"] >= 0.5, rep
 
 
 def test_layout_advisor_exact_delegates_above_threshold(spark, monkeypatch):
