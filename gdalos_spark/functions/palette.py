@@ -32,10 +32,16 @@ DEFAULT_TALOS_PALETTE = (
 
 
 def pas_color_to_rgba(color: str) -> str:
-    """'$AABBGGRR' pascal TColor -> 'AARRGGBB' hex string."""
-    c = color.lstrip("$").rjust(8, "0").upper()
-    aa, bb, gg, rr = c[0:2], c[2:4], c[4:6], c[6:8]
-    return aa + rr + gg + bb
+    """'$AARRGGBB'-digit pascal color -> 'AARRGGBB' hex string.
+
+    The Delphi TColor byte order and the R/B swap the reference applies
+    (osgeo_utils pas_color_to_rgb) CANCEL: the reference's own shipped
+    percents.txt — written by its test from the sample talos palette —
+    pins $CC0000FF to '0 0 255 204' (blue), so the hex digits read
+    directly as AARRGGBB. An extra swap here double-converted and
+    mirrored R/B (caught by parsing the real file; pinned in
+    test_reference_percent_color_file_parses)."""
+    return color.lstrip("$").rjust(8, "0").upper()
 
 
 def read_talos_palette(s: str) -> list[tuple[float, str]]:
@@ -56,6 +62,90 @@ def read_talos_palette(s: str) -> list[tuple[float, str]]:
         pal.append((key, pas_color_to_rgba(color)))
         j += 4
     return pal
+
+
+def _rgba_hex(r: int, g: int, b: int, a: int = 255) -> str:
+    return f"{a:02X}{r:02X}{g:02X}{b:02X}"
+
+
+def read_color_file(
+    text: str, value_range: tuple[float, float] | None = None
+) -> tuple[list[tuple[float, str]], str | None]:
+    """Parse a GDAL color-relief text file — the format the reference
+    writes via talos_to_color_file (gdalos_color.py:42) and ships under
+    data/color_files: one ``value R G B [A]`` per line, where value may
+    be a percent (``16.67%``, resolved against ``value_range``) or the
+    literal ``nv`` (nodata color, returned separately). Returns
+    (ascending (key, 'AARRGGBB') pairs, nv rgba or None)."""
+    pal: list[tuple[float, str]] = []
+    nv: str | None = None
+    for line in text.splitlines():
+        parts = line.replace(",", " ").split()
+        if not parts or parts[0].startswith("#"):
+            continue
+        chans = [int(p) for p in parts[1:5]]
+        rgba = _rgba_hex(*chans) if len(chans) >= 3 else None
+        if rgba is None:
+            raise ValueError(f"color line needs R G B [A]: {line!r}")
+        tok = parts[0]
+        if tok == "nv":
+            nv = rgba
+            continue
+        if tok.endswith("%"):
+            if value_range is None:
+                raise ValueError("percent palette needs a value_range")
+            lo, hi = value_range
+            key = lo + (hi - lo) * float(tok[:-1]) / 100.0
+        else:
+            key = float(tok)
+        pal.append((key, rgba))
+    pal.sort(key=lambda kv: kv[0])
+    return pal, nv
+
+
+def read_qgis_palette(xml_text: str) -> list[tuple[float, str]]:
+    """Parse a QGIS .qml/.qlr layer style into ascending (key,
+    'AARRGGBB') pairs — the XML palettes the reference converts with
+    xml_to_color_file (gdalos_color.py:62): ``paletteEntry`` elements
+    (paletted rasters) or colorrampshader ``item`` elements (gradient
+    ramps), each carrying value / ``#rrggbb`` color / alpha."""
+    from xml.etree import ElementTree
+
+    root = ElementTree.fromstring(xml_text)
+    pal: list[tuple[float, str]] = []
+    for el in root.iter():
+        if el.tag not in ("paletteEntry", "item"):
+            continue
+        color = el.attrib["color"].lstrip("#")
+        if len(color) == 8:  # QGIS may emit #AARRGGBB
+            a, rgb = int(color[:2], 16), color[2:]
+        else:
+            a, rgb = int(el.attrib.get("alpha", "255")), color
+        pal.append((float(el.attrib["value"]), f"{a:02X}{rgb.upper()}"))
+    pal.sort(key=lambda kv: kv[0])
+    return pal
+
+
+def render_color_file(
+    pal: list[tuple[float, str]], nv: str | None = None
+) -> str:
+    """Inverse of read_color_file: (key, 'AARRGGBB') pairs -> the GDAL
+    color-relief text form (integer keys print as integers, matching
+    the reference's files)."""
+    def fmt(k: float) -> str:
+        return repr(int(k)) if float(k).is_integer() else repr(k)
+
+    lines = [
+        f"{fmt(k)} {int(c[2:4], 16)} {int(c[4:6], 16)} "
+        f"{int(c[6:8], 16)} {int(c[0:2], 16)}"
+        for k, c in pal
+    ]
+    if nv is not None:
+        lines.append(
+            f"nv {int(nv[2:4], 16)} {int(nv[4:6], 16)} "
+            f"{int(nv[6:8], 16)} {int(nv[0:2], 16)}"
+        )
+    return "\n".join(lines) + "\n"
 
 
 def bin_case(pal: list[tuple[float, str]], value: Column) -> Column:
