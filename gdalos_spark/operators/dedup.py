@@ -835,6 +835,7 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()
     rounds, converged = 0, False
     while rounds < max_rounds:
         rounds += 1
@@ -862,17 +863,20 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
             .distinct()
             .localCheckpoint()
         )
-        # edge-set fixed point = empty symmetric difference; ONE
-        # short-circuiting job (isEmpty) instead of the previous
-        # anti-join count + two counts (both sides are distinct sets,
-        # so the two anti-joins together ARE set equality)
-        sym_diff = small.join(edges, ["u", "v"], "left_anti").union(
-            edges.join(small, ["u", "v"], "left_anti")
-        )
-        if sym_diff.isEmpty():
+        # edge-set fixed point: counts first (one cheap agg — rounds
+        # that are still contracting almost always change the edge
+        # count), then ONE anti-join only when counts tie (equal-size
+        # distinct sets + one-sided containment = set equality; the
+        # second anti-join of the old symmetric-difference check was
+        # redundant given the counts)
+        n_small = small.count()
+        if n_small == n_edges and small.join(
+            edges, ["u", "v"], "left_anti"
+        ).isEmpty():
             edges = small
             converged = True
             break
+        n_edges = n_small
         edges = small
     return (
         edges.select(F.col("u").alias("node"), F.col("v").alias("root")),
@@ -916,14 +920,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, split_for_cpu(docs, "doc_id"), n_hint=_docs_footer_count(sf_dir)
     ).persist()
     mcols = [f"m{i}" for i in range(N_PERM)]
-    sgroups = sig.groupBy(*mcols).agg(F.min("doc_id").alias("srep"))
-    # star edges: signature-identical docs -> their min member (always
-    # co-bucketed, est = 16/16 — an edge in the unreduced graph)
-    sig_star = (
-        sig.join(sgroups, mcols)
-        .filter(F.col("doc_id") != F.col("srep"))
-        .select(F.col("srep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
+    sgroups = sig.groupBy(*mcols).agg(
+        F.min("doc_id").alias("srep"), F.count(F.lit(1)).alias("gk")
+    ).persist()
     rep_sig = sgroups.select(F.col("srep").alias("doc_id"), *mcols)
     # raw (non-distinct) candidate stream over distinct signatures only:
     # _cc_alternating's edge ingest is itself a distinct, so deduplicating
@@ -933,9 +932,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= CLUSTER_MIN_EST_JACCARD)
         .select("doc_a", "doc_b")
     )
-    pairs = sig_star.union(near_pairs)
 
-    root_map, rounds, converged = _cc_alternating(pairs)
+    # Connected components run ENTIRELY on the signature-group QUOTIENT
+    # graph (VERDICT r8 item 4): vertices are group reps, edges the
+    # qualifying rep pairs. The member star edges (srep -> each
+    # signature-identical doc) are connectivity-trivial — they attach a
+    # doc to its group and nothing else — so carrying them through every
+    # star round only multiplied the per-round edge volume by the
+    # replica factor; instead doc labels are joined on from the group
+    # map at the end. Result-IDENTICAL: the cluster root is the minimum
+    # doc id of the component, every group's srep IS its minimum doc,
+    # and the CC root is the minimum srep.
+    root_map, rounds, converged = _cc_alternating(near_pairs)
     if not converged:  # pragma: no cover - needs >2^25-diameter data
         import warnings
 
@@ -946,24 +954,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
 
-    # At the star fixed point the root map IS the vertex set: every
-    # non-root vertex appears as exactly one (node -> root) row, and
-    # every root appears on the right of >=1 row (components have >=2
-    # members by construction). Deriving labels from the CHECKPOINTED
-    # root map instead of re-walking `pairs` avoids recomputing the whole
-    # signature/band pipeline a second time for the vertex list (the
-    # label stage was the hidden tail cost at both sf0.1 and sf10).
-    labels = root_map.select(
-        F.col("node").alias("v"), F.col("root").alias("label")
+    # group -> cluster label: CC'd groups take their component root;
+    # groups in NO qualifying rep pair still form a cluster of their own
+    # when they hold >=2 signature-identical docs (their in-group star
+    # pairs exist in the unreduced graph). Singleton groups with no pair
+    # are out — the contract is docs appearing in >=1 pair.
+    glabel = root_map.select(
+        F.col("node").alias("srep"), F.col("root").alias("label")
     ).union(
         root_map.select(
-            F.col("root").alias("v"), F.col("root").alias("label")
+            F.col("root").alias("srep"), F.col("root").alias("label")
         ).distinct()
+    ).localCheckpoint()
+    solo = (
+        sgroups.filter(F.col("gk") >= 2)
+        .join(glabel, "srep", "left_anti")
+        .select("srep", F.col("srep").alias("label"))
     )
+    glabel_all = glabel.union(solo)
 
+    # expand to docs: one narrow join through the (doc -> group) map
+    labels = (
+        sig.join(sgroups.select(*mcols, "srep"), mcols)
+        .select("doc_id", "srep")
+        .join(glabel_all, "srep")
+        .select("doc_id", "label")
+    )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
-        F.col("v").alias("doc_id"),
+        "doc_id",
         F.col("label").alias("cluster_id"),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
