@@ -550,6 +550,15 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
         raise ValueError("floating-point predictor not supported")
 
     def unpack(raw: bytes, rows: int, cols: int):
+        need = rows * cols * spp * (bps // 8)
+        # exact block size (word padding tolerated): a mismatch means the
+        # declared sample layout contradicts the data — fail loudly
+        # instead of emitting reinterpreted garbage pixels
+        if not need <= len(raw) <= need + 1:
+            raise ValueError(
+                f"block size {len(raw)} does not match declared sample "
+                f"layout ({rows}x{cols}x{spp} @ {bps} bits = {need} bytes)"
+            )
         a = np.frombuffer(raw, dtype=dtype, count=rows * cols * spp)
         a = a.reshape(rows, cols, spp)
         if pred == 2:

@@ -108,16 +108,31 @@ def test_geotiff_decoder_rejects_malformed_streams():
     grid = np.arange(64, dtype="<i4").reshape(8, 8)
     good = _encode_geotiff(grid, 0.0, 0.0)
 
-    with _pytest.raises(ValueError, match="little-endian TIFF"):
-        _decode_geotiff(b"MM\x00\x2a" + good[4:])  # big-endian magic
-    with _pytest.raises(ValueError, match="sample layout"):
-        # flip BitsPerSample (tag 258, SHORT) to 16 in the IFD
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        _decode_geotiff(b"XX\x00\x2a" + good[4:])  # bad magic
+    # big-endian magic is now a SUPPORTED byte order (flavor breadth,
+    # r9) — but stapling it onto a little-endian body must still fail
+    # loudly (insane big-endian offsets), never emit garbage pixels
+    with _pytest.raises(Exception):
+        _decode_geotiff(b"MM\x00\x2a" + good[4:])
+    with _pytest.raises(ValueError, match="does not match declared sample"):
+        # flip BitsPerSample (tag 258, SHORT) to 16 in the IFD: int16 is
+        # a supported layout since r9, but the int32-sized blocks
+        # contradict it — the size check must refuse to reinterpret
         bad = bytearray(good)
         n = struct.unpack_from("<H", bad, 8)[0]
         for i in range(n):
             tag = struct.unpack_from("<H", bad, 10 + i * 12)[0]
             if tag == 258:
                 struct.pack_into("<I", bad, 10 + i * 12 + 8, 16)
+        _decode_geotiff(bytes(bad))
+    with _pytest.raises(ValueError, match="sample layout"):
+        # 12-bit packed samples stay out of scope and raise by name
+        bad = bytearray(good)
+        for i in range(n):
+            tag = struct.unpack_from("<H", bad, 10 + i * 12)[0]
+            if tag == 258:
+                struct.pack_into("<I", bad, 10 + i * 12 + 8, 12)
         _decode_geotiff(bytes(bad))
     # int64 values outside int32 range are rejected at ENCODE time
     with _pytest.raises(OverflowError):
