@@ -51,6 +51,25 @@ class GdalosSpark:
         for name in TABLES:
             load(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
 
+    # --- open_ds family: foreign FILES from disk (gdalos_util.py) -----
+    def open_raster(self, *paths: str) -> DataFrame:
+        """Ingest real GeoTIFF files (any flavor the IFD walker
+        supports: LZW/deflate/PackBits, all sample types, multi-band,
+        either byte order) into a distributed pixel frame — the
+        reference's open_ds for .tif paths. Files decode on the
+        executors; the path manifest is the only driver-side state."""
+        from gdalos_spark.sources import geotiff
+
+        return geotiff.foreign_tiff_pixels(self.spark, list(paths))
+
+    def open_vector(self, *paths: str) -> DataFrame:
+        """Ingest real OGR layers (.shp / .gml) into a per-vertex
+        feature frame — the reference's ogr open for its rasterize
+        inputs (rasterize/gdalos_rasterize.py)."""
+        from gdalos_spark.sources import vector as vector_src
+
+        return vector_src.vector_layer_features(self.spark, list(paths))
+
     # --- gdalos_trans family (translate = crop/warp/overview/scale) ---
     def crop(self) -> DataFrame:
         return raster.raster_crop(self.spark, self.sf_dir)

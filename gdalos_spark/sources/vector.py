@@ -202,6 +202,54 @@ def gml_render(layer_name: str, features: list) -> str:
     return "\n".join(parts)
 
 
+def vector_layer_features(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed foreign vector-layer ingest: the path manifest is the
+    DataFrame, .shp/.gml files are opened and parsed ON THE EXECUTORS
+    (shp_decode / gml_parse by extension), and features emerge as one
+    row per vertex with feature/ring identity — ready for
+    rasterize/cutline joins.
+
+    Output: (path, feature_id, geom_type, ring, seq, x, y)."""
+    manifest = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                if path.lower().endswith(".shp"):
+                    with open(path, "rb") as f:
+                        recs = shp_decode(f.read())
+                    for rec in recs:
+                        kind = "Polygon" if rec["shape_type"] == SHP_POLYGON else "Point"
+                        bounds = rec["parts"] + [len(rec["points"])]
+                        for ring, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                            for seq, (x, y) in enumerate(rec["points"][lo:hi]):
+                                rows.append(
+                                    (path, str(rec["rec_no"]), kind, ring, seq, x, y)
+                                )
+                else:  # .gml / .xml
+                    with open(path) as f:
+                        feats = gml_parse(f.read())
+                    for feat in feats:
+                        for ring, pts in enumerate(feat["rings"]):
+                            for seq, (x, y) in enumerate(pts):
+                                rows.append(
+                                    (path, feat["fid"], feat["geom_type"], ring, seq, x, y)
+                                )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "feature_id", "geom_type", "ring", "seq", "x", "y"],
+            )
+
+    return manifest.repartition(min(len(paths), 32), "path").mapInPandas(
+        parse,
+        schema="path string, feature_id string, geom_type string, "
+        "ring int, seq int, x double, y double",
+    )
+
+
 # --- the ingest operators ----------------------------------------------
 
 # supplier-derived integer geometry (same derivation family as

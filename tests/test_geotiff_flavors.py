@@ -126,3 +126,26 @@ def test_flavors_query_matches_oracle(spark, ducks):
         spark, ducks, G.raster_ingest_tiff_flavors,
         oracle_sql()["raster_ingest_tiff_flavors"],
     )
+
+
+@pytest.mark.skipif(not os.path.exists(SRTM), reason="reference tree absent")
+def test_open_raster_reads_reference_file(spark):
+    """api.open_raster over the reference's real GDAL-written SRTM tile:
+    executor-side decode, per-pixel geo coordinates from the embedded
+    geotransform, stats matching the direct open_tiff_file path."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.api import GdalosSpark
+
+    eng = GdalosSpark(spark, "/root/testdata/sf0.001")
+    df = eng.open_raster(SRTM)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").alias("lo"), F.max("val").alias("hi"),
+        F.min("lon").alias("wlon"), F.max("lat").alias("nlat"),
+    ).first()
+    grid, (olon, olat, sx, sy), _ = G.open_tiff_file(SRTM)
+    assert agg.n == 361 * 361
+    assert agg.lo == float(grid.min()) and agg.hi == float(grid.max())
+    assert abs(agg.wlon - (olon + 0.5 * sx)) < 1e-12
+    assert abs(agg.nlat - (olat - 0.5 * sy)) < 1e-12

@@ -86,3 +86,35 @@ def test_vector_ingest_gml_matches_oracle(spark, ducks):
     assert_matches_oracle(
         spark, ducks, V.vector_ingest_gml, oracle_sql()["vector_ingest_gml"]
     )
+
+
+@pytest.mark.skipif(not os.path.exists(GML_SAMPLE), reason="reference tree absent")
+def test_open_vector_reads_reference_layer(spark):
+    """api.open_vector over the reference's real GML layer: per-vertex
+    rows with feature identity, parsed on the executors."""
+    from gdalos_spark.api import GdalosSpark
+
+    eng = GdalosSpark(spark, "/root/testdata/sf0.001")
+    rows = eng.open_vector(GML_SAMPLE).collect()
+    assert len(rows) == 5  # closed 5-vertex ring
+    assert {r.feature_id for r in rows} == {"comb_poly.0"}
+    assert {r.geom_type for r in rows} == {"Polygon"}
+    assert [r.seq for r in sorted(rows, key=lambda r: r.seq)] == [0, 1, 2, 3, 4]
+    xs = [r.x for r in rows]
+    assert 35.09 < min(xs) < 35.10 and 35.13 < max(xs) < 35.14
+
+
+def test_open_vector_reads_shp_file(spark, tmp_path):
+    """A genuine .shp written to disk round-trips through the
+    executor-side parse."""
+    from gdalos_spark.api import GdalosSpark
+
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    p = tmp_path / "t.shp"
+    p.write_bytes(V.shp_encode([("polygon", [ring]), ("point", (7.0, 8.0))]))
+    eng = GdalosSpark(spark, "/root/testdata/sf0.001")
+    rows = eng.open_vector(str(p)).collect()
+    polys = [r for r in rows if r.geom_type == "Polygon"]
+    pts = [r for r in rows if r.geom_type == "Point"]
+    assert len(polys) == 4 and len(pts) == 1
+    assert pts[0].x == 7.0 and pts[0].y == 8.0
