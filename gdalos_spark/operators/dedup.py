@@ -885,6 +885,77 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
     )
 
 
+def _cc_two_phase(pairs: DataFrame):
+    """Exact connected components for edge streams whose DISTINCT pair
+    volume is quadratic in clique size (the sf100 replica corpus:
+    708.7M qualifying group pairs) — the contract-then-relabel
+    formulation, built so the full pair stream is NEVER shuffled:
+
+    * Phase 1 contracts every node to its MINIMUM neighbor — one
+      groupBy whose MIN combines map-side, so the shuffle carries the
+      node set, not the pair set — and runs the alternating-star CC on
+      that forest (<= one edge per node).
+    * Phase 2 relabels the original stream through the phase-1 labels
+      with a BROADCAST join (node-set-sized build side — the quotient
+      group count, orders of magnitude under the pair count; at an
+      extreme node count drop the hint and pre-partition instead),
+      keeps only the cross-component residue, and runs CC on its tiny
+      distinct quotient.
+
+    Phase-1 components refine the true ones (every min-neighbor edge is
+    a real edge), so unquotienting phase 2 over them is exact; every
+    label is the component minimum (a min of phase-1 minima). Returns
+    (label_map, converged): label_map is a COMPLETE (node, root) map —
+    roots map to themselves."""
+    q = pairs.select("doc_a", "doc_b").persist()
+    und = q.union(
+        q.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    e1 = (
+        und.groupBy(F.col("doc_a").alias("u"))
+        .agg(F.min("doc_b").alias("m"))
+        .select(
+            F.least("u", "m").alias("doc_a"),
+            F.greatest("u", "m").alias("doc_b"),
+        )
+    )
+    rm1, _, conv1 = _cc_alternating(e1)
+    l1 = (
+        rm1.select(F.col("node").alias("n"), F.col("root").alias("r"))
+        .union(
+            rm1.select(F.col("root").alias("n"), F.col("root").alias("r"))
+            .distinct()
+        )
+        .localCheckpoint()
+    )
+    resid = (
+        q.join(
+            F.broadcast(l1.select(F.col("n").alias("doc_a"), F.col("r").alias("ra"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(l1.select(F.col("n").alias("doc_b"), F.col("r").alias("rb"))),
+            "doc_b",
+        )
+        .filter(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("doc_a"),
+            F.greatest("ra", "rb").alias("doc_b"),
+        )
+    )
+    rm2, _, conv2 = _cc_alternating(resid)
+    q.unpersist()  # both CC ingests are checkpointed past the stream
+    l2 = rm2.select(F.col("node").alias("r"), F.col("root").alias("r2"))
+    label_map = (
+        l1.join(l2, "r", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce("r2", "r").alias("root"),
+        )
+    )
+    return label_map, conv1 and conv2
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: pair lists aren't actionable on their
     own — production dedup keeps ONE doc per connected component of the
@@ -943,14 +1014,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map at the end. Result-IDENTICAL: the cluster root is the minimum
     # doc id of the component, every group's srep IS its minimum doc,
     # and the CC root is the minimum srep.
-    root_map, rounds, converged = _cc_alternating(near_pairs)
+    label_map, converged = _cc_two_phase(near_pairs)
     if not converged:  # pragma: no cover - needs >2^25-diameter data
         import warnings
 
         warnings.warn(
-            f"dedup_clusters: star compression exited after {rounds} rounds "
-            "without reaching the edge fixed point; cluster ids may be "
-            "unconverged",
+            "dedup_clusters: star compression exited without reaching the "
+            "edge fixed point; cluster ids may be unconverged",
             stacklevel=2,
         )
 
@@ -959,12 +1029,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when they hold >=2 signature-identical docs (their in-group star
     # pairs exist in the unreduced graph). Singleton groups with no pair
     # are out — the contract is docs appearing in >=1 pair.
-    glabel = root_map.select(
+    glabel = label_map.select(
         F.col("node").alias("srep"), F.col("root").alias("label")
-    ).union(
-        root_map.select(
-            F.col("root").alias("srep"), F.col("root").alias("label")
-        ).distinct()
     ).localCheckpoint()
     solo = (
         sgroups.filter(F.col("gk") >= 2)

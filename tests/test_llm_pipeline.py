@@ -411,3 +411,36 @@ def test_split_leakage_flags_cross_split_pairs(spark):
     for r in rows:
         assert (r.is_leak == 1) == (r.split_a != r.split_b)
         assert r.n_pairs > 0 and r.n_docs_a > 0
+
+
+def test_cc_two_phase_matches_alternating(spark):
+    """The contract-then-relabel CC (the never-shuffle-the-pair-stream
+    path dedup_clusters runs) labels every random graph identically to
+    the plain alternating-star algorithm."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.operators.dedup import _cc_alternating, _cc_two_phase
+
+    rng = random.Random(11)
+    edges = set()
+    # mix: two dense cliques (the quadratic case), a long chain, isolates
+    for base in (0, 40):
+        members = [base + i for i in range(12)]
+        edges |= {(a, b) for a in members for b in members if a < b}
+    edges |= {(100 + i, 101 + i) for i in range(30)}
+    edges |= {(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    rm, _, conv = _cc_alternating(pairs)
+    assert conv
+    base_labels = {r.node: r.root for r in rm.collect()}
+    for r in set(base_labels.values()):
+        base_labels[r] = r
+    lm, conv2 = _cc_two_phase(pairs)
+    assert conv2
+    two_labels = {r.node: r.root for r in lm.collect()}
+    assert two_labels == base_labels
