@@ -885,6 +885,30 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
     )
 
 
+# below this many docs the pair set is small enough that the two-phase
+# machinery (extra CC + broadcast relabel + persist) costs more fixed
+# latency than it saves — measured +1.4s on the sf0.1 headline vs a
+# 670->125s win at 5M docs (BASELINE.md)
+TWO_PHASE_MIN_DOCS = COLLAPSE_MIN_DOCS
+
+
+def _cc_label_map(pairs: DataFrame, two_phase: bool):
+    """Complete (node, root) label map over the pair graph, by either CC
+    formulation — identical labels (unit-pinned), different physics:
+    the single-phase alternating-star path for small pair sets, the
+    contract-then-relabel path when the qualifying pair volume is
+    quadratic in clique size."""
+    if two_phase:
+        return _cc_two_phase(pairs)
+    root_map, _, converged = _cc_alternating(pairs)
+    label_map = root_map.select(
+        F.col("node"), F.col("root")
+    ).union(
+        root_map.select(F.col("root").alias("node"), F.col("root")).distinct()
+    )
+    return label_map, converged
+
+
 def _cc_two_phase(pairs: DataFrame):
     """Exact connected components for edge streams whose DISTINCT pair
     volume is quadratic in clique size (the sf100 replica corpus:
@@ -1014,7 +1038,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map at the end. Result-IDENTICAL: the cluster root is the minimum
     # doc id of the component, every group's srep IS its minimum doc,
     # and the CC root is the minimum srep.
-    label_map, converged = _cc_two_phase(near_pairs)
+    label_map, converged = _cc_label_map(
+        near_pairs, two_phase=_docs_footer_count(sf_dir) >= TWO_PHASE_MIN_DOCS
+    )
     if not converged:  # pragma: no cover - needs >2^25-diameter data
         import warnings
 
