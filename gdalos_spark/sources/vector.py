@@ -415,6 +415,133 @@ def vector_ingest_gml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rasterize_vector_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burn a DATA-DRIVEN vector layer onto the raster grid — the
+    reference's central rasterize use-case (rasterize/
+    gdalos_rasterize.py: OGR layer -> gdal.Rasterize), where
+    raster_cutline's literal-polygon unroll cannot apply because the
+    polygons come from a table. Each nation's supplier ring (the same
+    geometry vector_ingest_shp/gml serialize) is tested against every
+    DEM cell center by the even-odd ray cast, as a JOIN: cells first hit
+    the broadcast per-feature BBOX (the real-world prune — cells outside
+    a feature's bbox never see its edges; a BNLJ with a feature-count
+    build side, bounded like a dim), then an EQUI-join on feature_id
+    fans out that feature's edges, one lazy-guarded crossing term per
+    (cell, edge) row, and a groupBy counts crossings. No cartesian, no
+    UDF; at 100 TB cells partition by tile and features stay dim-sized.
+
+    Output: (feature_id, n_cells, sum_px, sum_py) per feature with >=1
+    burned cell."""
+    from pyspark.sql import Window
+
+    from gdalos_spark.datamodel import dem_grid
+
+    # spreading multipliers (vs the ingest keys' 17/23): vertices cover
+    # the full 64x64 grid even at small supplier counts, so every
+    # nation's ring encloses a meaningful cell population at every SF
+    sup = load(spark, sf_dir, "supplier")
+    pts = sup.select(
+        F.col("s_nationkey").alias("feature_id"),
+        "s_suppkey",
+        ((F.col("s_suppkey") * 541 % 6400) / 100.0).alias("x"),
+        ((F.col("s_suppkey") * 863 % 6400) / 100.0).alias("y"),
+    )
+    wo = Window.partitionBy("feature_id").orderBy("s_suppkey")
+    wa = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    edges = pts.select(
+        "feature_id",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.coalesce(F.lead("x").over(wo), F.first("x").over(wa)).alias("x2"),
+        F.coalesce(F.lead("y").over(wo), F.first("y").over(wa)).alias("y2"),
+    )
+    fbbox = pts.groupBy("feature_id").agg(
+        F.min("x").alias("minx"), F.max("x").alias("maxx"),
+        F.min("y").alias("miny"), F.max("y").alias("maxy"),
+    )
+    cells = dem_grid(spark, sf_dir).select(
+        "px", "py",
+        (F.col("px").cast("double") + 0.5).alias("cx"),
+        (F.col("py").cast("double") + 0.5).alias("cy"),
+    )
+    cand = cells.join(
+        F.broadcast(fbbox),
+        (F.col("cx") >= F.col("minx")) & (F.col("cx") <= F.col("maxx"))
+        & (F.col("cy") >= F.col("miny")) & (F.col("cy") <= F.col("maxy")),
+    ).select("px", "py", "cx", "cy", "feature_id")
+    straddles = (F.col("y1") > F.col("cy")) != (F.col("y2") > F.col("cy"))
+    # x of the edge at the ray height; evaluated only under `straddles`
+    # (lazy CASE), which implies y1 != y2 — no division by zero
+    x_at = F.col("x1") + (F.col("x2") - F.col("x1")) * (
+        F.col("cy") - F.col("y1")
+    ) / (F.col("y2") - F.col("y1"))
+    term = F.when(
+        straddles, F.when(F.col("cx") < x_at, 1).otherwise(0)
+    ).otherwise(0)
+    crossings = (
+        cand.join(F.broadcast(edges), "feature_id")
+        .groupBy("px", "py", "feature_id")
+        .agg(F.sum(term).alias("crossings"))
+    )
+    return (
+        crossings.filter(F.col("crossings") % 2 == 1)
+        .groupBy("feature_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("px").cast("bigint").alias("sum_px"),
+            F.sum("py").cast("bigint").alias("sum_py"),
+        )
+        .select("feature_id", F.col("n_cells").cast("bigint").alias("n_cells"),
+                "sum_px", "sum_py")
+    )
+
+
+def _rasterize_vector_sql() -> str:
+    from gdalos_spark.datamodel import DEM_GRID_SQL
+
+    return f"""
+WITH dem AS ({DEM_GRID_SQL}),
+pts AS (
+  SELECT s_nationkey AS feature_id, s_suppkey,
+         (s_suppkey * 541 % 6400) / 100.0 AS x,
+         (s_suppkey * 863 % 6400) / 100.0 AS y
+  FROM supplier
+),
+edges AS (
+  SELECT feature_id, x AS x1, y AS y1,
+         COALESCE(LEAD(x) OVER wo, FIRST_VALUE(x) OVER wa) AS x2,
+         COALESCE(LEAD(y) OVER wo, FIRST_VALUE(y) OVER wa) AS y2
+  FROM pts
+  WINDOW wo AS (PARTITION BY feature_id ORDER BY s_suppkey),
+         wa AS (PARTITION BY feature_id ORDER BY s_suppkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cells AS (
+  SELECT px, py, CAST(px AS DOUBLE) + 0.5 AS cx, CAST(py AS DOUBLE) + 0.5 AS cy
+  FROM dem
+),
+cross_counts AS (
+  SELECT c.px, c.py, e.feature_id,
+         SUM(CASE WHEN (e.y1 > c.cy) != (e.y2 > c.cy)
+                  THEN CASE WHEN c.cx < e.x1 + (e.x2 - e.x1) * (c.cy - e.y1) / (e.y2 - e.y1)
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END) AS crossings
+  FROM cells c CROSS JOIN edges e
+  GROUP BY 1, 2, 3
+)
+SELECT feature_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(px) AS BIGINT) AS sum_px,
+       CAST(SUM(py) AS BIGINT) AS sum_py
+FROM cross_counts
+WHERE crossings % 2 = 1
+GROUP BY feature_id
+"""
+
+
+RASTERIZE_VECTOR_LAYER_SQL = _rasterize_vector_sql()
+
+
 VECTOR_INGEST_GML_SQL = f"""
 WITH pts AS ({_SUPPLIER_RING_SQL}),
 ring AS (

@@ -118,3 +118,23 @@ def test_open_vector_reads_shp_file(spark, tmp_path):
     pts = [r for r in rows if r.geom_type == "Point"]
     assert len(polys) == 4 and len(pts) == 1
     assert pts[0].x == 7.0 and pts[0].y == 8.0
+
+
+def test_rasterize_vector_layer_matches_oracle(spark, ducks):
+    from __spark_entry__ import oracle_sql
+
+    assert_matches_oracle(
+        spark, ducks, V.rasterize_vector_layer,
+        oracle_sql()["rasterize_vector_layer"],
+    )
+
+
+def test_rasterize_vector_layer_plan_shape(spark):
+    """The vector burn must be the bbox-pruned join shape: no cartesian
+    product, edges/bbox broadcast, cells never broadcast."""
+    from gdalos_spark.plans.asserts import assert_no_cartesian
+
+    df = V.rasterize_vector_layer(spark, "/root/testdata/sf0.001")
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
