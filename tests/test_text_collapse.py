@@ -107,3 +107,20 @@ def test_collapse_bails_on_distinct_corpus(spark, tmp_path):
         tuple(r) for r in D._signatures(spark, d, collapse=False).collect()
     )
     assert adaptive == direct
+
+
+def test_collapse_engages_on_empty_frame_without_error(spark):
+    """ADVICE r8: an over-estimated n_hint on a filtered-empty subset
+    must fall through to the direct plan (SUM over zero groups is NULL),
+    not raise TypeError on float * None."""
+    from pyspark.sql import functions as F
+
+    from gdalos_spark.operators.dedup import COLLAPSE_MIN_DOCS, collapse_by_text
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = collapse_by_text(
+        empty,
+        lambda d: d.select("doc_id", F.md5("text").alias("h")),
+        n_src=COLLAPSE_MIN_DOCS * 2,
+    )
+    assert out.count() == 0
