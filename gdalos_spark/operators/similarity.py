@@ -1206,12 +1206,25 @@ RES_PQ_M = 32
 RES_PQ_SUB = vectors.EMB_DIM // RES_PQ_M  # dims per subvector (2)
 RES_PQ_K = 128
 RES_TRAIN_ROUNDS = 2
+# Lloyd training runs on a bounded deterministic sample (vec_id <
+# RES_TRAIN_CAP) — the production IVF-PQ shape: train the codebooks on a
+# fixed-size sample, encode the full corpus. Below the cap (sf0.001/
+# sf0.01) the sample IS the corpus, so certified results are unchanged;
+# at sf0.1 it cuts the two training passes 5x, and at 100 TB it is what
+# makes training O(1) while the encode pass stays the only full scan.
+RES_TRAIN_CAP = 4096
 
 
-def _res_d2(a: str = "rx", b: str = "cx") -> F.Column:
-    return vectors.fold_sum(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y))
-    )
+def _res_d2() -> F.Column:
+    """(rx1-cx1)^2 + (rx2-cx2)^2 on SCALAR columns — RES_PQ_SUB is 2, so
+    the subvector never needs to exist as an array in the hot join: the
+    explicit arithmetic stays inside whole-stage codegen where the
+    zip_with/fold pair ran as interpreted higher-order functions (the
+    measured bulk of the key's 21s at sf0.1). One addition, so the float
+    order is trivially engine-identical."""
+    d1 = F.col("rx1") - F.col("cx1")
+    d2 = F.col("rx2") - F.col("cx2")
+    return d1 * d1 + d2 * d2
 
 
 def _res_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,7 +1250,8 @@ def _res_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = spark.range(RES_PQ_M).select(F.col("id").cast("int").alias("sub_id"))
     return res.crossJoin(F.broadcast(subs)).select(
         "gid", "list_id", "k", "sub_id",
-        F.slice(F.col("res"), F.col("sub_id") * RES_PQ_SUB + 1, RES_PQ_SUB).alias("rx"),
+        F.element_at(F.col("res"), F.col("sub_id") * RES_PQ_SUB + 1).alias("rx1"),
+        F.element_at(F.col("res"), F.col("sub_id") * RES_PQ_SUB + 2).alias("rx2"),
     )
 
 
@@ -1250,51 +1264,69 @@ def _res_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     training input is a bounded sample, the assignment pass is the
     full scan."""
     gm, _, _ = _ivf_parts(spark, sf_dir)
-    sl = _res_sliced(spark, sf_dir).persist()
+    sl = _res_sliced(spark, sf_dir)
     cb = (
         gm.filter(F.col("vec_id") < RES_PQ_K)
         .join(sl, "gid")
         .select(
             F.col("sub_id").alias("c_sub"),
             F.col("vec_id").cast("int").alias("code"),
-            F.col("rx").alias("cx"),
+            F.col("rx1").alias("cx1"),
+            F.col("rx2").alias("cx2"),
         )
+    )
+    # per-VEC training rows for the sampled prefix, weight 1 each (the
+    # SQL twin trains per-vec over the same predicate)
+    sl = (
+        gm.filter(F.col("vec_id") < RES_TRAIN_CAP)
+        .join(sl, "gid")
+        .select(
+            F.col("vec_id").alias("gid"), "sub_id",
+            F.lit(1).alias("k"), "rx1", "rx2",
+        )
+        .persist()
     )
     for _ in range(RES_TRAIN_ROUNDS):
         scored = sl.join(F.broadcast(cb), sl.sub_id == cb.c_sub).select(
-            "gid", "sub_id", "k", "rx", "code",
+            "gid", "sub_id", "k", "rx1", "rx2", "code",
             F.round(_res_d2() * 1_000_000.0).cast("bigint").alias("d2u"),
         )
-        w = Window.partitionBy("gid", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
-        assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(
-            F.col("rnk") == 1
+        # argmin as a min_by AGG, not a sort window: the K-candidate
+        # fan-out combines map-side instead of sorting |groups|*M*K rows
+        # (the (d2u, code) ordering struct keeps the tie-break total)
+        assigned = (
+            scored.groupBy("gid", "sub_id")
+            .agg(
+                F.min_by(
+                    F.struct("code", "k", "rx1", "rx2"), F.struct("d2u", "code")
+                ).alias("best")
+            )
+            .select(
+                "gid", "sub_id",
+                F.col("best.code").alias("code"),
+                F.col("best.k").alias("k"),
+                F.col("best.rx1").alias("rx1"),
+                F.col("best.rx2").alias("rx2"),
+            )
         )
-        dims = assigned.select(
-            "sub_id", "code", "k", F.posexplode(F.col("rx")).alias("dim", "x")
-        ).select(
-            "sub_id", "code", "k", "dim",
-            F.round(F.col("x") * 1_000_000.0).cast("bigint").alias("xu"),
-        )
-        per_dim = dims.groupBy("sub_id", "code", "dim").agg(
-            F.sum(F.col("xu") * F.col("k")).alias("sum_xu"),
+        per = assigned.select(
+            "sub_id", "code", "k",
+            F.round(F.col("rx1") * 1_000_000.0).cast("bigint").alias("x1u"),
+            F.round(F.col("rx2") * 1_000_000.0).cast("bigint").alias("x2u"),
+        ).groupBy("sub_id", "code").agg(
+            F.sum(F.col("x1u") * F.col("k")).alias("s1"),
+            F.sum(F.col("x2u") * F.col("k")).alias("s2"),
             F.sum("k").alias("n"),
         )
         cb = (
-            per_dim.select(
-                "sub_id", "code", "dim",
-                (
-                    (F.col("sum_xu").cast("double") / F.lit(1_000_000.0))
-                    / F.col("n").cast("double")
-                ).alias("v"),
+            per.select(
+                F.col("sub_id").alias("c_sub"),
+                "code",
+                ((F.col("s1").cast("double") / F.lit(1_000_000.0))
+                 / F.col("n").cast("double")).alias("cx1"),
+                ((F.col("s2").cast("double") / F.lit(1_000_000.0))
+                 / F.col("n").cast("double")).alias("cx2"),
             )
-            .groupBy("sub_id", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
-                    lambda s: s["v"],
-                ).alias("cx")
-            )
-            .select(F.col("sub_id").alias("c_sub"), "code", "cx")
             .localCheckpoint()
         )
     sl.unpersist()
@@ -1327,11 +1359,10 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid", "sub_id", "code",
         F.round(_res_d2() * 1_000_000.0).cast("bigint").alias("d2u"),
     )
-    wc = Window.partitionBy("gid", "sub_id").orderBy(F.asc("d2u"), F.asc("code"))
-    codes_g = (
-        cscored.withColumn("rnk", F.row_number().over(wc))
-        .filter(F.col("rnk") == 1)
-        .select("gid", "sub_id", "code")
+    # same min_by-agg argmin as training: map-side combine over the
+    # 128-candidate fan-out instead of a sort window
+    codes_g = cscored.groupBy("gid", "sub_id").agg(
+        F.min_by("code", F.struct("d2u", "code")).alias("code")
     )
     codes = gm.join(codes_g, "gid").select("vec_id", "sub_id", "code")
 
@@ -1354,7 +1385,8 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(subs))
         .select(
             "probe_id", "list_id", "sub_id",
-            F.slice(F.col("pres"), F.col("sub_id") * RES_PQ_SUB + 1, RES_PQ_SUB).alias("rx"),
+            F.element_at(F.col("pres"), F.col("sub_id") * RES_PQ_SUB + 1).alias("rx1"),
+            F.element_at(F.col("pres"), F.col("sub_id") * RES_PQ_SUB + 2).alias("rx2"),
         )
     )
     dtab = psub.join(F.broadcast(cb), psub.sub_id == cb.c_sub).select(
@@ -1385,46 +1417,47 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RES_D2_SQL = "((rx1 - cx1) * (rx1 - cx1) + (rx2 - cx2) * (rx2 - cx2))"
+
+
 def _res_train_ctes() -> str:
     """Unrolled residual-PQ Lloyd rounds (uncollapsed per-vec twin of
-    _res_codebook — weights are implicit in the row multiplicity)."""
-    d2 = (
-        "list_sum(list_transform(range(1, %d), j -> (rx[j] - cx[j]) * (rx[j] - cx[j])))"
-        % (RES_PQ_SUB + 1)
-    )
+    _res_codebook — weights are implicit in the row multiplicity).
+    Scalar rx1/rx2 columns mirror the Spark side's codegen-friendly
+    shape; the single-addition d2 keeps float order engine-identical."""
     parts = [f""",
 rcb0 AS (
-  SELECT sub_id AS c_sub, CAST(vec_id AS INTEGER) AS code, rx AS cx
+  SELECT sub_id AS c_sub, CAST(vec_id AS INTEGER) AS code,
+         rx1 AS cx1, rx2 AS cx2
   FROM rsliced WHERE vec_id < {RES_PQ_K}
 ),
-rjdim AS (SELECT CAST(range AS INTEGER) + 1 AS j FROM range({RES_PQ_SUB}))"""]
+rtrain AS (SELECT * FROM rsliced WHERE vec_id < {RES_TRAIN_CAP})"""]
     for r in range(1, RES_TRAIN_ROUNDS + 1):
         parts.append(f""",
 rcs{r} AS (
-  SELECT s.vec_id, s.sub_id, c.code, s.rx,
-         CAST(ROUND({d2} * 1000000.0) AS BIGINT) AS d2u
-  FROM rsliced s JOIN rcb{r - 1} c ON s.sub_id = c.c_sub
+  SELECT s.vec_id, s.sub_id, c.code, s.rx1, s.rx2,
+         CAST(ROUND({_RES_D2_SQL} * 1000000.0) AS BIGINT) AS d2u
+  FROM rtrain s JOIN rcb{r - 1} c ON s.sub_id = c.c_sub
 ),
 rca{r} AS (
-  SELECT vec_id, sub_id, code, rx FROM (
+  SELECT vec_id, sub_id, code, rx1, rx2 FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
                                  ORDER BY d2u ASC, code ASC) AS rnk
     FROM rcs{r}
   ) WHERE rnk = 1
 ),
 rcpd{r} AS (
-  SELECT sub_id, code, CAST(j - 1 AS INTEGER) AS dim,
-         SUM(CAST(ROUND(rx[j] * 1000000.0) AS BIGINT)) AS sum_xu,
+  SELECT sub_id, code,
+         SUM(CAST(ROUND(rx1 * 1000000.0) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(rx2 * 1000000.0) AS BIGINT)) AS s2,
          COUNT(*) AS n
-  FROM rca{r} CROSS JOIN rjdim GROUP BY 1, 2, 3
+  FROM rca{r} GROUP BY 1, 2
 ),
 rcb{r} AS (
-  SELECT sub_id AS c_sub, code, list(v ORDER BY dim) AS cx
-  FROM (
-    SELECT sub_id, code, dim,
-           (CAST(sum_xu AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS v
-    FROM rcpd{r}
-  ) GROUP BY 1, 2
+  SELECT sub_id AS c_sub, code,
+         (CAST(s1 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS cx1,
+         (CAST(s2 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS cx2
+  FROM rcpd{r}
 )""")
     return "".join(parts)
 
@@ -1433,10 +1466,7 @@ def _ivfpq_residual_sql() -> str:
     n2 = vectors.norm2_sql("embedding")
     cent_dot = vectors.dot_sql("b.emb", "c.cent")
     cent_n2 = vectors.norm2_sql("c.cent")
-    d2 = (
-        "list_sum(list_transform(range(1, %d), j -> (rx[j] - cx[j]) * (rx[j] - cx[j])))"
-        % (RES_PQ_SUB + 1)
-    )
+    d2 = _RES_D2_SQL
     fcb = f"rcb{RES_TRAIN_ROUNDS}"
     return f"""
 WITH flat AS (
@@ -1479,8 +1509,8 @@ vres AS (
 ),
 rsliced AS (
   SELECT vec_id, list_id, sub_id,
-         list_transform(range(1, {RES_PQ_SUB + 1}),
-                        j -> res[sub_id * {RES_PQ_SUB} + j]) AS rx
+         res[sub_id * {RES_PQ_SUB} + 1] AS rx1,
+         res[sub_id * {RES_PQ_SUB} + 2] AS rx2
   FROM vres CROSS JOIN rsubs
 ){_res_train_ctes()},
 rcod_scored AS (
@@ -1505,8 +1535,8 @@ pres AS (
 ),
 psub AS (
   SELECT probe_id, list_id, sub_id,
-         list_transform(range(1, {RES_PQ_SUB + 1}),
-                        j -> res[sub_id * {RES_PQ_SUB} + j]) AS rx
+         res[sub_id * {RES_PQ_SUB} + 1] AS rx1,
+         res[sub_id * {RES_PQ_SUB} + 2] AS rx2
   FROM pres CROSS JOIN rsubs
 ),
 dtab AS (
