@@ -65,6 +65,18 @@ def _build_parser() -> ArgumentParser:
 def _resolve(eng, args) -> DataFrame:
     from gdalos_spark.operators import raster
 
+    if args.verb == "open":
+        # the reference CLI's primary positional IS a dataset path
+        # (gdalos_trans <in.tif>); here `open <file>` ingests a real
+        # foreign file — GeoTIFF (any flavor the IFD walker supports) or
+        # OGR layer — into a distributed frame, decoded on the executors
+        path = args.sf_dir
+        low = path.lower()
+        if low.endswith((".tif", ".tiff")):
+            return eng.open_raster(path)
+        if low.endswith((".shp", ".gml", ".xml")):
+            return eng.open_vector(path)
+        raise SystemExit(f"don't know how to open {path!r} (.tif/.shp/.gml)")
     if args.verb == "trans":
         # gdalos_trans flag semantics (gdalos_trans.py:82): a target SRS
         # selects the warp path; an extent selects the crop path; a

@@ -138,3 +138,22 @@ def test_rasterize_vector_layer_plan_shape(spark):
     assert_no_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+@pytest.mark.skipif(not os.path.exists(GML_SAMPLE), reason="reference tree absent")
+def test_cli_open_verb_ingests_real_files(spark):
+    """`gdalos_spark open <file>` dispatches by extension to the foreign
+    ingest paths — the reference CLI's point-at-a-dataset shape."""
+    from gdalos_spark.api import GdalosSpark
+    from gdalos_spark.cli import _build_parser, _resolve
+
+    eng = GdalosSpark(spark, "/root/testdata/sf0.001")
+    parser = _build_parser()
+    gml = _resolve(eng, parser.parse_args(["open", GML_SAMPLE]))
+    assert gml.count() == 5
+    srtm = "/root/reference/data/maps/srtm1_x35_y32.tif"
+    if os.path.exists(srtm):
+        df = _resolve(eng, parser.parse_args(["open", srtm]))
+        assert df.count() == 361 * 361
+    with pytest.raises(SystemExit):
+        _resolve(eng, parser.parse_args(["open", "/tmp/nope.xyz"]))
