@@ -702,6 +702,12 @@ def _bpe_train_loop(spark: SparkSession, sf_dir: str):
                 )
             ).alias("p"),
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "wn")
+        # deliberate driver-side 1-ROW collect: greedy BPE is an
+        # iterative argmax — each round's winning pair must reach the
+        # driver to parameterize the next round's merge expression
+        # (exactly the unrolled-CTE structure of BPE_TRAIN_MERGES_SQL's
+        # oracle, one m{step} CTE per round). Bounded: BPE_TRAIN_STEPS
+        # rounds x one TakeOrderedAndProject row — never a data loop.
         best = (
             pairs.groupBy("a", "b")
             .agg(F.sum("wn").cast("bigint").alias("n_occ"))
