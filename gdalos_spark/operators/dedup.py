@@ -887,9 +887,12 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
 
 # below this many docs the pair set is small enough that the two-phase
 # machinery (extra CC + broadcast relabel + persist) costs more fixed
-# latency than it saves — measured +1.4s on the sf0.1 headline vs a
-# 670->125s win at 5M docs (BASELINE.md)
-TWO_PHASE_MIN_DOCS = COLLAPSE_MIN_DOCS
+# latency than it saves: +1.4s on the sf0.1 headline, and at 500k docs
+# (27M pairs) the two arms measured within host noise of each other
+# (54-86s band, both orderings observed in one session) — the clique
+# quadratic only dominates well past that. 5M docs (708.7M pairs) is
+# firmly two-phase territory: 960 -> 358s (BASELINE.md).
+TWO_PHASE_MIN_DOCS = 1_000_000
 
 
 def _cc_label_map(pairs: DataFrame, two_phase: bool):
