@@ -687,10 +687,13 @@ def _encode_flavor_tiff(
     for r in range(0, h, rows_per_strip):
         block = a[r : r + rows_per_strip]
         if predictor == 2:
-            # per-channel horizontal diff vs the ORIGINAL left neighbor
+            # per-channel horizontal diff vs the ORIGINAL left neighbor;
+            # the subtraction ufunc returns a NATIVE-endian result, so
+            # cast back to the declared byte order before serializing
+            # (caught by the BE+pred2 round-trip test)
             block = np.concatenate(
                 [block[:, :1], block[:, 1:] - block[:, :-1]], axis=1
-            )
+            ).astype(dtype)
         strips.append(
             _compress_block(np.ascontiguousarray(block).tobytes(), comp)
         )
@@ -712,7 +715,10 @@ def _encode_flavor_tiff(
         (_T_GEOKEYS, 3, len(_GEOKEYS_4326) // 2, None),
     ]
     if predictor == 2:
-        entries.insert(5, (_T_PREDICTOR, 3, 1, 2))
+        entries.append((_T_PREDICTOR, 3, 1, 2))
+    # TIFF 6.0 requires IFD entries in ascending tag order; libtiff warns
+    # (and strict readers reject) otherwise
+    entries.sort(key=lambda e: e[0])
     externs = {
         _T_MODEL_SCALE: struct.pack(bo + "3d", PIX, PIX, 0.0),
         _T_MODEL_TIEPOINT: struct.pack(
@@ -742,6 +748,11 @@ def open_tiff_file(path: str):
         payload = f.read()
     tags = _read_ifd(payload)
     grid = _grid_from_tags(tags, payload)
+    if _T_MODEL_SCALE not in tags or _T_MODEL_TIEPOINT not in tags:
+        raise ValueError(
+            f"{path}: TIFF has no geotransform "
+            "(ModelPixelScale/ModelTiepoint) — not a GeoTIFF"
+        )
     sx, sy = tags[_T_MODEL_SCALE][0], tags[_T_MODEL_SCALE][1]
     tie = tags[_T_MODEL_TIEPOINT]
     origin_lon = tie[3] - tie[0] * sx
@@ -766,6 +777,8 @@ def foreign_tiff_pixels(spark: SparkSession, paths: list[str]) -> DataFrame:
     Output: (path, band, px, py, lon, lat, val double) — px/py are
     pixel indices within the file; multi-band files emit one row per
     band sample."""
+    if not paths:
+        raise ValueError("open_raster needs at least one .tif path")
     manifest = spark.createDataFrame([(p,) for p in paths], "path string")
 
     def decode(batches: Iterator) -> Iterator:

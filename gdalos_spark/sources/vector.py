@@ -210,6 +210,8 @@ def vector_layer_features(spark: SparkSession, paths: list[str]) -> DataFrame:
     rasterize/cutline joins.
 
     Output: (path, feature_id, geom_type, ring, seq, x, y)."""
+    if not paths:
+        raise ValueError("open_vector needs at least one .shp/.gml path")
     manifest = spark.createDataFrame([(p,) for p in paths], "path string")
 
     def parse(batches: Iterator) -> Iterator:
