@@ -198,6 +198,96 @@ SELECT bx AS px, by AS py, cls AS mode_cls FROM ranked WHERE rk = 1
 """
 
 # ---------------------------------------------------------------------------
+# 4b. vrt_overview_mosaic — multi-extent, multi-resolution virtual mosaic
+#     ref: gdalos_vrt.py:99 make_vrt_with_multiple_extent_overviews_from_
+#     raster_overview_list, :216 make_ros_vrt_overviews — compose one
+#     output from several rasters with DIFFERENT resolutions and extents,
+#     each contributing through ITS OWN overview level
+# ---------------------------------------------------------------------------
+
+# declared geotransforms of the two member datasets and the requested
+# output resolution (units per output cell). get_level's 2^round(log2)
+# pick (overview_level_select) resolves A (res 1) to overview level 2
+# (4x4 blocks) and B (res 2) to level 1 (2x2 blocks) for R=4.
+VRT_OUT_RES = 4
+VRT_A_RES, VRT_B_RES = 1, 2
+VRT_B_EXTENT_PX = 16  # B's validity extent: px,py < 16 (units [0,32)^2)
+
+
+def vrt_overview_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's multi-extent VRT composition (gdalos_vrt.py:99):
+    one output raster at a requested resolution, assembled from member
+    datasets with different native resolutions and extents — each member
+    is sampled through the overview level ITS resolution ladder selects
+    (get_level, gdalos_vrt.py:42), and the finer member wins wherever
+    its extent covers. Here member A is the DEM (1 unit/px, full
+    extent, level 2 => 4x4 floor of the requested 4-unit cells) and
+    member B the orders grid declared at 2 units/px with a [0,32)^2
+    extent (level 1 => 2x2 blocks). Plan: two block aggs + one
+    full-outer equi-join on the output cell key — co-partitioned under
+    the tiled layout, no member ever resampled twice.
+
+    Output: (qx, qy, val, n_src, source)."""
+    a = (
+        dem_grid(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("px") / (VRT_OUT_RES // VRT_A_RES)).cast("int").alias("qx"),
+            F.floor(F.col("py") / (VRT_OUT_RES // VRT_A_RES)).cast("int").alias("qy"),
+        )
+        .agg(
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("va"),
+            F.count(F.lit(1)).alias("na"),
+        )
+    )
+    b = (
+        orders_grid(spark, sf_dir)
+        .filter(
+            (F.col("px") < VRT_B_EXTENT_PX) & (F.col("py") < VRT_B_EXTENT_PX)
+        )
+        .groupBy(
+            F.floor(F.col("px") / (VRT_OUT_RES // VRT_B_RES)).cast("int").alias("qx"),
+            F.floor(F.col("py") / (VRT_OUT_RES // VRT_B_RES)).cast("int").alias("qy"),
+        )
+        .agg(
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("vb"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+    )
+    return (
+        a.join(b, ["qx", "qy"], "full_outer")
+        .select(
+            "qx", "qy",
+            F.coalesce("vb", "va").alias("val"),
+            F.coalesce("nb", "na").cast("bigint").alias("n_src"),
+            F.when(F.col("vb").isNotNull(), "B").otherwise("A").alias("source"),
+        )
+    )
+
+
+VRT_OVERVIEW_MOSAIC_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}), og AS ({ORDERS_GRID_SQL}),
+a AS (
+  SELECT CAST(FLOOR(px / {VRT_OUT_RES // VRT_A_RES}) AS INTEGER) AS qx,
+         CAST(FLOOR(py / {VRT_OUT_RES // VRT_A_RES}) AS INTEGER) AS qy,
+         CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS va, COUNT(*) AS na
+  FROM dem GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(FLOOR(px / {VRT_OUT_RES // VRT_B_RES}) AS INTEGER) AS qx,
+         CAST(FLOOR(py / {VRT_OUT_RES // VRT_B_RES}) AS INTEGER) AS qy,
+         CAST(SUM(val) AS DOUBLE) / COUNT(*) AS vb, COUNT(*) AS nb
+  FROM og WHERE px < {VRT_B_EXTENT_PX} AND py < {VRT_B_EXTENT_PX}
+  GROUP BY 1, 2
+)
+SELECT COALESCE(a.qx, b.qx) AS qx, COALESCE(a.qy, b.qy) AS qy,
+       COALESCE(vb, va) AS val,
+       CAST(COALESCE(nb, na) AS BIGINT) AS n_src,
+       CASE WHEN vb IS NOT NULL THEN 'B' ELSE 'A' END AS source
+FROM a FULL OUTER JOIN b ON a.qx = b.qx AND a.qy = b.qy
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. raster_calc_expr — multi-raster algebra
 #    ref: /root/reference/src/gdalos/calc/gdal_calc.py (osgeo gdal_calc wrapper),
 #         make_calc_with_operand in calc/gdalos_combine.py:85

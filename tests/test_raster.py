@@ -193,3 +193,29 @@ def test_raster_flow_direction_codes_valid(spark):
             assert r.scaled_drop <= 0
         else:
             assert r.scaled_drop > 0
+
+
+def test_vrt_overview_mosaic(spark, ducks):
+    """gdalos_vrt.py:99 composition: finer member wins inside its
+    extent, the full-extent member fills the rest, every value the
+    exact block average at the member's own selected level."""
+    from gdalos_spark.operators.raster import (
+        VRT_B_EXTENT_PX,
+        VRT_OUT_RES,
+        VRT_B_RES,
+        vrt_overview_mosaic,
+    )
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, ducks, vrt_overview_mosaic,
+        entrymod.oracle_sql()["vrt_overview_mosaic"],
+    )
+    rows = {(r.qx, r.qy): r for r in vrt_overview_mosaic(spark, SF_DIR).collect()}
+    b_cells = VRT_B_EXTENT_PX // (VRT_OUT_RES // VRT_B_RES)
+    # inside B's extent the finer member must win wherever it has data
+    assert any(r.source == "B" for r in rows.values())
+    for (qx, qy), r in rows.items():
+        if r.source == "B":
+            assert qx < b_cells and qy < b_cells
