@@ -431,6 +431,13 @@ def rasterize_vector_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out that feature's edges, one lazy-guarded crossing term per
     (cell, edge) row, and a groupBy counts crossings. No cartesian, no
     UDF; at 100 TB cells partition by tile and features stay dim-sized.
+    (A scanline variant — edges exploded to the rows they straddle,
+    joined on the row key — was A/B'd at 100k suppliers and LOST, 44.4
+    vs 30.4 s: the synthetic rings straddle ~1/3 of the 64-row grid, so
+    edge-row incidence approaches cells x edges while the row join caps
+    parallelism at the toy grid's 64 keys. On real rasters — thousands
+    of rows, localized features — scanline is the next step; the bbox
+    prune here already captures its locality win for dim-sized layers.)
 
     Output: (feature_id, n_cells, sum_px, sum_py) per feature with >=1
     burned cell."""
