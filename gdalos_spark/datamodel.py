@@ -168,6 +168,32 @@ def read_plain(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Per-query persisted frames (same contract as dedup._COLLAPSE_CACHES):
+# a query function's persists must outlive its RETURNED lazy plan, so they
+# can't be unpersisted inside the function — instead each query registers
+# them here and the NEXT registering query (or an explicit release) frees
+# the previous batch, bounding a long session to one query's cached blocks
+# instead of leaking a set per call (round-9 ADVICE: dedup_clusters
+# sgroups, ann_ivfpq_residual_topk scored).
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def release_query_caches() -> None:
+    """Unpersist every frame registered by the most recent query."""
+    while _QUERY_CACHES:
+        try:
+            _QUERY_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+
+
+def register_query_caches(*dfs: DataFrame) -> None:
+    """Release the previous query's registered persists, then track
+    ``dfs`` until the next query (or release_query_caches) frees them."""
+    release_query_caches()
+    _QUERY_CACHES.extend(dfs)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from gdalos_spark.sources import bucketed
 

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load, split_for_cpu
+from gdalos_spark.datamodel import load, register_query_caches, split_for_cpu
 from gdalos_spark.functions import hashing, vectors
 from gdalos_spark.functions.hashing import (
     MINHASH_A,
@@ -1075,6 +1075,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(glabel_all, "srep")
         .select("doc_id", "label")
     )
+    # sig/sgroups back the returned lazy plan — free them when the NEXT
+    # registering query runs (round-9 ADVICE cache-hygiene item)
+    register_query_caches(sig, sgroups)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",

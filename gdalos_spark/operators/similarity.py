@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load, split_for_cpu
+from gdalos_spark.datamodel import load, register_query_caches, split_for_cpu
 from gdalos_spark.functions import vectors
 
 N_PROBES = 10  # probe set = vec_id < N_PROBES
@@ -1405,6 +1405,9 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("pd2u").alias("adc_u"))
     )
+    # scored backs the returned lazy plan — registered so the next query
+    # (or an explicit release) frees it (round-9 ADVICE cache hygiene)
+    register_query_caches(scored)
     w = Window.partitionBy("probe_id").orderBy(F.asc("adc_u"), F.asc("vec_id"))
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("int"))

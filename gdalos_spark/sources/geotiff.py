@@ -108,7 +108,12 @@ def _ifd_segment(
     nb = len(blocks)
     off_slot = extern(b"\0" * (4 * nb)) if nb > 1 else None
     cnt_slot = extern(b"\0" * (4 * nb)) if nb > 1 else None
-    slots = {tag: extern(v) for tag, v in extern_vals.items()}
+    # a value payload of <=4 bytes lives IN the value word (TIFF 6.0:
+    # left-justified within the slot, both byte orders) — readers,
+    # including this module's _read_ifds, never follow an offset for it
+    slots = {
+        tag: (v if len(v) <= 4 else extern(v)) for tag, v in extern_vals.items()
+    }
 
     data_off = ext_off + len(ext)
     offsets, counts, body = [], [], bytearray()
@@ -133,6 +138,10 @@ def _ifd_segment(
     for tag, typ, count, val in entries:
         if val is None:
             val = inline[tag]
+        if isinstance(val, bytes):  # short extern payload, stored inline
+            out.extend(struct.pack(bo + "HHI", tag, typ, count))
+            out.extend(val.ljust(4, b"\0"))
+            continue
         if typ == 3 and count == 1 and val is not None and bo == ">":
             # an inline SHORT occupies the LEFT half of the big-endian
             # value word: shift it so readers see the value, not zero
@@ -293,11 +302,21 @@ def _encode_geotiff_cog(grid, origin_lon: float, origin_lat: float, levels: int 
 # horizontal-differencing Predictor=2 (§14) which GDAL pairs with both.
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, need: int | None = None) -> bytes:
     """TIFF-flavor LZW: 9->12 bit MSB-first codes, ClearCode=256,
     EOI=257, code width grows EARLY (when the next free slot reaches
     2^width - 1). Spec-pinned by tests/test_geotiff_flavors.py against
-    the TIFF 6.0 worked example."""
+    the TIFF 6.0 worked example.
+
+    ``need`` is the expected decoded byte count (known from the block
+    geometry in TIFF): it is the PRIMARY terminator, matching how
+    libtiff/GDAL decoders stop on output length and never read the
+    trailing EOI. That matters because those encoders do not mirror
+    the decoder's table add for the FINAL data code, so their EOI can
+    be written at the OLD code width exactly when the decoder's table
+    add lands on a width-bump boundary — a decoder that bumps and then
+    reads EOI at the new width misreads it (round-9 ADVICE; pinned by
+    the boundary round-trips in tests/test_geotiff_flavors.py)."""
     out = bytearray()
     literals = [bytes([i]) for i in range(256)]
     table: list[bytes] = []
@@ -330,6 +349,8 @@ def _lzw_decode(data: bytes) -> bytes:
         else:
             raise ValueError("corrupt LZW stream (code beyond table)")
         out += entry
+        if need is not None and len(out) >= need:
+            return bytes(out)
         if old is not None:
             table.append(old + entry[:1])
             # early change, seen from the decoder: its table add for a
@@ -337,6 +358,22 @@ def _lzw_decode(data: bytes) -> bytes:
             # encoder's, so the width bump fires at next-free-slot
             # 2^w - 2 to stay aligned with the encoder's 2^w - 1
             if len(table) == (1 << width) - 2 and width < 12:
+                # ... unless the stream is ENDING here: the encoder's
+                # mirror add for this boundary only happens if another
+                # data code follows, so a final EOI sits at the OLD
+                # width. A genuine continuation needs >= two more
+                # (width+1)-bit codes; when at most one old-width code
+                # (+ <=7 pad bits) remains and it reads as EOI, stop
+                # instead of widening (round-9 ADVICE boundary case).
+                if bits + 8 * (n - pos) <= width + 7:
+                    while bits < width and pos < n:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        bits += 8
+                    if bits < width or (
+                        (acc >> (bits - width)) & ((1 << width) - 1)
+                    ) == 257:
+                        return bytes(out)
                 width += 1
         old = entry
 
@@ -423,13 +460,13 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress_block(raw: bytes, comp: int) -> bytes:
+def _decompress_block(raw: bytes, comp: int, need: int | None = None) -> bytes:
     if comp == _COMP_NONE:
         return raw
     if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
         return zlib.decompress(raw)
     if comp == _COMP_LZW:
-        return _lzw_decode(raw)
+        return _lzw_decode(raw, need)
     if comp == _COMP_PACKBITS:
         return _packbits_decode(raw)
     raise ValueError(f"unsupported compression {comp}")
@@ -567,9 +604,11 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
             a = np.cumsum(a, axis=1, dtype=a.dtype)
         return a
 
-    def blocks(offsets, counts):
-        for off, cnt in zip(offsets, counts):
-            yield _decompress_block(payload[off : off + cnt], comp)
+    def blocks(offsets, counts, need_of):
+        # need_of(i) = the block's exact decoded byte count — drives
+        # the LZW terminator the way libtiff stops on output length
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            yield _decompress_block(payload[off : off + cnt], comp, need_of(i))
 
     # the engine's own int32 scenes keep the NODATA fill for absent
     # blocks; foreign sample types fill 0 (their nodata rides GDAL_NODATA)
@@ -578,7 +617,10 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
     if _T_TILE_OFFSETS in tags:
         tw, th = tags[_T_TILE_W][0], tags[_T_TILE_H][0]
         tiles_x = -(-w // tw)
-        for i, raw in enumerate(blocks(tags[_T_TILE_OFFSETS], tags[_T_TILE_COUNTS])):
+        tile_need = th * tw * spp * (bps // 8)
+        for i, raw in enumerate(
+            blocks(tags[_T_TILE_OFFSETS], tags[_T_TILE_COUNTS], lambda i: tile_need)
+        ):
             ty, tx = divmod(i, tiles_x)
             tile = unpack(raw, th, tw)
             oy, ox = ty * th, tx * tw
@@ -588,7 +630,8 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
     elif _T_STRIP_OFFSETS in tags:
         rps = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
         row = 0
-        for raw in blocks(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS]):
+        strip_need = lambda i: min(rps, h - i * rps) * w * spp * (bps // 8)  # noqa: E731
+        for raw in blocks(tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS], strip_need):
             rows = min(rps, h - row)
             grid[row : row + rows] = unpack(raw, rows, w)
             row += rows

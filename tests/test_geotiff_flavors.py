@@ -54,6 +54,44 @@ def test_lzw_width_boundaries_and_clear():
     assert G._lzw_decode(G._lzw_encode(raw)) == raw
 
 
+def test_lzw_final_eoi_on_bump_boundary():
+    """libtiff/GDAL never mirror the decoder's table add for the FINAL
+    data code, so their EOI can sit at the OLD width exactly when the
+    decoder's table add lands on a width-bump boundary (round-9 ADVICE:
+    incompressible 254-byte payloads hit it at 9 bits). Exact-boundary
+    round trips, with and without the expected-length terminator."""
+    # the reported repro: every table add is fresh, bump lands after EOI
+    data = bytes((i * 7) % 251 for i in range(254))
+    assert G._lzw_decode(G._lzw_encode(data)) == data
+    assert G._lzw_decode(G._lzw_encode(data), need=len(data)) == data
+    # sweep the 9-bit boundary densely plus the 10/11/12-bit thresholds
+    rng = np.random.default_rng(9)
+    sizes = list(range(248, 262)) + [
+        505, 506, 507, 508,            # 9->10 for fresh-miss streams
+        760, 761, 762, 763, 764, 765,  # 10->11 neighborhoods
+        1784, 1785, 1786, 1787, 1788,  # 11->12
+        3830, 3831, 3832, 3833, 3834,  # table-full Clear boundary
+    ]
+    for n in sizes:
+        raw = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert G._lzw_decode(G._lzw_encode(raw)) == raw, n
+        assert G._lzw_decode(G._lzw_encode(raw), need=n) == raw, n
+
+
+def test_flavor_two_band_inline_externs():
+    """spp=2 puts BitsPerSample/SampleFormat (2 SHORTs = 4 bytes) exactly
+    at the inline-value limit: the writer must store them IN the value
+    word, not extern them (round-9 ADVICE — readers never follow an
+    offset for a <=4-byte payload)."""
+    a = (np.arange(32 * 20 * 2).reshape(32, 20, 2) % 251).astype("u2")
+    for bo in ("<", ">"):
+        for comp in (G._COMP_NONE, G._COMP_LZW, G._COMP_DEFLATE, G._COMP_PACKBITS):
+            payload = G._encode_flavor_tiff(a, comp=comp, bo=bo)
+            g = G._grid_from_tags(G._read_ifd(payload), payload)
+            assert g.shape == (32, 20, 2), (bo, comp)
+            assert (np.asarray(g, dtype="u2") == a).all(), (bo, comp)
+
+
 def test_packbits_edges():
     rng = np.random.default_rng(7)
     cases = [
