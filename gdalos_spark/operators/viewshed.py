@@ -1006,6 +1006,135 @@ GEO_DISTANCE_SQL = _geo_distance_sql()
 
 
 # ---------------------------------------------------------------------------
+# geo_distance_ellipsoidal — the reference's ACTUAL distance model.
+#    ref: viewshed_calc.py:620 calc_dist uses pyproj Geod.inv on WGS-84
+#         (ellipsoidal), not a sphere; gdalos link budgets (calc_fsl at
+#         :627) therefore differ from the spherical haversine by up to
+#         ~0.5% (tens-to-hundreds of meters on long radio links).
+#
+# Re-expressed without an iterative solver: the Andoyer-Lambert first-
+# order-in-flattening geodesic (Andoyer 1950; the classical closed-form
+# approximation aviation/geodesy used before Vincenty), whose residual
+# vs the true geodesic is O(f^2) ~ 1e-5 relative — three orders below
+# the spherical model error it removes (pinned vs a pure-Python Vincenty
+# in tests/test_geo_ellipsoidal.py). The machinery is the haversine's:
+# with F=(phi1+phi2)/2, G=(phi1-phi2)/2, L=dlon/2,
+#   S = sin^2 G cos^2 L + cos^2 F sin^2 L     (= haversine's hx^2)
+#   C = cos^2 G cos^2 L + sin^2 F sin^2 L     (S + C = 1)
+#   omega = asin(sqrt(S)),  R3 = sqrt(S*C)/omega
+#   d = 2*a*omega * (1 + f*(H1 sin^2F cos^2G - H2 cos^2F sin^2G)),
+#   H1 = (3*R3 - 1)/(2*C),  H2 = (3*R3 + 1)/(2*S)
+# All trig is the SAME polynomial sin/cos/asin bank as geo_distance
+# (arguments stay under 0.37 rad on the bounded [-15, 15) degree
+# endpoints), so both engines evaluate the identical IEEE expression
+# text — bit-equal by construction. Pure scalar projection chain: zero
+# shuffles, whole-stage codegen, embarrassingly parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+_GEOD_A_M = 6378137.0  # WGS-84 semi-major axis
+_GEOD_F = 0.0033528106647474805  # WGS-84 flattening 1/298.257223563
+
+
+def _geo_ellipsoidal_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
+    sin_p = lambda x, x2: f"({x} * {_geo_horner(x2, _GEO_SIN_C)})"  # noqa: E731
+    cos_p = lambda x2: _geo_horner(x2, _GEO_COS_C)  # noqa: E731
+    keep = lambda *names: tuple((n, n) for n in names)  # noqa: E731
+    ids = ("c_custkey", "lon1", "lat1", "lon2", "lat2")
+    return (
+        _GEO_STAGES[0],  # same bounded synthetic endpoints as geo_distance
+        (
+            *keep(*ids),
+            ("fm", f"(((lat1 + lat2) * {_GEO_RAD!r}) * 0.5)"),
+            ("gm", f"(((lat1 - lat2) * {_GEO_RAD!r}) * 0.5)"),
+            ("lh", f"(((lon2 - lon1) * {_GEO_RAD!r}) * 0.5)"),
+        ),
+        (
+            *keep(*ids),
+            ("sfm", sin_p("fm", "(fm * fm)")),
+            ("cfm", cos_p("(fm * fm)")),
+            ("sgm", sin_p("gm", "(gm * gm)")),
+            ("cgm", cos_p("(gm * gm)")),
+            ("slh", sin_p("lh", "(lh * lh)")),
+            ("clh", cos_p("(lh * lh)")),
+        ),
+        (
+            *keep(*ids),
+            ("s2f", "(sfm * sfm)"), ("c2f", "(cfm * cfm)"),
+            ("s2g", "(sgm * sgm)"), ("c2g", "(cgm * cgm)"),
+            ("bigs", "(((sgm * sgm) * (clh * clh)) + ((cfm * cfm) * (slh * slh)))"),
+            ("bigc", "(((cgm * cgm) * (clh * clh)) + ((sfm * sfm) * (slh * slh)))"),
+        ),
+        (
+            *keep(*ids, "s2f", "c2f", "s2g", "c2g", "bigs", "bigc"),
+            (
+                "omega",
+                f"(sqrt(bigs) * {_geo_horner('bigs', _GEO_ASIN_C)})",
+            ),
+        ),
+        (
+            *keep(*ids, "s2f", "c2f", "s2g", "c2g", "bigs", "bigc", "omega"),
+            ("r3", "(sqrt((bigs * bigc)) / omega)"),
+        ),
+        (
+            *keep(*ids),
+            ("sphere_dist_m", f"(({2.0 * _GEO_R_M!r}) * omega)"),
+            (
+                "geodesic_dist_m",
+                f"((({2.0 * _GEOD_A_M!r}) * omega) * (1.0 + ({_GEOD_F!r} * "
+                "(((((3.0 * r3) - 1.0) / (2.0 * bigc)) * (s2f * c2g)) - "
+                "((((3.0 * r3) + 1.0) / (2.0 * bigs)) * (c2f * s2g))))))",
+            ),
+        ),
+    )
+
+
+_GEOD_STAGES = _geo_ellipsoidal_stages()
+
+
+def geo_distance_ellipsoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS-84 ellipsoidal link distance (Andoyer-Lambert first order in
+    flattening — the closed-form stand-in for the reference's pyproj
+    Geod.inv, viewshed_calc.py:620) next to the spherical haversine,
+    with the model delta per link reported the way coord_precision_report
+    reports float error. Same bounded synthetic endpoints as
+    geo_distance; zero shuffles."""
+    from gdalos_spark.datamodel import load as _load
+
+    df = _load(spark, sf_dir, "customer")
+    for i, stage in enumerate(_GEOD_STAGES):
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+        if i == 0:
+            df = df.filter(
+                (F.col("lon1") != F.col("lon2")) | (F.col("lat1") != F.col("lat2"))
+            )
+    return df.select(
+        "c_custkey", "lon1", "lat1", "lon2", "lat2",
+        F.round("sphere_dist_m", 6).alias("sphere_dist_m"),
+        F.round("geodesic_dist_m", 6).alias("geodesic_dist_m"),
+        F.round(F.col("geodesic_dist_m") - F.col("sphere_dist_m"), 6).alias("delta_m"),
+    )
+
+
+def _geo_ellipsoidal_sql() -> str:
+    q = "customer"
+    for i, stage in enumerate(_GEOD_STAGES):
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+        if i == 0:
+            q = f"(SELECT * FROM {q} AS t0 WHERE lon1 <> lon2 OR lat1 <> lat2)"
+    return f"""
+SELECT c_custkey, lon1, lat1, lon2, lat2,
+       ROUND(sphere_dist_m, 6) AS sphere_dist_m,
+       ROUND(geodesic_dist_m, 6) AS geodesic_dist_m,
+       ROUND(geodesic_dist_m - sphere_dist_m, 6) AS delta_m
+FROM {q} AS t
+"""
+
+
+GEO_ELLIPSOIDAL_SQL = _geo_ellipsoidal_sql()
+
+
+# ---------------------------------------------------------------------------
 # 95. map_scale_zoom — web-map scale denominator per zoom level
 #    ref: scale_calc.py:4 calc_dot_pitch (physical pixel size of a
 #         24" 1920x1080 display) and :16 calc_scale

@@ -460,6 +460,37 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _fp3_diff(block, spp: int):
+    """TIFF TechNote 3 / libtiff fpDiff (Predictor=3): per scanline,
+    split each sample into byte planes ordered most-significant first
+    (the TN3 stream is byte-order independent — significance order, not
+    file order), then byte-difference the whole row buffer with stride =
+    samples-per-pixel, wrapping mod 256. Returns uint8 (rows, row_bytes)."""
+    import numpy as np
+
+    rows, cols, s = block.shape
+    bps = block.dtype.itemsize
+    be = np.ascontiguousarray(block).astype(f">f{bps}")
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, cols * s, bps)
+    planes = np.ascontiguousarray(np.transpose(b, (0, 2, 1))).reshape(rows, -1)
+    d = planes.copy()
+    d[:, s:] = planes[:, s:] - planes[:, :-s]  # uint8 modular wrap
+    return d
+
+
+def _fp3_acc(raw: bytes, rows: int, cols: int, spp: int, bpsz: int):
+    """Inverse of _fp3_diff: stride-spp modular byte cumsum per scanline,
+    then reassemble the MSB-first byte planes into big-endian floats."""
+    import numpy as np
+
+    rb = np.frombuffer(raw, np.uint8, count=rows * cols * spp * bpsz)
+    acc = np.cumsum(
+        rb.reshape(rows, -1, spp), axis=1, dtype=np.uint8
+    ).reshape(rows, bpsz, cols * spp)
+    sb = np.ascontiguousarray(np.transpose(acc, (0, 2, 1)))
+    return np.frombuffer(sb.tobytes(), dtype=f">f{bpsz}").reshape(rows, cols, spp)
+
+
 def _decompress_block(raw: bytes, comp: int, need: int | None = None) -> bytes:
     if comp == _COMP_NONE:
         return raw
@@ -581,10 +612,12 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
     dtype = _sample_dtype(bps, fmt, bo)
     if spp > 1 and planar != 1:
         raise ValueError(f"unsupported planar configuration {planar}")
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise ValueError(f"unsupported predictor {pred}")
     if pred == 2 and fmt == 3:
-        raise ValueError("floating-point predictor not supported")
+        raise ValueError("integer predictor 2 on floating-point samples")
+    if pred == 3 and fmt != 3:
+        raise ValueError("floating-point predictor 3 on integer samples")
 
     def unpack(raw: bytes, rows: int, cols: int):
         need = rows * cols * spp * (bps // 8)
@@ -596,6 +629,11 @@ def _grid_from_tags(tags: dict[int, tuple], payload: bytes):
                 f"block size {len(raw)} does not match declared sample "
                 f"layout ({rows}x{cols}x{spp} @ {bps} bits = {need} bytes)"
             )
+        if pred == 3:
+            # TN3 floating-point predictor: the payload is plane-split
+            # diffed BYTES, not samples — significance order is fixed
+            # (MSB plane first) whatever the file byte order declares
+            return _fp3_acc(raw, rows, cols, spp, bps // 8).astype(dtype)
         a = np.frombuffer(raw, dtype=dtype, count=rows * cols * spp)
         a = a.reshape(rows, cols, spp)
         if pred == 2:
@@ -726,6 +764,10 @@ def _encode_flavor_tiff(
     dtype = _sample_dtype(bps, kind, bo)
     a = a.astype(dtype)
 
+    if predictor == 2 and kind == 3:
+        raise ValueError("predictor 2 is integer-only; use 3 for floats")
+    if predictor == 3 and kind != 3:
+        raise ValueError("predictor 3 is floating-point-only")
     strips = []
     for r in range(0, h, rows_per_strip):
         block = a[r : r + rows_per_strip]
@@ -737,6 +779,9 @@ def _encode_flavor_tiff(
             block = np.concatenate(
                 [block[:, :1], block[:, 1:] - block[:, :-1]], axis=1
             ).astype(dtype)
+        elif predictor == 3:
+            strips.append(_compress_block(_fp3_diff(block, spp).tobytes(), comp))
+            continue
         strips.append(
             _compress_block(np.ascontiguousarray(block).tobytes(), comp)
         )
@@ -757,8 +802,8 @@ def _encode_flavor_tiff(
         (_T_MODEL_TIEPOINT, 12, 6, None),
         (_T_GEOKEYS, 3, len(_GEOKEYS_4326) // 2, None),
     ]
-    if predictor == 2:
-        entries.append((_T_PREDICTOR, 3, 1, 2))
+    if predictor in (2, 3):
+        entries.append((_T_PREDICTOR, 3, 1, predictor))
     # TIFF 6.0 requires IFD entries in ascending tag order; libtiff warns
     # (and strict readers reject) otherwise
     entries.sort(key=lambda e: e[0])
@@ -867,6 +912,10 @@ _TIFF_FLAVORS = {
     "u16_lzw": ("u2", _COMP_LZW, 1, "<"),
     "f32_none_be": ("f4", _COMP_NONE, 1, ">"),
     "rgb_u8_lzw_pred2": ("u1", _COMP_LZW, 2, "<"),  # 3-band chunky
+    # floating-point Predictor=3 (TIFF TechNote 3) — the GDAL
+    # 'PREDICTOR=3' layouts (round-10, VERDICT r09 Missing #5)
+    "f32_lzw_pred3": ("f4", _COMP_LZW, 3, "<"),
+    "f64_deflate_pred3_be": ("f8", _COMP_DEFLATE, 3, ">"),
 }
 
 
@@ -923,6 +972,8 @@ def raster_ingest_tiff_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = band_grid(v & 255, dt)
             elif dt == "i2":
                 arr = band_grid((v & 32767) - 16384, dt)
+            elif dt == "f8":  # float64 carries the full cents exactly
+                arr = band_grid(v, dt)
             else:  # u2 / f4 carry the low 16 bits (exact in float32)
                 arr = band_grid(v & 65535, dt)
             rows.append(
@@ -1002,6 +1053,8 @@ base AS (
             _flavor_stats_sql("v & 255", "rgb_u8_lzw_pred2", 0),
             _flavor_stats_sql("(v & 65280) >> 8", "rgb_u8_lzw_pred2", 1),
             _flavor_stats_sql("(v & 16711680) >> 16", "rgb_u8_lzw_pred2", 2),
+            _flavor_stats_sql("v & 65535", "f32_lzw_pred3", 0),
+            _flavor_stats_sql("v", "f64_deflate_pred3_be", 0),
         ]
     )
 )

@@ -486,6 +486,134 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 
 
 # ---------------------------------------------------------------------------
+# streaming_stream_outer_join — the OTHER half of attribution: clicks
+# that never converted within the horizon (VERDICT r09 item 7)
+# ---------------------------------------------------------------------------
+
+SSOJ_QUERY_NAME = "gdalos_stream_ssoj"
+SSOJ_RANGE_H = SSJOIN_RANGE_H   # same 4-hour attribution horizon
+SSOJ_DELAY_H = 72               # watermark delay: leaves a real state tail
+
+
+def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time range condition —
+    the unconverted-click report (click with no purchase by the same
+    user within the following SSOJ_RANGE_H hours). Outer semantics are
+    where streaming differs from batch: a matched row emits immediately,
+    but a NULL row for an unmatched click emits only when the watermark
+    proves no future purchase can match (state eviction at
+    click_ts + range < watermark), and clicks inside the final
+    watermark tail sit in state forever awaiting more data — they are
+    never emitted. All data arrives in ONE micro-batch (watermarks only
+    advance between batches, so nothing is ever dropped late and the
+    run is batch-schedule independent); the trailing no-data batch then
+    evicts with the final watermark max(ts) - 72h. The oracle is the
+    batch LEFT JOIN with exactly that tail filter on the null side —
+    the same closed-form watermark arithmetic streaming_watermark_audit
+    pins for append-mode aggregation, here pinned for outer-join state
+    eviction. At 100 TB the identical plan runs unbounded with join
+    state bounded to O(rate x horizon)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == SSOJ_QUERY_NAME:
+            q.stop()
+
+    def side(name: str, typ: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(_stage_dir(path))
+        us = F.expr(epoch_micros_sql(s)).cast("bigint")
+        return (
+            s.filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{name}_user"),
+                F.col("event_id").alias(f"{name}_id"),
+                us.alias(f"{name}_us"),
+                F.timestamp_micros(us).alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", f"{SSOJ_DELAY_H} hours")
+        )
+
+    clicks = side("c", "click")
+    buys = side("p", "purchase")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        # -1 sentinels for the unmatched-null side: event ids are
+        # non-negative, and the driver's value compare sorts rows —
+        # NULLs don't order against integers there
+        F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("buy_id"),
+        F.coalesce(
+            ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint"),
+            F.lit(-1),
+        ).alias("gap_sec"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(SSOJ_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(SSOJ_QUERY_NAME)
+
+
+# Oracle: matched rows are the plain range join; null rows are the
+# unmatched clicks whose join-state eviction bound (click ts + range)
+# falls strictly under the final GLOBAL watermark. Two pinned Spark
+# mechanics (measured, then encoded exactly):
+#   * each withWatermark node tracks ITS stream's max event time, and
+#     the global watermark is the MIN across nodes (multipleWatermark
+#     policy 'min') — here min(max click ts, max purchase ts) - delay,
+#     NOT max(all events) - delay;
+#   * watermarks are tracked in epoch MILLISECONDS (the max event time
+#     floors to ms before the delay subtracts), so the oracle floors
+#     the anchor to ms too.
+# The eviction predicate is strict (<); an exact tie would need a click
+# landing on the ms-floored boundary to the microsecond, which the
+# micro-timestamped corpus never produces (the watermark_audit
+# precedent).
+_SSOJ_WM_US = (
+    f"(SELECT (FLOOR(LEAST(MAX(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END),"
+    f" MAX(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)) // 1000 / 1000)"
+    f" - {SSOJ_DELAY_H * 3600 * 1000}) * 1000 FROM events)"
+)
+STREAMING_STREAM_OUTER_JOIN_SQL = f"""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT CAST({_SSOJ_WM_US} AS BIGINT) AS w_us)
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS buy_id,
+       CAST((epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000) // 1000000 AS BIGINT) AS gap_sec
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
+UNION ALL
+SELECT c.user_id, c.event_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM c, wm
+WHERE epoch_ns(c.ts) // 1000 + {SSOJ_RANGE_H * 3600 * 1000000} < wm.w_us
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
 # 114. streaming_session_window — built-in session windows (JVM state)
 # ---------------------------------------------------------------------------
 

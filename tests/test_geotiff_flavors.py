@@ -92,6 +92,30 @@ def test_flavor_two_band_inline_externs():
             assert (np.asarray(g, dtype="u2") == a).all(), (bo, comp)
 
 
+def test_fp_predictor3_round_trips():
+    """TIFF TechNote 3 floating-point predictor: MSB-first byte-plane
+    split + stride-spp byte differencing, per scanline. Round trips for
+    f32/f64, 1 and 3 bands, both byte orders, every codec."""
+    rng = np.random.default_rng(3)
+    for dt in ("f4", "f8"):
+        for spp in (1, 3):
+            a = (rng.standard_normal((32, 20, spp)) * 1e3).astype(dt)
+            if spp == 1:
+                a = a[:, :, 0]
+            for bo in ("<", ">"):
+                for comp in (G._COMP_NONE, G._COMP_LZW, G._COMP_DEFLATE, G._COMP_PACKBITS):
+                    payload = G._encode_flavor_tiff(a, comp=comp, predictor=3, bo=bo)
+                    g = G._grid_from_tags(G._read_ifd(payload), payload)
+                    got = np.asarray(g, dtype=dt)
+                    assert got.shape == a.shape, (dt, spp, bo, comp)
+                    assert (got == a).all(), (dt, spp, bo, comp)
+    # predictor/sample-kind mismatches fail loudly both directions
+    with pytest.raises(ValueError):
+        G._encode_flavor_tiff(np.zeros((4, 4), dtype="i2"), predictor=3)
+    with pytest.raises(ValueError):
+        G._encode_flavor_tiff(np.zeros((4, 4), dtype="f4"), predictor=2)
+
+
 def test_packbits_edges():
     rng = np.random.default_rng(7)
     cases = [
