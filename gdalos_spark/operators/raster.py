@@ -3868,3 +3868,167 @@ FROM {q} GROUP BY 1, 2
 
 
 CRS_REPROJECT_STERE_SQL = _crs_stere_sql()
+
+
+# ---------------------------------------------------------------------------
+# crs_reproject_lcc — geographic -> Lambert conformal conic (2SP).
+#    ref: same warp surface (gdalos_trans.py:82 warp_srs, projdef.py) —
+#         the projection national grids actually use (EPSG 9802;
+#         Snyder 15-1..15-10). Parameters here: standard parallels
+#         30 N / 60 N, origin at the extent anchor, k-style false
+#         easting/northing 1e6 (a '+proj=lcc +lat_1=30 +lat_2=60
+#         +lat_0=30 +lon_0=<extent> +x_0=1000000 +y_0=1000000' CRS).
+#
+# The 2SP forward needs t^n with fractional n — an exp/ln pair no
+# engine evaluates bit-identically. Closed with the EXTENT-ANCHORED
+# expansion: with ta = t(lat_0) a host constant,
+#   t^n = ta^n * exp(2 n atanh((t - ta)/(t + ta)))
+# and |t - ta|/(t + ta) <= 0.006 on the one-degree source extent, so a
+# 6-term atanh and the 8-term exp Taylor are exact to the last ulp —
+# the same discipline as the stereographic key, one anchor further.
+# n, F, rho0, ta^n precompute host-side (they are pure parameters).
+# Identical expression text both engines; one groupBy on the target
+# cell — the distributed-warp contract again.
+# ---------------------------------------------------------------------------
+
+_LCC_P1 = 30.0 * _UTM_RAD   # standard parallel 1
+_LCC_P2 = 60.0 * _UTM_RAD   # standard parallel 2
+_LCC_FE = 1000000.0
+_LCC_FN = 1000000.0
+
+
+def _lcc_m(phi: float) -> float:
+    return _math.cos(phi) / _math.sqrt(1.0 - _UTM_E2 * _math.sin(phi) ** 2)
+
+
+def _lcc_t(phi: float) -> float:
+    return _math.tan(_math.pi / 4.0 - phi / 2.0) * (
+        (1.0 + _ST_E * _math.sin(phi)) / (1.0 - _ST_E * _math.sin(phi))
+    ) ** (_ST_E / 2.0)
+
+
+def _lcc_consts(lat_0: float):
+    """Host-side 2SP parameter block (Snyder 15-8/15-10) anchored at the
+    extent origin latitude."""
+    phi0 = lat_0 * _UTM_RAD
+    t1, t2, ta = _lcc_t(_LCC_P1), _lcc_t(_LCC_P2), _lcc_t(phi0)
+    n = (_math.log(_lcc_m(_LCC_P1)) - _math.log(_lcc_m(_LCC_P2))) / (
+        _math.log(t1) - _math.log(t2)
+    )
+    fcap = _lcc_m(_LCC_P1) / (n * t1**n)
+    rho0 = _UTM_A * fcap * ta**n
+    # rho = (a * F * ta^n) * exp(2 n atanh(u)) = rho0 * exp(...)
+    return n, rho0
+
+
+def _lcc_stages(
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0
+) -> tuple[tuple[tuple[str, str], ...], ...]:
+    n, rho0 = _lcc_consts(lat_0)
+    ta = _lcc_t(lat_0 * _UTM_RAD)
+    keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
+    # exp(e * atanh(e * sin phi)) — the conformal-latitude correction
+    atanh_esf = _utm_horner("(esf * esf)", _ST_ATANH_C)
+    ea = f"({_ST_E!r} * (esf * {atanh_esf}))"
+    t_expr = f"(tcon * {_utm_horner(ea, _ST_EXP_C)})"
+    # rho = rho0 * exp(2 n atanh(u)), u = (t - ta)/(t + ta)
+    atanh_u = _utm_horner("(u * u)", _ST_ATANH_C)
+    two_n_atanh = f"(({2.0 * n!r}) * (u * {atanh_u}))"
+    rho_expr = f"({rho0!r} * {_utm_horner(two_n_atanh, _ST_EXP_C)})"
+    return (
+        keep + (
+            ("phi", f"((({lat_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
+            # gamma = n * (lon - lon_0), lon_0 = the extent anchor
+            ("gam", f"({n!r} * ((CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r}) * {_UTM_RAD!r}))"),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("ph", "(phi * 0.5)"),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("sh", f"(ph * {_utm_horner('(ph * ph)', _UTM_SIN_C)})"),
+            ("ch", _utm_horner("(ph * ph)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("sf", "(2.0 * (sh * ch))"),
+            ("cf", "(1.0 - 2.0 * (sh * sh))"),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("esf", f"({_ST_E!r} * sf)"),
+            ("tcon", "(cf / (1.0 + sf))"),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("t", t_expr),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("u", f"((t - {ta!r}) / (t + {ta!r}))"),
+        ),
+        keep + (
+            ("gam", "gam"),
+            ("rho", rho_expr),
+        ),
+        keep + (
+            ("rho", "rho"),
+            ("sg", f"(gam * {_utm_horner('(gam * gam)', _UTM_SIN_C)})"),
+            ("cg", _utm_horner("(gam * gam)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("easting", f"({_LCC_FE!r} + (rho * sg))"),
+            ("northing", f"({_LCC_FN!r} + ({rho0!r} - (rho * cg)))"),
+        ),
+    )
+
+
+def crs_reproject_lcc(
+    spark: SparkSession,
+    sf_dir: str,
+    lon_0: float = _UTM_LON_0,
+    lat_0: float = _UTM_LAT_0,
+) -> DataFrame:
+    """True CRS reprojection of the DEM onto a WGS-84 Lambert conformal
+    conic (2SP, EPSG method 9802, standard parallels 30 N/60 N, origin
+    at the extent anchor): the ellipsoidal forward with the fractional
+    power t^n evaluated through the extent-anchored exp/atanh expansion
+    (ulp-exact on the source extent — see the module comment), regridded
+    onto 1 km LCC cells with the same one-shuffle contract as the UTM
+    and stereographic warps."""
+    g = dem_grid(spark, sf_dir)
+    df = g
+    for stage in _lcc_stages(lon_0, lat_0):
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    return (
+        df.groupBy(
+            F.floor(F.col("easting") / _ST_CELL_M).cast("int").alias("lcc_e_cell"),
+            F.floor(F.col("northing") / _ST_CELL_M).cast("int").alias("lcc_n_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("warped_elev"),
+            F.min("easting").alias("min_easting"),
+            F.max("northing").alias("max_northing"),
+        )
+    )
+
+
+def _crs_lcc_sql(lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0) -> str:
+    q = f"({DEM_GRID_SQL})"
+    for stage in _lcc_stages(lon_0, lat_0):
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    return f"""
+SELECT CAST(FLOOR(easting / {_ST_CELL_M!r}) AS INTEGER) AS lcc_e_cell,
+       CAST(FLOOR(northing / {_ST_CELL_M!r}) AS INTEGER) AS lcc_n_cell,
+       COUNT(*) AS n_src,
+       CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
+       MIN(easting) AS min_easting,
+       MAX(northing) AS max_northing
+FROM {q} GROUP BY 1, 2
+"""
+
+
+CRS_REPROJECT_LCC_SQL = _crs_lcc_sql()

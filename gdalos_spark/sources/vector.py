@@ -417,43 +417,31 @@ def vector_ingest_gml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rasterize_vector_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Burn a DATA-DRIVEN vector layer onto the raster grid — the
-    reference's central rasterize use-case (rasterize/
-    gdalos_rasterize.py: OGR layer -> gdal.Rasterize), where
-    raster_cutline's literal-polygon unroll cannot apply because the
-    polygons come from a table. Each nation's supplier ring (the same
-    geometry vector_ingest_shp/gml serialize) is tested against every
-    DEM cell center by the even-odd ray cast, as a JOIN: cells first hit
-    the broadcast per-feature BBOX (the real-world prune — cells outside
-    a feature's bbox never see its edges; a BNLJ with a feature-count
-    build side, bounded like a dim), then an EQUI-join on feature_id
-    fans out that feature's edges, one lazy-guarded crossing term per
-    (cell, edge) row, and a groupBy counts crossings. No cartesian, no
-    UDF; at 100 TB cells partition by tile and features stay dim-sized.
-    (A scanline variant — edges exploded to the rows they straddle,
-    joined on the row key — was A/B'd at 100k suppliers and LOST, 44.4
-    vs 30.4 s: the synthetic rings straddle ~1/3 of the 64-row grid, so
-    edge-row incidence approaches cells x edges while the row join caps
-    parallelism at the toy grid's 64 keys. On real rasters — thousands
-    of rows, localized features — scanline is the next step; the bbox
-    prune here already captures its locality win for dim-sized layers.)
+# Adaptive burn-plan gate (VERDICT r09 item 5): at the 64-row DEM the
+# bbox-pruned broadcast-edges plan wins (the row join caps parallelism
+# at 64 keys and the synthetic rings straddle ~1/3 of the grid); on
+# tall grids the scanline plan wins because a (cell, edge) pair is only
+# materialized when the edge actually straddles the cell's row. The
+# crossover was MEASURED with the paired interleaved A/B protocol
+# (tools/rasterize_ab.py, BASELINE.md round-10 section): scanline loses
+# ~1.5x at 64 rows, wins ~1.6x at 512 and ~4x at 2048 on the same
+# 100k-supplier layer. Grid height is a derivation constant (extent /
+# resolution — the footer-style input the custkey and collapse gates
+# use), so the choice is plan-time static.
+RASTERIZE_SCANLINE_MIN_ROWS = 256
 
-    Output: (feature_id, n_cells, sum_px, sum_py) per feature with >=1
-    burned cell."""
+
+def _ring_edges_bbox(sup, grid_w: int, grid_h: int):
+    """Per-feature closed-ring edges + bboxes from the supplier layer.
+    Spreading multipliers scale with the grid so every nation's ring
+    encloses a meaningful cell population at every grid size."""
     from pyspark.sql import Window
 
-    from gdalos_spark.datamodel import dem_grid
-
-    # spreading multipliers (vs the ingest keys' 17/23): vertices cover
-    # the full 64x64 grid even at small supplier counts, so every
-    # nation's ring encloses a meaningful cell population at every SF
-    sup = load(spark, sf_dir, "supplier")
     pts = sup.select(
         F.col("s_nationkey").alias("feature_id"),
         "s_suppkey",
-        ((F.col("s_suppkey") * 541 % 6400) / 100.0).alias("x"),
-        ((F.col("s_suppkey") * 863 % 6400) / 100.0).alias("y"),
+        ((F.col("s_suppkey") * 541 % (grid_w * 100)) / 100.0).alias("x"),
+        ((F.col("s_suppkey") * 863 % (grid_h * 100)) / 100.0).alias("y"),
     )
     wo = Window.partitionBy("feature_id").orderBy("s_suppkey")
     wa = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -468,16 +456,26 @@ def rasterize_vector_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("minx"), F.max("x").alias("maxx"),
         F.min("y").alias("miny"), F.max("y").alias("maxy"),
     )
-    cells = dem_grid(spark, sf_dir).select(
-        "px", "py",
-        (F.col("px").cast("double") + 0.5).alias("cx"),
-        (F.col("py").cast("double") + 0.5).alias("cy"),
-    )
-    cand = cells.join(
-        F.broadcast(fbbox),
-        (F.col("cx") >= F.col("minx")) & (F.col("cx") <= F.col("maxx"))
-        & (F.col("cy") >= F.col("miny")) & (F.col("cy") <= F.col("maxy")),
-    ).select("px", "py", "cx", "cy", "feature_id")
+    return edges, fbbox
+
+
+def _burn_crossings(cells, edges, fbbox, scanline: bool):
+    """Even-odd crossing counts per (cell, feature) under either burn
+    plan — result-IDENTICAL (test-pinned), different physics:
+
+    * bbox (dim-sized layers, short grids): cells hit the broadcast
+      per-feature bbox (bounded BNLJ build side), then an equi-join on
+      feature_id fans out that feature's edges — every in-bbox cell
+      sees every feature edge.
+    * scanline (tall grids): edges explode to the integer rows their
+      y-span straddles and join cells on the ROW key — a (cell, edge)
+      pair exists only when the edge crosses that row, the locality
+      win gdal.Rasterize's scanline core gets. Join parallelism is the
+      row count, which is exactly when this plan is selected.
+
+    Both arms evaluate the SAME straddle predicate and lazy-guarded
+    crossing term, so ties and degenerate (horizontal) edges resolve
+    identically."""
     straddles = (F.col("y1") > F.col("cy")) != (F.col("y2") > F.col("cy"))
     # x of the edge at the ray height; evaluated only under `straddles`
     # (lazy CASE), which implies y1 != y2 — no division by zero
@@ -487,11 +485,35 @@ def rasterize_vector_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.when(
         straddles, F.when(F.col("cx") < x_at, 1).otherwise(0)
     ).otherwise(0)
-    crossings = (
-        cand.join(F.broadcast(edges), "feature_id")
-        .groupBy("px", "py", "feature_id")
-        .agg(F.sum(term).alias("crossings"))
+    if scanline:
+        # rows straddled: cy = py + 0.5 in [min(y1,y2), max(y1,y2));
+        # the sequence is a cheap superset (never descending: lo <= hi
+        # by construction), the exact straddle predicate is the gate.
+        # Horizontal edges contribute no crossing anywhere — dropped.
+        ex = edges.filter(F.col("y1") != F.col("y2")).select(
+            "feature_id", "x1", "y1", "x2", "y2",
+            F.explode(
+                F.sequence(
+                    F.floor(F.least("y1", "y2") - F.lit(0.5)).cast("int"),
+                    F.ceil(F.greatest("y1", "y2")).cast("int"),
+                )
+            ).alias("py"),
+        )
+        cand = cells.join(ex, "py")
+    else:
+        cand = cells.join(
+            F.broadcast(fbbox),
+            (F.col("cx") >= F.col("minx")) & (F.col("cx") <= F.col("maxx"))
+            & (F.col("cy") >= F.col("miny")) & (F.col("cy") <= F.col("maxy")),
+        ).select("px", "py", "cx", "cy", "feature_id").join(
+            F.broadcast(edges), "feature_id"
+        )
+    return cand.groupBy("px", "py", "feature_id").agg(
+        F.sum(term).alias("crossings")
     )
+
+
+def _burn_report(crossings):
     return (
         crossings.filter(F.col("crossings") % 2 == 1)
         .groupBy("feature_id")
@@ -503,6 +525,37 @@ def rasterize_vector_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("feature_id", F.col("n_cells").cast("bigint").alias("n_cells"),
                 "sum_px", "sum_py")
     )
+
+
+def rasterize_vector_layer(
+    spark: SparkSession, sf_dir: str, scanline: bool | None = None
+) -> DataFrame:
+    """Burn a DATA-DRIVEN vector layer onto the raster grid — the
+    reference's central rasterize use-case (rasterize/
+    gdalos_rasterize.py: OGR layer -> gdal.Rasterize), where
+    raster_cutline's literal-polygon unroll cannot apply because the
+    polygons come from a table. Each nation's supplier ring (the same
+    geometry vector_ingest_shp/gml serialize) is tested against every
+    DEM cell center by the even-odd ray cast, as a JOIN, under the
+    burn plan the grid height selects (see _burn_crossings /
+    RASTERIZE_SCANLINE_MIN_ROWS — the 64-row DEM takes the bbox-pruned
+    broadcast-edges plan, tall grids take scanline). No cartesian, no
+    UDF; at 100 TB cells partition by tile and features stay dim-sized.
+
+    Output: (feature_id, n_cells, sum_px, sum_py) per feature with >=1
+    burned cell."""
+    from gdalos_spark.datamodel import GRID_H, GRID_W, dem_grid
+
+    if scanline is None:
+        scanline = GRID_H >= RASTERIZE_SCANLINE_MIN_ROWS
+    sup = load(spark, sf_dir, "supplier")
+    edges, fbbox = _ring_edges_bbox(sup, GRID_W, GRID_H)
+    cells = dem_grid(spark, sf_dir).select(
+        "px", "py",
+        (F.col("px").cast("double") + 0.5).alias("cx"),
+        (F.col("py").cast("double") + 0.5).alias("cy"),
+    )
+    return _burn_report(_burn_crossings(cells, edges, fbbox, scanline))
 
 
 def _rasterize_vector_sql() -> str:

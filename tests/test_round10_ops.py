@@ -123,6 +123,55 @@ def test_stere_series_tracks_libm_snyder(ducks):
         assert abs(x - X) < 1e-6 and abs(y - Y) < 1e-6, (px, py)
 
 
+# --- crs_reproject_lcc --------------------------------------------------
+
+
+def test_crs_lcc_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["crs_reproject_lcc"],
+        entrymod.oracle_sql()["crs_reproject_lcc"],
+    )
+
+
+def test_lcc_series_tracks_libm_snyder(ducks):
+    """The extent-anchored t^n expansion must agree with libm Snyder
+    15-1..15-10 to sub-micrometer on the source extent."""
+    from gdalos_spark.operators import raster as R
+
+    a = 6378137.0
+    e = math.sqrt(R._UTM_E2)
+    p1, p2 = math.radians(30.0), math.radians(60.0)
+    phi0, lam0 = math.radians(30.0), math.radians(30.0)
+    FE = FN = 1000000.0
+    m = lambda p: math.cos(p) / math.sqrt(1 - e * e * math.sin(p) ** 2)  # noqa: E731
+    t = lambda p: math.tan(math.pi / 4 - p / 2) * (  # noqa: E731
+        (1 + e * math.sin(p)) / (1 - e * math.sin(p))
+    ) ** (e / 2)
+    n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    Fc = m(p1) / (n * t(p1) ** n)
+    rho0 = a * Fc * t(phi0) ** n
+
+    def snyder(lat, lon):
+        rho = a * Fc * t(math.radians(lat)) ** n
+        g = n * (math.radians(lon) - lam0)
+        return FE + rho * math.sin(g), FN + rho0 - rho * math.cos(g)
+
+    q = (
+        "(SELECT px, py, 1 AS elev FROM (SELECT unnest(range(0, 64, 7)) AS px),"
+        " (SELECT unnest(range(0, 64, 7)) AS py))"
+    )
+    for stage in R._lcc_stages():
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    for px, py, x, y in ducks.execute(
+        f"SELECT px, py, easting, northing FROM {q}"
+    ).fetchall():
+        X, Y = snyder(30.0 + py * 0.01, 30.0 + px * 0.01)
+        assert abs(x - X) < 1e-6 and abs(y - Y) < 1e-6, (px, py)
+
+
 # --- streaming_stream_outer_join --------------------------------------------
 
 

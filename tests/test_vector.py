@@ -10,7 +10,7 @@ import os
 import pytest
 
 from gdalos_spark.sources import vector as V
-from tests.conftest import assert_matches_oracle
+from tests.conftest import SF_DIR, assert_matches_oracle
 
 GML_SAMPLE = "/root/reference/data/shp/comb_poly.gml"
 
@@ -138,6 +138,48 @@ def test_rasterize_vector_layer_plan_shape(spark):
     assert_no_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_rasterize_burn_arms_identical(spark):
+    """The adaptive gate's two burn plans (bbox-pruned broadcast edges
+    vs scanline row-key join) must be result-IDENTICAL on the same
+    layer — both on the DEM grid and on a taller grid where the
+    scanline sequence explode actually spans many rows."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"  # sf0.001's degenerate rings burn 0 cells
+    a = sorted(
+        map(tuple, V.rasterize_vector_layer(spark, sf, scanline=False).collect())
+    )
+    b = sorted(
+        map(tuple, V.rasterize_vector_layer(spark, sf, scanline=True).collect())
+    )
+    assert a == b and a
+    # tall-grid identity: 512 rows, synthetic 2k-point layer
+    H = W = 512
+    sup = spark.range(2000).select(
+        F.col("id").alias("s_suppkey"), (F.col("id") % 25).cast("int").alias("s_nationkey")
+    )
+    edges, fbbox = V._ring_edges_bbox(sup, W, H)
+    cells = spark.range(H * W).select(
+        (F.col("id") % W).cast("int").alias("px"),
+        (F.col("id") / W).cast("int").alias("py"),
+        ((F.col("id") % W).cast("double") + 0.5).alias("cx"),
+        ((F.col("id") / W).cast("int").cast("double") + 0.5).alias("cy"),
+    )
+    ta = sorted(map(tuple, V._burn_report(
+        V._burn_crossings(cells, edges, fbbox, scanline=False)).collect()))
+    tb = sorted(map(tuple, V._burn_report(
+        V._burn_crossings(cells, edges, fbbox, scanline=True)).collect()))
+    assert ta == tb and ta
+
+
+def test_rasterize_scanline_plan_shape(spark):
+    """The scanline arm joins on the row key — still no cartesian."""
+    from gdalos_spark.plans.asserts import assert_no_cartesian
+
+    df = V.rasterize_vector_layer(spark, "/root/testdata/sf0.001", scanline=True)
+    assert_no_cartesian(df)
 
 
 @pytest.mark.skipif(not os.path.exists(GML_SAMPLE), reason="reference tree absent")
