@@ -2121,3 +2121,104 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric doc-in-doc detection (one-sided overlap)
+#
+# Jaccard misses the quote/wrapper case: a short doc fully embedded in a
+# long one scores |A|/|B| ~ 0 even though the small doc is 100%
+# contained. Containment C(A,B) = |A n B| / |A| is the standard fix
+# (Broder's containment sketch; the dedup literature's "doc-in-doc").
+# Same scale discipline as dedup_ngram_jaccard: stop-shingles (df >
+# MAX_DF) leave the pairing universe, so each surviving shingle
+# contributes at most C(MAX_DF, 2) candidate pairs — candidate
+# generation stays an equi-join on the shingle, never O(n^2). The
+# report is directional: for every unordered candidate pair the
+# SMALLER rare-set side is the containee, and only pairs whose
+# containment clears CONTAIN_TAU survive.
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment over discriminative (rare) shingles: pair
+    same-language docs sharing a rare shingle, compute shared / |small
+    side|, keep pairs over CONTAIN_TAU. The exact integer division is
+    emitted as one double (engine-identical by construction)."""
+    docsh = doc_shingles(spark, sf_dir)
+    df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = docsh.join(
+        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
+    ).select("doc_id", "lang", "shingle")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    paired = (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+    )
+    small_is_a = (F.col("sz_a") < F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    containee = F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+    container = F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+    sz_small = F.when(small_is_a, F.col("sz_a")).otherwise(F.col("sz_b"))
+    return (
+        paired.select(
+            containee.alias("containee"),
+            container.alias("container"),
+            F.col("shared").cast("bigint").alias("shared"),
+            sz_small.cast("bigint").alias("sz_containee"),
+            (F.col("shared") / sz_small.cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_TAU)
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH docsh AS ({DOCSH_SQL}),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM docsh GROUP BY 1),
+rare AS (
+  SELECT d.doc_id, d.lang, d.shingle
+  FROM docsh d JOIN dfc ON d.shingle = dfc.shingle
+  WHERE dfc.df BETWEEN 2 AND {MAX_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT doc_a, doc_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+         (sa.sz < sb.sz OR (sa.sz = sb.sz AND doc_a < doc_b)) AS small_is_a
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT CASE WHEN small_is_a THEN doc_a ELSE doc_b END AS containee,
+       CASE WHEN small_is_a THEN doc_b ELSE doc_a END AS container,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(CASE WHEN small_is_a THEN sz_a ELSE sz_b END AS BIGINT) AS sz_containee,
+       shared / CAST(CASE WHEN small_is_a THEN sz_a ELSE sz_b END AS DOUBLE) AS containment
+FROM paired
+WHERE shared / CAST(CASE WHEN small_is_a THEN sz_a ELSE sz_b END AS DOUBLE) >= {CONTAIN_TAU}
+"""

@@ -4032,3 +4032,302 @@ FROM {q} GROUP BY 1, 2
 
 
 CRS_REPROJECT_LCC_SQL = _crs_lcc_sql()
+
+
+# ---------------------------------------------------------------------------
+# crs_reproject_aea — geographic -> Albers equal-area conic (2SP).
+#    ref: same warp surface (gdalos_trans.py:82 warp_srs accepts any
+#         OSR CRS; projdef.py parses arbitrary proj strings) — Albers
+#         (EPSG method 9822; Snyder 14-1..14-7) is the EQUAL-AREA conic
+#         statistics grids use, the area-true complement of the
+#         conformal LCC above. Parameters: standard parallels 30 N/60 N,
+#         origin at the extent anchor, FE=FN=1e6 (a '+proj=aea +lat_1=30
+#         +lat_2=60 +lat_0=<extent> +lon_0=<extent>' CRS).
+#
+# The Albers forward needs the authalic-latitude function
+#   q(phi) = (1-e^2) [ sin phi / (1 - e^2 sin^2 phi)
+#                      + (1/e) atanh(e sin phi) ]
+# and rho = a sqrt(C - n q)/n. atanh(e sin phi) = sin phi * P((e sin
+# phi)^2) with the 6-term odd series (|e sin phi| <= 0.05 on the
+# extent -> exact to the last ulp), and IEEE-754 requires SQRT to be
+# correctly rounded in BOTH engines, so rho is bit-stable with no
+# series anchor at all — the only warp of the family whose radial term
+# needs zero expansion tricks. n, C, rho0 precompute host-side (pure
+# parameters). Identical expression text both engines; one groupBy on
+# the target cell — the same one-shuffle distributed-warp contract.
+# ---------------------------------------------------------------------------
+
+_AEA_P1 = 30.0 * _UTM_RAD   # standard parallel 1
+_AEA_P2 = 60.0 * _UTM_RAD   # standard parallel 2
+_AEA_FE = 1000000.0
+_AEA_FN = 1000000.0
+
+
+def _aea_q(phi: float) -> float:
+    es = _ST_E * _math.sin(phi)
+    return (1.0 - _UTM_E2) * (
+        _math.sin(phi) / (1.0 - _UTM_E2 * _math.sin(phi) ** 2)
+        + _math.atanh(es) / _ST_E
+    )
+
+
+def _dbl_lit(x: float) -> str:
+    """Spell a float so BOTH engines parse it as DOUBLE with correct
+    string->binary64 rounding. A bare fractional literal parses as
+    DECIMAL in both, and DuckDB's DECIMAL->DOUBLE cast goes through
+    scaled-integer division, which is off by one ulp for some values
+    (measured: CAST(0.9933056200098587 AS DOUBLE) -> ...88). An
+    exponent suffix makes the literal DOUBLE at the parser."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def _aea_horner(var: str, coeffs: list[float]) -> str:
+    """_utm_horner with every coefficient spelled as a guaranteed-DOUBLE
+    exponent literal — see _dbl_lit."""
+    s = _dbl_lit(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        s = f"({_dbl_lit(c)} + {var} * {s})"
+    return s
+
+
+def _aea_consts(lat_0: float) -> tuple[float, float, float]:
+    """Host-side 2SP parameter block (Snyder 14-3/14-5/14-7a) anchored
+    at the extent origin latitude."""
+    phi0 = lat_0 * _UTM_RAD
+    m1, m2 = _lcc_m(_AEA_P1), _lcc_m(_AEA_P2)
+    q1, q2, q0 = _aea_q(_AEA_P1), _aea_q(_AEA_P2), _aea_q(phi0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    ccap = m1 * m1 + n * q1
+    rho0 = _UTM_A * _math.sqrt(ccap - n * q0) / n
+    return n, ccap, rho0
+
+
+def _aea_stages(
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0
+) -> tuple[tuple[tuple[str, str], ...], ...]:
+    n, ccap, rho0 = _aea_consts(lat_0)
+    keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
+    # Every float literal is exponent-spelled (_dbl_lit) so both engines
+    # parse it directly as DOUBLE: the bare-literal DECIMAL path rounds
+    # differently in DuckDB for some values (measured here: 2560/4096
+    # cells off by one ulp through the (1-e^2) multiplier).
+    d = _dbl_lit
+    # q(phi): the (1/e) atanh(e sin phi) term folds to sf * P((e sf)^2)
+    atanh_p = _aea_horner("(esf * esf)", _ST_ATANH_C)
+    q_expr = (
+        f"({d(1.0 - _UTM_E2)} * ((sf / (1.0 - {d(_UTM_E2)} * (sf * sf)))"
+        f" + (sf * {atanh_p})))"
+    )
+    return (
+        keep + (
+            ("phi", f"((({d(lat_0)} + CAST(py AS DOUBLE) * {d(_UTM_DEG_PER_PX)})) * {d(_UTM_RAD)})"),
+            # theta = n * (lon - lon_0), lon_0 = the extent anchor
+            ("tht", f"({d(n)} * ((CAST(px AS DOUBLE) * {d(_UTM_DEG_PER_PX)}) * {d(_UTM_RAD)}))"),
+        ),
+        keep + (
+            ("tht", "tht"),
+            ("ph", "(phi * 0.5)"),
+        ),
+        keep + (
+            ("tht", "tht"),
+            ("sh", f"(ph * {_aea_horner('(ph * ph)', _UTM_SIN_C)})"),
+            ("ch", _aea_horner("(ph * ph)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("tht", "tht"),
+            ("sf", "(2.0 * (sh * ch))"),        # sin(phi)
+        ),
+        keep + (
+            ("tht", "tht"),
+            ("sf", "sf"),
+            ("esf", f"({d(_ST_E)} * sf)"),
+        ),
+        keep + (
+            ("tht", "tht"),
+            ("qv", q_expr),
+        ),
+        keep + (
+            ("tht", "tht"),
+            # rho = a sqrt(C - n q)/n — IEEE sqrt, bit-stable cross-engine
+            ("rho", f"(({d(_UTM_A)} * sqrt({d(ccap)} - ({d(n)} * qv))) / {d(n)})"),
+        ),
+        keep + (
+            ("rho", "rho"),
+            ("st", f"(tht * {_aea_horner('(tht * tht)', _UTM_SIN_C)})"),
+            ("ct", _aea_horner("(tht * tht)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("easting", f"({d(_AEA_FE)} + (rho * st))"),
+            ("northing", f"({d(_AEA_FN)} + ({d(rho0)} - (rho * ct)))"),
+        ),
+    )
+
+
+def crs_reproject_aea(
+    spark: SparkSession,
+    sf_dir: str,
+    lon_0: float = _UTM_LON_0,
+    lat_0: float = _UTM_LAT_0,
+) -> DataFrame:
+    """True CRS reprojection of the DEM onto a WGS-84 Albers equal-area
+    conic (2SP, EPSG method 9822, standard parallels 30 N/60 N, origin
+    at the extent anchor): the ellipsoidal forward with the authalic q
+    through the odd atanh series and the radial term through the
+    engines' correctly-rounded SQRT, regridded onto 1 km AEA cells with
+    the same one-shuffle contract as the UTM/stereographic/LCC warps."""
+    g = dem_grid(spark, sf_dir)
+    df = g
+    for stage in _aea_stages(lon_0, lat_0):
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    return (
+        df.groupBy(
+            F.floor(F.col("easting") / _ST_CELL_M).cast("int").alias("aea_e_cell"),
+            F.floor(F.col("northing") / _ST_CELL_M).cast("int").alias("aea_n_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            (F.sum("elev").cast("double") / F.count(F.lit(1))).alias("warped_elev"),
+            F.min("easting").alias("min_easting"),
+            F.max("northing").alias("max_northing"),
+        )
+    )
+
+
+def _crs_aea_sql(lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0) -> str:
+    q = f"({DEM_GRID_SQL})"
+    for stage in _aea_stages(lon_0, lat_0):
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    return f"""
+SELECT CAST(FLOOR(easting / {_ST_CELL_M!r}) AS INTEGER) AS aea_e_cell,
+       CAST(FLOOR(northing / {_ST_CELL_M!r}) AS INTEGER) AS aea_n_cell,
+       COUNT(*) AS n_src,
+       CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
+       MIN(easting) AS min_easting,
+       MAX(northing) AS max_northing
+FROM {q} GROUP BY 1, 2
+"""
+
+
+CRS_REPROJECT_AEA_SQL = _crs_aea_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_fill_nodata — interpolate holes from valid neighbors
+#    ref: gdal.FillNodata / gdal_fillnodata is the missing member of the
+#         reference's DEMProcessing family (gdalos wraps the gdaldem ops
+#         via calc/gdalos_raster_color.py:68 and rewrites nodata in
+#         gdalos_trans.py:486-511); filling is what a warp pipeline runs
+#         right after nodata rewrite. GDAL's algorithm is inverse-
+#         distance weighting from valid pixels within max_distance
+#         (+ optional smoothing, not modeled).
+#
+# Nodata is a deterministic 20% dropout mask over the populated DEM
+# ((px*7919 + py*104729) % 5 = 0 — the "dead sensor" cells), so the
+# fixture is scale-stable (the lineitem DEM is dense at sf >= 0.01, so
+# lattice gaps alone would make the op vacuously empty there) AND every
+# hole keeps its withheld true value, making the report self-validating
+# (fill_val vs true_val). Each hole gathers VALID (unmasked) neighbors
+# within Chebyshev radius 2 through a broadcast 24-row offset table —
+# one equi-join on the neighbor cell key, one groupBy on the hole: the
+# proximity/hillshade stencil contract, fully partition-prunable at
+# 100 TB. IDW weights 1/d^2 are carried as the INTEGER 40/d^2 (d^2 in
+# {1,2,4,5,8}; 40 = lcm), so both weight and weighted-value sums are
+# exact (int / decimal-cents) and order-free; the terminal double
+# divisions are correctly rounded identically in both engines.
+# ---------------------------------------------------------------------------
+
+FILL_RADIUS = 2
+FILL_W_LCM = 40
+FILL_NDV = DST_NDV  # unfillable holes keep the destination nodata
+_FILL_MASK_MOD = 5  # 1-in-5 cells masked nodata
+
+
+def _fill_offsets() -> list[tuple[int, int, int]]:
+    out = []
+    for dx in range(-FILL_RADIUS, FILL_RADIUS + 1):
+        for dy in range(-FILL_RADIUS, FILL_RADIUS + 1):
+            if dx == 0 and dy == 0:
+                continue
+            d2 = dx * dx + dy * dy
+            out.append((dx, dy, FILL_W_LCM // d2))
+    return out
+
+
+def raster_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_fillnodata analog over the masked DEM: every nodata cell is
+    filled with the 1/d^2-weighted average of valid cells within
+    Chebyshev radius FILL_RADIUS; holes with no valid neighbor in the
+    window report FILL_NDV and n_nbrs = 0. true_val is the withheld
+    value, so the output doubles as the interpolation-error report."""
+    mask = (F.col("px") * 7919 + F.col("py") * 104729) % _FILL_MASK_MOD == 0
+    dem = dem_grid(spark, sf_dir).select("px", "py", "elev", mask.alias("is_hole"))
+    valid = dem.filter(~F.col("is_hole")).select("px", "py", "elev")
+    holes = dem.filter(F.col("is_hole")).select("px", "py", "elev")
+    offsets = spark.createDataFrame(_fill_offsets(), "dx int, dy int, w int")
+    nbr = (
+        holes.crossJoin(F.broadcast(offsets))
+        .select(
+            "px", "py",
+            (F.col("px") + F.col("dx")).alias("nx"),
+            (F.col("py") + F.col("dy")).alias("ny"),
+            "w",
+        )
+        .join(
+            valid.select(
+                F.col("px").alias("nx"), F.col("py").alias("ny"), "elev"
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("px", "py")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("w").cast("bigint").alias("wsum"),
+            F.sum(F.col("elev") * F.col("w")).alias("vsum"),
+        )
+    )
+    return holes.join(nbr, ["px", "py"], "left").select(
+        "px", "py",
+        F.coalesce(F.col("n_nbrs"), F.lit(0)).cast("bigint").alias("n_nbrs"),
+        F.coalesce(F.col("wsum"), F.lit(0)).cast("bigint").alias("wsum"),
+        F.when(
+            F.col("wsum").isNotNull(),
+            F.col("vsum").cast("double") / F.col("wsum").cast("double"),
+        )
+        .otherwise(F.lit(FILL_NDV))
+        .alias("fill_val"),
+        F.col("elev").cast("double").alias("true_val"),
+    )
+
+
+_FILL_OFFSETS_SQL = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in _fill_offsets())
+
+RASTER_FILL_NODATA_SQL = f"""
+WITH dem AS (
+  SELECT px, py, elev,
+         ((px * 7919 + py * 104729) % {_FILL_MASK_MOD} = 0) AS is_hole
+  FROM ({DEM_GRID_SQL})
+),
+valid AS (SELECT px, py, elev FROM dem WHERE NOT is_hole),
+holes AS (SELECT px, py, elev FROM dem WHERE is_hole),
+offs(dx, dy, w) AS (VALUES {_FILL_OFFSETS_SQL}),
+nbr AS (
+  SELECT h.px, h.py,
+         COUNT(*) AS n_nbrs,
+         CAST(SUM(o.w) AS BIGINT) AS wsum,
+         SUM(v.elev * o.w) AS vsum
+  FROM holes h
+  CROSS JOIN offs o
+  JOIN valid v ON v.px = h.px + o.dx AND v.py = h.py + o.dy
+  GROUP BY 1, 2
+)
+SELECT h.px, h.py,
+       CAST(COALESCE(n.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+       CAST(COALESCE(n.wsum, 0) AS BIGINT) AS wsum,
+       CASE WHEN n.wsum IS NOT NULL
+            THEN CAST(n.vsum AS DOUBLE) / CAST(n.wsum AS DOUBLE)
+            ELSE {FILL_NDV!r} END AS fill_val,
+       CAST(h.elev AS DOUBLE) AS true_val
+FROM holes h LEFT JOIN nbr n ON n.px = h.px AND n.py = h.py
+"""

@@ -2405,3 +2405,129 @@ ORDER BY oname
 
 
 VIEWSHED_GRID_SWEEP_SQL = _grid_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# geodesic_destination — the geodesic DIRECT problem (observer + azimuth
+# + range -> target point), the geographic-CRS twin of the reference's
+# fwd mode.
+#    ref: viewshed_params.py:204 calc_fwd (fwd viewshed derives target
+#         points tx = ox + cos(a)*ground_r, ty = oy + sin(a)*ground_r —
+#         planar, valid in a projected CRS); viewshed_calc.py:620
+#         calc_dist wraps pyproj Geod for the INVERSE problem. On a
+#         4326 dataset the honest fwd is the spherical direct solution,
+#         computed here.
+#
+# Bit-stable like geo_distance: sin/cos of the azimuth via the
+# range-reduce/halve/double-angle scheme (sector_ring_points), sin/cos
+# of latitude and angular range via direct Maclaurin polys (both are
+# bounded small), cos(lat2) via IEEE sqrt, and BOTH output angles
+# recovered through the odd asin series on arguments <= 0.02 rad —
+# no engine trig anywhere. Pure scalar projection chain: zero shuffles,
+# whole-stage codegen end to end.
+# ---------------------------------------------------------------------------
+
+_DEST_R_M = _GEO_R_M          # same WGS-84 mean radius as geo_distance
+_DEST_MAX_R_M = 100000.0      # range bound: sigma <= 100 km / R ~ 0.0157
+
+
+def _dest_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
+    sin8 = lambda x, x2: f"({x} * {_geo_horner(x2, _ARC_SIN_C)})"  # noqa: E731
+    cos8 = lambda x2: _geo_horner(x2, _ARC_COS_C)  # noqa: E731
+    asin9 = lambda x, x2: f"({x} * {_geo_horner(x2, _GEO_ASIN_C)})"  # noqa: E731
+    keep = (
+        ("c_custkey", "c_custkey"), ("lon1", "lon1"), ("lat1", "lat1"),
+        ("az_deg", "az_deg"), ("dist_m", "dist_m"),
+    )
+    return (
+        # bounded synthetic observer + fwd spec: lon/lat in [-15, 15),
+        # azimuth in [0, 360) tenths, range in [1, 100] km
+        (
+            ("c_custkey", "c_custkey"),
+            ("lon1", "(CAST(c_custkey * 7 % 30 AS DOUBLE) - 15.0 + 0.5)"),
+            ("lat1", "(CAST(c_custkey * 13 % 30 AS DOUBLE) - 15.0 + 0.25)"),
+            ("az_deg", "(CAST(c_custkey * 29 % 3600 AS DOUBLE) / 10.0)"),
+            ("dist_m", "(1000.0 + CAST(c_custkey * 37 % 99001 AS DOUBLE))"),
+        ),
+        keep + (
+            ("alp", f"(az_deg * {_GEO_RAD!r})"),
+            ("f1", f"(lat1 * {_GEO_RAD!r})"),
+            ("sg", f"(dist_m / {_DEST_R_M!r})"),
+        ),
+        keep + (
+            ("f1", "f1"), ("sg", "sg"),
+            # azimuth range-reduced to [-pi, pi) then halved (arc scheme)
+            ("ah", f"((alp - {M_2PI!r} * floor((alp + {M_PI!r}) / {M_2PI!r})) * 0.5)"),
+        ),
+        keep + (
+            ("f1", "f1"), ("sg", "sg"),
+            ("sah", sin8("ah", "(ah * ah)")),
+            ("cah", cos8("(ah * ah)")),
+        ),
+        keep + (
+            ("sa", "(2.0 * (sah * cah))"),          # sin(azimuth)
+            ("ca", "(1.0 - 2.0 * (sah * sah))"),    # cos(azimuth)
+            ("sf1", sin8("f1", "(f1 * f1)")),       # sin(lat1), |f1| <= 0.262
+            ("cf1", cos8("(f1 * f1)")),
+            ("ss", sin8("sg", "(sg * sg)")),        # sin(sigma), sigma <= 0.0157
+            ("cs", cos8("(sg * sg)")),
+        ),
+        keep + (
+            ("sa", "sa"), ("sf1", "sf1"), ("cf1", "cf1"), ("ss", "ss"),
+            ("sf2", "((sf1 * cs) + ((cf1 * ss) * ca))"),   # sin(lat2)
+        ),
+        keep + (
+            ("sa", "sa"), ("sf1", "sf1"), ("cf1", "cf1"), ("ss", "ss"),
+            ("sf2", "sf2"),
+            ("cf2", "sqrt(1.0 - (sf2 * sf2))"),            # |lat2| < 90
+        ),
+        keep + (
+            # delta-lat via sin(f2-f1); delta-lon via the spherical sine
+            # rule sin(dlam) = sin(az) sin(sigma) / cos(lat2) — both
+            # arguments <= sigma, deep inside the asin series domain
+            ("sd", "((sf2 * cf1) - (cf2 * sf1))"),
+            ("sl", "((sa * ss) / cf2)"),
+        ),
+        keep + (
+            ("lat2", f"(lat1 + ({asin9('sd', '(sd * sd)')} / {_GEO_RAD!r}))"),
+            ("lon2", f"(lon1 + ({asin9('sl', '(sl * sl)')} / {_GEO_RAD!r}))"),
+        ),
+    )
+
+
+_DEST_STAGES = _dest_stages()
+
+
+def geodesic_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical direct geodesic per synthetic fwd spec (observer,
+    azimuth, range derived from c_custkey): the destination point the
+    reference's fwd viewshed needs in geographic coordinates
+    (viewshed_params.py:204 calc_fwd). Polynomial trig + asin series —
+    see module comment; ROUND(9) (~0.1 mm) absorbs nothing cross-engine
+    (text-identical) but pins a stable display precision."""
+    from gdalos_spark.datamodel import load as _load
+
+    df = _load(spark, sf_dir, "customer")
+    for stage in _DEST_STAGES:
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    return df.select(
+        "c_custkey", "lon1", "lat1", "az_deg", "dist_m",
+        F.round("lat2", 9).alias("lat2"),
+        F.round("lon2", 9).alias("lon2"),
+    )
+
+
+def _geodesic_destination_sql() -> str:
+    q = "customer"
+    for stage in _DEST_STAGES:
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    return f"""
+SELECT c_custkey, lon1, lat1, az_deg, dist_m,
+       ROUND(lat2, 9) AS lat2,
+       ROUND(lon2, 9) AS lon2
+FROM {q} AS t
+"""
+
+
+GEODESIC_DESTINATION_SQL = _geodesic_destination_sql()

@@ -613,6 +613,114 @@ WHERE epoch_ns(c.ts) // 1000 + {SSOJ_RANGE_H * 3600 * 1000000} < wm.w_us
 """
 
 
+
+# ---------------------------------------------------------------------------
+# streaming_stream_full_outer_join — both unmatched tails at once
+# ---------------------------------------------------------------------------
+
+SSFOJ_QUERY_NAME = "gdalos_stream_ssfoj"
+
+
+def streaming_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER range join: the left-outer key's
+    unconverted clicks PLUS the orphan purchases (no prior click by the
+    same user within the preceding SSOJ_RANGE_H hours). The two null
+    tails evict on DIFFERENT bounds, both functions of the one global
+    watermark: a click is provably unmatched when click_ts + range <
+    wm (no future purchase can land in its window), while a purchase is
+    provably unmatched as soon as purchase_ts < wm (any future click
+    arrives with event time >= wm, and the condition needs click_ts <=
+    purchase_ts). The oracle encodes exactly those two strict bounds
+    against the ms-floored min-across-nodes watermark the left-outer
+    key pinned. Same bounded state at 100 TB: O(rate x horizon) rows
+    per side."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == SSFOJ_QUERY_NAME:
+            q.stop()
+
+    def side(name: str, typ: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(_stage_dir(path))
+        us = F.expr(epoch_micros_sql(s)).cast("bigint")
+        return (
+            s.filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{name}_user"),
+                F.col("event_id").alias(f"{name}_id"),
+                us.alias(f"{name}_us"),
+                F.timestamp_micros(us).alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", f"{SSOJ_DELAY_H} hours")
+        )
+
+    clicks = side("c", "click")
+    buys = side("p", "purchase")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("c_id"), F.lit(-1)).cast("bigint").alias("click_id"),
+        F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("buy_id"),
+        F.coalesce(
+            ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint"),
+            F.lit(-1),
+        ).alias("gap_sec"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(SSFOJ_QUERY_NAME)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:  # pragma: no cover
+        time.sleep(0.2)
+    return spark.table(SSFOJ_QUERY_NAME)
+
+
+STREAMING_STREAM_FULL_OUTER_JOIN_SQL = f"""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT CAST({_SSOJ_WM_US} AS BIGINT) AS w_us)
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS buy_id,
+       CAST((epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000) // 1000000 AS BIGINT) AS gap_sec
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
+UNION ALL
+SELECT c.user_id, c.event_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM c, wm
+WHERE epoch_ns(c.ts) // 1000 + {SSOJ_RANGE_H * 3600 * 1000000} < wm.w_us
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
+  )
+UNION ALL
+SELECT p.user_id, CAST(-1 AS BIGINT), p.event_id, CAST(-1 AS BIGINT)
+FROM p, wm
+WHERE epoch_ns(p.ts) // 1000 < wm.w_us
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
+  )
+"""
+
+
 # ---------------------------------------------------------------------------
 # 114. streaming_session_window — built-in session windows (JVM state)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,243 @@
+"""Round-11-session tests: Albers equal-area warp, geodesic direct
+problem, containment dedup, fill-nodata interpolation, and the
+stream-stream FULL OUTER join."""
+
+import math
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+# --- crs_reproject_aea ------------------------------------------------------
+
+
+def test_crs_aea_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["crs_reproject_aea"],
+        entrymod.oracle_sql()["crs_reproject_aea"],
+    )
+
+
+def test_aea_series_tracks_libm_snyder(ducks):
+    """The authalic-q series + IEEE sqrt forward must agree with libm
+    Snyder 14-1..14-7 to sub-hundredth-of-a-micrometer on the extent."""
+    from gdalos_spark.operators import raster as R
+
+    a, e2, e = R._UTM_A, R._UTM_E2, math.sqrt(R._UTM_E2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def qf(phi):
+        return (1 - e2) * (
+            math.sin(phi) / (1 - e2 * math.sin(phi) ** 2)
+            - (1 / (2 * e))
+            * math.log((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)))
+        )
+
+    p1, p2, phi0 = R._AEA_P1, R._AEA_P2, math.radians(30.0)
+    n = (m(p1) ** 2 - m(p2) ** 2) / (qf(p2) - qf(p1))
+    C = m(p1) ** 2 + n * qf(p1)
+    rho0 = a * math.sqrt(C - n * qf(phi0)) / n
+
+    def snyder(lat_deg, lon_deg):
+        phi, lam = math.radians(lat_deg), math.radians(lon_deg - 30.0)
+        rho = a * math.sqrt(C - n * qf(phi)) / n
+        th = n * lam
+        return 1e6 + rho * math.sin(th), 1e6 + rho0 - rho * math.cos(th)
+
+    q = (
+        "(SELECT px, py, 1 AS elev FROM (SELECT unnest(range(0, 64, 7)) AS px),"
+        " (SELECT unnest(range(0, 64, 7)) AS py))"
+    )
+    for stage in R._aea_stages():
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    for px, py, x, y in ducks.execute(
+        f"SELECT px, py, easting, northing FROM {q}"
+    ).fetchall():
+        X, Y = snyder(30.0 + py * 0.01, 30.0 + px * 0.01)
+        assert abs(x - X) < 1e-7 and abs(y - Y) < 1e-7, (px, py)
+
+
+def test_dbl_lit_survives_duckdb_decimal_cast(ducks):
+    """Regression for the literal-parsing hazard _dbl_lit fixes: DuckDB's
+    DECIMAL->DOUBLE cast of the bare literal is one ulp off the correct
+    string->binary64 parse for this constant; the exponent spelling must
+    land exactly."""
+    from gdalos_spark.operators.raster import _dbl_lit
+
+    c = 0.9933056200098587
+    assert ducks.execute(f"SELECT {_dbl_lit(c)}").fetchone()[0] == c
+    # the hazard is real: the bare-literal cast path disagrees
+    assert ducks.execute(f"SELECT CAST({c!r} AS DOUBLE)").fetchone()[0] != c
+
+
+# --- geodesic_destination ---------------------------------------------------
+
+
+def test_geodesic_destination_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["geodesic_destination"],
+        entrymod.oracle_sql()["geodesic_destination"],
+    )
+
+
+def test_destination_tracks_libm_direct(spark):
+    """The polynomial direct solution must agree with the libm spherical
+    direct formulas (asin/atan2) to ~1e-9 deg (~0.1 mm), and the
+    inverse of the output must give back the input range."""
+    from gdalos_spark.operators import viewshed as V
+
+    R = V._DEST_R_M
+    rows = entrymod.queries()["geodesic_destination"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        f1, a, s = math.radians(r.lat1), math.radians(r.az_deg), r.dist_m / R
+        sf2 = math.sin(f1) * math.cos(s) + math.cos(f1) * math.sin(s) * math.cos(a)
+        lat2 = math.degrees(math.asin(sf2))
+        dl = math.degrees(
+            math.atan2(
+                math.sin(a) * math.sin(s) * math.cos(f1),
+                math.cos(s) - math.sin(f1) * sf2,
+            )
+        )
+        assert abs(r.lat2 - lat2) < 1e-8, r
+        assert abs(r.lon2 - (r.lon1 + dl)) < 1e-8, r
+        # inverse round-trip: haversine back to the emitted destination
+        f2 = math.radians(r.lat2)
+        dph = (f2 - f1) / 2
+        dlh = math.radians(r.lon2 - r.lon1) / 2
+        h = math.sqrt(
+            math.sin(dph) ** 2 + math.cos(f1) * math.cos(f2) * math.sin(dlh) ** 2
+        )
+        back = 2 * R * math.asin(h)
+        assert abs(back - r.dist_m) < 1e-3, r  # sub-millimeter closure
+
+
+# --- dedup_containment ------------------------------------------------------
+
+
+def test_dedup_containment_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["dedup_containment"],
+        entrymod.oracle_sql()["dedup_containment"],
+    )
+
+
+def test_containment_is_directional_and_thresholded(spark):
+    from gdalos_spark.operators.dedup import CONTAIN_TAU
+
+    rows = entrymod.queries()["dedup_containment"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.containment >= CONTAIN_TAU
+        assert r.containee != r.container
+        assert r.shared <= r.sz_containee
+        assert r.containment == r.shared / float(r.sz_containee)
+
+
+def test_containment_catches_what_jaccard_scores_low(spark):
+    """The reason the key exists: a containment hit whose rare-set sizes
+    are very different scores LOW on Jaccard. Verify the relationship
+    holds on every emitted pair: jaccard <= containment by definition,
+    with equality only when both sides have the same rare size."""
+    rows = entrymod.queries()["dedup_containment"](spark, SF_DIR).collect()
+    if not rows:  # corpus-dependent; the oracle test already gates values
+        return
+    for r in rows:
+        # |A n B| / |A u B|  <=  |A n B| / |A|  (A the smaller side)
+        assert r.shared / float(2 * r.sz_containee - r.shared) <= r.containment + 1e-12
+
+
+# --- raster_fill_nodata -----------------------------------------------------
+
+
+def test_fill_nodata_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_fill_nodata"],
+        entrymod.oracle_sql()["raster_fill_nodata"],
+    )
+
+
+def test_fill_nodata_idw_weights_by_hand(spark):
+    """Recompute one filled hole from the raw DEM in Python: IDW with
+    integer weights 40/d^2 over unmasked Chebyshev-radius-2 neighbors."""
+    from gdalos_spark.datamodel import dem_grid
+    from gdalos_spark.operators.raster import (
+        FILL_NDV,
+        FILL_RADIUS,
+        FILL_W_LCM,
+        _FILL_MASK_MOD,
+    )
+
+    dem = {
+        (r.px, r.py): float(r.elev)
+        for r in dem_grid(spark, SF_DIR).collect()
+    }
+
+    def is_hole(px, py):
+        return (px * 7919 + py * 104729) % _FILL_MASK_MOD == 0
+
+    out = {
+        (r.px, r.py): r
+        for r in entrymod.queries()["raster_fill_nodata"](spark, SF_DIR).collect()
+    }
+    assert out
+    checked_filled = checked_empty = 0
+    for (px, py), r in out.items():
+        assert is_hole(px, py)
+        num = den = 0.0
+        n = 0
+        for dx in range(-FILL_RADIUS, FILL_RADIUS + 1):
+            for dy in range(-FILL_RADIUS, FILL_RADIUS + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                key = (px + dx, py + dy)
+                if key in dem and not is_hole(*key):
+                    w = FILL_W_LCM // (dx * dx + dy * dy)
+                    num += dem[key] * w
+                    den += w
+                    n += 1
+        assert r.n_nbrs == n
+        if n:
+            assert abs(r.fill_val - num / den) < 1e-9, (px, py)
+            assert r.true_val == dem[(px, py)]
+            checked_filled += 1
+        else:
+            assert r.fill_val == FILL_NDV
+            checked_empty += 1
+    assert checked_filled > 0
+
+
+# --- streaming_stream_full_outer_join ---------------------------------------
+
+
+def test_stream_full_outer_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["streaming_stream_full_outer_join"],
+        entrymod.oracle_sql()["streaming_stream_full_outer_join"],
+    )
+
+
+def test_stream_full_outer_has_both_null_tails(spark):
+    """The full-outer key must actually emit BOTH unmatched sides (else
+    it degenerates to the left-outer key)."""
+    rows = entrymod.queries()["streaming_stream_full_outer_join"](
+        spark, SF_DIR
+    ).collect()
+    kinds = {
+        (r.click_id == -1, r.buy_id == -1) for r in rows
+    }
+    assert (False, False) in kinds     # matched pairs
+    assert (False, True) in kinds      # unconverted clicks
+    assert (True, False) in kinds      # orphan purchases
