@@ -3572,10 +3572,19 @@ _UTM_COS_C = [
 
 
 def _utm_horner(var: str, coeffs: list[float]) -> str:
-    s = repr(coeffs[-1])
+    # coefficients exponent-spelled so both engines lex DOUBLE directly
+    # (see _dbl_lit: DuckDB's DECIMAL->DOUBLE literal cast can be 1 ulp
+    # off). Spark's own DECIMAL->DOUBLE cast is correctly rounded, so
+    # this changes no Spark output — it only hardens the oracle side.
+    s = _hlit(coeffs[-1])
     for c in reversed(coeffs[:-1]):
-        s = f"({c!r} + {var} * {s})"
+        s = f"({_hlit(c)} + {var} * {s})"
     return s
+
+
+def _hlit(x: float) -> str:
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
 
 
 def _utm_extent_zone(lon_0: float) -> int:
@@ -4331,3 +4340,131 @@ SELECT h.px, h.py,
        CAST(h.elev AS DOUBLE) AS true_val
 FROM holes h LEFT JOIN nbr n ON n.px = h.px AND n.py = h.py
 """
+
+
+# ---------------------------------------------------------------------------
+# raster_flow_accumulation — upstream contributing-cell counts
+#    (completes the hydrology trio: direction #120 -> accumulation ->
+#     path length #131; GDAL ships the family via DEMProcessing +
+#     gdal_fillnodata adjacents, and accumulation is what turns a flow
+#     field into channels/catchment area)
+# ---------------------------------------------------------------------------
+
+_FLOW_ACC_MAX_ROUNDS = 128
+
+
+def raster_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number of upstream cells draining through each cell, over the D8
+    field of raster_flow_direction: the monotone integer fixpoint
+    acc(c) = sum over parents u (1 + acc(u)), where parents are in-domain
+    cells whose flow lands on c (pits point at themselves and are
+    excluded, and strict-downhill D8 guarantees acyclicity, so the
+    fixpoint exists). Each round is ONE equi-join on the child cell +
+    a groupBy — rounds = longest flow path (level-synchronous, the
+    TauDEM shape); convergence is the monotone global SUM going stable,
+    checked as one tiny agg per round. At continental scale the round
+    count is bounded by basin condensation (contract each tile's
+    interior flow to boundary-to-boundary edges, run the same fixpoint
+    on the condensed graph — the dedup_clusters two-phase trick), which
+    this per-tile operator is the building block of.
+
+    Oracle: recursive CTE walking every cell's path one step at a time
+    and counting landings per cell."""
+    fd = raster_flow_direction(spark, sf_dir).select("px", "py", "flow_dir")
+    step = {code: (dx, dy) for dx, dy, code in _D8}
+    dx_expr = F.create_map(
+        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
+    )[F.col("flow_dir")]
+    dy_expr = F.create_map(
+        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
+    )[F.col("flow_dir")]
+    moving = fd.filter(F.col("flow_dir") != 0).select(
+        F.col("px").alias("ux"),
+        F.col("py").alias("uy"),
+        (F.col("px") + dx_expr).alias("cx"),
+        (F.col("py") + dy_expr).alias("cy"),
+    )
+    domain = fd.select(F.col("px").alias("cx"), F.col("py").alias("cy"))
+    edges = moving.join(domain, ["cx", "cy"], "left_semi").localCheckpoint()
+    acc = fd.select("px", "py", F.lit(0).cast("bigint").alias("acc"))
+    prev_total = -1
+    for _ in range(_FLOW_ACC_MAX_ROUNDS):
+        total = acc.agg(F.sum("acc")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+        contrib = (
+            edges.join(
+                acc.select(
+                    F.col("px").alias("ux"), F.col("py").alias("uy"), "acc"
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy(F.col("cx").alias("px"), F.col("cy").alias("py"))
+            .agg(F.sum(F.col("acc") + 1).alias("inflow"))
+        )
+        acc = (
+            fd.select("px", "py")
+            .join(contrib, ["px", "py"], "left")
+            .select(
+                "px", "py",
+                F.coalesce(F.col("inflow"), F.lit(0)).cast("bigint").alias("acc"),
+            )
+            .localCheckpoint()
+        )
+    n_par = edges.groupBy(
+        F.col("cx").alias("px"), F.col("cy").alias("py")
+    ).agg(F.count(F.lit(1)).alias("n_parents"))
+    return (
+        acc.join(n_par, ["px", "py"], "left")
+        .select(
+            "px", "py",
+            F.col("acc").alias("flow_acc"),
+            F.coalesce(F.col("n_parents"), F.lit(0)).cast("bigint").alias("n_parents"),
+        )
+    )
+
+
+def _flow_acc_sql() -> str:
+    steps = ", ".join(f"({code}, {dx}, {dy})" for dx, dy, code in _D8)
+    return f"""
+WITH RECURSIVE fd AS ({RASTER_FLOW_DIRECTION_SQL}),
+stepmap(code, sdx, sdy) AS (VALUES {steps}),
+nxt AS (
+  SELECT f.px, f.py, f.flow_dir,
+         CASE WHEN f.flow_dir = 0 THEN f.px ELSE f.px + s.sdx END AS nx,
+         CASE WHEN f.flow_dir = 0 THEN f.py ELSE f.py + s.sdy END AS ny
+  FROM fd f LEFT JOIN stepmap s ON f.flow_dir = s.code
+),
+term AS (
+  SELECT n.px, n.py, n.nx, n.ny,
+         CASE WHEN n.flow_dir = 0 OR d.px IS NULL THEN 1 ELSE 0 END AS is_term
+  FROM nxt n LEFT JOIN fd d ON n.nx = d.px AND n.ny = d.py
+),
+walk(px, py, cx, cy, landed) AS (
+  SELECT px, py, px, py, 0 FROM term
+  UNION ALL
+  SELECT w.px, w.py, t.nx, t.ny, 1
+  FROM walk w JOIN term t ON w.cx = t.px AND w.cy = t.py
+  WHERE t.is_term = 0
+),
+acc AS (
+  SELECT cx AS px, cy AS py, COUNT(*) AS flow_acc
+  FROM walk WHERE landed = 1 GROUP BY 1, 2
+),
+par AS (
+  SELECT tt.nx AS px, tt.ny AS py, COUNT(*) AS n_parents
+  FROM (SELECT * FROM term WHERE px <> nx OR py <> ny) tt
+  JOIN fd d ON tt.nx = d.px AND tt.ny = d.py
+  GROUP BY 1, 2
+)
+SELECT f.px, f.py,
+       CAST(COALESCE(a.flow_acc, 0) AS BIGINT) AS flow_acc,
+       CAST(COALESCE(p.n_parents, 0) AS BIGINT) AS n_parents
+FROM fd f
+LEFT JOIN acc a ON a.px = f.px AND a.py = f.py
+LEFT JOIN par p ON p.px = f.px AND p.py = f.py
+"""
+
+
+RASTER_FLOW_ACCUMULATION_SQL = _flow_acc_sql()

@@ -752,11 +752,14 @@ def _log2_stages(x: str, shift: str) -> dict[str, str]:
         # Horner series coefficients 1/(2k+1) as host-precomputed DOUBLE
         # literals: the spelling `1.0/13.0` is DECIMAL/DECIMAL division
         # in Spark SQL (scale-truncated to ~1e-7!) but double in DuckDB —
-        # a cross-engine trap that poisoned every downstream bit
-        "poly": "(((((((0.07692307692307693)*z2 + 0.09090909090909091)*z2"
-                " + 0.1111111111111111)*z2 + 0.14285714285714285)*z2"
-                " + 0.2)*z2 + 0.3333333333333333)*z2 + 1.0)",
-        "lg": f"(CAST(bl AS DOUBLE) + {_LOG2_C} * z * poly)",
+        # a cross-engine trap that poisoned every downstream bit.
+        # Exponent-suffixed (e0) so both lexers produce DOUBLE directly:
+        # DuckDB's DECIMAL->DOUBLE cast of the bare 1/11 literal is one
+        # ulp off the correct parse (raster._dbl_lit discipline).
+        "poly": "(((((((0.07692307692307693e0)*z2 + 0.09090909090909091e0)*z2"
+                " + 0.1111111111111111e0)*z2 + 0.14285714285714285e0)*z2"
+                " + 0.2e0)*z2 + 0.3333333333333333e0)*z2 + 1.0e0)",
+        "lg": f"(CAST(bl AS DOUBLE) + {_LOG2_C}e0 * z * poly)",
     }
 
 
@@ -889,10 +892,10 @@ def _log2_lateral_sql(x: str, out: str) -> str:
         f"(CAST({x} AS DOUBLE) / CAST((CAST(1 AS BIGINT) << {bl}) AS DOUBLE)) AS {m}, "
         f"(({m} - 1.0) / ({m} + 1.0)) AS {z}, "
         f"({z} * {z}) AS {z2}, "
-        f"(((((((0.07692307692307693)*{z2} + 0.09090909090909091)*{z2}"
-        f" + 0.1111111111111111)*{z2} + 0.14285714285714285)*{z2}"
-        f" + 0.2)*{z2} + 0.3333333333333333)*{z2} + 1.0) AS {poly}, "
-        f"(CAST({bl} AS DOUBLE) + {_LOG2_C} * {z} * {poly}) AS {out}"
+        f"(((((((0.07692307692307693e0)*{z2} + 0.09090909090909091e0)*{z2}"
+        f" + 0.1111111111111111e0)*{z2} + 0.14285714285714285e0)*{z2}"
+        f" + 0.2e0)*{z2} + 0.3333333333333333e0)*{z2} + 1.0e0) AS {poly}, "
+        f"(CAST({bl} AS DOUBLE) + {_LOG2_C}e0 * {z} * {poly}) AS {out}"
     )
 
 

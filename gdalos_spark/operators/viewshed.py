@@ -903,10 +903,18 @@ _GEO_ASIN_C = [
 
 
 def _geo_horner(var: str, coeffs: list[float]) -> str:
-    s = repr(coeffs[-1])
+    # exponent-spelled coefficients — the raster._dbl_lit discipline
+    # (DuckDB's bare-literal DECIMAL->DOUBLE cast can be 1 ulp off;
+    # Spark output is unchanged by this spelling)
+    s = _geo_lit(coeffs[-1])
     for c in reversed(coeffs[:-1]):
-        s = f"({c!r} + {var} * {s})"
+        s = f"({_geo_lit(c)} + {var} * {s})"
     return s
+
+
+def _geo_lit(x: float) -> str:
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
 
 
 def _geo_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
@@ -951,7 +959,7 @@ def _geo_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
             ("lon2", "lon2"), ("lat2", "lat2"),
             (
                 "geo_dist_m",
-                f"(({2.0 * _GEO_R_M!r}) * (hx * {_geo_horner('(hx * hx)', _GEO_ASIN_C)}))",
+                f"(({_geo_lit(2.0 * _GEO_R_M)}) * (hx * {_geo_horner('(hx * hx)', _GEO_ASIN_C)}))",
             ),
         ),
     )
@@ -1077,7 +1085,7 @@ def _geo_ellipsoidal_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
         ),
         (
             *keep(*ids),
-            ("sphere_dist_m", f"(({2.0 * _GEO_R_M!r}) * omega)"),
+            ("sphere_dist_m", f"(({_geo_lit(2.0 * _GEO_R_M)}) * omega)"),
             (
                 "geodesic_dist_m",
                 f"((({2.0 * _GEOD_A_M!r}) * omega) * (1.0 + ({_GEOD_F!r} * "

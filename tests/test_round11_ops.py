@@ -241,3 +241,30 @@ def test_stream_full_outer_has_both_null_tails(spark):
     assert (False, False) in kinds     # matched pairs
     assert (False, True) in kinds      # unconverted clicks
     assert (True, False) in kinds      # orphan purchases
+
+
+# --- raster_flow_accumulation ------------------------------------------------
+
+
+def test_flow_accumulation_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_flow_accumulation"],
+        entrymod.oracle_sql()["raster_flow_accumulation"],
+    )
+
+
+def test_flow_accumulation_conserves_path_steps(spark):
+    """Cross-operator conservation: every landing counted by the
+    accumulation is exactly one step of one cell's downstream walk, so
+    sum(flow_acc) must equal sum(path_steps) from the pointer-jumping
+    key. Sources (no parents) must carry zero accumulation."""
+    acc = entrymod.queries()["raster_flow_accumulation"](spark, SF_DIR).collect()
+    paths = entrymod.queries()["raster_flow_path_length"](spark, SF_DIR).collect()
+    assert sum(r.flow_acc for r in acc) == sum(r.path_steps for r in paths)
+    for r in acc:
+        if r.n_parents == 0:
+            assert r.flow_acc == 0
+        else:
+            assert r.flow_acc >= r.n_parents
