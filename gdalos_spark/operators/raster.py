@@ -4468,3 +4468,157 @@ LEFT JOIN par p ON p.px = f.px AND p.py = f.py
 
 
 RASTER_FLOW_ACCUMULATION_SQL = _flow_acc_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_grid_idw — scattered points -> grid (gdal_grid 'invdist')
+#    ref: gdal_grid is the scattered-data sibling of the reference's
+#         rasterize path (rasterize/gdalos_rasterize.py burns geometries;
+#         gdal_grid interpolates point clouds) — the missing ingest for
+#         sensor/observation data. Algorithm modeled: invdist:power=2
+#         with a fixed search radius and nodata for empty neighborhoods.
+#
+# Cross-engine exactness: the classic 1/d^2 float weight makes the
+# weighted sum ORDER-DEPENDENT (double addition is not associative, and
+# the two engines aggregate in different orders). Both coordinates and
+# the grid are exact in CENTI-CELL integers here (the events_points
+# derivation is event_id*7919 % 6400 centi-units — datamodel.py
+# EVENTS_POINTS_SQL), so d^2 is an exact BIGINT and the weight is
+# INTEGERIZED as w = 10^6 // d2 (floor) — the weight/value sums become
+# exact integer aggregations (order-free by construction), one terminal
+# correctly-rounded double division. The discretization IS the operator
+# contract (documented, not hidden): max relative weight error 1/11 at
+# the radius edge, <=1e-6 at the near field.
+#
+# Plan shape: points bucket to their cell (map-side), each target cell
+# gathers candidate buckets through the broadcast 49-row offset table,
+# exact d2 <= R^2 filter, one groupBy on the target cell — the
+# proximity/fill_nodata bucketed-spatial-join contract, partition-
+# prunable and skew-free at 100 TB (bucket fan-out is a constant 49).
+# ---------------------------------------------------------------------------
+
+IDW_RADIUS_CENTI = 250       # 2.5 cells search radius, in centi-cells
+IDW_W_SCALE = 1_000_000      # integerized weight = SCALE // d2
+IDW_SAMPLE_MOD = 10          # 1-in-10 event sample (the sensor subset)
+IDW_NDV = DST_NDV
+
+
+def raster_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid invdist analog: every grid cell takes the integerized
+    inverse-square-distance average of sampled event points within
+    IDW_RADIUS_CENTI of its center; cells with no point in radius get
+    IDW_NDV. Coordinates/distances exact in centi-cell integers."""
+    from gdalos_spark.datamodel import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    pts = (
+        ev.filter((F.col("event_id") % IDW_SAMPLE_MOD) == 0)
+        .select(
+            (F.col("event_id") * 7919 % 6400).cast("bigint").alias("xi"),
+            (F.col("event_id") * 104729 % 6400).cast("bigint").alias("yi"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("v_cents"),
+        )
+        .select(
+            # integer bucket index: `div`, never `/` (Spark / is double
+            # division; DuckDB // is exact integer floor)
+            F.expr("CAST(xi div 100 AS INT)").alias("bx"),
+            F.expr("CAST(yi div 100 AS INT)").alias("by"),
+            "xi", "yi", "v_cents",
+        )
+    )
+    lattice = spark.range(GRID_W * GRID_H).select(
+        (F.col("id") % GRID_W).cast("int").alias("px"),
+        (F.col("id") / GRID_W).cast("int").alias("py"),
+    )
+    span = list(range(-3, 4))  # covers radius 250 + in-bucket offset
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in span for dy in span], "dx int, dy int"
+    )
+    r2 = IDW_RADIUS_CENTI * IDW_RADIUS_CENTI
+    cand = (
+        lattice.crossJoin(F.broadcast(offsets))
+        .select(
+            "px", "py",
+            (F.col("px") + F.col("dx")).alias("bx"),
+            (F.col("py") + F.col("dy")).alias("by"),
+        )
+        .join(pts, ["bx", "by"])
+        .select(
+            "px", "py", "v_cents",
+            (
+                (F.col("xi") - (F.col("px") * 100 + 50))
+                * (F.col("xi") - (F.col("px") * 100 + 50))
+                + (F.col("yi") - (F.col("py") * 100 + 50))
+                * (F.col("yi") - (F.col("py") * 100 + 50))
+            ).alias("d2"),
+        )
+        .filter(F.col("d2") <= r2)
+        .select(
+            "px", "py", "v_cents",
+            # a point exactly on the center (d2=0) takes the full scale;
+            # `div` = exact integer floor division (matches DuckDB //)
+            F.when(F.col("d2") == 0, F.lit(IDW_W_SCALE).cast("bigint"))
+            .otherwise(F.expr(f"CAST({IDW_W_SCALE} AS BIGINT) div d2"))
+            .alias("w"),
+        )
+    )
+    agg = cand.groupBy("px", "py").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("w").alias("wsum"),
+        F.sum(F.col("w") * F.col("v_cents")).alias("vsum"),
+    )
+    return lattice.join(agg, ["px", "py"], "left").select(
+        "px", "py",
+        F.coalesce(F.col("n_pts"), F.lit(0)).cast("bigint").alias("n_pts"),
+        F.when(
+            F.col("wsum").isNotNull(),
+            (F.col("vsum").cast("double") / F.col("wsum").cast("double")) / 100.0,
+        )
+        .otherwise(F.lit(IDW_NDV))
+        .alias("idw_val"),
+    )
+
+
+RASTER_GRID_IDW_SQL = f"""
+WITH pts AS (
+  SELECT CAST((event_id * 7919 % 6400) // 100 AS INTEGER) AS bx,
+         CAST((event_id * 104729 % 6400) // 100 AS INTEGER) AS by,
+         CAST(event_id * 7919 % 6400 AS BIGINT) AS xi,
+         CAST(event_id * 104729 % 6400 AS BIGINT) AS yi,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events WHERE event_id % {IDW_SAMPLE_MOD} = 0
+),
+lattice AS (
+  SELECT CAST(range % {GRID_W} AS INTEGER) AS px,
+         CAST(range // {GRID_W} AS INTEGER) AS py
+  FROM range({GRID_W * GRID_H})
+),
+offs AS (
+  SELECT dx.range AS dx, dy.range AS dy
+  FROM range(-3, 4) dx, range(-3, 4) dy
+),
+cand AS (
+  SELECT l.px, l.py, p.v_cents,
+         (p.xi - (l.px * 100 + 50)) * (p.xi - (l.px * 100 + 50))
+         + (p.yi - (l.py * 100 + 50)) * (p.yi - (l.py * 100 + 50)) AS d2
+  FROM lattice l
+  JOIN offs o ON TRUE
+  JOIN pts p ON p.bx = l.px + o.dx AND p.by = l.py + o.dy
+),
+wtd AS (
+  SELECT px, py, v_cents,
+         CASE WHEN d2 = 0 THEN {IDW_W_SCALE}
+              ELSE {IDW_W_SCALE} // d2 END AS w
+  FROM cand WHERE d2 <= {IDW_RADIUS_CENTI * IDW_RADIUS_CENTI}
+),
+agg AS (
+  SELECT px, py, COUNT(*) AS n_pts, SUM(w) AS wsum, SUM(w * v_cents) AS vsum
+  FROM wtd GROUP BY 1, 2
+)
+SELECT l.px, l.py,
+       CAST(COALESCE(a.n_pts, 0) AS BIGINT) AS n_pts,
+       CASE WHEN a.wsum IS NOT NULL
+            THEN (CAST(a.vsum AS DOUBLE) / CAST(a.wsum AS DOUBLE)) / 100.0
+            ELSE {IDW_NDV!r} END AS idw_val
+FROM lattice l LEFT JOIN agg a ON a.px = l.px AND a.py = l.py
+"""

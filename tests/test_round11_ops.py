@@ -268,3 +268,61 @@ def test_flow_accumulation_conserves_path_steps(spark):
             assert r.flow_acc == 0
         else:
             assert r.flow_acc >= r.n_parents
+
+
+# --- raster_grid_idw ---------------------------------------------------------
+
+
+def test_grid_idw_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_grid_idw"],
+        entrymod.oracle_sql()["raster_grid_idw"],
+    )
+
+
+def test_grid_idw_by_hand(spark, ducks):
+    """Recompute a handful of cells from the raw sampled points in
+    Python: exact centi-cell distances, integerized weights, radius
+    cut, NDV for empty neighborhoods."""
+    from gdalos_spark.operators.raster import (
+        IDW_NDV,
+        IDW_RADIUS_CENTI,
+        IDW_SAMPLE_MOD,
+        IDW_W_SCALE,
+    )
+
+    pts = ducks.execute(
+        f"""SELECT CAST(event_id * 7919 % 6400 AS BIGINT),
+                   CAST(event_id * 104729 % 6400 AS BIGINT),
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM events WHERE event_id % {IDW_SAMPLE_MOD} = 0"""
+    ).fetchall()
+    out = {
+        (r.px, r.py): r
+        for r in entrymod.queries()["raster_grid_idw"](spark, SF_DIR).collect()
+    }
+    assert len(out) == 64 * 64
+    r2 = IDW_RADIUS_CENTI * IDW_RADIUS_CENTI
+    n_filled = n_empty = 0
+    for px in range(0, 64, 11):
+        for py in range(0, 64, 11):
+            cx, cy = px * 100 + 50, py * 100 + 50
+            wsum = vsum = n = 0
+            for xi, yi, vc in pts:
+                d2 = (xi - cx) ** 2 + (yi - cy) ** 2
+                if d2 <= r2:
+                    w = IDW_W_SCALE if d2 == 0 else IDW_W_SCALE // d2
+                    wsum += w
+                    vsum += w * vc
+                    n += 1
+            r = out[(px, py)]
+            assert r.n_pts == n, (px, py)
+            if n:
+                assert abs(r.idw_val - (vsum / wsum) / 100.0) < 1e-9
+                n_filled += 1
+            else:
+                assert r.idw_val == IDW_NDV
+                n_empty += 1
+    assert n_filled > 0
