@@ -15,6 +15,8 @@ LLM-pipeline extension the brief makes first-class.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2612,3 +2614,109 @@ ORDER BY n.gid
 
 
 EMBEDDING_LABEL_PROPAGATION_SQL = _label_prop_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding_random_projection — Johnson-Lindenstrauss sketch + the
+# distance-preservation report that decides whether the sketch is usable
+# (the dimensionality-reduction primitive next to int8/PQ compression:
+# JL reduces DIMS where PQ reduces BYTES; Achlioptas 2001 shows +-1 sign
+# matrices suffice, which is what makes the projection exactly
+# cross-engine reproducible here).
+# ---------------------------------------------------------------------------
+
+JL_K = 16           # target dimensionality
+JL_PAIR_PROBES = 50  # probe vectors for the pairwise preservation report
+
+
+def _jl_sign(i: int, j: int) -> float:
+    """+-1 sign of projection row i at input dim j — same deterministic
+    integer scramble family as the LSH plane weights."""
+    return 1.0 - 2.0 * (
+        ((1 + i * vectors.EMB_DIM + j) * vectors._W_MUL) % vectors._W_MOD % 2
+    )
+
+
+def _jl_project(arr):
+    """k ordered-fold dot products against host-literal sign rows,
+    scaled by 1/sqrt(k) (host-precomputed double literal)."""
+    inv = 1.0 / _math.sqrt(JL_K)
+    rows = [
+        F.array(*[F.lit(_jl_sign(i, j)) for j in range(vectors.EMB_DIM)])
+        for i in range(JL_K)
+    ]
+    return F.array(*[(vectors.dot(arr, rows[i]) * F.lit(inv)) for i in range(JL_K)])
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> JL_K dims with the pairwise
+    distance-preservation report over the probe set: for every probe
+    pair, the original and projected squared distances and their ratio
+    (E[ratio] = 1; spread ~ sqrt(2/k)). The projection is a per-row
+    ordered fold (zero shuffles, embarrassingly parallel); the report
+    joins only the tiny probe set against itself."""
+    base = load(spark, sf_dir, "embeddings")
+    probes = base.filter(F.col("vec_id") < JL_PAIR_PROBES).select(
+        "vec_id",
+        vectors.emb_double(F.col("embedding")).alias("arr"),
+    )
+    proj = probes.select("vec_id", "arr", _jl_project(F.col("arr")).alias("jl"))
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("jl").alias("jl_a"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("jl").alias("jl_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    d2o = vectors.fold_sum(
+        F.zip_with(F.col("arr_a"), F.col("arr_b"), lambda x, y: (x - y) * (x - y))
+    )
+    d2p = vectors.fold_sum(
+        F.zip_with(F.col("jl_a"), F.col("jl_b"), lambda x, y: (x - y) * (x - y))
+    )
+    out = pairs.select(
+        "vec_a", "vec_b", d2o.alias("d2_orig"), d2p.alias("d2_proj")
+    )
+    return out.filter(F.col("d2_orig") > 0.0).select(
+        "vec_a", "vec_b", "d2_orig", "d2_proj",
+        (F.col("d2_proj") / F.col("d2_orig")).alias("ratio"),
+    )
+
+
+def _jl_sql() -> str:
+    inv = repr(1.0 / _math.sqrt(JL_K)) + "e0"
+    dims = []
+    for i in range(JL_K):
+        terms = " + ".join(
+            f"(CAST(embedding[{j + 1}] AS DOUBLE) * {_jl_sign(i, j)!r}e0)"
+            for j in range(vectors.EMB_DIM)
+        )
+        dims.append(f"(({terms}) * {inv})")
+    # NOTE: the Spark side folds LEFT-TO-RIGHT; the unrolled + chain above
+    # is also left-associated in both parsers, so the sum order matches.
+    jl_list = "list_value(" + ", ".join(dims) + ")"
+    return f"""
+WITH probes AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr,
+         {jl_list} AS jl
+  FROM embeddings WHERE vec_id < {JL_PAIR_PROBES}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, {vectors.EMB_DIM + 1}),
+                  j -> (a.arr[j] - b.arr[j]) * (a.arr[j] - b.arr[j]))) AS d2_orig,
+         list_sum(list_transform(range(1, {JL_K + 1}),
+                  j -> (a.jl[j] - b.jl[j]) * (a.jl[j] - b.jl[j]))) AS d2_proj
+  FROM probes a JOIN probes b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, d2_orig, d2_proj, d2_proj / d2_orig AS ratio
+FROM pairs WHERE d2_orig > 0.0
+"""
+
+
+EMBEDDING_RANDOM_PROJECTION_SQL = _jl_sql()

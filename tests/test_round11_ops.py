@@ -326,3 +326,46 @@ def test_grid_idw_by_hand(spark, ducks):
                 assert r.idw_val == IDW_NDV
                 n_empty += 1
     assert n_filled > 0
+
+
+# --- embedding_random_projection ---------------------------------------------
+
+
+def test_random_projection_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["embedding_random_projection"],
+        entrymod.oracle_sql()["embedding_random_projection"],
+    )
+
+
+def test_random_projection_preserves_distances(spark):
+    """The JL guarantee the report exists to check: with k=16 sign
+    projections, pairwise distance ratios concentrate around 1
+    (spread ~ sqrt(2/k) ~ 0.35). Assert the mean ratio is near 1 and
+    the overwhelming majority of pairs fall inside a loose 3-sigma
+    band — distribution-level, not per-pair (JL is probabilistic)."""
+    rows = entrymod.queries()["embedding_random_projection"](spark, SF_DIR).collect()
+    assert len(rows) == 50 * 49 // 2
+    ratios = sorted(r.ratio for r in rows)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    assert 0.5 < ratios[len(ratios) // 2] < 1.5  # median
+    # the label-clustered synthetic corpus has a heavier right tail than
+    # iid-Gaussian JL theory (correlated near-dup pairs with tiny
+    # d2_orig) — the band is deliberately loose
+    inside = sum(1 for x in ratios if 0.0 < x < 3.0)
+    assert inside / len(ratios) > 0.90
+
+
+def test_jl_sign_matrix_is_balanced():
+    """Sanity on the deterministic sign scramble: each projection row
+    must be reasonably balanced between +1 and -1 (a constant-sign row
+    would make that output dim the vector mean, not a projection)."""
+    from gdalos_spark.operators.similarity import JL_K, _jl_sign
+    from gdalos_spark.functions.vectors import EMB_DIM
+
+    for i in range(JL_K):
+        pos = sum(1 for j in range(EMB_DIM) if _jl_sign(i, j) > 0)
+        assert 16 <= pos <= 48, (i, pos)
