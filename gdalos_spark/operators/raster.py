@@ -4622,3 +4622,139 @@ SELECT l.px, l.py,
             ELSE {IDW_NDV!r} END AS idw_val
 FROM lattice l LEFT JOIN agg a ON a.px = l.px AND a.py = l.py
 """
+
+
+# ---------------------------------------------------------------------------
+# raster_stream_order — Strahler stream order over the D8 flow field
+#    (the channel-classification member of the hydrology family:
+#     direction #120 -> accumulation #277 -> order; Strahler 1957)
+# ---------------------------------------------------------------------------
+
+_STRAHLER_ROUNDS = 16  # >= longest flow path on the grid (measured 6)
+
+
+def raster_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler order: sources (no in-domain parents) are order 1; a
+    cell's order is max(parent orders), +1 when two or more parents tie
+    at that max. Computed as _STRAHLER_ROUNDS synchronous rounds of the
+    update from an all-ones start — the iteration is MONOTONE
+    NON-DECREASING and stabilizes after longest-flow-path rounds (6 on
+    this DEM; the loop exits early on a stable monotone SUM), so the
+    fixed-round contract equals true Strahler whenever the path bound
+    holds. Each round is one equi-join + two groupBys (parent max, then
+    tie count at the max) — the flow-accumulation plan shape; the
+    oracle unrolls the identical update as a CTE chain."""
+    fd = raster_flow_direction(spark, sf_dir).select("px", "py", "flow_dir")
+    step = {code: (dx, dy) for dx, dy, code in _D8}
+    dx_expr = F.create_map(
+        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
+    )[F.col("flow_dir")]
+    dy_expr = F.create_map(
+        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
+    )[F.col("flow_dir")]
+    moving = fd.filter(F.col("flow_dir") != 0).select(
+        F.col("px").alias("ux"),
+        F.col("py").alias("uy"),
+        (F.col("px") + dx_expr).alias("cx"),
+        (F.col("py") + dy_expr).alias("cy"),
+    )
+    domain = fd.select(F.col("px").alias("cx"), F.col("py").alias("cy"))
+    edges = moving.join(domain, ["cx", "cy"], "left_semi").localCheckpoint()
+    ordv = fd.select("px", "py", F.lit(1).cast("int").alias("ord"))
+    prev_total = -1
+    for _ in range(_STRAHLER_ROUNDS):
+        total = ordv.agg(F.sum("ord")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+        joined = edges.join(
+            ordv.select(F.col("px").alias("ux"), F.col("py").alias("uy"), "ord"),
+            ["ux", "uy"],
+        )
+        pmax = joined.groupBy(F.col("cx").alias("px"), F.col("cy").alias("py")).agg(
+            F.max("ord").alias("mx")
+        )
+        ties = joined.groupBy(
+            F.col("cx").alias("px"), F.col("cy").alias("py"), F.col("ord")
+        ).agg(F.count(F.lit(1)).alias("k"))
+        pm = pmax.join(
+            ties,
+            (pmax.px == ties.px) & (pmax.py == ties.py) & (pmax.mx == ties.ord),
+        ).select(pmax.px.alias("px"), pmax.py.alias("py"), "mx", "k")
+        ordv = (
+            fd.select("px", "py")
+            .join(pm, ["px", "py"], "left")
+            .select(
+                "px", "py",
+                F.when(F.col("mx").isNull(), F.lit(1))
+                .when(F.col("k") >= 2, F.col("mx") + 1)
+                .otherwise(F.col("mx"))
+                .cast("int")
+                .alias("ord"),
+            )
+            .localCheckpoint()
+        )
+    n_par = edges.groupBy(
+        F.col("cx").alias("px"), F.col("cy").alias("py")
+    ).agg(F.count(F.lit(1)).alias("n_parents"))
+    return (
+        ordv.join(n_par, ["px", "py"], "left")
+        .select(
+            "px", "py",
+            F.col("ord").cast("int").alias("strahler"),
+            F.coalesce(F.col("n_parents"), F.lit(0)).cast("bigint").alias("n_parents"),
+        )
+    )
+
+
+def _stream_order_sql() -> str:
+    steps = ", ".join(f"({code}, {dx}, {dy})" for dx, dy, code in _D8)
+    rounds = []
+    prev = "ord0"
+    for r in range(1, _STRAHLER_ROUNDS + 1):
+        cur = f"ord{r}"
+        rounds.append(f"""
+{cur} AS MATERIALIZED (
+  SELECT f.px, f.py,
+         CASE WHEN pm.mx IS NULL THEN 1
+              WHEN pm.k >= 2 THEN pm.mx + 1
+              ELSE pm.mx END AS ord
+  FROM fd f LEFT JOIN (
+    SELECT j.cx AS px, j.cy AS py, mx.mx,
+           COUNT(*) AS k
+    FROM (SELECT e.ux, e.uy, e.cx, e.cy, o.ord
+          FROM edges e JOIN {prev} o ON o.px = e.ux AND o.py = e.uy) j
+    JOIN (SELECT j2.cx, j2.cy, MAX(j2.ord) AS mx
+          FROM (SELECT e.cx, e.cy, o.ord
+                FROM edges e JOIN {prev} o ON o.px = e.ux AND o.py = e.uy) j2
+          GROUP BY 1, 2) mx
+      ON mx.cx = j.cx AND mx.cy = j.cy AND j.ord = mx.mx
+    GROUP BY 1, 2, 3
+  ) pm ON pm.px = f.px AND pm.py = f.py
+)""")
+        prev = cur
+    body = ",\n".join(rounds)
+    return f"""
+WITH fd AS MATERIALIZED ({RASTER_FLOW_DIRECTION_SQL}),
+stepmap(code, sdx, sdy) AS (VALUES {steps}),
+edges AS MATERIALIZED (
+  SELECT n.px AS ux, n.py AS uy, n.nx AS cx, n.ny AS cy
+  FROM (
+    SELECT f.px, f.py, f.px + s.sdx AS nx, f.py + s.sdy AS ny
+    FROM fd f JOIN stepmap s ON f.flow_dir = s.code
+    WHERE f.flow_dir <> 0
+  ) n
+  WHERE EXISTS (SELECT 1 FROM fd d WHERE d.px = n.nx AND d.py = n.ny)
+),
+ord0 AS (SELECT px, py, 1 AS ord FROM fd),
+{body},
+npar AS (
+  SELECT cx AS px, cy AS py, COUNT(*) AS n_parents FROM edges GROUP BY 1, 2
+)
+SELECT o.px, o.py, CAST(o.ord AS INTEGER) AS strahler,
+       CAST(COALESCE(np.n_parents, 0) AS BIGINT) AS n_parents
+FROM {prev} o LEFT JOIN npar np ON np.px = o.px AND np.py = o.py
+"""
+
+
+RASTER_STREAM_ORDER_SQL = _stream_order_sql()

@@ -369,3 +369,64 @@ def test_jl_sign_matrix_is_balanced():
     for i in range(JL_K):
         pos = sum(1 for j in range(EMB_DIM) if _jl_sign(i, j) > 0)
         assert 16 <= pos <= 48, (i, pos)
+
+
+# --- raster_stream_order -----------------------------------------------------
+
+
+def test_stream_order_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_stream_order"],
+        entrymod.oracle_sql()["raster_stream_order"],
+    )
+
+
+def test_stream_order_strahler_semantics(spark):
+    """Recompute Strahler by topological iteration in Python from the
+    flow field and compare cell-for-cell; also pin the classic Strahler
+    bound (order k needs >= 2^(k-1) cells upstream) against the
+    accumulation key."""
+    fd = {
+        (r.px, r.py): r.flow_dir
+        for r in entrymod.queries()["raster_flow_direction"](spark, SF_DIR).collect()
+    }
+    from gdalos_spark.operators.raster import _D8
+
+    step = {code: (dx, dy) for dx, dy, code in _D8}
+    parents = {}
+    for (px, py), d in fd.items():
+        if d:
+            t = (px + step[d][0], py + step[d][1])
+            if t in fd:
+                parents.setdefault(t, []).append((px, py))
+    order = {c: 1 for c in fd}
+    for _ in range(64):
+        new = {}
+        for c in fd:
+            ps = parents.get(c)
+            if not ps:
+                new[c] = 1
+            else:
+                mx = max(order[p] for p in ps)
+                k = sum(1 for p in ps if order[p] == mx)
+                new[c] = mx + 1 if k >= 2 else mx
+        if new == order:
+            break
+        order = new
+    got = {
+        (r.px, r.py): r
+        for r in entrymod.queries()["raster_stream_order"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(fd)
+    for c, r in got.items():
+        assert r.strahler == order[c], (c, r.strahler, order[c])
+        assert r.n_parents == len(parents.get(c, []))
+    acc = {
+        (r.px, r.py): r.flow_acc
+        for r in entrymod.queries()["raster_flow_accumulation"](spark, SF_DIR).collect()
+    }
+    for c, r in got.items():
+        assert 2 ** (r.strahler - 1) <= acc[c] + 1, c
+    assert max(r.strahler for r in got.values()) >= 2  # channels actually merge
