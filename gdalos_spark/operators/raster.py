@@ -2397,7 +2397,15 @@ def raster_flow_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow field (fine at 4k cells; the point of the Spark side is that
     it never walks one step at a time).
     """
-    fd = raster_flow_direction(spark, sf_dir).select("px", "py", "flow_dir")
+    # checkpoint the tiny flow field: every loop round (and the
+    # terminal/parent lookups) would otherwise recompute the full
+    # DEM aggregation + stencil behind raster_flow_direction
+    # (measured 58 -> ~8 s for stream_order at the sf10 upscale)
+    fd = (
+        raster_flow_direction(spark, sf_dir)
+        .select("px", "py", "flow_dir")
+        .localCheckpoint()
+    )
     step = {code: (dx, dy) for dx, dy, code in _D8}
     dx_expr = F.create_map(
         *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
@@ -4370,7 +4378,15 @@ def raster_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: recursive CTE walking every cell's path one step at a time
     and counting landings per cell."""
-    fd = raster_flow_direction(spark, sf_dir).select("px", "py", "flow_dir")
+    # checkpoint the tiny flow field: every loop round (and the
+    # terminal/parent lookups) would otherwise recompute the full
+    # DEM aggregation + stencil behind raster_flow_direction
+    # (measured 58 -> ~8 s for stream_order at the sf10 upscale)
+    fd = (
+        raster_flow_direction(spark, sf_dir)
+        .select("px", "py", "flow_dir")
+        .localCheckpoint()
+    )
     step = {code: (dx, dy) for dx, dy, code in _D8}
     dx_expr = F.create_map(
         *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
@@ -4644,7 +4660,15 @@ def raster_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds. Each round is one equi-join + two groupBys (parent max, then
     tie count at the max) — the flow-accumulation plan shape; the
     oracle unrolls the identical update as a CTE chain."""
-    fd = raster_flow_direction(spark, sf_dir).select("px", "py", "flow_dir")
+    # checkpoint the tiny flow field: every loop round (and the
+    # terminal/parent lookups) would otherwise recompute the full
+    # DEM aggregation + stencil behind raster_flow_direction
+    # (measured 58 -> ~8 s for stream_order at the sf10 upscale)
+    fd = (
+        raster_flow_direction(spark, sf_dir)
+        .select("px", "py", "flow_dir")
+        .localCheckpoint()
+    )
     step = {code: (dx, dy) for dx, dy, code in _D8}
     dx_expr = F.create_map(
         *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
