@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 
 from ..datamodel import epoch_micros, epoch_micros_sql, source_fingerprint
 
+
+def _await_done(q) -> None:
+    """Block until the availableNow query commits its final batch.
+
+    A fixed small guard here is a CORRECTNESS hazard, not a tuning knob:
+    the old 300s+60s pattern silently returned the (empty) memory table
+    when one micro-batch ran longer — seen at the 100x events upscale,
+    where the 72h-watermark stream-stream join needs >5 min in its one
+    batch. A timeout must fail loudly, never emit empty results. Budget
+    via SPARK_GRAFT_STREAM_TIMEOUT_S (default 3600 s).
+    """
+    budget = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S", "3600"))
+    if not q.awaitTermination(budget):  # pragma: no cover - needs a hang
+        q.stop()
+        raise TimeoutError(f"streaming query {q.name} exceeded {budget}s")
+
+
 QUERY_NAME = "gdalos_stream_event_counts"
 
 
@@ -76,10 +93,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(QUERY_NAME).select(
         F.col("w").getField("start").cast("long").alias("window_start"),
         "event_type",
@@ -182,10 +196,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(SESSIONIZE_QUERY_NAME)
 
 
@@ -264,10 +275,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(SLIDING_QUERY_NAME).select(
         F.col("w").getField("start").cast("long").alias("window_start"),
         "event_type",
@@ -322,10 +330,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(DEDUP_QUERY_NAME)
 
 
@@ -384,10 +389,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(ENRICH_QUERY_NAME)
 
 
@@ -465,10 +467,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(SSJOIN_QUERY_NAME)
 
 
@@ -561,10 +560,7 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(SSOJ_QUERY_NAME)
 
 
@@ -679,10 +675,7 @@ def streaming_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(SSFOJ_QUERY_NAME)
 
 
@@ -773,10 +766,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(SW_QUERY_NAME)
 
 
@@ -847,12 +837,7 @@ def streaming_tumbling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    import time as _time
-
-    deadline = _time.time() + 60
-    while q.isActive and _time.time() < deadline:  # pragma: no cover
-        _time.sleep(0.2)
+    _await_done(q)
     from pyspark.sql.window import Window
 
     sink = spark.table(TOPK_QUERY_NAME).select("day_start", "event_type", "n")
@@ -952,10 +937,7 @@ def streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return spark.table(CUSUM_QUERY_NAME)
 
 
@@ -1034,10 +1016,7 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = _t.time() + 60
-    while q.isActive and _t.time() < deadline:  # pragma: no cover
-        _t.sleep(0.2)
+    _await_done(q)
     return spark.table(OHLC_QUERY_NAME).select(
         "event_type",
         F.col("w").getField("start").cast("long").alias("bar_start_s"),
@@ -1149,10 +1128,7 @@ def streaming_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return (
         spark.table(WATERMARK_QUERY_NAME)
         .select(
@@ -1261,10 +1237,7 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     sunk = spark.read.parquet(out_dir)
     return (
         sunk.groupBy("event_type")
@@ -1382,10 +1355,7 @@ def streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     with open(cur_ptr) as f:
         final = spark.read.parquet(f.read().strip())
     return final.select(
@@ -1537,10 +1507,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    deadline = time.time() + 60
-    while q.isActive and time.time() < deadline:  # pragma: no cover
-        time.sleep(0.2)
+    _await_done(q)
     return (
         spark.table(DWM_QUERY_NAME)
         .select(
