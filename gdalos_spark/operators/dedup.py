@@ -140,15 +140,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle — never O(n^2)."""
     # docsh persisted: the shingle explode is the dominant CPU at scale
     # and feeds both df_counts and the join probe (the containment-key
-    # measurement: unpersisted 225.8 s -> 40.0 s at sf10); registered
-    # for release with the collapse caches
+    # measurement: unpersisted 225.8 s -> 40.0 s at sf10).
+    # register_query_caches releases the PREVIOUS query's batch first,
+    # so repeated calls hold at most one batch (the cache-hygiene
+    # contract _COLLAPSE_CACHES appends would violate).
     docsh = doc_shingles(spark, sf_dir).persist()
-    _COLLAPSE_CACHES.append(docsh)
-    df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = docsh.join(
-        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
+        docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "shingle",
     ).select("doc_id", "lang", "shingle").persist()
-    _COLLAPSE_CACHES.append(rare)
+    register_query_caches(docsh, rare)
     # rare-set size per doc (docs with no rare shingle can never pair)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = rare.alias("a"), rare.alias("b")
@@ -2153,19 +2155,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-language docs sharing a rare shingle, compute shared / |small
     side|, keep pairs over CONTAIN_TAU. The exact integer division is
     emitted as one double (engine-identical by construction)."""
-    # persist BOTH reused subtrees (registered for release like the
-    # collapse caches, ADVICE r10): docsh feeds df_counts AND the join
+    # persist BOTH reused subtrees: docsh feeds df_counts AND the join
     # probe side — the shingle explode is the dominant CPU at scale
     # (~95 s over 500k docs at the sf10 upscale) and an unpersisted plan
     # runs it twice (and the rare set three more times through sizes +
-    # both self-join sides; measured 225.8 s -> ~100 s).
+    # both self-join sides; measured 225.8 s -> 40.0 s). Registered via
+    # register_query_caches so repeated calls hold at most one batch.
     docsh = doc_shingles(spark, sf_dir).persist()
-    _COLLAPSE_CACHES.append(docsh)
-    df_counts = docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = docsh.join(
-        df_counts.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)), "shingle"
+        docsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "shingle",
     ).select("doc_id", "lang", "shingle").persist()
-    _COLLAPSE_CACHES.append(rare)
+    register_query_caches(docsh, rare)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = rare.alias("a"), rare.alias("b")
     shared = (

@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gdalos_spark.functions import palette
+from gdalos_spark.functions import literals as _literals
+
+_dbl_lit = _literals.dbl_lit  # exponent-spelled float literal (see functions/literals.py)
 from gdalos_spark.datamodel import (
     CUSTOMER_POINTS_SQL,
     DEM_GRID_SQL,
@@ -2379,6 +2382,46 @@ RASTER_RESAMPLE_BILINEAR_SQL = _bilinear_sql()
 # ---------------------------------------------------------------------------
 
 
+def _flow_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed D8 flow field (px, py, flow_dir) — every hydrology
+    loop derives its state from this; unpersisted, each loop round
+    would recompute the full DEM aggregation + stencil behind
+    raster_flow_direction (measured 58 -> ~14 s for stream_order at the
+    sf10 upscale)."""
+    return (
+        raster_flow_direction(spark, sf_dir)
+        .select("px", "py", "flow_dir")
+        .localCheckpoint()
+    )
+
+
+def _flow_step_exprs() -> tuple[Column, Column]:
+    """(dx, dy) step of a flow_dir code as map-lookup columns."""
+    step = {code: (dx, dy) for dx, dy, code in _D8}
+    dx_expr = F.create_map(
+        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
+    )[F.col("flow_dir")]
+    dy_expr = F.create_map(
+        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
+    )[F.col("flow_dir")]
+    return dx_expr, dy_expr
+
+
+def _flow_parent_edges(fd: DataFrame) -> DataFrame:
+    """Checkpointed in-domain (parent ux,uy -> child cx,cy) edges of
+    the D8 functional graph (pits excluded — they self-point)."""
+    dx_expr, dy_expr = _flow_step_exprs()
+    moving = fd.filter(F.col("flow_dir") != 0).select(
+        F.col("px").alias("ux"),
+        F.col("py").alias("uy"),
+        (F.col("px") + dx_expr).alias("cx"),
+        (F.col("py") + dy_expr).alias("cy"),
+    )
+    domain = fd.select(F.col("px").alias("cx"), F.col("py").alias("cy"))
+    return moving.join(domain, ["cx", "cy"], "left_semi").localCheckpoint()
+
+
+
 def raster_flow_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steps each cell's flow takes before terminating, plus the terminal
     cell — computed in O(log longest-path) rounds by POINTER JUMPING:
@@ -2397,22 +2440,8 @@ def raster_flow_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow field (fine at 4k cells; the point of the Spark side is that
     it never walks one step at a time).
     """
-    # checkpoint the tiny flow field: every loop round (and the
-    # terminal/parent lookups) would otherwise recompute the full
-    # DEM aggregation + stencil behind raster_flow_direction
-    # (measured 58 -> ~8 s for stream_order at the sf10 upscale)
-    fd = (
-        raster_flow_direction(spark, sf_dir)
-        .select("px", "py", "flow_dir")
-        .localCheckpoint()
-    )
-    step = {code: (dx, dy) for dx, dy, code in _D8}
-    dx_expr = F.create_map(
-        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
-    )[F.col("flow_dir")]
-    dy_expr = F.create_map(
-        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
-    )[F.col("flow_dir")]
+    fd = _flow_field(spark, sf_dir)
+    dx_expr, dy_expr = _flow_step_exprs()
     nxt = fd.select(
         "px",
         "py",
@@ -2482,6 +2511,10 @@ def raster_flow_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("done"),
             )
             .localCheckpoint()
+        )
+    else:  # pragma: no cover - needs a >16M-step flow path
+        raise RuntimeError(
+            "raster_flow_path_length: pointer jumping did not converge in 24 rounds"
         )
     is_pit = fd.select(
         F.col("px").alias("q_px"), F.col("py").alias("q_py"),
@@ -3579,20 +3612,10 @@ _UTM_COS_C = [
 ]
 
 
-def _utm_horner(var: str, coeffs: list[float]) -> str:
-    # coefficients exponent-spelled so both engines lex DOUBLE directly
-    # (see _dbl_lit: DuckDB's DECIMAL->DOUBLE literal cast can be 1 ulp
-    # off). Spark's own DECIMAL->DOUBLE cast is correctly rounded, so
-    # this changes no Spark output — it only hardens the oracle side.
-    s = _hlit(coeffs[-1])
-    for c in reversed(coeffs[:-1]):
-        s = f"({_hlit(c)} + {var} * {s})"
-    return s
-
-
-def _hlit(x: float) -> str:
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "e0"
+# one shared exponent-spelled literal/horner implementation for the
+# whole warp/geodesic/log2 family — see functions/literals.py for the
+# DuckDB DECIMAL->DOUBLE one-ulp story
+_utm_horner = _literals.horner
 
 
 def _utm_extent_zone(lon_0: float) -> int:
@@ -3611,8 +3634,8 @@ def _utm_stages(
     keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
     return (
         keep + (
-            ("phi", f"((({lat_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
-            ("omega", f"((({lon_0!r} + CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r}) - {cm!r}) * {_UTM_RAD!r})"),
+            ("phi", f"((({_dbl_lit(lat_0)} + CAST(py AS DOUBLE) * {_dbl_lit(_UTM_DEG_PER_PX)})) * {_dbl_lit(_UTM_RAD)})"),
+            ("omega", f"((({_dbl_lit(lon_0)} + CAST(px AS DOUBLE) * {_dbl_lit(_UTM_DEG_PER_PX)}) - {_dbl_lit(cm)}) * {_dbl_lit(_UTM_RAD)})"),
         ),
         keep + (
             ("phi", "phi"), ("omega", "omega"),
@@ -3633,8 +3656,8 @@ def _utm_stages(
             ("s2", "(2.0 * (sf * cf))"),        # sin(2 phi)
             ("c2", "(1.0 - 2.0 * (sf * sf))"),  # cos(2 phi)
             ("t", "(sf / cf)"),
-            ("eta2", f"({_UTM_EP2!r} * (cf * cf))"),
-            ("nu", f"({_UTM_A!r} / sqrt(1.0 - {_UTM_E2!r} * (sf * sf)))"),
+            ("eta2", f"({_dbl_lit(_UTM_EP2)} * (cf * cf))"),
+            ("nu", f"({_dbl_lit(_UTM_A)} / sqrt(1.0 - {_dbl_lit(_UTM_E2)} * (sf * sf)))"),
             ("oc", "(omega * cf)"),             # omega * cos(phi)
         ),
         keep + (
@@ -3650,9 +3673,9 @@ def _utm_stages(
             # folded directly into the meridian arc M(phi)
             (
                 "marc",
-                f"({_UTM_A!r} * (((({_UTM_A0!r} * phi) - ({_UTM_A2!r} * s2))"
-                f" + ({_UTM_A4!r} * s4))"
-                f" - ({_UTM_A6!r} * ((s2 * c4) + (c2 * s4)))))",
+                f"({_dbl_lit(_UTM_A)} * (((({_dbl_lit(_UTM_A0)} * phi) - ({_dbl_lit(_UTM_A2)} * s2))"
+                f" + ({_dbl_lit(_UTM_A4)} * s4))"
+                f" - ({_dbl_lit(_UTM_A6)} * ((s2 * c4) + (c2 * s4)))))",
             ),
         ),
     )
@@ -3663,18 +3686,18 @@ def _utm_easting_northing() -> tuple[str, str]:
     5th/6th-order terms) over the stage columns."""
     t2 = "(t * t)"
     easting = (
-        f"({_UTM_FE!r} + ({_UTM_K0!r} * (nu * "
-        f"((oc + (((oc * oc) * oc) * {1.0 / 6.0!r}) * ((1.0 - {t2}) + eta2))"
-        f" + ((((((oc * oc) * oc) * oc) * oc) * {1.0 / 120.0!r})"
+        f"({_dbl_lit(_UTM_FE)} + ({_dbl_lit(_UTM_K0)} * (nu * "
+        f"((oc + (((oc * oc) * oc) * {_dbl_lit(1.0 / 6.0)}) * ((1.0 - {t2}) + eta2))"
+        f" + ((((((oc * oc) * oc) * oc) * oc) * {_dbl_lit(1.0 / 120.0)})"
         f" * ((((5.0 - (18.0 * {t2})) + ({t2} * {t2})) + (14.0 * eta2))"
         f" - ((58.0 * {t2}) * eta2)))))))"
     )
     northing = (
-        f"({_UTM_K0!r} * (marc + ((nu * t) * "
+        f"({_dbl_lit(_UTM_K0)} * (marc + ((nu * t) * "
         f"((((oc * oc) * 0.5)"
-        f" + (((((oc * oc) * oc) * oc) * {1.0 / 24.0!r})"
+        f" + (((((oc * oc) * oc) * oc) * {_dbl_lit(1.0 / 24.0)})"
         f" * (((5.0 - {t2}) + (9.0 * eta2)) + (4.0 * (eta2 * eta2)))))"
-        f" + ((((((((oc * oc) * oc) * oc) * oc) * oc) * {1.0 / 720.0!r})"
+        f" + ((((((((oc * oc) * oc) * oc) * oc) * oc) * {_dbl_lit(1.0 / 720.0)})"
         f" * ((61.0 - (58.0 * {t2})) + ({t2} * {t2}))))))))"
     )
     return easting, northing
@@ -3738,8 +3761,8 @@ def _crs_reproject_sql(
 WITH pts AS (
   SELECT elev, {e_sql} AS easting, {n_sql} AS northing FROM {q}
 )
-SELECT CAST(FLOOR(easting / {_UTM_CELL_M!r}) AS INTEGER) AS utm_e_cell,
-       CAST(FLOOR(northing / {_UTM_CELL_M!r}) AS INTEGER) AS utm_n_cell,
+SELECT CAST(FLOOR(easting / {_dbl_lit(_UTM_CELL_M)}) AS INTEGER) AS utm_e_cell,
+       CAST(FLOOR(northing / {_dbl_lit(_UTM_CELL_M)}) AS INTEGER) AS utm_n_cell,
        COUNT(*) AS n_src,
        CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
        MIN(easting) AS min_easting,
@@ -3795,9 +3818,9 @@ def _stere_stages(
     keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
     return (
         keep + (
-            ("phi", f"((({lat_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
+            ("phi", f"((({_dbl_lit(lat_0)} + CAST(py AS DOUBLE) * {_dbl_lit(_UTM_DEG_PER_PX)})) * {_dbl_lit(_UTM_RAD)})"),
             # UPS central meridian is 0 E: lam is the full longitude
-            ("lam", f"((({lon_0!r} + CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
+            ("lam", f"((({_dbl_lit(lon_0)} + CAST(px AS DOUBLE) * {_dbl_lit(_UTM_DEG_PER_PX)})) * {_dbl_lit(_UTM_RAD)})"),
         ),
         keep + (
             ("lam", "lam"),
@@ -3816,13 +3839,13 @@ def _stere_stages(
         ),
         keep + (
             ("sl", "sl"), ("cl", "cl"),
-            ("esf", f"({_ST_E!r} * sf)"),
+            ("esf", f"({_dbl_lit(_ST_E)} * sf)"),
             ("tcon", "(cf / (1.0 + sf))"),      # tan(pi/4 - phi/2)
         ),
         keep + (
             ("sl", "sl"), ("cl", "cl"), ("tcon", "tcon"),
             # e * atanh(e * sin phi)
-            ("ea", f"({_ST_E!r} * (esf * {_utm_horner('(esf * esf)', _ST_ATANH_C)}))"),
+            ("ea", f"({_dbl_lit(_ST_E)} * (esf * {_utm_horner('(esf * esf)', _ST_ATANH_C)}))"),
         ),
         keep + (
             ("sl", "sl"), ("cl", "cl"),
@@ -3830,8 +3853,8 @@ def _stere_stages(
             ("t", f"(tcon * {_utm_horner('ea', _ST_EXP_C)})"),
         ),
         keep + (
-            ("easting", f"({_ST_FE!r} + (({_ST_RHO_C!r} * t) * sl))"),
-            ("northing", f"({_ST_FN!r} - (({_ST_RHO_C!r} * t) * cl))"),
+            ("easting", f"({_dbl_lit(_ST_FE)} + (({_dbl_lit(_ST_RHO_C)} * t) * sl))"),
+            ("northing", f"({_dbl_lit(_ST_FN)} - (({_dbl_lit(_ST_RHO_C)} * t) * cl))"),
         ),
     )
 
@@ -3874,8 +3897,8 @@ def _crs_stere_sql(lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0) -> str:
         cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
         q = f"(SELECT {cols} FROM {q})"
     return f"""
-SELECT CAST(FLOOR(easting / {_ST_CELL_M!r}) AS INTEGER) AS ups_e_cell,
-       CAST(FLOOR(northing / {_ST_CELL_M!r}) AS INTEGER) AS ups_n_cell,
+SELECT CAST(FLOOR(easting / {_dbl_lit(_ST_CELL_M)}) AS INTEGER) AS ups_e_cell,
+       CAST(FLOOR(northing / {_dbl_lit(_ST_CELL_M)}) AS INTEGER) AS ups_n_cell,
        COUNT(*) AS n_src,
        CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
        MIN(easting) AS min_easting,
@@ -3946,17 +3969,17 @@ def _lcc_stages(
     keep = (("px", "px"), ("py", "py"), ("elev", "elev"))
     # exp(e * atanh(e * sin phi)) — the conformal-latitude correction
     atanh_esf = _utm_horner("(esf * esf)", _ST_ATANH_C)
-    ea = f"({_ST_E!r} * (esf * {atanh_esf}))"
+    ea = f"({_dbl_lit(_ST_E)} * (esf * {atanh_esf}))"
     t_expr = f"(tcon * {_utm_horner(ea, _ST_EXP_C)})"
     # rho = rho0 * exp(2 n atanh(u)), u = (t - ta)/(t + ta)
     atanh_u = _utm_horner("(u * u)", _ST_ATANH_C)
-    two_n_atanh = f"(({2.0 * n!r}) * (u * {atanh_u}))"
-    rho_expr = f"({rho0!r} * {_utm_horner(two_n_atanh, _ST_EXP_C)})"
+    two_n_atanh = f"(({_dbl_lit(2.0 * n)}) * (u * {atanh_u}))"
+    rho_expr = f"({_dbl_lit(rho0)} * {_utm_horner(two_n_atanh, _ST_EXP_C)})"
     return (
         keep + (
-            ("phi", f"((({lat_0!r} + CAST(py AS DOUBLE) * {_UTM_DEG_PER_PX!r})) * {_UTM_RAD!r})"),
+            ("phi", f"((({_dbl_lit(lat_0)} + CAST(py AS DOUBLE) * {_dbl_lit(_UTM_DEG_PER_PX)})) * {_dbl_lit(_UTM_RAD)})"),
             # gamma = n * (lon - lon_0), lon_0 = the extent anchor
-            ("gam", f"({n!r} * ((CAST(px AS DOUBLE) * {_UTM_DEG_PER_PX!r}) * {_UTM_RAD!r}))"),
+            ("gam", f"({_dbl_lit(n)} * ((CAST(px AS DOUBLE) * {_dbl_lit(_UTM_DEG_PER_PX)}) * {_dbl_lit(_UTM_RAD)}))"),
         ),
         keep + (
             ("gam", "gam"),
@@ -3974,7 +3997,7 @@ def _lcc_stages(
         ),
         keep + (
             ("gam", "gam"),
-            ("esf", f"({_ST_E!r} * sf)"),
+            ("esf", f"({_dbl_lit(_ST_E)} * sf)"),
             ("tcon", "(cf / (1.0 + sf))"),
         ),
         keep + (
@@ -3983,7 +4006,7 @@ def _lcc_stages(
         ),
         keep + (
             ("gam", "gam"),
-            ("u", f"((t - {ta!r}) / (t + {ta!r}))"),
+            ("u", f"((t - {_dbl_lit(ta)}) / (t + {_dbl_lit(ta)}))"),
         ),
         keep + (
             ("gam", "gam"),
@@ -3995,8 +4018,8 @@ def _lcc_stages(
             ("cg", _utm_horner("(gam * gam)", _UTM_COS_C)),
         ),
         keep + (
-            ("easting", f"({_LCC_FE!r} + (rho * sg))"),
-            ("northing", f"({_LCC_FN!r} + ({rho0!r} - (rho * cg)))"),
+            ("easting", f"({_dbl_lit(_LCC_FE)} + (rho * sg))"),
+            ("northing", f"({_dbl_lit(_LCC_FN)} + ({_dbl_lit(rho0)} - (rho * cg)))"),
         ),
     )
 
@@ -4038,8 +4061,8 @@ def _crs_lcc_sql(lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0) -> str:
         cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
         q = f"(SELECT {cols} FROM {q})"
     return f"""
-SELECT CAST(FLOOR(easting / {_ST_CELL_M!r}) AS INTEGER) AS lcc_e_cell,
-       CAST(FLOOR(northing / {_ST_CELL_M!r}) AS INTEGER) AS lcc_n_cell,
+SELECT CAST(FLOOR(easting / {_dbl_lit(_ST_CELL_M)}) AS INTEGER) AS lcc_e_cell,
+       CAST(FLOOR(northing / {_dbl_lit(_ST_CELL_M)}) AS INTEGER) AS lcc_n_cell,
        COUNT(*) AS n_src,
        CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
        MIN(easting) AS min_easting,
@@ -4088,24 +4111,7 @@ def _aea_q(phi: float) -> float:
     )
 
 
-def _dbl_lit(x: float) -> str:
-    """Spell a float so BOTH engines parse it as DOUBLE with correct
-    string->binary64 rounding. A bare fractional literal parses as
-    DECIMAL in both, and DuckDB's DECIMAL->DOUBLE cast goes through
-    scaled-integer division, which is off by one ulp for some values
-    (measured: CAST(0.9933056200098587 AS DOUBLE) -> ...88). An
-    exponent suffix makes the literal DOUBLE at the parser."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "e0"
-
-
-def _aea_horner(var: str, coeffs: list[float]) -> str:
-    """_utm_horner with every coefficient spelled as a guaranteed-DOUBLE
-    exponent literal — see _dbl_lit."""
-    s = _dbl_lit(coeffs[-1])
-    for c in reversed(coeffs[:-1]):
-        s = f"({_dbl_lit(c)} + {var} * {s})"
-    return s
+_aea_horner = _literals.horner
 
 
 def _aea_consts(lat_0: float) -> tuple[float, float, float]:
@@ -4217,8 +4223,8 @@ def _crs_aea_sql(lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0) -> str:
         cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
         q = f"(SELECT {cols} FROM {q})"
     return f"""
-SELECT CAST(FLOOR(easting / {_ST_CELL_M!r}) AS INTEGER) AS aea_e_cell,
-       CAST(FLOOR(northing / {_ST_CELL_M!r}) AS INTEGER) AS aea_n_cell,
+SELECT CAST(FLOOR(easting / {_dbl_lit(_ST_CELL_M)}) AS INTEGER) AS aea_e_cell,
+       CAST(FLOOR(northing / {_dbl_lit(_ST_CELL_M)}) AS INTEGER) AS aea_n_cell,
        COUNT(*) AS n_src,
        CAST(SUM(elev) AS DOUBLE) / COUNT(*) AS warped_elev,
        MIN(easting) AS min_easting,
@@ -4378,30 +4384,8 @@ def raster_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: recursive CTE walking every cell's path one step at a time
     and counting landings per cell."""
-    # checkpoint the tiny flow field: every loop round (and the
-    # terminal/parent lookups) would otherwise recompute the full
-    # DEM aggregation + stencil behind raster_flow_direction
-    # (measured 58 -> ~8 s for stream_order at the sf10 upscale)
-    fd = (
-        raster_flow_direction(spark, sf_dir)
-        .select("px", "py", "flow_dir")
-        .localCheckpoint()
-    )
-    step = {code: (dx, dy) for dx, dy, code in _D8}
-    dx_expr = F.create_map(
-        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
-    )[F.col("flow_dir")]
-    dy_expr = F.create_map(
-        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
-    )[F.col("flow_dir")]
-    moving = fd.filter(F.col("flow_dir") != 0).select(
-        F.col("px").alias("ux"),
-        F.col("py").alias("uy"),
-        (F.col("px") + dx_expr).alias("cx"),
-        (F.col("py") + dy_expr).alias("cy"),
-    )
-    domain = fd.select(F.col("px").alias("cx"), F.col("py").alias("cy"))
-    edges = moving.join(domain, ["cx", "cy"], "left_semi").localCheckpoint()
+    fd = _flow_field(spark, sf_dir)
+    edges = _flow_parent_edges(fd)
     acc = fd.select("px", "py", F.lit(0).cast("bigint").alias("acc"))
     prev_total = -1
     for _ in range(_FLOW_ACC_MAX_ROUNDS):
@@ -4427,6 +4411,11 @@ def raster_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("inflow"), F.lit(0)).cast("bigint").alias("acc"),
             )
             .localCheckpoint()
+        )
+    else:  # pragma: no cover - a path longer than the cap
+        raise RuntimeError(
+            "raster_flow_accumulation: fixpoint did not converge in "
+            f"{_FLOW_ACC_MAX_ROUNDS} rounds (flow path exceeds the cap)"
         )
     n_par = edges.groupBy(
         F.col("cx").alias("px"), F.col("cy").alias("py")
@@ -4660,30 +4649,8 @@ def raster_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds. Each round is one equi-join + two groupBys (parent max, then
     tie count at the max) — the flow-accumulation plan shape; the
     oracle unrolls the identical update as a CTE chain."""
-    # checkpoint the tiny flow field: every loop round (and the
-    # terminal/parent lookups) would otherwise recompute the full
-    # DEM aggregation + stencil behind raster_flow_direction
-    # (measured 58 -> ~8 s for stream_order at the sf10 upscale)
-    fd = (
-        raster_flow_direction(spark, sf_dir)
-        .select("px", "py", "flow_dir")
-        .localCheckpoint()
-    )
-    step = {code: (dx, dy) for dx, dy, code in _D8}
-    dx_expr = F.create_map(
-        *[x for c, (dx, _) in step.items() for x in (F.lit(c), F.lit(dx))]
-    )[F.col("flow_dir")]
-    dy_expr = F.create_map(
-        *[x for c, (_, dy) in step.items() for x in (F.lit(c), F.lit(dy))]
-    )[F.col("flow_dir")]
-    moving = fd.filter(F.col("flow_dir") != 0).select(
-        F.col("px").alias("ux"),
-        F.col("py").alias("uy"),
-        (F.col("px") + dx_expr).alias("cx"),
-        (F.col("py") + dy_expr).alias("cy"),
-    )
-    domain = fd.select(F.col("px").alias("cx"), F.col("py").alias("cy"))
-    edges = moving.join(domain, ["cx", "cy"], "left_semi").localCheckpoint()
+    fd = _flow_field(spark, sf_dir)
+    edges = _flow_parent_edges(fd)
     ordv = fd.select("px", "py", F.lit(1).cast("int").alias("ord"))
     prev_total = -1
     for _ in range(_STRAHLER_ROUNDS):
@@ -4717,6 +4684,12 @@ def raster_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("ord"),
             )
             .localCheckpoint()
+        )
+    else:  # pragma: no cover - a path longer than the cap
+        raise RuntimeError(
+            "raster_stream_order: Strahler iteration did not converge in "
+            f"{_STRAHLER_ROUNDS} rounds (flow path exceeds the cap; the "
+            "unrolled oracle would diverge identically)"
         )
     n_par = edges.groupBy(
         F.col("cx").alias("px"), F.col("cy").alias("py")

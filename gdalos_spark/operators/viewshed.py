@@ -902,19 +902,8 @@ _GEO_ASIN_C = [
 ]
 
 
-def _geo_horner(var: str, coeffs: list[float]) -> str:
-    # exponent-spelled coefficients — the raster._dbl_lit discipline
-    # (DuckDB's bare-literal DECIMAL->DOUBLE cast can be 1 ulp off;
-    # Spark output is unchanged by this spelling)
-    s = _geo_lit(coeffs[-1])
-    for c in reversed(coeffs[:-1]):
-        s = f"({_geo_lit(c)} + {var} * {s})"
-    return s
-
-
-def _geo_lit(x: float) -> str:
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r) else r + "e0"
+# shared exponent-spelled literal/horner (functions/literals.py)
+from gdalos_spark.functions.literals import dbl_lit as _geo_lit, horner as _geo_horner  # noqa: E402
 
 
 def _geo_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
@@ -933,10 +922,10 @@ def _geo_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
             ("c_custkey", "c_custkey"),
             ("lon1", "lon1"), ("lat1", "lat1"),
             ("lon2", "lon2"), ("lat2", "lat2"),
-            ("f1", f"(lat1 * {_GEO_RAD!r})"),
-            ("f2", f"(lat2 * {_GEO_RAD!r})"),
-            ("dph", f"(((lat2 - lat1) * {_GEO_RAD!r}) * 0.5)"),
-            ("dlh", f"(((lon2 - lon1) * {_GEO_RAD!r}) * 0.5)"),
+            ("f1", f"(lat1 * {_geo_lit(_GEO_RAD)})"),
+            ("f2", f"(lat2 * {_geo_lit(_GEO_RAD)})"),
+            ("dph", f"(((lat2 - lat1) * {_geo_lit(_GEO_RAD)}) * 0.5)"),
+            ("dlh", f"(((lon2 - lon1) * {_geo_lit(_GEO_RAD)}) * 0.5)"),
         ),
         (
             ("c_custkey", "c_custkey"),
@@ -1052,9 +1041,9 @@ def _geo_ellipsoidal_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
         _GEO_STAGES[0],  # same bounded synthetic endpoints as geo_distance
         (
             *keep(*ids),
-            ("fm", f"(((lat1 + lat2) * {_GEO_RAD!r}) * 0.5)"),
-            ("gm", f"(((lat1 - lat2) * {_GEO_RAD!r}) * 0.5)"),
-            ("lh", f"(((lon2 - lon1) * {_GEO_RAD!r}) * 0.5)"),
+            ("fm", f"(((lat1 + lat2) * {_geo_lit(_GEO_RAD)}) * 0.5)"),
+            ("gm", f"(((lat1 - lat2) * {_geo_lit(_GEO_RAD)}) * 0.5)"),
+            ("lh", f"(((lon2 - lon1) * {_geo_lit(_GEO_RAD)}) * 0.5)"),
         ),
         (
             *keep(*ids),
@@ -1088,7 +1077,7 @@ def _geo_ellipsoidal_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
             ("sphere_dist_m", f"(({_geo_lit(2.0 * _GEO_R_M)}) * omega)"),
             (
                 "geodesic_dist_m",
-                f"((({2.0 * _GEOD_A_M!r}) * omega) * (1.0 + ({_GEOD_F!r} * "
+                f"((({_geo_lit(2.0 * _GEOD_A_M)}) * omega) * (1.0 + ({_geo_lit(_GEOD_F)} * "
                 "(((((3.0 * r3) - 1.0) / (2.0 * bigc)) * (s2f * c2g)) - "
                 "((((3.0 * r3) + 1.0) / (2.0 * bigs)) * (c2f * s2g))))))",
             ),
@@ -1245,7 +1234,7 @@ def _arc_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
             ),
         ),
         keep + (
-            ("half", f"((angle - {M_2PI!r} * floor((angle + {M_PI!r}) / {M_2PI!r})) * 0.5)"),
+            ("half", f"((angle - {_geo_lit(M_2PI)} * floor((angle + {_geo_lit(M_PI)}) / {_geo_lit(M_2PI)})) * 0.5)"),
         ),
         keep + (
             ("sh", f"(half * {_geo_horner('(half * half)', _ARC_SIN_C)})"),
@@ -2458,14 +2447,14 @@ def _dest_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
             ("dist_m", "(1000.0 + CAST(c_custkey * 37 % 99001 AS DOUBLE))"),
         ),
         keep + (
-            ("alp", f"(az_deg * {_GEO_RAD!r})"),
-            ("f1", f"(lat1 * {_GEO_RAD!r})"),
-            ("sg", f"(dist_m / {_DEST_R_M!r})"),
+            ("alp", f"(az_deg * {_geo_lit(_GEO_RAD)})"),
+            ("f1", f"(lat1 * {_geo_lit(_GEO_RAD)})"),
+            ("sg", f"(dist_m / {_geo_lit(_DEST_R_M)})"),
         ),
         keep + (
             ("f1", "f1"), ("sg", "sg"),
             # azimuth range-reduced to [-pi, pi) then halved (arc scheme)
-            ("ah", f"((alp - {M_2PI!r} * floor((alp + {M_PI!r}) / {M_2PI!r})) * 0.5)"),
+            ("ah", f"((alp - {_geo_lit(M_2PI)} * floor((alp + {_geo_lit(M_PI)}) / {_geo_lit(M_2PI)})) * 0.5)"),
         ),
         keep + (
             ("f1", "f1"), ("sg", "sg"),
@@ -2497,8 +2486,8 @@ def _dest_stages() -> tuple[tuple[tuple[str, str], ...], ...]:
             ("sl", "((sa * ss) / cf2)"),
         ),
         keep + (
-            ("lat2", f"(lat1 + ({asin9('sd', '(sd * sd)')} / {_GEO_RAD!r}))"),
-            ("lon2", f"(lon1 + ({asin9('sl', '(sl * sl)')} / {_GEO_RAD!r}))"),
+            ("lat2", f"(lat1 + ({asin9('sd', '(sd * sd)')} / {_geo_lit(_GEO_RAD)}))"),
+            ("lon2", f"(lon1 + ({asin9('sl', '(sl * sl)')} / {_geo_lit(_GEO_RAD)}))"),
         ),
     )
 

@@ -559,14 +559,18 @@ def rasterize_vector_layer(
 
 
 def _rasterize_vector_sql() -> str:
-    from gdalos_spark.datamodel import DEM_GRID_SQL
+    from gdalos_spark.datamodel import DEM_GRID_SQL, GRID_H, GRID_W
 
+    # moduli derived from the SAME grid constants as the Spark side's
+    # _ring_edges_bbox (grid_w*100 / grid_h*100) — a hardcoded 6400
+    # silently diverges on any non-64 grid (the tall-grid regime the
+    # scanline arm exists for)
     return f"""
 WITH dem AS ({DEM_GRID_SQL}),
 pts AS (
   SELECT s_nationkey AS feature_id, s_suppkey,
-         (s_suppkey * 541 % 6400) / 100.0 AS x,
-         (s_suppkey * 863 % 6400) / 100.0 AS y
+         (s_suppkey * 541 % {GRID_W * 100}) / 100.0 AS x,
+         (s_suppkey * 863 % {GRID_H * 100}) / 100.0 AS y
   FROM supplier
 ),
 edges AS (

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -494,6 +493,63 @@ SSOJ_RANGE_H = SSJOIN_RANGE_H   # same 4-hour attribution horizon
 SSOJ_DELAY_H = 72               # watermark delay: leaves a real state tail
 
 
+def _ssj_outer_run(
+    spark: SparkSession, sf_dir: str, how: str, query_name: str
+) -> DataFrame:
+    """Shared body of the left-/full-outer stream-stream range joins:
+    one place owns the side builder, watermark delay, range condition,
+    sentinel encoding, and sink block, so the two keys cannot drift on
+    their shared rows."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+
+    def side(name: str, typ: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(_stage_dir(path))
+        us = F.expr(epoch_micros_sql(s)).cast("bigint")
+        return (
+            s.filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{name}_user"),
+                F.col("event_id").alias(f"{name}_id"),
+                us.alias(f"{name}_us"),
+                F.timestamp_micros(us).alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", f"{SSOJ_DELAY_H} hours")
+        )
+
+    joined = side("c", "click").join(
+        side("p", "purchase"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS")),
+        how,
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        # -1 sentinels for the unmatched-null sides: event ids are
+        # non-negative, and the driver's value compare sorts rows —
+        # NULLs don't order against integers there
+        F.coalesce(F.col("c_id"), F.lit(-1)).cast("bigint").alias("click_id"),
+        F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("buy_id"),
+        F.coalesce(
+            ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint"),
+            F.lit(-1),
+        ).alias("gap_sec"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q)
+    return spark.table(query_name)
+
+
 def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with an event-time range condition —
     the unconverted-click report (click with no purchase by the same
@@ -512,56 +568,9 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins for append-mode aggregation, here pinned for outer-join state
     eviction. At 100 TB the identical plan runs unbounded with join
     state bounded to O(rate x horizon)."""
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-
-    for q in spark.streams.active:
-        if q.name == SSOJ_QUERY_NAME:
-            q.stop()
-
-    def side(name: str, typ: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(_stage_dir(path))
-        us = F.expr(epoch_micros_sql(s)).cast("bigint")
-        return (
-            s.filter(F.col("event_type") == typ)
-            .select(
-                F.col("user_id").alias(f"{name}_user"),
-                F.col("event_id").alias(f"{name}_id"),
-                us.alias(f"{name}_us"),
-                F.timestamp_micros(us).alias(f"{name}_ts"),
-            )
-            .withWatermark(f"{name}_ts", f"{SSOJ_DELAY_H} hours")
-        )
-
-    clicks = side("c", "click")
-    buys = side("p", "purchase")
-    joined = clicks.join(
-        buys,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS")),
-        "leftOuter",
-    ).select(
-        F.col("c_user").alias("user_id"),
-        F.col("c_id").alias("click_id"),
-        # -1 sentinels for the unmatched-null side: event ids are
-        # non-negative, and the driver's value compare sorts rows —
-        # NULLs don't order against integers there
-        F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("buy_id"),
-        F.coalesce(
-            ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint"),
-            F.lit(-1),
-        ).alias("gap_sec"),
+    return _ssj_outer_run(spark, sf_dir, "leftOuter", SSOJ_QUERY_NAME).select(
+        "user_id", "click_id", "buy_id", "gap_sec"
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(SSOJ_QUERY_NAME)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_done(q)
-    return spark.table(SSOJ_QUERY_NAME)
 
 
 # Oracle: matched rows are the plain range join; null rows are the
@@ -579,34 +588,20 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # landing on the ms-floored boundary to the microsecond, which the
 # micro-timestamped corpus never produces (the watermark_audit
 # precedent).
+# NULL guard: DuckDB's LEAST ignores NULL arguments, but Spark's
+# min-across-nodes watermark never advances while one side is EMPTY
+# (that node stays at epoch 0) — so a one-sided corpus must yield a
+# NULL anchor here (eviction predicates then evaluate NULL -> no tail
+# rows), matching the engine, not LEAST's skip-the-NULL behavior.
 _SSOJ_WM_US = (
-    f"(SELECT (FLOOR(LEAST(MAX(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END),"
+    f"(SELECT CASE WHEN MAX(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) IS NULL"
+    f" OR MAX(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) IS NULL"
+    f" THEN NULL ELSE"
+    f" (FLOOR(LEAST(MAX(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END),"
     f" MAX(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)) // 1000 / 1000)"
-    f" - {SSOJ_DELAY_H * 3600 * 1000}) * 1000 FROM events)"
+    f" - {SSOJ_DELAY_H * 3600 * 1000}) * 1000 END FROM events)"
 )
-STREAMING_STREAM_OUTER_JOIN_SQL = f"""
-WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
-p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-wm AS (SELECT CAST({_SSOJ_WM_US} AS BIGINT) AS w_us)
-SELECT c.user_id AS user_id,
-       c.event_id AS click_id,
-       p.event_id AS buy_id,
-       CAST((epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000) // 1000000 AS BIGINT) AS gap_sec
-FROM c JOIN p
-  ON c.user_id = p.user_id
- AND p.ts >= c.ts
- AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
-UNION ALL
-SELECT c.user_id, c.event_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-FROM c, wm
-WHERE epoch_ns(c.ts) // 1000 + {SSOJ_RANGE_H * 3600 * 1000000} < wm.w_us
-  AND NOT EXISTS (
-    SELECT 1 FROM p
-    WHERE p.user_id = c.user_id
-      AND p.ts >= c.ts
-      AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
-  )
-"""
+
 
 
 
@@ -630,56 +625,12 @@ def streaming_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFr
     against the ms-floored min-across-nodes watermark the left-outer
     key pinned. Same bounded state at 100 TB: O(rate x horizon) rows
     per side."""
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-
-    for q in spark.streams.active:
-        if q.name == SSFOJ_QUERY_NAME:
-            q.stop()
-
-    def side(name: str, typ: str) -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(_stage_dir(path))
-        us = F.expr(epoch_micros_sql(s)).cast("bigint")
-        return (
-            s.filter(F.col("event_type") == typ)
-            .select(
-                F.col("user_id").alias(f"{name}_user"),
-                F.col("event_id").alias(f"{name}_id"),
-                us.alias(f"{name}_us"),
-                F.timestamp_micros(us).alias(f"{name}_ts"),
-            )
-            .withWatermark(f"{name}_ts", f"{SSOJ_DELAY_H} hours")
-        )
-
-    clicks = side("c", "click")
-    buys = side("p", "purchase")
-    joined = clicks.join(
-        buys,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS")),
-        "fullOuter",
-    ).select(
-        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
-        F.coalesce(F.col("c_id"), F.lit(-1)).cast("bigint").alias("click_id"),
-        F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("buy_id"),
-        F.coalesce(
-            ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint"),
-            F.lit(-1),
-        ).alias("gap_sec"),
-    )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(SSFOJ_QUERY_NAME)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_done(q)
-    return spark.table(SSFOJ_QUERY_NAME)
+    return _ssj_outer_run(spark, sf_dir, "fullOuter", SSFOJ_QUERY_NAME)
 
 
-STREAMING_STREAM_FULL_OUTER_JOIN_SQL = f"""
+# shared oracle text: matched rows + the unmatched-click tail (the
+# left-outer result; the full-outer adds the orphan-purchase tail)
+_SSOJ_SQL_BASE = f"""
 WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
 p AS (SELECT * FROM events WHERE event_type = 'purchase'),
 wm AS (SELECT CAST({_SSOJ_WM_US} AS BIGINT) AS w_us)
@@ -700,7 +651,11 @@ WHERE epoch_ns(c.ts) // 1000 + {SSOJ_RANGE_H * 3600 * 1000000} < wm.w_us
     WHERE p.user_id = c.user_id
       AND p.ts >= c.ts
       AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
-  )
+  )"""
+
+STREAMING_STREAM_OUTER_JOIN_SQL = _SSOJ_SQL_BASE
+
+STREAMING_STREAM_FULL_OUTER_JOIN_SQL = _SSOJ_SQL_BASE + f"""
 UNION ALL
 SELECT p.user_id, CAST(-1 AS BIGINT), p.event_id, CAST(-1 AS BIGINT)
 FROM p, wm
@@ -712,6 +667,7 @@ WHERE epoch_ns(p.ts) // 1000 < wm.w_us
       AND p.ts <= c.ts + INTERVAL {SSOJ_RANGE_H} HOUR
   )
 """
+
 
 
 # ---------------------------------------------------------------------------
@@ -981,8 +937,6 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME oracle (temporal.EVENTS_OHLC_BARS_SQL). This is the
     TimescaleDB-style continuous aggregate: at production scale the
     memory sink becomes a Delta/parquet sink the serving layer reads."""
-    import time as _t
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     for q in spark.streams.active:

@@ -10,7 +10,7 @@ import os
 import pytest
 
 from gdalos_spark.sources import vector as V
-from tests.conftest import SF_DIR, assert_matches_oracle
+from tests.conftest import assert_matches_oracle
 
 GML_SAMPLE = "/root/reference/data/shp/comb_poly.gml"
 
