@@ -68,6 +68,23 @@ INVARIANCE_KEYS = [
     "multimodal_h264_features",
     "kmeans_train",
     "ann_ivfpq_trained_topk",
+    # round-11 additions: the conic/azimuthal warp doubles must land in
+    # the same 1 km cell under any layout; the direct-problem asin
+    # series rides pure projections; the JL ordered folds are the
+    # textbook case this sweep exists for; the IDW/fill integer weight
+    # sums are order-free by construction (asserted here, not assumed);
+    # the hydrology fixpoints iterate joins whose per-round results
+    # must not depend on partitioning; containment pins the rare-set
+    # pair counts
+    "crs_reproject_aea",
+    "crs_reproject_lcc",
+    "geodesic_destination",
+    "embedding_random_projection",
+    "raster_grid_idw",
+    "raster_fill_nodata",
+    "raster_flow_accumulation",
+    "raster_stream_order",
+    "dedup_containment",
 ]
 
 
