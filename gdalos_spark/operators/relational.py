@@ -4743,3 +4743,110 @@ UNION ALL
 SELECT * FROM ({LAYOUT_ADVISOR_SAMPLED_SQL}) sampled_side
 WHERE (SELECT c FROM nrows) > {LAYOUT_EXACT_MAX_ROWS}
 """
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary — stationary distribution of the behavior chain
+#    (the fixpoint the transition matrix exists for: long-run fraction
+#     of time in each state; same integer-micro-unit power-iteration
+#     discipline as the exact PageRank in graph.py — engine float sums
+#     never touch the iterate)
+# ---------------------------------------------------------------------------
+
+MARKOV_POWER_ROUNDS = 20
+_MK_MICRO = 1_000_000
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type chain by
+    MARKOV_POWER_ROUNDS integer power iterations: pi'[b] = sum_a
+    (pi[a] * n[a,b]) div rowsum[a], every term floored in micro-units —
+    deterministic and order-free (integer adds), identical in the
+    unrolled-CTE oracle. The '_START' pseudo-state is excluded (the
+    chain runs over real events). Each round is one broadcast-sized
+    join + one groupBy over the k x k count matrix: at a 10^6-state
+    chain (page graphs) the SAME plan shape runs distributed, which is
+    why the iterate is a DataFrame loop and not a driver-side matrix.
+    Floor-dropped mass (< k micro per round) is the documented
+    contract, not renormalized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stream = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = (
+        stream.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "row_total", F.sum("n").over(Window.partitionBy("from_type"))
+        )
+        .localCheckpoint()
+    )
+    k = counts.select("from_type").distinct().count()
+    pi = (
+        counts.select(F.col("from_type").alias("state"))
+        .distinct()
+        .select("state", F.lit(_MK_MICRO // k).cast("bigint").alias("micro"))
+        .localCheckpoint()
+    )
+    for _ in range(MARKOV_POWER_ROUNDS):
+        pi = (
+            counts.join(pi, counts.from_type == pi.state)
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr("(micro * n) div row_total").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("bigint").alias("micro"))
+            .localCheckpoint()
+        )
+    return pi.select(
+        "state",
+        F.col("micro").alias("pi_micro"),
+        (F.col("micro").cast("double") / F.lit(float(_MK_MICRO))).alias("pi"),
+    ).orderBy("state")
+
+
+def _markov_stationary_sql() -> str:
+    rounds = []
+    prev = "pi0"
+    for r in range(1, MARKOV_POWER_ROUNDS + 1):
+        cur = f"pi{r}"
+        rounds.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT c.to_type AS state,
+         CAST(SUM((p.micro * c.n) // c.row_total) AS BIGINT) AS micro
+  FROM counts c JOIN {prev} p ON p.state = c.from_type
+  GROUP BY 1
+)"""
+        )
+        prev = cur
+    body = ",\n".join(rounds)
+    return f"""
+WITH stream AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS MATERIALIZED (
+  SELECT from_type, to_type, COUNT(*) AS n,
+         SUM(COUNT(*)) OVER (PARTITION BY from_type) AS row_total
+  FROM stream WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+k AS (SELECT COUNT(DISTINCT from_type) AS k FROM counts),
+pi0 AS MATERIALIZED (
+  SELECT DISTINCT from_type AS state,
+         CAST({_MK_MICRO} // (SELECT k FROM k) AS BIGINT) AS micro
+  FROM counts
+),
+{body}
+SELECT state,
+       micro AS pi_micro,
+       CAST(micro AS DOUBLE) / {float(_MK_MICRO)!r}e0 AS pi
+FROM {prev}
+ORDER BY state
+"""
+
+
+MARKOV_STATIONARY_SQL = _markov_stationary_sql()

@@ -430,3 +430,55 @@ def test_stream_order_strahler_semantics(spark):
     for c, r in got.items():
         assert 2 ** (r.strahler - 1) <= acc[c] + 1, c
     assert max(r.strahler for r in got.values()) >= 2  # channels actually merge
+
+
+# --- markov_stationary -------------------------------------------------------
+
+
+def test_markov_stationary_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["markov_stationary"],
+        entrymod.oracle_sql()["markov_stationary"],
+    )
+
+
+def test_markov_stationary_is_the_chain_fixpoint(spark):
+    """Recompute the power iteration in Python ints from the transition
+    counts and compare micro-for-micro; also sanity: the mass sums to
+    ~1 (floor drop < k micro per round) and the iterate is (near) a
+    fixpoint of one more application."""
+    from gdalos_spark.operators.relational import (
+        _MK_MICRO,
+        MARKOV_POWER_ROUNDS,
+    )
+
+    trans = entrymod.queries()["events_markov_transitions"](spark, SF_DIR).collect()
+    counts = {}
+    row_total = {}
+    for r in trans:
+        if r.from_type == "_START":
+            continue
+        counts[(r.from_type, r.to_type)] = r.n
+        row_total[r.from_type] = row_total.get(r.from_type, 0) + r.n
+    states = sorted(row_total)
+    pi = {s: _MK_MICRO // len(states) for s in states}
+    for _ in range(MARKOV_POWER_ROUNDS):
+        new = {}
+        for (a, b), n in counts.items():
+            new[b] = new.get(b, 0) + (pi.get(a, 0) * n) // row_total[a]
+        pi = new
+    got = {r.state: r for r in entrymod.queries()["markov_stationary"](spark, SF_DIR).collect()}
+    assert set(got) == set(pi)
+    for s in pi:
+        assert got[s].pi_micro == pi[s], (s, got[s].pi_micro, pi[s])
+    total = sum(r.pi_micro for r in got.values())
+    drop_bound = MARKOV_POWER_ROUNDS * len(states) * len(states)
+    assert _MK_MICRO - drop_bound <= total <= _MK_MICRO
+    # near-fixpoint: one more application moves each state < 1e-3
+    nxt = {}
+    for (a, b), n in counts.items():
+        nxt[b] = nxt.get(b, 0) + (pi.get(a, 0) * n) // row_total[a]
+    for s in pi:
+        assert abs(nxt.get(s, 0) - pi[s]) < 1e-3 * _MK_MICRO, s
