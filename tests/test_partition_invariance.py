@@ -85,6 +85,7 @@ INVARIANCE_KEYS = [
     "raster_flow_accumulation",
     "raster_stream_order",
     "dedup_containment",
+    "markov_stationary",
 ]
 
 
