@@ -16,10 +16,19 @@ regression test lives in tests/test_round11_ops.py.
 
 from __future__ import annotations
 
+import math
+
 
 def dbl_lit(x: float) -> str:
-    """Spell a float so BOTH engines parse it as DOUBLE exactly."""
-    r = repr(float(x))
+    """Spell a float so BOTH engines parse it as DOUBLE exactly.
+
+    Non-finite inputs would otherwise emit invalid SQL (repr(inf) ->
+    'infe0') that surfaces as a parse error far from the call site, so
+    they fail loud here at expression-build time."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"dbl_lit requires a finite float, got {x!r}")
+    r = repr(x)
     return r if ("e" in r or "E" in r) else r + "e0"
 
 

@@ -18,6 +18,8 @@ type-sensitive hash even when values are equal.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2375,6 +2377,147 @@ RASTER_RESAMPLE_BILINEAR_SQL = _bilinear_sql()
 
 
 # ---------------------------------------------------------------------------
+# raster_resample_cubic — cubic-convolution warp (gdal 'cubic' resampleAlg)
+#    ref: /root/reference/src/gdalos/gdalos_types.py:43 lists cubic in
+#    GdalResamplingAlg and resampling_alg_by_kind (gdalos_types.py:84)
+#    picks it as the zoom-in default for CONTINUOUS data (dtm/dsm) —
+#    the most common resampling a DEM user reaches for; every warp /
+#    overview in gdalos_trans.py threads it through to GDAL.
+# ---------------------------------------------------------------------------
+
+CUBIC_T = BILIN_T  # same 64 -> 96 target grid / center mapping as bilinear
+
+
+def raster_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys a=-0.5 cubic-convolution resample of the DEM to 96x96,
+    all-rational arithmetic so both engines agree to the last bit.
+
+    Same (4*tx - 1)/6 center mapping as raster_resample_bilinear —
+    fractional positions in SIXTHS, fx in [0,6) — but 16 taps at
+    x0-1..x0+2. With u = the tap's distance in sixths, the Keys kernel
+    becomes integer polynomials over a /432 denominator:
+      near taps (|t| <= 1, u in [0,6]):  w432 =  3u^3 - 30u^2 + 432
+      far taps (1 < |t| < 2, u in (6,12)): w432 = -u^3 + 30u^2 - 288u + 864
+    (both vanish at u = 6; the four x-weights sum to exactly 432 — the
+    kernel's partition of unity, exact in integers). The 2-D weight is
+    the product, value = sum(wx*wy*cents) / (432^2 * 100) — ONE
+    correctly-rounded double division of exact integers; weights can be
+    NEGATIVE (cubic overshoot), so the nonzero filter is w != 0, never
+    w > 0.
+
+    Plan: identical to bilinear — the metadata-sized target grid
+    explodes through a broadcast 16-row tap table, equi-joins the DEM
+    on the cell key, one groupBy sums the weighted cents. Edge handling
+    is GDAL's replicate-clamp (clamped taps sum their weights)."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
+    )
+    targets = spark.range(CUBIC_T * CUBIC_T).select(
+        F.expr(f"cast(id div {CUBIC_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {CUBIC_T} as int)").alias("ty"),
+    )
+    base = (
+        targets.withColumn("x0", F.expr("(4*tx - 1 + 600) div 6 - 100"))
+        .withColumn("y0", F.expr("(4*ty - 1 + 600) div 6 - 100"))
+        .withColumn("fx", F.expr("(4*tx - 1) - 6*x0"))
+        .withColumn("fy", F.expr("(4*ty - 1) - 6*y0"))
+    )
+    taps = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1, 2) for dy in (-1, 0, 1, 2)],
+        "dx int, dy int",
+    )
+
+    def _u(d: str, f: str) -> str:
+        return (
+            f"(CASE {d} WHEN -1 THEN {f} + 6 WHEN 0 THEN {f} "
+            f"WHEN 1 THEN 6 - {f} ELSE 12 - {f} END)"
+        )
+
+    def _w432(d: str, f: str) -> str:
+        u = _u(d, f)
+        return (
+            f"(CASE WHEN {d} IN (0, 1) "
+            f"THEN 3*{u}*{u}*{u} - 30*{u}*{u} + 432 "
+            f"ELSE -{u}*{u}*{u} + 30*{u}*{u} - 288*{u} + 864 END)"
+        )
+
+    corners = (
+        base.crossJoin(F.broadcast(taps))
+        .select(
+            "tx", "ty",
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("x0") + F.col("dx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("y0") + F.col("dy"))).alias("cy"),
+            (F.expr(_w432("dx", "fx")) * F.expr(_w432("dy", "fy"))).alias("w"),
+        )
+        .filter(F.col("w") != 0)
+    )
+    joined = corners.join(
+        dem, (corners.cx == dem.px) & (corners.cy == dem.py), "inner"
+    )
+    return (
+        joined.groupBy("tx", "ty")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.lit(float(432 * 432 * 100))
+            ).alias("elev_cubic")
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def _cubic_sql() -> str:
+    def u(d: str, f: str) -> str:
+        return (
+            f"(CASE {d} WHEN -1 THEN {f} + 6 WHEN 0 THEN {f} "
+            f"WHEN 1 THEN 6 - {f} ELSE 12 - {f} END)"
+        )
+
+    def w432(d: str, f: str) -> str:
+        uu = u(d, f)
+        return (
+            f"(CASE WHEN {d} IN (0, 1) "
+            f"THEN 3*{uu}*{uu}*{uu} - 30*{uu}*{uu} + 432 "
+            f"ELSE -{uu}*{uu}*{uu} + 30*{uu}*{uu} - 288*{uu} + 864 END)"
+        )
+
+    return f"""
+WITH dem AS (
+  SELECT px, py, CAST(ROUND(elev * 100, 0) AS BIGINT) AS cents
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
+  FROM range({CUBIC_T}) x, range({CUBIC_T}) y
+),
+base AS (
+  SELECT tx, ty,
+         (4*tx - 1 + 600) // 6 - 100 AS x0,
+         (4*ty - 1 + 600) // 6 - 100 AS y0,
+         (4*tx - 1) - 6*((4*tx - 1 + 600) // 6 - 100) AS fx,
+         (4*ty - 1) - 6*((4*ty - 1 + 600) // 6 - 100) AS fy
+  FROM t
+),
+corners AS (
+  SELECT tx, ty,
+         GREATEST(0, LEAST(63, x0 + dx)) AS cx,
+         GREATEST(0, LEAST(63, y0 + dy)) AS cy,
+         {w432('dx', 'fx')} * {w432('dy', 'fy')} AS w
+  FROM base, (VALUES (-1),(0),(1),(2)) AS tx_(dx), (VALUES (-1),(0),(1),(2)) AS ty_(dy)
+),
+nz AS (SELECT * FROM corners WHERE w <> 0)
+SELECT nz.tx, nz.ty,
+       CAST(SUM(nz.w * dem.cents) AS DOUBLE) / {432 * 432 * 100}.0 AS elev_cubic
+FROM nz JOIN dem ON nz.cx = dem.px AND nz.cy = dem.py
+GROUP BY 1, 2
+ORDER BY tx, ty
+"""
+
+
+RASTER_RESAMPLE_CUBIC_SQL = _cubic_sql()
+
+
+# ---------------------------------------------------------------------------
 # raster_flow_path_length — downstream path length via pointer jumping
 #    (hydrology sibling of flow accumulation: how far does water from each
 #    cell travel before reaching a pit or leaving the grid; the parallel
@@ -2420,6 +2563,295 @@ def _flow_parent_edges(fd: DataFrame) -> DataFrame:
     domain = fd.select(F.col("px").alias("cx"), F.col("py").alias("cy"))
     return moving.join(domain, ["cx", "cy"], "left_semi").localCheckpoint()
 
+
+# ---------------------------------------------------------------------------
+# Hydrology fixpoint engine: level-synchronous loops + the condensed
+# (chain-contracted) arm that makes them 100x-safe.
+#
+# The level-synchronous fixpoints (one Spark job per flow-path step) are
+# correct but schedule O(longest flow path) jobs — fine at 7 steps on
+# the test DEM, a genuine scale killer on a continental DEM with
+# 10^4-10^5-step rivers. The condensed arm contracts the D8 functional
+# graph's unary chains first: every cell with exactly ONE in-domain
+# parent is interior to a chain, and along a chain both hydrology
+# quantities are closed-form —
+#   flow accumulation:  acc(c) = acc(rep(c)) + d(c)   (one cell joins per step)
+#   Strahler order:     ord(c) = ord(rep(c))          (single-parent = pass-through)
+# where rep(c) is the nearest ancestor that is NOT single-parent (a
+# junction with >=2 parents or a head with 0) and d(c) the chain
+# distance to it. (rep, d) resolves by POINTER DOUBLING in
+# O(log longest chain) rounds (the raster_flow_path_length trick); the
+# original integer fixpoint then runs only on the condensed
+# junction/head graph — rounds = junction depth of the longest path
+# (the drainage network's segment count), not its cell count — and one
+# final join expands chain cells back. This is the basin-condensation
+# design the docstrings named, with condensed nodes at the graph's own
+# junctions instead of arbitrary tile boundaries: contraction cost is
+# O(log L) instead of O(tile diameter), and no cross-tile re-entry
+# bookkeeping exists. Both arms are result-identical (pinned in
+# tests/test_hydro_condensed.py on a junction-rich comb fixture, a
+# zero-junction serpentine, and the real DEM grid) and measured in
+# BASELINE.md; SPARK_GRAFT_HYDRO_ARM=levelsync forces the naive arm.
+# ---------------------------------------------------------------------------
+
+_HYDRO_CONTRACT_ROUNDS = 24  # 2^24-cell chains >> any real drainage
+_HYDRO_LAST_ROUNDS: dict[str, int] = {}  # observability for tools/hydro_ab.py
+
+
+def _hydro_arm() -> str:
+    arm = os.environ.get("SPARK_GRAFT_HYDRO_ARM", "condensed").strip().lower()
+    if arm not in ("condensed", "levelsync"):
+        raise ValueError(
+            f"SPARK_GRAFT_HYDRO_ARM must be condensed|levelsync, got {arm!r}"
+        )
+    return arm
+
+
+def _acc_fixpoint(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int, label: str
+) -> DataFrame:
+    """Monotone integer fixpoint acc(n) = sum over in-edges (m -> n, w)
+    of (acc(m) + w); one equi-join + groupBy per round, convergence =
+    the global SUM going stable (one tiny agg per round). Cell-level
+    callers pass w = 1; the condensed arm passes w = chain length + 1."""
+    acc = nodes.select("px", "py", F.lit(0).cast("bigint").alias("acc"))
+    prev_total = -1
+    rounds = 0
+    for _ in range(max_rounds):
+        total = acc.agg(F.sum("acc")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+        rounds += 1
+        contrib = (
+            edges.join(
+                acc.select(
+                    F.col("px").alias("ux"), F.col("py").alias("uy"), "acc"
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy(F.col("cx").alias("px"), F.col("cy").alias("py"))
+            .agg(F.sum(F.col("acc") + F.col("w")).alias("inflow"))
+        )
+        acc = (
+            nodes.select("px", "py")
+            .join(contrib, ["px", "py"], "left")
+            .select(
+                "px", "py",
+                F.coalesce(F.col("inflow"), F.lit(0)).cast("bigint").alias("acc"),
+            )
+            .localCheckpoint()
+        )
+    else:  # pragma: no cover - a path longer than the cap
+        raise RuntimeError(
+            f"{label}: fixpoint did not converge in {max_rounds} rounds "
+            "(flow path exceeds the cap)"
+        )
+    _HYDRO_LAST_ROUNDS[label] = rounds
+    return acc
+
+
+def _strahler_fixpoint(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int, label: str
+) -> DataFrame:
+    """Strahler fixpoint ord(n) = 1 if no parents, else max parent order
+    (+1 on a >=2-way tie at the max); same loop shape as _acc_fixpoint
+    with two groupBys (parent max, tie count at the max) per round."""
+    ordv = nodes.select("px", "py", F.lit(1).cast("int").alias("ord"))
+    prev_total = -1
+    rounds = 0
+    for _ in range(max_rounds):
+        total = ordv.agg(F.sum("ord")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+        rounds += 1
+        joined = edges.join(
+            ordv.select(F.col("px").alias("ux"), F.col("py").alias("uy"), "ord"),
+            ["ux", "uy"],
+        )
+        pmax = joined.groupBy(F.col("cx").alias("px"), F.col("cy").alias("py")).agg(
+            F.max("ord").alias("mx")
+        )
+        ties = joined.groupBy(
+            F.col("cx").alias("px"), F.col("cy").alias("py"), F.col("ord")
+        ).agg(F.count(F.lit(1)).alias("k"))
+        pm = pmax.join(
+            ties,
+            (pmax.px == ties.px) & (pmax.py == ties.py) & (pmax.mx == ties.ord),
+        ).select(pmax.px.alias("px"), pmax.py.alias("py"), "mx", "k")
+        ordv = (
+            nodes.select("px", "py")
+            .join(pm, ["px", "py"], "left")
+            .select(
+                "px", "py",
+                F.when(F.col("mx").isNull(), F.lit(1))
+                .when(F.col("k") >= 2, F.col("mx") + 1)
+                .otherwise(F.col("mx"))
+                .cast("int")
+                .alias("ord"),
+            )
+            .localCheckpoint()
+        )
+    else:  # pragma: no cover - a path longer than the cap
+        raise RuntimeError(
+            f"{label}: fixpoint did not converge in {max_rounds} rounds "
+            "(flow path exceeds the cap; the unrolled oracle would "
+            "diverge identically)"
+        )
+    _HYDRO_LAST_ROUNDS[label] = rounds
+    return ordv
+
+
+def _chain_contract(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve (rep, d) for every cell by pointer doubling: rep = the
+    nearest ancestor whose in-domain parent count != 1 (junction or
+    head — upward chains never merge because the D8 graph is
+    functional), d = chain distance to it. Returns (state, cells) where
+    state = (px, py, rx, ry, d) checkpointed and cells = (px, py, n_par)."""
+    npar = edges.groupBy(F.col("cx").alias("px"), F.col("cy").alias("py")).agg(
+        F.count(F.lit(1)).alias("n_par")
+    )
+    cells = (
+        nodes.select("px", "py")
+        .join(npar, ["px", "py"], "left")
+        .select(
+            "px", "py", F.coalesce(F.col("n_par"), F.lit(0)).cast("int").alias("n_par")
+        )
+        .localCheckpoint()
+    )
+    single = cells.filter(F.col("n_par") == 1).select(
+        F.col("px").alias("cx"), F.col("py").alias("cy")
+    )
+    parent1 = edges.join(single, ["cx", "cy"], "left_semi")
+    anc = cells.select(
+        F.col("px").alias("rx"),
+        F.col("py").alias("ry"),
+        (F.col("n_par") != 1).cast("int").alias("anc_done"),
+    )
+    st_cond = cells.filter(F.col("n_par") != 1).select(
+        "px", "py",
+        F.col("px").alias("rx"), F.col("py").alias("ry"),
+        F.lit(0).cast("bigint").alias("d"),
+        F.lit(1).alias("done"),
+    )
+    st_chain = (
+        parent1.select(
+            F.col("cx").alias("px"), F.col("cy").alias("py"),
+            F.col("ux").alias("rx"), F.col("uy").alias("ry"),
+            F.lit(1).cast("bigint").alias("d"),
+        )
+        .join(anc, ["rx", "ry"])
+        .select("px", "py", "rx", "ry", "d", F.col("anc_done").alias("done"))
+    )
+    state = st_cond.unionByName(st_chain).localCheckpoint()
+    rounds = 0
+    for _ in range(_HYDRO_CONTRACT_ROUNDS):
+        if state.filter(F.col("done") == 0).limit(1).count() == 0:
+            break
+        ptr = state.select(
+            F.col("px").alias("t_px"), F.col("py").alias("t_py"),
+            F.col("rx").alias("t_rx"), F.col("ry").alias("t_ry"),
+            F.col("d").alias("t_d"), F.col("done").alias("t_done"),
+        )
+        state = (
+            state.join(ptr, (state.rx == ptr.t_px) & (state.ry == ptr.t_py), "left")
+            .select(
+                "px", "py",
+                F.when(F.col("done") == 1, F.col("rx")).otherwise(F.col("t_rx")).alias("rx"),
+                F.when(F.col("done") == 1, F.col("ry")).otherwise(F.col("t_ry")).alias("ry"),
+                F.when(F.col("done") == 1, F.col("d"))
+                .otherwise(F.col("d") + F.col("t_d"))
+                .alias("d"),
+                F.when(F.col("done") == 1, F.lit(1)).otherwise(F.col("t_done")).alias("done"),
+            )
+            .localCheckpoint()
+        )
+        rounds += 1
+    else:  # pragma: no cover - needs a >16M-cell unary chain
+        raise RuntimeError(
+            "hydrology chain contraction: pointer doubling did not converge "
+            f"in {_HYDRO_CONTRACT_ROUNDS} rounds"
+        )
+    _HYDRO_LAST_ROUNDS["contract"] = rounds
+    return state.select("px", "py", "rx", "ry", "d"), cells
+
+
+def _condensed_flow(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Condensed junction/head graph of the D8 flow field: nodes =
+    cells with parent count != 1; one weighted edge rep(p) -> j per
+    (parent p -> junction j) cell edge, w = 1 + chain distance of p to
+    its rep (w = the number of cells the contracted hop spans).
+    Returns (cond_nodes, cond_edges, state)."""
+    state, cells = _chain_contract(nodes, edges)
+    cond_nodes = cells.filter(F.col("n_par") != 1).select("px", "py")
+    juncs = cells.filter(F.col("n_par") >= 2).select(
+        F.col("px").alias("cx"), F.col("py").alias("cy")
+    )
+    jedges = edges.join(juncs, ["cx", "cy"], "left_semi")
+    rep = state.select(
+        F.col("px").alias("ux"), F.col("py").alias("uy"), "rx", "ry", "d"
+    )
+    cond_edges = (
+        jedges.join(rep, ["ux", "uy"])
+        .select(
+            F.col("rx").alias("ux"), F.col("ry").alias("uy"),
+            "cx", "cy",
+            (F.col("d") + 1).cast("bigint").alias("w"),
+        )
+        .localCheckpoint()
+    )
+    return cond_nodes, cond_edges, state
+
+
+def _flow_acc_on(fd: DataFrame, edges: DataFrame) -> DataFrame:
+    """(px, py, acc) upstream-cell counts over an explicit flow field —
+    the arm switch shared by raster_flow_accumulation and the A/B tool."""
+    nodes = fd.select("px", "py")
+    if _hydro_arm() == "levelsync":
+        return _acc_fixpoint(
+            nodes,
+            edges.withColumn("w", F.lit(1).cast("bigint")),
+            _FLOW_ACC_MAX_ROUNDS,
+            "flow_acc levelsync",
+        )
+    cond_nodes, cond_edges, state = _condensed_flow(nodes, edges)
+    accc = _acc_fixpoint(
+        cond_nodes, cond_edges, _FLOW_ACC_MAX_ROUNDS, "flow_acc condensed"
+    )
+    return state.join(
+        accc.select(
+            F.col("px").alias("rx"), F.col("py").alias("ry"),
+            F.col("acc").alias("racc"),
+        ),
+        ["rx", "ry"],
+    ).select(
+        "px", "py", (F.col("racc") + F.col("d")).cast("bigint").alias("acc")
+    )
+
+
+def _strahler_on(fd: DataFrame, edges: DataFrame) -> DataFrame:
+    """(px, py, ord) Strahler orders over an explicit flow field."""
+    nodes = fd.select("px", "py")
+    if _hydro_arm() == "levelsync":
+        return _strahler_fixpoint(
+            nodes, edges, _STRAHLER_ROUNDS, "strahler levelsync"
+        )
+    cond_nodes, cond_edges, state = _condensed_flow(nodes, edges)
+    ordc = _strahler_fixpoint(
+        cond_nodes, cond_edges.drop("w"), _STRAHLER_ROUNDS, "strahler condensed"
+    )
+    return state.join(
+        ordc.select(
+            F.col("px").alias("rx"), F.col("py").alias("ry"),
+            F.col("ord").alias("rord"),
+        ),
+        ["rx", "ry"],
+    ).select("px", "py", F.col("rord").cast("int").alias("ord"))
 
 
 def raster_flow_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3775,6 +4207,192 @@ CRS_REPROJECT_UTM_SQL = _crs_reproject_sql()
 
 
 # ---------------------------------------------------------------------------
+# crs_reproject_utm_inverse — projected -> geographic (inverse Redfearn),
+#    closing the any-CRS <-> any-CRS hub: gdalos_trans.py:82 accepts BOTH
+#    directions of the warp (source and target OSR are free), and with
+#    the inverse arm any projected CRS composes with the four forward
+#    targets through the WGS-84 geographic hub. Same series discipline
+#    as the forward warp: the footpoint-latitude iteration is unrolled
+#    to its closed Taylor form (Snyder 3-26: mu + J2 sin2mu + J4 sin4mu
+#    + J6 sin6mu + J8 sin8mu), sin/cos come from the shared halved-angle
+#    Maclaurin polynomials, every literal is exponent-spelled — both
+#    engines evaluate IDENTICAL expression text, so the round trip is
+#    bit-equal cross-engine and the forward∘inverse closure error is a
+#    measured, test-pinned quantity (sub-millimeter).
+# ---------------------------------------------------------------------------
+
+_UTM_SQ1ME2 = _math.sqrt(1.0 - _UTM_E2)
+_UTM_E1 = (1.0 - _UTM_SQ1ME2) / (1.0 + _UTM_SQ1ME2)
+_UTM_J2 = 1.5 * _UTM_E1 - 27.0 * _UTM_E1**3 / 32.0
+_UTM_J4 = 21.0 * _UTM_E1**2 / 16.0 - 55.0 * _UTM_E1**4 / 32.0
+_UTM_J6 = 151.0 * _UTM_E1**3 / 96.0
+_UTM_J8 = 1097.0 * _UTM_E1**4 / 512.0
+_UTM_MU_K = 1.0 / (_UTM_A * _UTM_A0)
+
+
+def _utm_inv_stages(cm: float) -> tuple[tuple[tuple[str, str], ...], ...]:
+    """Inverse transverse-Mercator stage pipeline over columns
+    (px, py, easting, northing) -> (lat_rt, lon_rt) in degrees
+    (Snyder 8-14..8-25 with T1 = t1^2)."""
+    L = _dbl_lit
+    H = _literals.horner
+    keep = (
+        ("px", "px"), ("py", "py"),
+        ("easting", "easting"), ("northing", "northing"),
+    )
+    return (
+        keep + (
+            ("mu", f"((northing / {L(_UTM_K0)}) * {L(_UTM_MU_K)})"),
+        ),
+        keep + (("mu", "mu"), ("muh", "(mu * 0.5)")),
+        keep + (
+            ("mu", "mu"),
+            ("shm", f"(muh * {H('(muh * muh)', _UTM_SIN_C)})"),
+            ("chm", H("(muh * muh)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("mu", "mu"),
+            ("smu", "(2.0 * (shm * chm))"),
+            ("cmu", "(1.0 - 2.0 * (shm * shm))"),
+        ),
+        keep + (
+            ("mu", "mu"),
+            ("s2", "(2.0 * (smu * cmu))"),
+            ("c2", "(1.0 - 2.0 * (smu * smu))"),
+        ),
+        keep + (
+            ("mu", "mu"), ("s2", "s2"), ("c2", "c2"),
+            ("s4", "(2.0 * (s2 * c2))"),
+            ("c4", "(1.0 - 2.0 * (s2 * s2))"),
+        ),
+        keep + (
+            # phi1 = mu + J2 sin2mu + J4 sin4mu + J6 sin6mu + J8 sin8mu
+            (
+                "phi1",
+                f"((((mu + ({L(_UTM_J2)} * s2)) + ({L(_UTM_J4)} * s4))"
+                f" + ({L(_UTM_J6)} * ((s2 * c4) + (c2 * s4))))"
+                f" + ({L(_UTM_J8)} * (2.0 * (s4 * c4))))",
+            ),
+        ),
+        keep + (("phi1", "phi1"), ("p1h", "(phi1 * 0.5)")),
+        keep + (
+            ("phi1", "phi1"),
+            ("sh1", f"(p1h * {H('(p1h * p1h)', _UTM_SIN_C)})"),
+            ("ch1", H("(p1h * p1h)", _UTM_COS_C)),
+        ),
+        keep + (
+            ("phi1", "phi1"),
+            ("sf1", "(2.0 * (sh1 * ch1))"),
+            ("cf1", "(1.0 - 2.0 * (sh1 * sh1))"),
+        ),
+        keep + (
+            ("phi1", "phi1"), ("cf1", "cf1"),
+            ("t1", "(sf1 / cf1)"),
+            ("c1", f"({L(_UTM_EP2)} * (cf1 * cf1))"),
+            ("w1", f"(1.0 - ({L(_UTM_E2)} * (sf1 * sf1)))"),
+        ),
+        keep + (
+            ("phi1", "phi1"), ("cf1", "cf1"), ("t1", "t1"), ("c1", "c1"),
+            ("n1", f"({L(_UTM_A)} / sqrt(w1))"),
+            ("r1", f"({L(_UTM_A * (1.0 - _UTM_E2))} / (w1 * sqrt(w1)))"),
+        ),
+        keep + (
+            ("phi1", "phi1"), ("cf1", "cf1"), ("t1", "t1"), ("c1", "c1"),
+            ("n1", "n1"), ("r1", "r1"),
+            ("d", f"((easting - {L(_UTM_FE)}) / (n1 * {L(_UTM_K0)}))"),
+            ("t2", "(t1 * t1)"),
+        ),
+        keep + (
+            ("phi1", "phi1"), ("cf1", "cf1"), ("t1", "t1"),
+            ("n1", "n1"), ("r1", "r1"), ("d", "d"), ("t2", "t2"),
+            ("k4", f"((((5.0 + (3.0 * t2)) + (10.0 * c1)) - (4.0 * (c1 * c1))) - {L(9.0 * _UTM_EP2)})"),
+            ("k6", f"(((((61.0 + (90.0 * t2)) + (298.0 * c1)) + (45.0 * (t2 * t2))) - {L(252.0 * _UTM_EP2)}) - (3.0 * (c1 * c1)))"),
+            ("l3", "((1.0 + (2.0 * t2)) + c1)"),
+            ("l5", f"(((((5.0 - (2.0 * c1)) + (28.0 * t2)) - (3.0 * (c1 * c1))) + {L(8.0 * _UTM_EP2)}) + (24.0 * (t2 * t2)))"),
+        ),
+        keep + (
+            (
+                "lat_rt",
+                f"((phi1 - (((n1 * t1) / r1) * (((((d * d) * 0.5)"
+                f" - ((((d * d) * (d * d)) * {L(1.0 / 24.0)}) * k4))"
+                f" + (((((d * d) * (d * d)) * (d * d)) * {L(1.0 / 720.0)}) * k6)))))"
+                f" / {L(_UTM_RAD)})",
+            ),
+            (
+                "lon_rt",
+                f"({L(cm)} + ((((d - ((((d * d) * d) * {L(1.0 / 6.0)}) * l3))"
+                f" + (((((d * d) * (d * d)) * d) * {L(1.0 / 120.0)}) * l5)) / cf1)"
+                f" / {L(_UTM_RAD)}))",
+            ),
+        ),
+    )
+
+
+def crs_reproject_utm_inverse(
+    spark: SparkSession,
+    sf_dir: str,
+    lon_0: float = _UTM_LON_0,
+    lat_0: float = _UTM_LAT_0,
+    zone: int | None = None,
+) -> DataFrame:
+    """Round-trip CRS warp: forward-project every DEM cell center to
+    UTM (the crs_reproject_utm series), then INVERSE-project the
+    easting/northing back to geographic — per cell the UTM coordinate,
+    the reconstructed lat/lon, and the closure error in degrees. The
+    closure columns make the key self-validating: forward∘inverse ≡
+    identity within the series' truncation (test-pinned < 1e-9 deg,
+    ~0.1 mm), and any projected→geographic consumer gets the inverse
+    arm this key certifies."""
+    cm = utm_central_meridian(zone if zone is not None else _utm_extent_zone(lon_0))
+    df = dem_grid(spark, sf_dir)
+    for stage in _utm_stages(lon_0, lat_0, zone):
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    e_sql, n_sql = _utm_easting_northing()
+    df = df.select(
+        "px", "py",
+        F.expr(e_sql).alias("easting"),
+        F.expr(n_sql).alias("northing"),
+    )
+    for stage in _utm_inv_stages(cm):
+        df = df.select(*[F.expr(sql).alias(name) for name, sql in stage])
+    L = _dbl_lit
+    return df.select(
+        "px", "py", "easting", "northing", "lat_rt", "lon_rt",
+        F.expr(
+            f"(lat_rt - ({L(lat_0)} + (CAST(py AS DOUBLE) * {L(_UTM_DEG_PER_PX)})))"
+        ).alias("err_lat_deg"),
+        F.expr(
+            f"(lon_rt - ({L(lon_0)} + (CAST(px AS DOUBLE) * {L(_UTM_DEG_PER_PX)})))"
+        ).alias("err_lon_deg"),
+    )
+
+
+def _crs_reproject_utm_inverse_sql(
+    lon_0: float = _UTM_LON_0, lat_0: float = _UTM_LAT_0, zone: int | None = None
+) -> str:
+    cm = utm_central_meridian(zone if zone is not None else _utm_extent_zone(lon_0))
+    q = f"({DEM_GRID_SQL})"
+    for stage in _utm_stages(lon_0, lat_0, zone):
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    e_sql, n_sql = _utm_easting_northing()
+    q = f"(SELECT px, py, {e_sql} AS easting, {n_sql} AS northing FROM {q})"
+    for stage in _utm_inv_stages(cm):
+        cols = ", ".join(f"{sql} AS {name}" for name, sql in stage)
+        q = f"(SELECT {cols} FROM {q})"
+    L = _dbl_lit
+    return f"""
+SELECT px, py, easting, northing, lat_rt, lon_rt,
+       (lat_rt - ({L(lat_0)} + (CAST(py AS DOUBLE) * {L(_UTM_DEG_PER_PX)}))) AS err_lat_deg,
+       (lon_rt - ({L(lon_0)} + (CAST(px AS DOUBLE) * {L(_UTM_DEG_PER_PX)}))) AS err_lon_deg
+FROM {q}
+"""
+
+
+CRS_REPROJECT_UTM_INVERSE_SQL = _crs_reproject_utm_inverse_sql()
+
+
+# ---------------------------------------------------------------------------
 # crs_reproject_stere — geographic -> polar stereographic (UPS North).
 #    ref: gdalos_trans.py:82 warp path accepts ANY OSR CRS (warp_srs),
 #         projdef.py get_proj_string — the first non-UTM target a
@@ -4283,11 +4901,21 @@ def raster_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled with the 1/d^2-weighted average of valid cells within
     Chebyshev radius FILL_RADIUS; holes with no valid neighbor in the
     window report FILL_NDV and n_nbrs = 0. true_val is the withheld
-    value, so the output doubles as the interpolation-error report."""
+    value, so the output doubles as the interpolation-error report.
+
+    elev is integerized to cents (BIGINT) before the weighted sum so the
+    only float step is ONE exact BIGINT/BIGINT double division followed
+    by /100 — a DECIMAL-sum -> DOUBLE cast here would hit the DuckDB
+    scaled-integer double-rounding hazard documented in
+    functions/literals.py once the scaled sum exceeds 2^53."""
     mask = (F.col("px") * 7919 + F.col("py") * 104729) % _FILL_MASK_MOD == 0
-    dem = dem_grid(spark, sf_dir).select("px", "py", "elev", mask.alias("is_hole"))
-    valid = dem.filter(~F.col("is_hole")).select("px", "py", "elev")
-    holes = dem.filter(F.col("is_hole")).select("px", "py", "elev")
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py",
+        (F.col("elev").cast("decimal(18,2)") * 100).cast("bigint").alias("e_cents"),
+        mask.alias("is_hole"),
+    )
+    valid = dem.filter(~F.col("is_hole")).select("px", "py", "e_cents")
+    holes = dem.filter(F.col("is_hole")).select("px", "py", "e_cents")
     offsets = spark.createDataFrame(_fill_offsets(), "dx int, dy int, w int")
     nbr = (
         holes.crossJoin(F.broadcast(offsets))
@@ -4299,7 +4927,7 @@ def raster_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             valid.select(
-                F.col("px").alias("nx"), F.col("py").alias("ny"), "elev"
+                F.col("px").alias("nx"), F.col("py").alias("ny"), "e_cents"
             ),
             ["nx", "ny"],
         )
@@ -4307,7 +4935,7 @@ def raster_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_nbrs"),
             F.sum("w").cast("bigint").alias("wsum"),
-            F.sum(F.col("elev") * F.col("w")).alias("vsum"),
+            F.sum(F.col("e_cents") * F.col("w")).cast("bigint").alias("vsum"),
         )
     )
     return holes.join(nbr, ["px", "py"], "left").select(
@@ -4316,11 +4944,11 @@ def raster_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("wsum"), F.lit(0)).cast("bigint").alias("wsum"),
         F.when(
             F.col("wsum").isNotNull(),
-            F.col("vsum").cast("double") / F.col("wsum").cast("double"),
+            (F.col("vsum").cast("double") / F.col("wsum").cast("double")) / 100.0,
         )
         .otherwise(F.lit(FILL_NDV))
         .alias("fill_val"),
-        F.col("elev").cast("double").alias("true_val"),
+        (F.col("e_cents").cast("double") / 100.0).alias("true_val"),
     )
 
 
@@ -4328,18 +4956,19 @@ _FILL_OFFSETS_SQL = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in _fill_offset
 
 RASTER_FILL_NODATA_SQL = f"""
 WITH dem AS (
-  SELECT px, py, elev,
+  SELECT px, py,
+         CAST(CAST(elev AS DECIMAL(18,2)) * 100 AS BIGINT) AS e_cents,
          ((px * 7919 + py * 104729) % {_FILL_MASK_MOD} = 0) AS is_hole
   FROM ({DEM_GRID_SQL})
 ),
-valid AS (SELECT px, py, elev FROM dem WHERE NOT is_hole),
-holes AS (SELECT px, py, elev FROM dem WHERE is_hole),
+valid AS (SELECT px, py, e_cents FROM dem WHERE NOT is_hole),
+holes AS (SELECT px, py, e_cents FROM dem WHERE is_hole),
 offs(dx, dy, w) AS (VALUES {_FILL_OFFSETS_SQL}),
 nbr AS (
   SELECT h.px, h.py,
          COUNT(*) AS n_nbrs,
          CAST(SUM(o.w) AS BIGINT) AS wsum,
-         SUM(v.elev * o.w) AS vsum
+         CAST(SUM(v.e_cents * o.w) AS BIGINT) AS vsum
   FROM holes h
   CROSS JOIN offs o
   JOIN valid v ON v.px = h.px + o.dx AND v.py = h.py + o.dy
@@ -4349,9 +4978,9 @@ SELECT h.px, h.py,
        CAST(COALESCE(n.n_nbrs, 0) AS BIGINT) AS n_nbrs,
        CAST(COALESCE(n.wsum, 0) AS BIGINT) AS wsum,
        CASE WHEN n.wsum IS NOT NULL
-            THEN CAST(n.vsum AS DOUBLE) / CAST(n.wsum AS DOUBLE)
+            THEN (CAST(n.vsum AS DOUBLE) / CAST(n.wsum AS DOUBLE)) / 100.0
             ELSE {FILL_NDV!r} END AS fill_val,
-       CAST(h.elev AS DOUBLE) AS true_val
+       CAST(h.e_cents AS DOUBLE) / 100.0 AS true_val
 FROM holes h LEFT JOIN nbr n ON n.px = h.px AND n.py = h.py
 """
 
@@ -4376,47 +5005,21 @@ def raster_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint exists). Each round is ONE equi-join on the child cell +
     a groupBy — rounds = longest flow path (level-synchronous, the
     TauDEM shape); convergence is the monotone global SUM going stable,
-    checked as one tiny agg per round. At continental scale the round
-    count is bounded by basin condensation (contract each tile's
-    interior flow to boundary-to-boundary edges, run the same fixpoint
-    on the condensed graph — the dedup_clusters two-phase trick), which
-    this per-tile operator is the building block of.
+    checked as one tiny agg per round. At continental scale the fixpoint
+    runs on the CONDENSED junction/head graph (the default arm — see the
+    chain-contraction block above _acc_fixpoint): unary chains contract
+    by pointer doubling in O(log chain) rounds, the fixpoint's round
+    count drops from the longest path's CELL count to its JUNCTION
+    depth (the drainage network's segment count), and acc expands back
+    as acc(rep) + chain distance. Both arms are result-identical
+    (test-pinned) and measured in BASELINE.md;
+    SPARK_GRAFT_HYDRO_ARM=levelsync forces the naive arm.
 
     Oracle: recursive CTE walking every cell's path one step at a time
     and counting landings per cell."""
     fd = _flow_field(spark, sf_dir)
     edges = _flow_parent_edges(fd)
-    acc = fd.select("px", "py", F.lit(0).cast("bigint").alias("acc"))
-    prev_total = -1
-    for _ in range(_FLOW_ACC_MAX_ROUNDS):
-        total = acc.agg(F.sum("acc")).collect()[0][0]
-        if total == prev_total:
-            break
-        prev_total = total
-        contrib = (
-            edges.join(
-                acc.select(
-                    F.col("px").alias("ux"), F.col("py").alias("uy"), "acc"
-                ),
-                ["ux", "uy"],
-            )
-            .groupBy(F.col("cx").alias("px"), F.col("cy").alias("py"))
-            .agg(F.sum(F.col("acc") + 1).alias("inflow"))
-        )
-        acc = (
-            fd.select("px", "py")
-            .join(contrib, ["px", "py"], "left")
-            .select(
-                "px", "py",
-                F.coalesce(F.col("inflow"), F.lit(0)).cast("bigint").alias("acc"),
-            )
-            .localCheckpoint()
-        )
-    else:  # pragma: no cover - a path longer than the cap
-        raise RuntimeError(
-            "raster_flow_accumulation: fixpoint did not converge in "
-            f"{_FLOW_ACC_MAX_ROUNDS} rounds (flow path exceeds the cap)"
-        )
+    acc = _flow_acc_on(fd, edges)
     n_par = edges.groupBy(
         F.col("cx").alias("px"), F.col("cy").alias("py")
     ).agg(F.count(F.lit(1)).alias("n_parents"))
@@ -4648,49 +5251,17 @@ def raster_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-round contract equals true Strahler whenever the path bound
     holds. Each round is one equi-join + two groupBys (parent max, then
     tie count at the max) — the flow-accumulation plan shape; the
-    oracle unrolls the identical update as a CTE chain."""
+    oracle unrolls the identical update as a CTE chain.
+
+    Default arm runs the fixpoint on the CONDENSED junction/head graph
+    (see the chain-contraction block above _acc_fixpoint): a
+    single-parent cell's order equals its parent's, so unary chains are
+    pass-through and order expands back as ord(rep). Rounds = junction
+    depth, not cell count; SPARK_GRAFT_HYDRO_ARM=levelsync forces the
+    naive arm (result-identical, test-pinned)."""
     fd = _flow_field(spark, sf_dir)
     edges = _flow_parent_edges(fd)
-    ordv = fd.select("px", "py", F.lit(1).cast("int").alias("ord"))
-    prev_total = -1
-    for _ in range(_STRAHLER_ROUNDS):
-        total = ordv.agg(F.sum("ord")).collect()[0][0]
-        if total == prev_total:
-            break
-        prev_total = total
-        joined = edges.join(
-            ordv.select(F.col("px").alias("ux"), F.col("py").alias("uy"), "ord"),
-            ["ux", "uy"],
-        )
-        pmax = joined.groupBy(F.col("cx").alias("px"), F.col("cy").alias("py")).agg(
-            F.max("ord").alias("mx")
-        )
-        ties = joined.groupBy(
-            F.col("cx").alias("px"), F.col("cy").alias("py"), F.col("ord")
-        ).agg(F.count(F.lit(1)).alias("k"))
-        pm = pmax.join(
-            ties,
-            (pmax.px == ties.px) & (pmax.py == ties.py) & (pmax.mx == ties.ord),
-        ).select(pmax.px.alias("px"), pmax.py.alias("py"), "mx", "k")
-        ordv = (
-            fd.select("px", "py")
-            .join(pm, ["px", "py"], "left")
-            .select(
-                "px", "py",
-                F.when(F.col("mx").isNull(), F.lit(1))
-                .when(F.col("k") >= 2, F.col("mx") + 1)
-                .otherwise(F.col("mx"))
-                .cast("int")
-                .alias("ord"),
-            )
-            .localCheckpoint()
-        )
-    else:  # pragma: no cover - a path longer than the cap
-        raise RuntimeError(
-            "raster_stream_order: Strahler iteration did not converge in "
-            f"{_STRAHLER_ROUNDS} rounds (flow path exceeds the cap; the "
-            "unrolled oracle would diverge identically)"
-        )
+    ordv = _strahler_on(fd, edges)
     n_par = edges.groupBy(
         F.col("cx").alias("px"), F.col("cy").alias("py")
     ).agg(F.count(F.lit(1)).alias("n_parents"))

@@ -1,0 +1,151 @@
+"""Round-12-session tests: cubic-convolution resample, inverse UTM
+(round-trip closure), and the multi-assignment IVF recall arm."""
+
+import math
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+# --- raster_resample_cubic --------------------------------------------------
+
+
+def test_resample_cubic_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_resample_cubic"],
+        entrymod.oracle_sql()["raster_resample_cubic"],
+    )
+
+
+def test_cubic_weights_partition_of_unity():
+    """The integerized Keys a=-0.5 kernel: the four /432 x-weights sum
+    to exactly 432 at every sixth-fraction, and match the float kernel."""
+
+    def near(u):
+        return 3 * u**3 - 30 * u**2 + 432
+
+    def far(u):
+        return -(u**3) + 30 * u**2 - 288 * u + 864
+
+    def keys(t, a=-0.5):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t**3 - (a + 3) * t**2 + 1
+        if t < 2:
+            return a * (t**3 - 5 * t**2 + 8 * t - 4)
+        return 0.0
+
+    for f in range(6):
+        ws = [far(f + 6), near(f), near(6 - f), far(12 - f)]
+        assert sum(ws) == 432
+        for w, t in zip(ws, [(f + 6) / 6, f / 6, (6 - f) / 6, (12 - f) / 6]):
+            assert abs(w / 432 - keys(t)) < 1e-12
+
+
+def test_cubic_tracks_float_kernel(spark):
+    """Spot-check interior targets against a float Keys interpolation
+    of the same DEM (tolerance = the /432 rationalization, exact)."""
+    from gdalos_spark.datamodel import dem_grid
+
+    dem = {
+        (r.px, r.py): float(r.elev)
+        for r in dem_grid(spark, SF_DIR).collect()
+    }
+    out = {
+        (r.tx, r.ty): r.elev_cubic
+        for r in entrymod.queries()["raster_resample_cubic"](spark, SF_DIR).collect()
+    }
+
+    def keys(t, a=-0.5):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t**3 - (a + 3) * t**2 + 1
+        if t < 2:
+            return a * (t**3 - 5 * t**2 + 8 * t - 4)
+        return 0.0
+
+    checked = 0
+    for tx, ty in [(10, 10), (31, 17), (50, 50), (77, 23)]:
+        sx, sy = (4 * tx - 1) / 6.0, (4 * ty - 1) / 6.0
+        x0, y0 = math.floor(sx), math.floor(sy)
+        acc = 0.0
+        for dx in (-1, 0, 1, 2):
+            for dy in (-1, 0, 1, 2):
+                cx = min(63, max(0, x0 + dx))
+                cy = min(63, max(0, y0 + dy))
+                v = round(dem.get((cx, cy), 0.0) * 100)
+                acc += keys(sx - (x0 + dx)) * keys(sy - (y0 + dy)) * v
+        if (tx, ty) in out:
+            assert abs(out[(tx, ty)] - acc / 100.0) < 1e-6
+            checked += 1
+    assert checked >= 3
+
+
+# --- crs_reproject_utm_inverse ----------------------------------------------
+
+
+def test_utm_inverse_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["crs_reproject_utm_inverse"],
+        entrymod.oracle_sql()["crs_reproject_utm_inverse"],
+    )
+
+
+def test_utm_roundtrip_closure_submillimeter(spark):
+    """forward ∘ inverse ≡ identity within the series truncation:
+    < 5e-9 deg (~0.5 mm) on every cell of the zone-36 extent."""
+    rows = entrymod.queries()["crs_reproject_utm_inverse"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert max(abs(r.err_lat_deg) for r in rows) < 5e-9
+    assert max(abs(r.err_lon_deg) for r in rows) < 5e-9
+
+
+def test_utm_inverse_tracks_libm_snyder(spark):
+    """The polynomial-trig inverse must agree with a libm Snyder
+    inverse on the projected points to ~1e-9 deg."""
+    from gdalos_spark.operators import raster as R
+
+    a, e2, ep2, k0, fe = R._UTM_A, R._UTM_E2, R._UTM_EP2, R._UTM_K0, R._UTM_FE
+    e1 = R._UTM_E1
+    cm = R.utm_central_meridian(R._utm_extent_zone(R._UTM_LON_0))
+
+    def snyder_inverse(E, N):
+        m = N / k0
+        mu = m / (a * R._UTM_A0)
+        phi1 = (
+            mu
+            + R._UTM_J2 * math.sin(2 * mu)
+            + R._UTM_J4 * math.sin(4 * mu)
+            + R._UTM_J6 * math.sin(6 * mu)
+            + R._UTM_J8 * math.sin(8 * mu)
+        )
+        sf, cf = math.sin(phi1), math.cos(phi1)
+        t1, c1 = math.tan(phi1), ep2 * cf * cf
+        w1 = 1 - e2 * sf * sf
+        n1 = a / math.sqrt(w1)
+        r1 = a * (1 - e2) / (w1 * math.sqrt(w1))
+        d = (E - fe) / (n1 * k0)
+        T1 = t1 * t1
+        phi = phi1 - (n1 * t1 / r1) * (
+            d * d / 2
+            - (5 + 3 * T1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d**4 / 24
+            + (61 + 90 * T1 + 298 * c1 + 45 * T1 * T1 - 252 * ep2 - 3 * c1 * c1)
+            * d**6 / 720
+        )
+        lam = (
+            d
+            - (1 + 2 * T1 + c1) * d**3 / 6
+            + (5 - 2 * c1 + 28 * T1 - 3 * c1 * c1 + 8 * ep2 + 24 * T1 * T1)
+            * d**5 / 120
+        ) / cf
+        return math.degrees(phi), cm + math.degrees(lam)
+
+    rows = entrymod.queries()["crs_reproject_utm_inverse"](spark, SF_DIR).collect()
+    for r in rows[::257]:
+        lat_ref, lon_ref = snyder_inverse(r.easting, r.northing)
+        assert abs(r.lat_rt - lat_ref) < 1e-9
+        assert abs(r.lon_rt - lon_ref) < 1e-9
