@@ -316,24 +316,16 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     return gm, reps, crank_g
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: the per-label centroids act as the coarse
-    codebook; every vector lands in the inverted list of its nearest
-    centroid (crank=1), and each probe searches its IVF_NPROBE nearest
-    lists. Candidate generation is an equi-join on list_id — the scored
-    set per probe is ~nprobe/|lists| of the corpus. All centroid and
-    cosine math is the exact portable form used by centroid_similarity.
-
-    Executes fully collapsed: pair cosines are computed once per
-    (probe, distinct vector), and only the narrow (probe_id, gid,
-    cosine) stream expands through the member map for ranking. The rep
-    table (the ONLY full-width stream) is exchanged exactly once, by
-    gid, for the candidate join — never broadcast-hinted, since on a
-    replica-free corpus it is essentially the whole embeddings table
-    (AQE still broadcasts small rep sets at runtime)."""
+def _ivf_topk_impl(spark: SparkSession, sf_dir: str, massign: int) -> DataFrame:
+    """Shared IVF search plan; `massign` = how many nearest lists each
+    VECTOR is indexed under (1 = classic IVF; 2 = soft/multi-assignment,
+    a 2x index that lifts the exact-in-list ceiling with NO search-time
+    cost change — the probe still scans the same nprobe lists, and
+    duplicate candidates collapse via one DISTINCT on the narrow
+    (probe_id, gid, cosine) stream before ranking)."""
     gm, reps, crank_g = _ivf_parts(spark, sf_dir)
     crank_g = crank_g.persist()
-    assign_g = crank_g.filter(F.col("crank") == 1).select("gid", "list_id")
+    assign_g = crank_g.filter(F.col("crank") <= massign).select("gid", "list_id")
     probe_gids = gm.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("gid").alias("p_gid")
     )
@@ -366,6 +358,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reps, "gid")
         .select("probe_id", "gid", pair_cos.alias("cosine"))
     )
+    if massign > 1:
+        cand_g = cand_g.distinct()
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand_g.join(gm, "gid")
@@ -376,13 +370,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: the per-label centroids act as the coarse
+    codebook; every vector lands in the inverted list of its nearest
+    centroid (crank=1), and each probe searches its IVF_NPROBE nearest
+    lists. Candidate generation is an equi-join on list_id — the scored
+    set per probe is ~nprobe/|lists| of the corpus. All centroid and
+    cosine math is the exact portable form used by centroid_similarity.
+
+    Executes fully collapsed: pair cosines are computed once per
+    (probe, distinct vector), and only the narrow (probe_id, gid,
+    cosine) stream expands through the member map for ranking. The rep
+    table (the ONLY full-width stream) is exchanged exactly once, by
+    gid, for the candidate join — never broadcast-hinted, since on a
+    replica-free corpus it is essentially the whole embeddings table
+    (AQE still broadcasts small rep sets at runtime)."""
+    return _ivf_topk_impl(spark, sf_dir, massign=1)
+
+
+IVF_MASSIGN = 2  # soft-assignment arity of the multi-assignment arm
+
+
+def ann_ivf_ma_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2-way multi-assignment: every vector is indexed under
+    its IVF_MASSIGN nearest lists. The ann_recall_report numbers showed
+    the single-assignment exact-in-list ceiling (~0.71) binds recall —
+    not PQ quantization — so the fix is on the INDEX side: 2x index
+    rows, zero extra search cost (same nprobe lists per probe)."""
+    return _ivf_topk_impl(spark, sf_dir, massign=IVF_MASSIGN)
+
+
+def _ivf_sql(massign: int = 1) -> str:
     n2 = vectors.norm2_sql("embedding")
     cent_dot = vectors.dot_sql("b.emb", "c.cent")
     cent_n2 = vectors.norm2_sql("c.cent")
     pair_cos = (
         f"ROUND({vectors.dot_sql('a.emb', 'p.p_emb')} / sqrt(a.n2 * p.p_n2), 6)"
     )
+    assign_pred = "crank = 1" if massign == 1 else f"crank <= {massign}"
+    cand_sel = "SELECT" if massign == 1 else "SELECT DISTINCT"
     return f"""
 WITH flat AS (
   SELECT label, pos,
@@ -408,13 +434,13 @@ scored AS (
          ) AS crank
   FROM base b CROSS JOIN centroids c
 ),
-assign AS (SELECT vec_id, emb, n2, list_id FROM scored WHERE crank = 1),
+assign AS (SELECT vec_id, emb, n2, list_id FROM scored WHERE {assign_pred}),
 plists AS (
   SELECT vec_id AS probe_id, emb AS p_emb, n2 AS p_n2, list_id
   FROM scored WHERE vec_id < {N_PROBES} AND crank <= {IVF_NPROBE}
 ),
 cand AS (
-  SELECT p.probe_id, a.vec_id, {pair_cos} AS cosine
+  {cand_sel} p.probe_id, a.vec_id, {pair_cos} AS cosine
   FROM assign a JOIN plists p ON a.list_id = p.list_id
   WHERE a.vec_id <> p.probe_id
 ),
@@ -428,6 +454,8 @@ SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 
 ANN_IVF_TOPK_SQL = _ivf_sql()
+
+ANN_IVF_MA_TOPK_SQL = _ivf_sql(massign=IVF_MASSIGN)
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +475,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, fn in (
         ("lsh", ann_lsh_topk),
         ("ivf", ann_ivf_topk),
+        ("ivf_ma", ann_ivf_ma_topk),
         ("ivfpq", ann_ivfpq_topk),
         ("ivfpq_t", ann_ivfpq_trained_topk),
         ("ivfpq_r", ann_ivfpq_residual_topk),
@@ -490,6 +519,8 @@ ANN_RECALL_REPORT_SQL = (
     _recall_one("lsh", ANN_LSH_TOPK_SQL)
     + "\nUNION ALL\n"
     + _recall_one("ivf", ANN_IVF_TOPK_SQL)
+    + "\nUNION ALL\n"
+    + _recall_one("ivf_ma", ANN_IVF_MA_TOPK_SQL)
 )
 
 

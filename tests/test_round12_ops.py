@@ -149,3 +149,80 @@ def test_utm_inverse_tracks_libm_snyder(spark):
         lat_ref, lon_ref = snyder_inverse(r.easting, r.northing)
         assert abs(r.lat_rt - lat_ref) < 1e-9
         assert abs(r.lon_rt - lon_ref) < 1e-9
+
+
+# --- ann_recall_report: multi-assignment IVF arm ----------------------------
+
+
+def test_recall_report_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["ann_recall_report"],
+        entrymod.oracle_sql()["ann_recall_report"],
+    )
+
+
+def test_ivf_multi_assignment_lifts_ceiling(spark):
+    """2-way soft assignment must strictly lift mean recall over
+    single-assignment IVF with the same nprobe (the exact-in-list
+    ceiling was the binding constraint: 0.40 -> 0.72 at sf0.001)."""
+    rows = entrymod.queries()["ann_recall_report"](spark, SF_DIR).collect()
+    mean = {}
+    for m in ("ivf", "ivf_ma"):
+        rs = [r.recall for r in rows if r.method == m]
+        assert rs, f"method {m} missing from the report"
+        mean[m] = sum(rs) / len(rs)
+    assert mean["ivf_ma"] > mean["ivf"] + 0.15
+    assert mean["ivf_ma"] >= 0.6
+
+
+# --- gpkg_write_manifest ----------------------------------------------------
+
+
+def test_gpkg_manifest_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["gpkg_write_manifest"],
+        entrymod.oracle_sql()["gpkg_write_manifest"],
+    )
+
+
+def test_gpkg_files_are_real_geopackages(spark, tmp_path):
+    """The written .gpkg is an SQLite db with the GPKG application_id,
+    the required gpkg_* tables, decodable PNG tiles, and the skip
+    protocol on rerun."""
+    import sqlite3
+
+    from gdalos_spark.sources import gpkg as G
+
+    out = str(tmp_path / "gpkg_out")
+    first = G.write_gpkg_scenes(spark, SF_DIR, out).collect()
+    assert {r.action for r in first} == {"written"}
+    second = G.write_gpkg_scenes(spark, SF_DIR, out).collect()
+    assert {r.action for r in second} == {"skipped"}
+    for r in first:
+        con = sqlite3.connect(r.path)
+        try:
+            (app_id,) = con.execute("PRAGMA application_id").fetchone()
+            assert app_id == G.GPKG_APP_ID
+            tables = {
+                t for (t,) in con.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table'"
+                ).fetchall()
+            }
+            assert {
+                "gpkg_spatial_ref_sys", "gpkg_contents",
+                "gpkg_tile_matrix_set", "gpkg_tile_matrix", "elev",
+            } <= tables
+            n_z1 = 0
+            for zl, blob in con.execute(
+                "SELECT zoom_level, tile_data FROM elev"
+            ).fetchall():
+                grid = G._png16_decode(bytes(blob))
+                assert grid.shape == (G.GPKG_TILE, G.GPKG_TILE)
+                n_z1 += zl == 1
+            assert n_z1 == (G.SCENE // G.GPKG_TILE) ** 2
+        finally:
+            con.close()
