@@ -19,11 +19,62 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import epoch_micros, epoch_micros_sql, source_fingerprint
+
+# Per-query state-store metrics captured after every completed run:
+# query name -> [{batch_id, operator, n_rows, mem_bytes, custom}, ...].
+# This is the observability the 100-TB design needs — "state is bounded"
+# must be a NUMBER per batch, not an assertion (tools/stream_state_ab.py
+# records it in BASELINE.md).
+LAST_STATE_METRICS: dict[str, list[dict]] = {}
+
+_STATE_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _state_provider() -> str | None:
+    """The heavy-state joins default to the RocksDB state store: the
+    72h-horizon outer joins hold O(rate x horizon) rows, and the default
+    HDFS-backed provider keeps ALL of it on the executor heap — at
+    100 TB/day that is an OOM, while RocksDB spills to local SSD with
+    bounded memtables. SPARK_GRAFT_STATE_STORE=hdfs forces the heap
+    provider (the A/B arm)."""
+    choice = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").strip().lower()
+    if choice not in ("rocksdb", "hdfs"):
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_STORE must be rocksdb|hdfs, got {choice!r}"
+        )
+    return _ROCKSDB_PROVIDER if choice == "rocksdb" else None
+
+
+@contextmanager
+def _heavy_state_session(spark: SparkSession):
+    """Scope the state-store provider flip to one query START (the
+    provider is read when the query starts; restoring the conf after
+    .start() keeps the session's other streaming queries untouched)."""
+    prov = _state_provider()
+    if prov is None:
+        yield
+        return
+    try:
+        prev = spark.conf.get(_STATE_PROVIDER_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_STATE_PROVIDER_CONF, prov)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_PROVIDER_CONF)
+        else:
+            spark.conf.set(_STATE_PROVIDER_CONF, prev)
 
 
 def _await_done(q) -> None:
@@ -40,6 +91,21 @@ def _await_done(q) -> None:
     if not q.awaitTermination(budget):  # pragma: no cover - needs a hang
         q.stop()
         raise TimeoutError(f"streaming query {q.name} exceeded {budget}s")
+    rows = []
+    for p in q.recentProgress:
+        for op in p.get("stateOperators") or []:
+            rows.append({
+                "batch_id": p.get("batchId"),
+                "operator": op.get("operatorName"),
+                "n_rows": op.get("numRowsTotal"),
+                "mem_bytes": op.get("memoryUsedBytes"),
+                "custom": {
+                    k: v for k, v in (op.get("customMetrics") or {}).items()
+                    if k in ("rocksdbSstFileSize", "rocksdbTotalMemoryUsage",
+                             "loadedMapCacheHitCount", "rocksdbFilesCopied")
+                },
+            })
+    LAST_STATE_METRICS[q.name] = rows
 
 
 QUERY_NAME = "gdalos_stream_event_counts"
@@ -459,13 +525,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_id").alias("buy_id"),
         ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint").alias("gap_sec"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(SSJOIN_QUERY_NAME)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _heavy_state_session(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(SSJOIN_QUERY_NAME)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     _await_done(q)
     return spark.table(SSJOIN_QUERY_NAME)
 
@@ -539,13 +606,14 @@ def _ssj_outer_run(
             F.lit(-1),
         ).alias("gap_sec"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _heavy_state_session(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     _await_done(q)
     return spark.table(query_name)
 

@@ -1,7 +1,9 @@
 """Generate a key-shifted K-times upscale of a testdata scale factor.
 
-Usage:  python tools/make_scaled_sf.py [K] [SRC_DIR] [DST_DIR]
-        (defaults: 10  /root/testdata/sf0.1  /tmp/gdalos_sf1/sf1)
+Usage:  python tools/make_scaled_sf.py [K] [SRC_DIR] [DST_DIR] [--only=t1,t2]
+        (defaults: 10  /root/testdata/sf0.1  /tmp/gdalos_sf1/sf1;
+         --only restricts to the named tables — e.g. --only=documents
+         for the dedup CC-gate A/Bs, which read nothing else)
 
 Purpose: the driver's largest testdata is sf0.1 (~17 MB), where every
 Spark query is dominated by fixed DAG/task-launch overhead (see
@@ -51,9 +53,14 @@ COPIED = ("region", "nation")
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/gdalos_sf1/sf1"
+    only = None
+    argv = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    k = int(argv[0]) if len(argv) > 0 else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    dst = argv[2] if len(argv) > 2 else "/tmp/gdalos_sf1/sf1"
     os.makedirs(dst, exist_ok=True)
 
     con = duckdb.connect()
@@ -69,10 +76,14 @@ def main() -> None:
                 )
 
     for t in COPIED:
+        if only is not None and t not in only:
+            continue
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"copied  {t}")
 
     for t, spec in SCALED.items():
+        if only is not None and t not in only:
+            continue
         cols = [
             c[0]
             for c in con.execute(
