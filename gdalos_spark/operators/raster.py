@@ -549,6 +549,56 @@ SELECT CAST({GT[0]} AS DOUBLE) + (px + CAST(0.5 AS DOUBLE)) * CAST({GT[1]} AS DO
 FROM dem
 """
 
+
+# gdal2xyz option tail (gdal2xyz.py argv: -b band, -srcwin xoff yoff
+# xsize ysize, -skip n): band selection picks the SECOND band (price),
+# srcwin crops to a sub-window in pixel space, skip decimates every
+# n-th pixel of the window. All three are filters/projections over the
+# same zero-shuffle plan — pushed to the scan, partition-prunable on
+# the tiled layout exactly like raster_crop.
+XYZ_SRCWIN = (8, 8, 40, 40)  # xoff, yoff, xsize, ysize
+XYZ_SKIP = 2
+
+
+def raster_to_xyz_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2xyz with the option tail exercised: -b 2 (the price band),
+    -srcwin 8 8 40 40, -skip 2 — the (x, y, z) record stream of every
+    2nd pixel of the crop window, band 2."""
+    xo, yo, xs, ys = XYZ_SRCWIN
+    g = _xyz_band2_grid(spark, sf_dir)
+    return (
+        g.filter(
+            (F.col("px") >= xo) & (F.col("px") < xo + xs)
+            & (F.col("py") >= yo) & (F.col("py") < yo + ys)
+            & ((F.col("px") - xo) % XYZ_SKIP == 0)
+            & ((F.col("py") - yo) % XYZ_SKIP == 0)
+        )
+        .select(
+            (F.lit(GT[0]) + (F.col("px") + 0.5) * GT[1]).alias("x"),
+            (F.lit(GT[2]) + (F.col("py") + 0.5) * GT[3]).alias("y"),
+            F.col("price").cast("double").alias("z"),
+        )
+    )
+
+
+def _xyz_band2_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(px, py, price): band 2 of the derived DEM (dem_grid's second
+    aggregate) — the -b selection reads only this column."""
+    return dem_grid(spark, sf_dir).select("px", "py", "price")
+
+
+RASTER_TO_XYZ_OPTIONS_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT CAST({GT[0]} AS DOUBLE) + (px + CAST(0.5 AS DOUBLE)) * CAST({GT[1]} AS DOUBLE) AS x,
+       CAST({GT[2]} AS DOUBLE) + (py + CAST(0.5 AS DOUBLE)) * CAST({GT[3]} AS DOUBLE) AS y,
+       CAST(price AS DOUBLE) AS z
+FROM dem
+WHERE px >= {XYZ_SRCWIN[0]} AND px < {XYZ_SRCWIN[0] + XYZ_SRCWIN[2]}
+  AND py >= {XYZ_SRCWIN[1]} AND py < {XYZ_SRCWIN[1] + XYZ_SRCWIN[3]}
+  AND (px - {XYZ_SRCWIN[0]}) % {XYZ_SKIP} = 0
+  AND (py - {XYZ_SRCWIN[1]}) % {XYZ_SKIP} = 0
+"""
+
 # ---------------------------------------------------------------------------
 # 12. pixel_lookup — sample raster at point locations
 #    ref: /root/reference/src/gdalos/calc/get_pixel_from_raster.py
@@ -2515,6 +2565,276 @@ ORDER BY tx, ty
 
 
 RASTER_RESAMPLE_CUBIC_SQL = _cubic_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_resample_cubicspline — cubic B-spline warp ('cubicspline')
+#    ref: gdalos_types.py:44 GdalResamplingAlg.cubicspline — the
+#    smoothing (non-interpolating) member of the kernel family; with
+#    cubic and lanczos below this completes every continuous resampling
+#    alg the reference's resampling_alg_by_kind can select.
+# ---------------------------------------------------------------------------
+
+
+def raster_resample_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3-spline resample of the DEM to 96x96 — same 16-tap corner
+    contract as cubic, with the B-spline kernel as integer polynomials
+    over a /1296 denominator (the extra x3 clears the (2-|t|)^3/6 far
+    lobe):
+      near (u in [0,6]):  w1296 = 3u^3 - 36u^2 + 864
+      far  (u in (6,12)): w1296 = (12-u)^3
+    (both give 216 at u = 6; the four x-weights sum to exactly 1296 —
+    the B-spline partition of unity, exact in integers; all weights
+    NON-negative, the smoothing-kernel signature). One terminal double
+    division of exact BIGINTs."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
+    )
+    targets = spark.range(CUBIC_T * CUBIC_T).select(
+        F.expr(f"cast(id div {CUBIC_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {CUBIC_T} as int)").alias("ty"),
+    )
+    base = (
+        targets.withColumn("x0", F.expr("(4*tx - 1 + 600) div 6 - 100"))
+        .withColumn("y0", F.expr("(4*ty - 1 + 600) div 6 - 100"))
+        .withColumn("fx", F.expr("(4*tx - 1) - 6*x0"))
+        .withColumn("fy", F.expr("(4*ty - 1) - 6*y0"))
+    )
+    taps = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1, 2) for dy in (-1, 0, 1, 2)],
+        "dx int, dy int",
+    )
+
+    def _u(d: str, f: str) -> str:
+        return (
+            f"(CASE {d} WHEN -1 THEN {f} + 6 WHEN 0 THEN {f} "
+            f"WHEN 1 THEN 6 - {f} ELSE 12 - {f} END)"
+        )
+
+    def _w1296(d: str, f: str) -> str:
+        u = _u(d, f)
+        return (
+            f"(CASE WHEN {d} IN (0, 1) "
+            f"THEN 3*{u}*{u}*{u} - 36*{u}*{u} + 864 "
+            f"ELSE (12-{u})*(12-{u})*(12-{u}) END)"
+        )
+
+    corners = (
+        base.crossJoin(F.broadcast(taps))
+        .select(
+            "tx", "ty",
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("x0") + F.col("dx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("y0") + F.col("dy"))).alias("cy"),
+            (F.expr(_w1296("dx", "fx")) * F.expr(_w1296("dy", "fy"))).alias("w"),
+        )
+        .filter(F.col("w") != 0)
+    )
+    joined = corners.join(
+        dem, (corners.cx == dem.px) & (corners.cy == dem.py), "inner"
+    )
+    return (
+        joined.groupBy("tx", "ty")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.lit(float(1296 * 1296 * 100))
+            ).alias("elev_bspline")
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def _cubicspline_sql() -> str:
+    def u(d: str, f: str) -> str:
+        return (
+            f"(CASE {d} WHEN -1 THEN {f} + 6 WHEN 0 THEN {f} "
+            f"WHEN 1 THEN 6 - {f} ELSE 12 - {f} END)"
+        )
+
+    def w1296(d: str, f: str) -> str:
+        uu = u(d, f)
+        return (
+            f"(CASE WHEN {d} IN (0, 1) "
+            f"THEN 3*{uu}*{uu}*{uu} - 36*{uu}*{uu} + 864 "
+            f"ELSE (12-{uu})*(12-{uu})*(12-{uu}) END)"
+        )
+
+    return f"""
+WITH dem AS (
+  SELECT px, py, CAST(ROUND(elev * 100, 0) AS BIGINT) AS cents
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
+  FROM range({CUBIC_T}) x, range({CUBIC_T}) y
+),
+base AS (
+  SELECT tx, ty,
+         (4*tx - 1 + 600) // 6 - 100 AS x0,
+         (4*ty - 1 + 600) // 6 - 100 AS y0,
+         (4*tx - 1) - 6*((4*tx - 1 + 600) // 6 - 100) AS fx,
+         (4*ty - 1) - 6*((4*ty - 1 + 600) // 6 - 100) AS fy
+  FROM t
+),
+corners AS (
+  SELECT tx, ty,
+         GREATEST(0, LEAST(63, x0 + dx)) AS cx,
+         GREATEST(0, LEAST(63, y0 + dy)) AS cy,
+         {w1296('dx', 'fx')} * {w1296('dy', 'fy')} AS w
+  FROM base, (VALUES (-1),(0),(1),(2)) AS tx_(dx), (VALUES (-1),(0),(1),(2)) AS ty_(dy)
+),
+nz AS (SELECT * FROM corners WHERE w <> 0)
+SELECT nz.tx, nz.ty,
+       CAST(SUM(nz.w * dem.cents) AS DOUBLE) / {1296 * 1296 * 100}.0 AS elev_bspline
+FROM nz JOIN dem ON nz.cx = dem.px AND nz.cy = dem.py
+GROUP BY 1, 2
+ORDER BY tx, ty
+"""
+
+
+RASTER_RESAMPLE_CUBICSPLINE_SQL = _cubicspline_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_resample_lanczos — Lanczos-3 warp ('lanczos')
+#    ref: gdalos_types.py:45 GdalResamplingAlg.lanczos — the
+#    highest-quality (and widest) kernel in the family; closes the
+#    continuous-kernel inventory of resampling_alg_by_kind.
+# ---------------------------------------------------------------------------
+
+_LANCZOS_SCALE = 1024  # fixed-point kernel scale (GDAL's GWK approach)
+
+
+def _lanczos_tap_rows() -> list[tuple[int, int, int, int]]:
+    """(f, d, w, dw): fixed-point Lanczos-3 weight for fraction f
+    (sixths) at tap offset d in [-2, 3], plus the per-f weight sum dw
+    used as the normalization denominator (Lanczos is not a partition
+    of unity, so GDAL normalizes by the tap-weight sum — reproduced
+    here in exact integers). The kernel values are host-side libm;
+    everything the engines see is an integer table."""
+    rows = []
+    for f in range(6):
+        ws = []
+        for d in (-2, -1, 0, 1, 2, 3):
+            u = abs(f - 6 * d)
+            t = u / 6.0
+            if u == 0:
+                w = 1.0
+            elif t >= 3.0:
+                w = 0.0
+            else:
+                w = (
+                    3.0
+                    * _math.sin(_math.pi * t)
+                    * _math.sin(_math.pi * t / 3.0)
+                    / (_math.pi * _math.pi * t * t)
+                )
+            ws.append((d, round(w * _LANCZOS_SCALE)))
+        dw = sum(w for _, w in ws)
+        rows += [(f, d, w, dw) for d, w in ws]
+    return rows
+
+
+def raster_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lanczos-3 resample of the DEM to 96x96: 36 taps per target
+    through TWO joins against the broadcast 36-row fixed-point weight
+    table (one per axis), normalization by the exact integer per-axis
+    weight sums, one terminal double division —
+    value = sum(wx*wy*cents) / (dwx*dwy) / 100. The 1/1024 fixed-point
+    discretization is the documented kernel contract (GDAL's warp
+    kernels are fixed-point too); weights go negative in the side
+    lobes, so the nonzero filter is w != 0."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
+    )
+    targets = spark.range(CUBIC_T * CUBIC_T).select(
+        F.expr(f"cast(id div {CUBIC_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {CUBIC_T} as int)").alias("ty"),
+    )
+    base = (
+        targets.withColumn("x0", F.expr("(4*tx - 1 + 600) div 6 - 100"))
+        .withColumn("y0", F.expr("(4*ty - 1 + 600) div 6 - 100"))
+        .withColumn("fx", F.expr("(4*tx - 1) - 6*x0"))
+        .withColumn("fy", F.expr("(4*ty - 1) - 6*y0"))
+    )
+    wtab = spark.createDataFrame(
+        _lanczos_tap_rows(), "f int, d int, w bigint, dw bigint"
+    )
+    wx = wtab.select(
+        F.col("f").alias("fx"), F.col("d").alias("dx"),
+        F.col("w").alias("wx"), F.col("dw").alias("dwx"),
+    )
+    wy = wtab.select(
+        F.col("f").alias("fy"), F.col("d").alias("dy"),
+        F.col("w").alias("wy"), F.col("dw").alias("dwy"),
+    )
+    corners = (
+        base.join(F.broadcast(wx), "fx")
+        .join(F.broadcast(wy), "fy")
+        .select(
+            "tx", "ty", "dwx", "dwy",
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("x0") + F.col("dx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(63), F.col("y0") + F.col("dy"))).alias("cy"),
+            (F.col("wx") * F.col("wy")).alias("w"),
+        )
+        .filter(F.col("w") != 0)
+    )
+    joined = corners.join(
+        dem, (corners.cx == dem.px) & (corners.cy == dem.py), "inner"
+    )
+    return (
+        joined.groupBy("tx", "ty", "dwx", "dwy")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("wsum"))
+        .select(
+            "tx", "ty",
+            (
+                F.col("wsum").cast("double")
+                / (F.col("dwx") * F.col("dwy")).cast("double")
+                / F.lit(100.0)
+            ).alias("elev_lanczos"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def _lanczos_sql() -> str:
+    vals = ", ".join(f"({f}, {d}, {w}, {dw})" for f, d, w, dw in _lanczos_tap_rows())
+    return f"""
+WITH dem AS (
+  SELECT px, py, CAST(ROUND(elev * 100, 0) AS BIGINT) AS cents
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
+  FROM range({CUBIC_T}) x, range({CUBIC_T}) y
+),
+base AS (
+  SELECT tx, ty,
+         (4*tx - 1 + 600) // 6 - 100 AS x0,
+         (4*ty - 1 + 600) // 6 - 100 AS y0,
+         (4*tx - 1) - 6*((4*tx - 1 + 600) // 6 - 100) AS fx,
+         (4*ty - 1) - 6*((4*ty - 1 + 600) // 6 - 100) AS fy
+  FROM t
+),
+wtab(f, d, w, dw) AS (VALUES {vals}),
+corners AS (
+  SELECT b.tx, b.ty, x.dw AS dwx, y.dw AS dwy,
+         GREATEST(0, LEAST(63, b.x0 + x.d)) AS cx,
+         GREATEST(0, LEAST(63, b.y0 + y.d)) AS cy,
+         x.w * y.w AS w
+  FROM base b JOIN wtab x ON x.f = b.fx JOIN wtab y ON y.f = b.fy
+  WHERE x.w * y.w <> 0
+)
+SELECT c.tx, c.ty,
+       CAST(SUM(c.w * dem.cents) AS DOUBLE)
+         / CAST(c.dwx * c.dwy AS DOUBLE) / 100.0 AS elev_lanczos
+FROM corners c JOIN dem ON c.cx = dem.px AND c.cy = dem.py
+GROUP BY c.tx, c.ty, c.dwx, c.dwy
+ORDER BY tx, ty
+"""
+
+
+RASTER_RESAMPLE_LANCZOS_SQL = _lanczos_sql()
 
 
 # ---------------------------------------------------------------------------

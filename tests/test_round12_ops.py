@@ -226,3 +226,81 @@ def test_gpkg_files_are_real_geopackages(spark, tmp_path):
             assert n_z1 == (G.SCENE // G.GPKG_TILE) ** 2
         finally:
             con.close()
+
+
+# --- raster_resample_cubicspline / lanczos / xyz options --------------------
+
+
+def test_cubicspline_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_resample_cubicspline"],
+        entrymod.oracle_sql()["raster_resample_cubicspline"],
+    )
+
+
+def test_lanczos_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_resample_lanczos"],
+        entrymod.oracle_sql()["raster_resample_lanczos"],
+    )
+
+
+def test_xyz_options_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_to_xyz_options"],
+        entrymod.oracle_sql()["raster_to_xyz_options"],
+    )
+
+
+def test_bspline_weights_partition_of_unity():
+    """B3 kernel: four /1296 x-weights sum to exactly 1296 at every
+    sixth-fraction, match the float B-spline, and are non-negative."""
+
+    def near(u):
+        return 3 * u**3 - 36 * u**2 + 864
+
+    def far(u):
+        return (12 - u) ** 3
+
+    def b3(t):
+        t = abs(t)
+        if t <= 1:
+            return 0.5 * t**3 - t**2 + 2.0 / 3.0
+        if t < 2:
+            return (2 - t) ** 3 / 6.0
+        return 0.0
+
+    for f in range(6):
+        ws = [far(f + 6), near(f), near(6 - f), far(12 - f)]
+        assert sum(ws) == 1296
+        assert all(w >= 0 for w in ws)
+        for w, t in zip(ws, [(f + 6) / 6, f / 6, (6 - f) / 6, (12 - f) / 6]):
+            assert abs(w / 1296 - b3(t)) < 1e-12
+
+
+def test_lanczos_weight_table_shape():
+    """36 fixed-point taps; exact interpolation at integer positions
+    (f=0: only the center tap is nonzero); per-f sums are the exact
+    normalization denominators."""
+    from gdalos_spark.operators.raster import _LANCZOS_SCALE, _lanczos_tap_rows
+
+    rows = _lanczos_tap_rows()
+    assert len(rows) == 36
+    byf = {}
+    for f, d, w, dw in rows:
+        byf.setdefault(f, []).append((d, w, dw))
+    f0 = {d: w for d, w, _ in byf[0]}
+    assert f0[0] == _LANCZOS_SCALE
+    assert all(w == 0 for d, w in f0.items() if d != 0)
+    for f, taps in byf.items():
+        dws = {dw for _, _, dw in taps}
+        assert len(dws) == 1
+        assert sum(w for _, w, _ in taps) == dws.pop()
+    # side lobes go negative for interior fractions
+    assert any(r[2] < 0 for r in rows)
