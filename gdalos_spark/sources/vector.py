@@ -417,18 +417,22 @@ def vector_ingest_gml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Adaptive burn-plan gate (VERDICT r09 item 5): at the 64-row DEM the
-# bbox-pruned broadcast-edges plan wins (the row join caps parallelism
-# at 64 keys and the synthetic rings straddle ~1/3 of the grid); on
-# tall grids the scanline plan wins because a (cell, edge) pair is only
-# materialized when the edge actually straddles the cell's row. The
-# crossover was MEASURED with the paired interleaved A/B protocol
-# (tools/rasterize_ab.py, BASELINE.md round-10 section): scanline loses
-# ~1.5x at 64 rows, wins ~1.6x at 512 and ~4x at 2048 on the same
-# 100k-supplier layer. Grid height is a derivation constant (extent /
+# Adaptive burn-plan gate (VERDICT r09 item 5 / r10 item 9): on tall
+# grids the scanline plan wins because a (cell, edge) pair is only
+# materialized when the edge actually straddles the cell's row, and the
+# row key count carries the join parallelism. The crossover was
+# MEASURED with the paired interleaved A/B protocol
+# (tools/rasterize_ab.py; full height sweep in BASELINE.md round-11
+# section — W=256, 10k suppliers, 3 pairs per height): scanline loses
+# ~1.5x at H=512, is a wash at H=1024 (pair ratios 0.85/0.98/1.27),
+# and wins 2.3-3.1x at H=2048; the earlier 64-row 100k-supplier run
+# (round-10 section) had bbox ~1.5x ahead. Height alone is an imperfect
+# predictor on synthetic whole-grid rings (H=64/W=256 also measured a
+# scanline win), but it is the plan-time-derivable constant (extent /
 # resolution — the footer-style input the custkey and collapse gates
-# use), so the choice is plan-time static.
-RASTERIZE_SCANLINE_MIN_ROWS = 256
+# use) and the mid-band penalty is bounded (~1.5x either way), so the
+# gate sits at the measured crossover.
+RASTERIZE_SCANLINE_MIN_ROWS = 1024
 
 
 def _ring_edges_bbox(sup, grid_w: int, grid_h: int):
