@@ -18,10 +18,14 @@ Contents per package: zoom 1 = full resolution (2x2 tiles of 16x16),
 zoom 0 = one 2x floor-average overview tile; tiles are REAL 16-bit
 grayscale PNGs (filter 0, zlib, the same chunk grammar multimodal's
 decoder speaks). Sample mapping is the documented integer contract
-v16 = elev_cents // GPKG_DIV (65535 = nodata) so every stored sample is
-exact integer arithmetic from lineitem and the manifest's read-back
-aggregates are reproducible by the DuckDB oracle in closed form — the
-same encode -> file -> decode hash gate as cog_write_manifest.
+v16 = elev_cents // div (65535 = nodata), where div is the smallest
+power-of-two multiple of GPKG_DIV that keeps the band maximum below the
+sentinel (_gpkg_div_for — GDAL's 16-bit scale-factor pick; div = 16 at
+every driver SF, and grows with data scale so the writer cannot
+overflow at an upscale). Every stored sample is exact integer
+arithmetic from lineitem and the manifest's read-back aggregates are
+reproducible by the DuckDB oracle in closed form — the same
+encode -> file -> decode hash gate as cog_write_manifest.
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ from gdalos_spark.datamodel import DEM_GRID_SQL, GRID_W, dem_grid
 from gdalos_spark.sources.geotiff import LAT0, LON0, PIX, SCENE
 
 GPKG_TILE = 16          # tile_width = tile_height
-GPKG_DIV = 16           # stored sample = elev_cents // GPKG_DIV
+GPKG_DIV = 16           # MINIMUM divisor: stored sample = elev_cents // div
 GPKG_NODATA16 = 65535   # u16 nodata sentinel
 GPKG_APP_ID = 0x47504B47  # 'GPKG'
 GPKG_USER_VERSION = 10300  # GeoPackage 1.3
@@ -103,7 +107,20 @@ def _png16_decode(payload: bytes):
     return np.vstack(rows).astype("int64")
 
 
-def _scene_tiles(pdf):
+def _gpkg_div_for(max_cents: int) -> int:
+    """Smallest power-of-two multiple of GPKG_DIV that keeps every
+    stored sample strictly below the u16 nodata sentinel. GDAL picks a
+    scale factor the same way when narrowing to 16-bit storage; found
+    by the sf10 upscale, where elev sums overflow the fixed /16 band.
+    Pure function of the band maximum, so both the executor-side writer
+    and the SQL oracle derive the identical divisor."""
+    d = GPKG_DIV
+    while max_cents // d >= GPKG_NODATA16:
+        d *= 2
+    return d
+
+
+def _scene_tiles(pdf, div: int = GPKG_DIV):
     """(scene-local z1 tile grids, z0 overview tile grid) as int64
     numpy arrays with GPKG_NODATA16 holes, from a scene's cell rows."""
     import numpy as np
@@ -112,11 +129,11 @@ def _scene_tiles(pdf):
     sy, sx = divmod(sid, GRID_W // SCENE)
     ox, oy = sx * SCENE, sy * SCENE
     cents = pdf["elev_cents"].to_numpy()
-    v16 = cents // GPKG_DIV
+    v16 = cents // div
     if (v16 >= GPKG_NODATA16).any() or (v16 < 0).any():
         raise OverflowError(
             "stored sample out of u16 range (or collides with the nodata "
-            "sentinel); raise GPKG_DIV for this band"
+            "sentinel); _gpkg_div_for should have prevented this"
         )
     full = np.full((SCENE, SCENE), GPKG_NODATA16, dtype="int64")
     full[pdf["py"].to_numpy() - oy, pdf["px"].to_numpy() - ox] = v16
@@ -258,12 +275,16 @@ def write_gpkg_scenes(
         ((F.col("py") / SCENE).cast("int") * (GRID_W // SCENE)
          + (F.col("px") / SCENE).cast("int")).alias("scene_id"),
     )
+    # band-level divisor: one scalar agg (the loop-probe collect class),
+    # broadcast to the executors as a closure constant
+    max_cents = g.agg(F.max("elev_cents")).first()[0] or 0
+    div = _gpkg_div_for(int(max_cents))
 
     def encode(pdf):
         import pandas as pd
 
         os.makedirs(out_dir, exist_ok=True)
-        sid, ox, oy, z1, ov = _scene_tiles(pdf)
+        sid, ox, oy, z1, ov = _scene_tiles(pdf, div)
         final = os.path.join(out_dir, f"scene_{sid:05d}.gpkg")
         if os.path.exists(final) and not overwrite:
             action = "skipped"
@@ -280,11 +301,13 @@ def write_gpkg_scenes(
             action = "written"
         return pd.DataFrame(
             {"scene_id": [sid], "path": [final], "action": [action],
-             "n_bytes": [os.path.getsize(final)]}
+             "n_bytes": [os.path.getsize(final)], "div": [div]}
         )
 
     return g.groupBy("scene_id").applyInPandas(
-        encode, schema="scene_id int, path string, action string, n_bytes bigint"
+        encode,
+        schema="scene_id int, path string, action string, n_bytes bigint, "
+        "div int",
     )
 
 
@@ -292,10 +315,11 @@ def gpkg_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the scene GeoPackages, then READ THE WRITTEN FILES BACK
     with sqlite3 + the PNG decoder and report per-scene structure +
     exact aggregates of every stored sample — all recomputable by the
-    SQL oracle straight from lineitem (v16 = cents // GPKG_DIV is
-    integer-exact; the z0 overview is the per-block floor-average of
-    present samples). The decode stage consumes the writer's output
-    rows, so each file is committed before it is re-opened."""
+    SQL oracle straight from lineitem (v16 = cents // div is
+    integer-exact with div derived identically on both sides; the z0
+    overview is the per-block floor-average of present samples). The
+    decode stage consumes the writer's output rows, so each file is
+    committed before it is re-opened."""
     written = write_gpkg_scenes(spark, sf_dir, _gpkg_out_dir(sf_dir))
 
     def stats(batches: Iterator) -> Iterator:
@@ -303,7 +327,7 @@ def gpkg_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for sid, path in zip(pdf["scene_id"], pdf["path"]):
+            for sid, path, dv in zip(pdf["scene_id"], pdf["path"], pdf["div"]):
                 con = sqlite3.connect(path)
                 try:
                     cur = con.cursor()
@@ -339,13 +363,14 @@ def gpkg_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append([
                     int(sid), int(app_id == GPKG_APP_ID), int(srs_id),
                     float(min_x), float(max_y), int(n_levels), n_z1,
-                    agg[1][0], agg[1][1], mn, mx, agg[0][0], agg[0][1],
+                    int(dv), agg[1][0], agg[1][1], mn, mx,
+                    agg[0][0], agg[0][1],
                 ])
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "scene_id", "app_id_ok", "srs_id", "min_x", "max_y",
-                    "n_levels", "n_tiles", "px_count", "sum_v16",
+                    "n_levels", "n_tiles", "div", "px_count", "sum_v16",
                     "min_v16", "max_v16", "ov_count", "ov_sum",
                 ],
             )
@@ -353,18 +378,26 @@ def gpkg_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return written.mapInPandas(
         stats,
         schema="scene_id int, app_id_ok int, srs_id int, min_x double, "
-        "max_y double, n_levels int, n_tiles int, px_count bigint, "
-        "sum_v16 bigint, min_v16 bigint, max_v16 bigint, "
-        "ov_count bigint, ov_sum bigint",
+        "max_y double, n_levels int, n_tiles int, div int, "
+        "px_count bigint, sum_v16 bigint, min_v16 bigint, "
+        "max_v16 bigint, ov_count bigint, ov_sum bigint",
     )
 
 
 GPKG_WRITE_MANIFEST_SQL = f"""
 WITH dem AS ({DEM_GRID_SQL}),
+dv AS (
+  -- the writer's _gpkg_div_for: smallest power-of-two multiple of the
+  -- minimum divisor keeping max(elev_cents)//d below the u16 sentinel
+  SELECT MIN({GPKG_DIV} * (CAST(1 AS BIGINT) << k)) AS d
+  FROM range(0, 32) t(k),
+       (SELECT MAX(CAST(elev * 100 AS BIGINT)) AS m FROM dem) mx
+  WHERE m // ({GPKG_DIV} * (CAST(1 AS BIGINT) << k)) < {GPKG_NODATA16}
+),
 base AS (
   SELECT CAST((py // {SCENE}) * {GRID_W // SCENE} + (px // {SCENE}) AS INTEGER) AS scene_id,
          px % {SCENE} AS lx, py % {SCENE} AS ly,
-         CAST(elev * 100 AS BIGINT) // {GPKG_DIV} AS v
+         CAST(elev * 100 AS BIGINT) // (SELECT d FROM dv) AS v
   FROM dem
 ),
 ov AS (
@@ -385,6 +418,7 @@ SELECT b.scene_id,
        ({LAT0!r}e0 - ((b.scene_id // {GRID_W // SCENE}) * {SCENE}) * {PIX!r}e0) AS max_y,
        2 AS n_levels,
        {(SCENE // GPKG_TILE) * (SCENE // GPKG_TILE)} AS n_tiles,
+       CAST((SELECT d FROM dv) AS INTEGER) AS div,
        CAST(px_count AS BIGINT) AS px_count,
        CAST(sum_v16 AS BIGINT) AS sum_v16,
        CAST(min_v16 AS BIGINT) AS min_v16,

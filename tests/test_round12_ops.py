@@ -189,6 +189,23 @@ def test_gpkg_manifest_matches_oracle(spark, ducks):
     )
 
 
+def test_gpkg_div_boundaries():
+    """The adaptive divisor sits exactly at the u16-sentinel boundary:
+    max_cents // div must stay < 65535, div is the smallest power-of-two
+    multiple of 16 achieving it (found by the sf10 upscale overflow)."""
+    from gdalos_spark.sources import gpkg as G
+
+    assert G._gpkg_div_for(0) == 16
+    assert G._gpkg_div_for(16 * 65534) == 16          # last value /16 holds
+    assert G._gpkg_div_for(16 * 65535) == 32          # sentinel collision
+    assert G._gpkg_div_for(32 * 65534) == 32
+    assert G._gpkg_div_for(32 * 65535) == 64
+    for m in (10**7, 10**9, 10**12):
+        d = G._gpkg_div_for(m)
+        assert m // d < G.GPKG_NODATA16
+        assert d == 16 or m // (d // 2) >= G.GPKG_NODATA16  # minimal
+
+
 def test_gpkg_files_are_real_geopackages(spark, tmp_path):
     """The written .gpkg is an SQLite db with the GPKG application_id,
     the required gpkg_* tables, decodable PNG tiles, and the skip
