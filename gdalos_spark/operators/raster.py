@@ -2838,6 +2838,167 @@ RASTER_RESAMPLE_LANCZOS_SQL = _lanczos_sql()
 
 
 # ---------------------------------------------------------------------------
+# raster_resample_average / raster_resample_nearest — the two remaining
+# GdalResamplingAlg members as a DOWNSAMPLE pair (the kernels above all
+# upsample 64 -> 96; average is GDAL's zoom-out workhorse).
+#    ref: /root/reference/src/gdalos/gdalos_types.py:36-50 — 'average
+#    computes the average of all non-NODATA contributing pixels.
+#    Starting with GDAL 3.1, this is a weighted average taking into
+#    account properly the weight of source pixels not contributing
+#    fully to the target pixel'; resampling_alg_by_kind
+#    (gdalos_types.py:84-96) picks average as the fast_mode default and
+#    nearest for palette rasters in fast_mode.
+# ---------------------------------------------------------------------------
+
+# 24 targets cover the 64-px axis at ratio 8/3 exactly (24 * 8/3 = 64),
+# so every target footprint lies fully inside the grid — no boundary
+# partial weights, no clamping. Per axis, target tx spans source
+# interval [8*tx, 8*tx + 8) in THIRDS of a source pixel and source cell
+# s spans [3s, 3s+3), so the overlap weights are exact integers in
+# thirds summing to 8; the 2-D weight wx*wy is exact in ninths and
+# value = sum(w*cents) / sum(w) / 100 is a division of exact BIGINTs.
+AVG_T = 24
+
+
+def raster_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL>=3.1 weighted-average resample of the DEM to 24x24 (ratio
+    8/3): each target cell averages the 3x3-or-4x4 source cells its
+    footprint overlaps, weighted by exact overlap fractions in thirds
+    (see AVG_T note). Nodata-aware by construction: the denominator is
+    the weight sum of PRESENT cells only — the 'weight of source pixels
+    not contributing fully' semantics the reference's enum documents.
+
+    Plan: the metadata-sized target grid explodes to its <=16 candidate
+    contributions (two axis sequences), filters zero weights, and
+    equi-joins the DEM on the cell key — the same co-partitioned
+    stencil join every kernel above uses; one groupBy on the target key
+    finishes it. No cartesian, no Python."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
+    )
+    targets = spark.range(AVG_T * AVG_T).select(
+        F.expr(f"cast(id div {AVG_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {AVG_T} as int)").alias("ty"),
+    )
+    contrib = (
+        targets
+        .withColumn("sx0", F.expr("(8*tx) div 3"))
+        .withColumn("sy0", F.expr("(8*ty) div 3"))
+        .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn(
+            "wx",
+            F.expr(
+                "greatest(0, least(8*tx + 8, 3*(sx0 + dx) + 3)"
+                " - greatest(8*tx, 3*(sx0 + dx)))"
+            ),
+        )
+        .filter(F.col("wx") > 0)
+        .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn(
+            "wy",
+            F.expr(
+                "greatest(0, least(8*ty + 8, 3*(sy0 + dy) + 3)"
+                " - greatest(8*ty, 3*(sy0 + dy)))"
+            ),
+        )
+        .filter(F.col("wy") > 0)
+        .select(
+            "tx", "ty",
+            (F.col("sx0") + F.col("dx")).alias("cx"),
+            (F.col("sy0") + F.col("dy")).alias("cy"),
+            (F.col("wx") * F.col("wy")).cast("bigint").alias("w"),
+        )
+    )
+    joined = contrib.join(
+        dem, (contrib.cx == dem.px) & (contrib.cy == dem.py), "inner"
+    )
+    return (
+        joined.groupBy("tx", "ty")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("double") / F.lit(100.0)
+            ).alias("elev_average")
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+RASTER_RESAMPLE_AVERAGE_SQL = f"""
+WITH dem AS (
+  SELECT px, py, CAST(ROUND(elev * 100, 0) AS BIGINT) AS cents
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
+  FROM range({AVG_T}) x, range({AVG_T}) y
+),
+contrib AS (
+  SELECT tx, ty,
+         (8*tx) // 3 + dx AS cx,
+         (8*ty) // 3 + dy AS cy,
+         CAST(
+           GREATEST(0, LEAST(8*tx + 8, 3*((8*tx) // 3 + dx) + 3)
+                       - GREATEST(8*tx, 3*((8*tx) // 3 + dx)))
+           * GREATEST(0, LEAST(8*ty + 8, 3*((8*ty) // 3 + dy) + 3)
+                         - GREATEST(8*ty, 3*((8*ty) // 3 + dy)))
+           AS BIGINT) AS w
+  FROM t, range(4) xd(dx), range(4) yd(dy)
+),
+nz AS (SELECT * FROM contrib WHERE w > 0)
+SELECT nz.tx, nz.ty,
+       CAST(SUM(nz.w * dem.cents) AS DOUBLE)
+       / CAST(SUM(nz.w) AS DOUBLE) / 100.0 AS elev_average
+FROM nz JOIN dem ON nz.cx = dem.px AND nz.cy = dem.py
+GROUP BY 1, 2
+ORDER BY tx, ty
+"""
+
+
+def raster_resample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour resample of the DEM to 24x24 — GDAL 'near'
+    (the reference's fast_mode pick for palette rasters,
+    gdalos_types.py:88-90): each target reads the single source sample
+    CONTAINING its center, src = floor((t+0.5) * 8/3) = (8t+4) div 3.
+    A pure projection + one co-partitioned equi-join; zero arithmetic
+    on values, so the only float op is the final cents/100 rescale."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
+    )
+    targets = spark.range(AVG_T * AVG_T).select(
+        F.expr(f"cast(id div {AVG_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {AVG_T} as int)").alias("ty"),
+        F.expr(f"cast((8*(id div {AVG_T}) + 4) div 3 as int)").alias("cx"),
+        F.expr(f"cast((8*(id % {AVG_T}) + 4) div 3 as int)").alias("cy"),
+    )
+    return (
+        targets.join(dem, (targets.cx == dem.px) & (targets.cy == dem.py))
+        .select(
+            "tx", "ty",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("elev_near"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+RASTER_RESAMPLE_NEAREST_SQL = f"""
+WITH dem AS (
+  SELECT px, py, CAST(ROUND(elev * 100, 0) AS BIGINT) AS cents
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty,
+         (8*CAST(x.range AS INTEGER) + 4) // 3 AS cx,
+         (8*CAST(y.range AS INTEGER) + 4) // 3 AS cy
+  FROM range({AVG_T}) x, range({AVG_T}) y
+)
+SELECT t.tx, t.ty, CAST(dem.cents AS DOUBLE) / 100.0 AS elev_near
+FROM t JOIN dem ON t.cx = dem.px AND t.cy = dem.py
+ORDER BY tx, ty
+"""
+
+
+# ---------------------------------------------------------------------------
 # raster_flow_path_length — downstream path length via pointer jumping
 #    (hydrology sibling of flow accumulation: how far does water from each
 #    cell travel before reaching a pit or leaving the grid; the parallel

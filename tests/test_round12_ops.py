@@ -248,6 +248,100 @@ def test_gpkg_files_are_real_geopackages(spark, tmp_path):
 # --- raster_resample_cubicspline / lanczos / xyz options --------------------
 
 
+def test_resample_average_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_resample_average"],
+        entrymod.oracle_sql()["raster_resample_average"],
+    )
+
+
+def test_resample_average_against_python_box_filter(spark):
+    """Independent reimplementation: a plain-Python overlap-weighted box
+    filter over the collected (sparse) DEM must reproduce every output
+    value — nodata-aware denominator included."""
+    from gdalos_spark.datamodel import dem_grid
+    from gdalos_spark.operators import raster as R
+
+    cents = {
+        (r.px, r.py): round(float(r.elev) * 100)
+        for r in dem_grid(spark, SF_DIR).collect()
+    }
+
+    def axis_w(t):
+        # weights in thirds over source cells floor(8t/3)..+3
+        s0 = (8 * t) // 3
+        return [
+            (s0 + k,
+             max(0, min(8 * t + 8, 3 * (s0 + k) + 3) - max(8 * t, 3 * (s0 + k))))
+            for k in range(4)
+        ]
+
+    expected = {}
+    for tx in range(R.AVG_T):
+        for ty in range(R.AVG_T):
+            num = den = 0
+            for cx, wx in axis_w(tx):
+                for cy, wy in axis_w(ty):
+                    w = wx * wy
+                    if w and (cx, cy) in cents:
+                        num += w * cents[(cx, cy)]
+                        den += w
+            if den:
+                expected[(tx, ty)] = num / den / 100.0
+    out = {
+        (r.tx, r.ty): r.elev_average
+        for r in R.raster_resample_average(spark, SF_DIR).collect()
+    }
+    assert out.keys() == expected.keys()
+    assert all(out[k] == expected[k] for k in expected)
+
+
+def test_resample_average_weights_sum_to_64(spark):
+    """Per-axis weight totals are the exact constant 8 thirds for every
+    target — the exact-cover (24 * 8/3 = 64) no-clamp invariant."""
+    from pyspark.sql import functions as F
+    from gdalos_spark.operators import raster as R
+
+    targets = spark.range(R.AVG_T).select(F.col("id").cast("int").alias("tx"))
+    w = targets.selectExpr(
+        "tx",
+        "(8*tx) div 3 as sx0",
+    ).selectExpr(
+        "tx",
+        "aggregate(transform(sequence(0, 3), k -> "
+        "greatest(0, least(8*tx + 8, 3*(sx0 + k) + 3)"
+        " - greatest(8*tx, 3*(sx0 + k)))), cast(0 as bigint), "
+        "(a, x) -> a + x) as wsum",
+    ).collect()
+    assert all(r.wsum == 8 for r in w)
+
+
+def test_resample_nearest_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_resample_nearest"],
+        entrymod.oracle_sql()["raster_resample_nearest"],
+    )
+
+
+def test_resample_nearest_is_projection(spark):
+    """Every nearest output value exists verbatim in the source DEM at
+    the containing-cell coordinate — zero value arithmetic."""
+    from gdalos_spark.datamodel import dem_grid
+    from gdalos_spark.operators import raster as R
+
+    src = {
+        (r.px, r.py): round(float(r.elev) * 100)
+        for r in dem_grid(spark, SF_DIR).collect()
+    }
+    for r in R.raster_resample_nearest(spark, SF_DIR).collect():
+        cx, cy = (8 * r.tx + 4) // 3, (8 * r.ty + 4) // 3
+        assert round(r.elev_near * 100) == src[(cx, cy)]
+
+
 def test_cubicspline_matches_oracle(spark, ducks):
     assert_matches_oracle(
         spark,
