@@ -86,6 +86,12 @@ INVARIANCE_KEYS = [
     "raster_stream_order",
     "dedup_containment",
     "markov_stationary",
+    # round-12 additions: the downsample pair — average's ratio-of-sums
+    # (w*cents / w) must see the same exact-integer numerator and
+    # denominator under any layout; nearest is a pure projection whose
+    # join must not lose or duplicate rows however the scan is split
+    "raster_resample_average",
+    "raster_resample_nearest",
 ]
 
 
