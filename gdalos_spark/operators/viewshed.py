@@ -1996,10 +1996,27 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     useless under a correctness gate). eps scales with observed density
     (eps2 = DBSCAN_C/n, a 1-row broadcast — no driver round-trip), so
     the neighborhood load stays O(1) per point at every scale factor.
+
+    The GRID CELL edge adapts with eps (the smallest c with c^2 >=
+    eps2, from the parquet footer count — the custkey-gate input
+    class): a static 200-px cell at 1M points held ~977 points per
+    cell while eps had shrunk to ~5, so the 9-cell equi-join evaluated
+    ~9e9 candidate pairs (measured 1989 s at the sf10 upscale — found
+    by the round-11 full-catalog sf10 sweep); with c ~ eps the per-cell
+    occupancy is O(eps^2 * density) = O(1) and the candidate volume is
+    O(n). Result-IDENTICAL by construction: the exact distance
+    predicate is unchanged and c >= eps keeps every eps-ball inside the
+    3x3 stencil — the cell size only bounds the candidate SUPERSET (the
+    DuckDB oracle keeps the static cell and must agree value-for-value,
+    which the driver gate checks).
+
     Output: one row per cluster (cluster_id = min event_id) plus the
     noise row (cluster_id = -1, count in n_points). Coordinates come
     from md5 so they scatter uniformly — the lattice the multiplicative
     derivation produces collapses DBSCAN into one giant component."""
+    import math
+
+    from gdalos_spark.datamodel import footer_count
     from gdalos_spark.functions import hashing
     from gdalos_spark.operators.dedup import _cc_alternating
 
@@ -2009,6 +2026,9 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hashing.md5_int60(F.concat(F.lit("x"), F.col("event_id").cast("string"))) % 6400).alias("xi"),
         (hashing.md5_int60(F.concat(F.lit("y"), F.col("event_id").cast("string"))) % 6400).alias("yi"),
     )
+    n_pts = max(1, footer_count(sf_dir, "events"))
+    eps2_host = max(1, min(DBSCAN_C // n_pts, DBSCAN_CELL * DBSCAN_CELL))
+    cell = min(DBSCAN_CELL, math.isqrt(eps2_host - 1) + 1)
     par = p.agg(
         F.expr(
             f"least({DBSCAN_C} div count(1), {DBSCAN_CELL * DBSCAN_CELL}) AS eps2"
@@ -2016,8 +2036,8 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = p.select(
         "event_id", "xi", "yi",
-        F.expr(f"xi div {DBSCAN_CELL}").alias("cx"),
-        F.expr(f"yi div {DBSCAN_CELL}").alias("cy"),
+        F.expr(f"xi div {cell}").alias("cx"),
+        F.expr(f"yi div {cell}").alias("cy"),
     )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
