@@ -2762,8 +2762,11 @@ RASTER_RESAMPLE_LANCZOS_SQL = _lanczos_sql()
 
 # ---------------------------------------------------------------------------
 # raster_resample_average / raster_resample_nearest — the two remaining
-# GdalResamplingAlg members as a DOWNSAMPLE pair (the kernels above all
-# upsample 64 -> 96; average is GDAL's zoom-out workhorse).
+# CONTINUOUS resamplers as a DOWNSAMPLE pair (the kernels above all
+# upsample 64 -> 96; average is GDAL's zoom-out workhorse). The enum's
+# last member, 'mode' — the non-fast-mode pick for palette rasters
+# (gdalos_types.py:84-96) — is covered by raster_overview_mode above
+# (:169), which is exactly a mode resample at ratio 2.
 #    ref: /root/reference/src/gdalos/gdalos_types.py:36-50 — 'average
 #    computes the average of all non-NODATA contributing pixels.
 #    Starting with GDAL 3.1, this is a weighted average taking into

@@ -1994,7 +1994,8 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     points deterministically take the MINIMUM core-neighbor cluster
     (classic DBSCAN's first-come assignment is scan-order-dependent —
     useless under a correctness gate). eps scales with observed density
-    (eps2 = DBSCAN_C/n, a 1-row broadcast — no driver round-trip), so
+    (eps2 = DBSCAN_C/n from the parquet FOOTER count — the same number
+    the cell edge below derives from, so the two can never diverge), so
     the neighborhood load stays O(1) per point at every scale factor.
 
     The GRID CELL edge adapts with eps (the smallest c with c^2 >=
@@ -2026,14 +2027,16 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hashing.md5_int60(F.concat(F.lit("x"), F.col("event_id").cast("string"))) % 6400).alias("xi"),
         (hashing.md5_int60(F.concat(F.lit("y"), F.col("event_id").cast("string"))) % 6400).alias("yi"),
     )
+    # eps2 and the cell edge BOTH derive from the footer count of the
+    # plain parquet files (ADVICE r11: the former runtime count(1) agg
+    # could read a stale bucketed copy and diverge from the host-side
+    # cell, silently dropping true neighbor pairs when cell < eps).
+    # The oracle keeps count(*) — DuckDB reads the same plain files the
+    # footer count walks, so the two counts are equal by construction.
     n_pts = max(1, footer_count(sf_dir, "events"))
     eps2_host = max(1, min(DBSCAN_C // n_pts, DBSCAN_CELL * DBSCAN_CELL))
     cell = min(DBSCAN_CELL, math.isqrt(eps2_host - 1) + 1)
-    par = p.agg(
-        F.expr(
-            f"least({DBSCAN_C} div count(1), {DBSCAN_CELL * DBSCAN_CELL}) AS eps2"
-        )
-    )
+    assert cell * cell >= eps2_host, (cell, eps2_host)
     pc = p.select(
         "event_id", "xi", "yi",
         F.expr(f"xi div {cell}").alias("cx"),
@@ -2057,13 +2060,12 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         probes.join(right, ["cx", "cy"])
-        .crossJoin(F.broadcast(par))
         .where(
             (F.col("eb") != F.col("ea"))
             & (
                 (F.col("axi") - F.col("bxi")) * (F.col("axi") - F.col("bxi"))
                 + (F.col("ayi") - F.col("byi")) * (F.col("ayi") - F.col("byi"))
-                <= F.col("eps2")
+                <= F.lit(eps2_host)
             )
         )
         .select("ea", "eb")

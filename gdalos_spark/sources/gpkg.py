@@ -113,10 +113,19 @@ def _gpkg_div_for(max_cents: int) -> int:
     scale factor the same way when narrowing to 16-bit storage; found
     by the sf10 upscale, where elev sums overflow the fixed /16 band.
     Pure function of the band maximum, so both the executor-side writer
-    and the SQL oracle derive the identical divisor."""
+    and the SQL oracle derive the identical divisor. Bounded at the
+    oracle dv CTE's k < 32 search cap (ADVICE r11): past the cap the
+    oracle's MIN goes NULL, so fail loudly HERE at the same boundary
+    instead of silently diverging — unreachable for elevation data
+    (needs max_cents >= 16 * 2^31 * 65535)."""
     d = GPKG_DIV
     while max_cents // d >= GPKG_NODATA16:
         d *= 2
+        if d >= GPKG_DIV << 32:
+            raise OverflowError(
+                f"band max {max_cents} needs divisor past the oracle's "
+                f"k<32 search bound"
+            )
     return d
 
 
@@ -275,15 +284,26 @@ def write_gpkg_scenes(
         ((F.col("py") / SCENE).cast("int") * (GRID_W // SCENE)
          + (F.col("px") / SCENE).cast("int")).alias("scene_id"),
     )
-    # band-level divisor: one scalar agg (the loop-probe collect class),
-    # broadcast to the executors as a closure constant
-    max_cents = g.agg(F.max("elev_cents")).first()[0] or 0
-    div = _gpkg_div_for(int(max_cents))
+    # band-level divisor: a 1-row broadcast joined onto every scene
+    # (NOT a driver-side first() — ADVICE r11: an eager agg at
+    # DataFrame-construction time breaks lazy plan audits / dry runs).
+    # The expression is _gpkg_div_for verbatim under the oracle's k<32
+    # bound: the smallest power-of-two multiple of GPKG_DIV keeping
+    # max(elev_cents)//d below the u16 nodata sentinel.
+    dv = g.agg(F.max("elev_cents").alias("m")).select(
+        F.expr(
+            f"array_min(filter(transform(sequence(0, 31), "
+            f"k -> cast({GPKG_DIV} as bigint) * shiftleft(cast(1 as bigint), k)), "
+            f"d -> coalesce(m, cast(0 as bigint)) div d < {GPKG_NODATA16}))"
+        ).cast("int").alias("div")
+    )
+    g = g.crossJoin(F.broadcast(dv))
 
     def encode(pdf):
         import pandas as pd
 
         os.makedirs(out_dir, exist_ok=True)
+        div = int(pdf["div"].iloc[0])
         sid, ox, oy, z1, ov = _scene_tiles(pdf, div)
         final = os.path.join(out_dir, f"scene_{sid:05d}.gpkg")
         if os.path.exists(final) and not overwrite:
