@@ -1,0 +1,157 @@
+"""Dependency-leveled scalar expression chains shared between Spark and
+DuckDB.
+
+The cross-engine correctness gate hinges on both engines evaluating the
+IDENTICAL IEEE expression text (see functions/literals.py and the
+polynomial banks in operators/text.py / operators/viewshed.py). Long
+scalar programs — the ITM radio model needs ~150 intermediate columns —
+outgrow the hand-staged tuple pattern of _geo_stages, so this module
+provides a tiny ordered-column "program" with:
+
+- transcendental helpers (ln / exp(-x) / cbrt) built ONLY from +,*,/,
+  sqrt, floor, integer bit-length and CASE — every one of which is
+  correctly rounded or exact in both engines, so identical text means
+  identical bits (the engine-libm ban, verify-skill gotcha #6);
+- automatic dependency leveling, so the Spark side renders as a few
+  wide `withColumns` batches and the DuckDB side as the same number of
+  nested `SELECT *, ... FROM (...)` layers instead of one subquery per
+  column.
+
+Engine differences are confined to two spellings injected at build
+time: integer division (Spark ``div``, DuckDB ``//``) and the power-of-
+two shift (Spark ``shiftleft(CAST(1 AS BIGINT), e)``, DuckDB
+``(CAST(1 AS BIGINT) << e)``). Build the chain once per engine; all
+other generated text is byte-identical.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from gdalos_spark.functions.literals import dbl_lit, horner
+
+LN2 = 0.6931471805599453
+LOG2E = 1.4426950408889634
+# atanh-series log2 mantissa coefficients 1/(2k+1) — the proven bank
+# from operators/text._log2_stages (7 terms, z <= 1/3 => err < 2e-8)
+_ATANH_C = [1.0, 1.0 / 3, 1.0 / 5, 1.0 / 7, 1.0 / 9, 1.0 / 11, 1.0 / 13]
+_LOG2_SCALE = "2.885390081777927"  # 2/ln(2), shared literal with text.py
+# Maclaurin exp(-r) on r in [0, ln 2): 13 terms => truncation < 2e-12
+_EXPM_C = [(-1.0) ** k / math.factorial(k) for k in range(13)]
+
+
+def spark_spellings():
+    return (" div ", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+
+
+def duckdb_spellings():
+    return (" // ", lambda e: f"(CAST(1 AS BIGINT) << ({e}))")
+
+
+class ScalarChain:
+    """Ordered (name, expr) program; exprs may reference earlier names."""
+
+    def __init__(self, intdiv: str, shift) -> None:
+        self._intdiv = intdiv
+        self._shift = shift
+        self.items: list[tuple[str, str]] = []
+
+    def add(self, name: str, expr: str) -> str:
+        self.items.append((name, expr))
+        return name
+
+    # -- transcendentals ---------------------------------------------------
+
+    def ln(self, y: str, out: str, scale: float = 1e9) -> str:
+        """out = ln(y) for y > 0, via micro-unit integerization (exact
+        floor(y*scale + 0.5), identical both engines) + the atanh-series
+        log2 of operators/text. Inputs are clamped to >= 1 integer unit
+        so degenerate rows stay finite (callers branch-gate with CASE);
+        quantization error is scale-relative and engine-identical."""
+        yi = self.add(
+            f"{out}_yi",
+            f"greatest(CAST(1 AS BIGINT), CAST(floor(({y}) * {dbl_lit(scale)} + 0.5e0) AS BIGINT))",
+        )
+        bl = self.add(f"{out}_bl", f"(length(bin({yi})) - 1)")
+        m = self.add(
+            f"{out}_m",
+            f"(CAST({yi} AS DOUBLE) / CAST({self._shift(bl)} AS DOUBLE))",
+        )
+        z = self.add(f"{out}_z", f"(({m} - 1.0e0) / ({m} + 1.0e0))")
+        poly = self.add(f"{out}_p", horner(f"({z} * {z})", _ATANH_C))
+        lg = self.add(
+            f"{out}_lg",
+            f"(CAST({bl} AS DOUBLE) + {_LOG2_SCALE}e0 * {z} * {poly})",
+        )
+        return self.add(
+            out, f"({dbl_lit(LN2)} * {lg} - {dbl_lit(math.log(scale))})"
+        )
+
+    def exp_neg(self, x: str, out: str) -> str:
+        """out = exp(-x) for x in [0, 60): base-2 range reduction
+        (nt = floor(x*log2 e), an exact shift) + Maclaurin exp(-r) on
+        the residual r in [0, ln 2) — truncation < 2e-12 relative."""
+        t = self.add(f"{out}_t", f"(({x}) * {dbl_lit(LOG2E)})")
+        nt = self.add(f"{out}_nt", f"CAST(floor({t}) AS INTEGER)")
+        r = self.add(
+            f"{out}_r", f"(({t} - CAST({nt} AS DOUBLE)) * {dbl_lit(LN2)})"
+        )
+        p = self.add(f"{out}_p", horner(r, _EXPM_C))
+        return self.add(
+            out, f"({p} / CAST({self._shift(nt)} AS DOUBLE))"
+        )
+
+    def cbrt(self, u: str, out: str, iters: int = 7) -> str:
+        """out = cbrt(u) for u > 0: seed 2^(bl div 3) from the integer
+        bit length of u in 1e-6 units (within 2x of the true root), then
+        Newton y <- (2y + u/y^2)/3 — quadratic convergence reaches
+        full double precision in 7 steps; every operation is IEEE
+        +,*,/ so both engines walk the identical value sequence."""
+        ui = self.add(
+            f"{out}_ui",
+            f"greatest(CAST(1 AS BIGINT), CAST(floor(({u}) * 1.0e6 + 0.5e0) AS BIGINT))",
+        )
+        ud = self.add(f"{out}_ud", f"CAST({ui} AS DOUBLE)")
+        bl = self.add(f"{out}_bl", f"(length(bin({ui})) - 1)")
+        e3 = self.add(f"{out}_e3", f"(({bl}){self._intdiv}3)")
+        y = self.add(f"{out}_y0", f"CAST({self._shift(e3)} AS DOUBLE)")
+        for k in range(1, iters + 1):
+            y = self.add(
+                f"{out}_y{k}", f"((2.0e0 * {y} + {ud} / ({y} * {y})) / 3.0e0)"
+            )
+        # cbrt(u) = cbrt(u * 1e6) / 100
+        return self.add(out, f"({y} * 0.01e0)")
+
+    # -- rendering ----------------------------------------------------------
+
+    def levels(self) -> list[list[tuple[str, str]]]:
+        """Greedy dependency leveling: a column referencing a name
+        defined in the current batch starts a new batch."""
+        out: list[list[tuple[str, str]]] = []
+        cur: list[tuple[str, str]] = []
+        cur_names: set[str] = set()
+        for name, expr in self.items:
+            toks = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+            if toks & cur_names:
+                out.append(cur)
+                cur, cur_names = [], set()
+            cur.append((name, expr))
+            cur_names.add(name)
+        if cur:
+            out.append(cur)
+        return out
+
+    def apply_spark(self, df):
+        from pyspark.sql import functions as F
+
+        for batch in self.levels():
+            df = df.withColumns({n: F.expr(e) for n, e in batch})
+        return df
+
+    def wrap_sql(self, inner: str) -> str:
+        q = inner
+        for batch in self.levels():
+            cols = ", ".join(f"{e} AS {n}" for n, e in batch)
+            q = f"SELECT *, {cols} FROM ({q})"
+        return q

@@ -2550,3 +2550,378 @@ FROM {q} AS t
 
 
 GEODESIC_DESTINATION_SQL = _geodesic_destination_sql()
+
+
+# ---------------------------------------------------------------------------
+# radio_itm_loss — ITM (Longley-Rice) point-to-point non-free-space loss
+#    ref: viewshed/radio_params.py:18 RadioCalcType.NonFreeSpaceLoss — the
+#         one RadioCalcType the repo did not cover; radio_params.py:45-52
+#         RadioBaseParams(refractivity, conductivity, permittivity,
+#         humidity) with DefaultRadioBaseParams(300.0, 0.03, 15.0, 10.0)
+#         at :53. The reference defers the actual propagation model to
+#         the talos DLL, so this is an independent implementation of the
+#         PUBLIC NTIA Irregular Terrain Model (Hufford, "The ITS
+#         Irregular Terrain Model, version 1.2.2: The Algorithm"), not a
+#         port of any reference code.
+#
+# Scope (documented reduction, flagged per row): the p2p DIFFRACTION-range
+# reference attenuation — the heart of the "non-free-space" model — over
+# the SAME integer-sampled DEM profiles as point_to_point_los:
+#   * qlrps scenario setup runs HOST-SIDE from RadioBaseParams exactly as
+#     ITM does once per scenario: effective earth curvature
+#     gme = 157e-9 * (1 - 0.04665*exp(Ns/179.3)) and the surface transfer
+#     impedance zgnd = sqrt((eps_r + j*376.62*sigma/wn) - 1) (horizontal
+#     polarity), embedded as exponent-spelled double literals. Humidity
+#     is carried in the output but unused — exactly how the reference
+#     forwards it to the DLL.
+#   * hzns horizon scan per link end from the profile: elevation angle
+#     over the effective-earth bulge th = (z - z_end)/d - gme*d/2, the
+#     max over interior samples, its distance as the horizon distance.
+#   * dh terrain irregularity = interdecile range of the interior
+#     profile elevations (ranked positions 1+(M-1)//10 and M-(M-1)//10
+#     over the M present samples, deterministic (z, i) ordering — the
+#     sparse small-SF DEM drops cells, so M varies per link).
+#   * adiff: double knife-edge (aknfe) + smooth-earth (fht) attenuation
+#     blended by the ITM weighting, plus the clutter term afo.
+#   * LOS-regime links (horizon angle below the direct ray on both ends)
+#     get regime='los' and the diffraction formula evaluated at
+#     de = max(d, dla + step) — lrprop's two-ray LOS blend is out of
+#     scope; the flag marks exactly the rows it would refine.
+# Every transcendental is an engine-identical polynomial/Newton form
+# from functions/scalar_chain.py (ln via integer bit-length + atanh
+# series, exp via base-2 range reduction + Maclaurin, cbrt via Newton) —
+# no engine libm touches any gated value. ITM's kwx parameter-range
+# error flags are stood in for by greatest(...) clamps at the same
+# boundaries (q >= 1 before each ln), so degenerate geometry stays
+# finite and deterministic instead of NaN.
+#
+# Plan shape: tiny link table (|customers|/23 x 5 observers) crossJoin a
+# 63-row step table, equi-join the DEM on the sampled cell — the same
+# bounded fan-out as point_to_point_los — one groupBy + one window for
+# the per-link reductions, then a pure scalar projection chain (wide
+# whole-stage codegen, zero further shuffles). At 100 TB the link table
+# is what scales; per-link cost stays O(N_LOS_STEPS).
+# ---------------------------------------------------------------------------
+
+ITM_REFRACTIVITY = 300.0  # RadioBaseParams defaults, radio_params.py:53
+ITM_CONDUCTIVITY = 0.03
+ITM_PERMITTIVITY = 15.0
+ITM_HUMIDITY = 10.0
+ITM_HG = 10.0  # structural antenna height (m) for the afo/wd1 terms
+_ITM_WN = RADIO_FREQ_MHZ / 47.7  # ITM wave number, 1/m
+_ITM_GME = 157e-9 * (1.0 - 0.04665 * _m.exp(ITM_REFRACTIVITY / 179.3))
+_ITM_QK = 0.2667357184806571  # 1/|zgnd|, host cmath: sqrt(15+1.2446j - 1)
+_ITM_FSPL_C = 8.685889638065035  # 20/ln(10)
+_ITM_FSPL_K = 25.17975792706731  # 20*log10(433 MHz) - 27.55
+
+
+def _itm_chain(intdiv: str, shift) -> "ScalarChain":
+    """The shared adiff scalar program over the link-level inputs
+    (d_m, sm, dh, te1, te2, dl1, dl2, he1, he2, zt): identical text in
+    both engines except the injected div/shift spellings."""
+    from gdalos_spark.functions.literals import dbl_lit as L
+    from gdalos_spark.functions.scalar_chain import ScalarChain
+
+    gme, wn, qk, hg = L(_ITM_GME), L(_ITM_WN), L(_ITM_QK), L(ITM_HG)
+    c = ScalarChain(intdiv, shift)
+    c.add("dls1", f"sqrt(2.0e0 * he1 / {gme})")
+    c.add("dls2", f"sqrt(2.0e0 * he2 / {gme})")
+    c.add("dla", "(dl1 + dl2)")
+    c.add("dlsa", "(dls1 + dls2)")
+    c.add("tha", f"greatest(te1 + te2, -(dla * {gme}))")
+    c.add("de", "greatest(d_m, dla + sm)")
+    c.add("th", f"(tha + de * {gme})")
+    c.add("ds", "(de - dla)")
+    # clutter term afo (ITM adiff setup)
+    c.exp_neg(f"(dlsa * {L(1.0 / 50e3)})", "e_dlsa")
+    c.add("q0", "((1.0e0 - 0.8e0 * e_dlsa) * dh)")
+    c.add("fr4", "sqrt(sqrt(q0 / 16.0e0))")
+    c.exp_neg("fr4", "e_fr4")
+    c.add("q1c", "(q0 * 0.78e0 * e_fr4)")
+    c.ln(f"(1.0e0 + {L(4.77e-4 * ITM_HG * ITM_HG)} * {wn} * q1c)", "ln_afo")
+    c.add("afo", "least(15.0e0, 2.171e0 * ln_afo)")
+    # weighting setup
+    c.add("wd1", f"sqrt(1.0e0 + (he1 * he2 - {L(ITM_HG * ITM_HG)}) / {L(ITM_HG * ITM_HG + 10.0)})")
+    c.add("xd1", f"(dla + tha / {gme})")
+    # per-terminal smooth-earth height-gain setup (fht at xht)
+    for j in (1, 2):
+        c.add(f"a{j}", f"(0.5e0 * dl{j} * dl{j} / he{j})")
+        c.cbrt(f"(a{j} * {wn})", f"wa{j}")
+        c.add(f"pk{j}", f"({qk} / wa{j})")
+        # >= 1 clamp: ITM's kwx range guard; keeps the ln branch finite
+        c.add(f"q{j}j", f"greatest((1.607e0 - pk{j}) * 151.0e0 * wa{j} * dl{j} / a{j}, 1.0e0)")
+        c.ln(f"pk{j}", f"lnpk{j}")
+        c.ln(f"q{j}j", f"lnx{j}")
+        c.add(f"w{j}", f"(0.0e0 - lnpk{j})")
+        c.exp_neg(f"least(0.005e0 * q{j}j, 30.0e0)", f"ex{j}")
+        c.add(f"wz{j}", f"(0.0134e0 * q{j}j * ex{j})")
+        c.add(
+            f"fht{j}",
+            f"(CASE WHEN q{j}j < 200.0e0 THEN "
+            f"(CASE WHEN pk{j} < 1.0e-5 OR q{j}j * w{j} * w{j} * w{j} > 5495.0e0 THEN "
+            f"(CASE WHEN q{j}j > 1.0e0 THEN 17.372e0 * lnx{j} - 117.0e0 ELSE -117.0e0 END) "
+            f"ELSE 2.5e-5 * q{j}j * q{j}j / pk{j} - 8.686e0 * w{j} - 15.0e0 END) "
+            f"ELSE (CASE WHEN q{j}j < 2000.0e0 THEN "
+            f"(1.0e0 - wz{j}) * (0.05751e0 * q{j}j - 4.343e0 * lnx{j}) + wz{j} * (17.372e0 * lnx{j} - 117.0e0) "
+            f"ELSE 0.05751e0 * q{j}j - 4.343e0 * lnx{j} END) END)",
+        )
+    c.add("xht", "(q1j + q2j)")
+    c.add("aht", "(20.0e0 + fht1 + fht2)")
+    # double knife edge at de
+    c.add("qd", f"(0.0795775e0 * {wn} * ds * th * th)")
+    for j in (1, 2):
+        c.add(f"v2{j}", f"(qd * dl{j} / (ds + dl{j}))")
+        c.ln(f"v2{j}", f"lnv2{j}")
+        c.add(
+            f"ak{j}",
+            f"(CASE WHEN v2{j} < 5.76e0 THEN 6.02e0 + 9.11e0 * sqrt(v2{j}) - 1.27e0 * v2{j} "
+            f"ELSE 12.953e0 + 4.343e0 * lnv2{j} END)",
+        )
+    c.add("adiffv", "(ak1 + ak2)")
+    # smooth-earth attenuation at de
+    c.add("ax", "(ds / th)")
+    c.cbrt(f"(ax * {wn})", "wa")
+    c.add("pk", f"({qk} / wa)")
+    c.add("qx", f"greatest((1.607e0 - pk) * 151.0e0 * wa * th + xht, 1.0e0)")
+    c.ln("qx", "lnqx")
+    c.add("ar", "(0.05751e0 * qx - 4.343e0 * lnqx - aht)")
+    # blend weight + reference attenuation
+    c.exp_neg(f"(de * {L(1.0 / 50e3)})", "e_de")
+    c.add("qw", f"((wd1 + xd1 / de) * least((1.0e0 - 0.8e0 * e_de) * dh * {wn}, 6283.2e0))")
+    c.add("wd", "(25.1e0 / (25.1e0 + sqrt(qw)))")
+    c.add("aref", "(ar * wd + (1.0e0 - wd) * adiffv + afo)")
+    # FSPL via the same polynomial ln + regime flag + total
+    c.ln("d_m", "ln_d")
+    c.add("fspl", f"({L(_ITM_FSPL_C)} * ln_d + {L(_ITM_FSPL_K)})")
+    c.add("ploss", "(fspl + greatest(0.0e0, aref))")
+    c.add(
+        "regime",
+        f"(CASE WHEN te1 < (zt - {L(OBS_Z)}) / d_m - {gme} * d_m * 0.5e0 "
+        f"AND te2 < ({L(OBS_Z)} - zt) / d_m - {gme} * d_m * 0.5e0 "
+        f"THEN 'los' ELSE 'diffraction' END)",
+    )
+    return c
+
+
+_ITM_OUT = (
+    "c_custkey", "ox", "oy", "n_samples", "dist_m", "dh_m", "dl1_m",
+    "dl2_m", "theta_e1", "theta_e2", "regime", "aref_db", "fspl_db",
+    "path_loss_db", "refractivity", "conductivity", "permittivity",
+    "humidity",
+)
+
+
+def radio_itm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITM p2p non-free-space loss per p2p link — see the block comment
+    above for the model scope and the reference citations."""
+    from gdalos_spark.functions.literals import dbl_lit as L
+    from gdalos_spark.functions.scalar_chain import spark_spellings
+
+    n = N_LOS_STEPS
+    obs = spark.createDataFrame(list(OBSERVERS), "ox int, oy int")
+    tgts = (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") % LOS_TARGET_MOD == 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("cx")).cast("int").alias("tx"),
+            F.floor(F.col("cy")).cast("int").alias("ty"),
+        )
+    )
+    g = dem_grid(spark, sf_dir).select("px", "py", F.col("elev").cast("double").alias("z"))
+    base = (
+        tgts.crossJoin(F.broadcast(obs))
+        .filter((F.col("ox") != F.col("tx")) | (F.col("oy") != F.col("ty")))
+        .withColumn(
+            "d2i",
+            (F.col("tx") - F.col("ox")) * (F.col("tx") - F.col("ox"))
+            + (F.col("ty") - F.col("oy")) * (F.col("ty") - F.col("oy")),
+        )
+        .withColumn("d_m", F.expr(f"sqrt(CAST(d2i AS DOUBLE)) * {L(CELL_M)}"))
+        .withColumn("sm", F.expr(f"d_m / {L(float(n))}"))
+        .join(
+            g.select(F.col("px").alias("tx"), F.col("py").alias("ty"), F.col("z").alias("z_t")),
+            ["tx", "ty"],
+        )
+        .withColumn("zt", F.expr(f"(z_t + {L(ITM_HG)})"))
+    )
+    steps = spark.range(1, n).select(F.col("id").cast("int").alias("i"))
+    ps = (
+        base.crossJoin(F.broadcast(steps))
+        .withColumn("px", F.expr(f"CAST((ox * ({n} - i) + tx * i + {n // 2}) div {n} AS INT)"))
+        .withColumn("py", F.expr(f"CAST((oy * ({n} - i) + ty * i + {n // 2}) div {n} AS INT)"))
+        .join(g, ["px", "py"])
+        .withColumn("d1", F.expr(f"(CAST(i AS DOUBLE) * sm)"))
+        .withColumn("d2", F.expr(f"(CAST({n} - i AS DOUBLE) * sm)"))
+        .withColumn("th1", F.expr(f"((z - {L(OBS_Z)}) / d1 - {L(_ITM_GME)} * d1 * 0.5e0)"))
+        .withColumn("th2", F.expr(f"((z - zt) / d2 - {L(_ITM_GME)} * d2 * 0.5e0)"))
+        .select("c_custkey", "ox", "oy", "i", "z", "th1", "th2")
+    )
+    key = ["c_custkey", "ox", "oy"]
+    agg = ps.groupBy(*key).agg(
+        F.expr("max(th1)").alias("te1"),
+        F.expr("max(th2)").alias("te2"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.expr("SUM(CAST(floor(z * 100.0e0 + 0.5e0) AS BIGINT))").alias("zc"),
+    )
+    # interdecile positions derive from the PER-LINK sample count: the
+    # sparse small-SF DEM drops profile cells (the same n_samples
+    # variance point_to_point_los reports), so fixed ranks 7/57 would
+    # silently drop whole links
+    w = Window.partitionBy(*key).orderBy("z", "i")
+    rk = (
+        ps.select(*key, "z", "i")
+        .withColumn("rn", F.row_number().over(w))
+        .join(agg.select(*key, "n_samples"), key)
+    )
+    dec = (
+        rk.filter(F.expr("rn = 1 + (n_samples - 1) div 10"))
+        .select(*key, F.col("z").alias("z_lo"))
+        .join(
+            rk.filter(F.expr("rn = n_samples - (n_samples - 1) div 10"))
+            .select(*key, F.col("z").alias("z_hi")),
+            key,
+        )
+        .select(*key, F.expr("(z_hi - z_lo)").alias("dh"))
+    )
+    h1 = (
+        ps.join(agg.select(*key, "te1"), key)
+        .filter(F.col("th1") == F.col("te1"))
+        .groupBy(*key)
+        .agg(F.min("i").alias("i1"))
+    )
+    h2 = (
+        ps.join(agg.select(*key, "te2"), key)
+        .filter(F.col("th2") == F.col("te2"))
+        .groupBy(*key)
+        .agg(F.max("i").alias("i2"))
+    )
+    link = (
+        base.select(*key, "d_m", "sm", "zt")
+        .join(agg, key)
+        .join(dec, key)
+        .join(h1, key)
+        .join(h2, key)
+        .withColumn("dl1", F.expr("(CAST(i1 AS DOUBLE) * sm)"))
+        .withColumn("dl2", F.expr(f"(CAST({n} - i2 AS DOUBLE) * sm)"))
+        .withColumn("zbar", F.expr("(CAST(zc AS DOUBLE) / (CAST(n_samples AS DOUBLE) * 100.0e0))"))
+        .withColumn("he1", F.expr(f"greatest(1.0e0, {L(OBS_Z)} - zbar)"))
+        .withColumn("he2", F.expr("greatest(1.0e0, zt - zbar)"))
+    )
+    out = _itm_chain(*spark_spellings()).apply_spark(link)
+    return out.select(
+        "c_custkey", "ox", "oy", "n_samples",
+        F.col("d_m").alias("dist_m"),
+        F.col("dh").alias("dh_m"),
+        F.col("dl1").alias("dl1_m"),
+        F.col("dl2").alias("dl2_m"),
+        F.col("te1").alias("theta_e1"),
+        F.col("te2").alias("theta_e2"),
+        "regime",
+        F.col("aref").alias("aref_db"),
+        F.col("fspl").alias("fspl_db"),
+        F.col("ploss").alias("path_loss_db"),
+        F.expr(f"{L(ITM_REFRACTIVITY)}").alias("refractivity"),
+        F.expr(f"{L(ITM_CONDUCTIVITY)}").alias("conductivity"),
+        F.expr(f"{L(ITM_PERMITTIVITY)}").alias("permittivity"),
+        F.expr(f"{L(ITM_HUMIDITY)}").alias("humidity"),
+    )
+
+
+def _radio_itm_sql() -> str:
+    from gdalos_spark.functions.literals import dbl_lit as L
+    from gdalos_spark.functions.scalar_chain import duckdb_spellings
+
+    n = N_LOS_STEPS
+    values = ", ".join(f"({x}, {y})" for x, y in OBSERVERS)
+    link = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+pts AS ({CUSTOMER_POINTS_SQL}),
+obs(ox, oy) AS (VALUES {values}),
+tgts AS (
+  SELECT c_custkey, CAST(FLOOR(cx) AS INTEGER) AS tx, CAST(FLOOR(cy) AS INTEGER) AS ty
+  FROM pts WHERE c_custkey % {LOS_TARGET_MOD} = 0
+),
+base AS (
+  SELECT b.c_custkey, b.ox, b.oy, b.tx, b.ty,
+         sqrt(CAST(b.d2i AS DOUBLE)) * {L(CELL_M)} AS d_m,
+         sqrt(CAST(b.d2i AS DOUBLE)) * {L(CELL_M)} / {L(float(n))} AS sm,
+         (CAST(dem.elev AS DOUBLE) + {L(ITM_HG)}) AS zt
+  FROM (
+    SELECT c_custkey, ox, oy, tx, ty,
+           (tx-ox)*(tx-ox) + (ty-oy)*(ty-oy) AS d2i
+    FROM tgts CROSS JOIN obs
+    WHERE NOT (ox = tx AND oy = ty)
+  ) b JOIN dem ON dem.px = b.tx AND dem.py = b.ty
+),
+steps AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, {n})),
+ps AS (
+  SELECT b.c_custkey, b.ox, b.oy, s.i,
+         CAST(dem.elev AS DOUBLE) AS z,
+         ((CAST(dem.elev AS DOUBLE) - {L(OBS_Z)}) / (CAST(s.i AS DOUBLE) * b.sm) - {L(_ITM_GME)} * (CAST(s.i AS DOUBLE) * b.sm) * 0.5e0) AS th1,
+         ((CAST(dem.elev AS DOUBLE) - b.zt) / (CAST({n} - s.i AS DOUBLE) * b.sm) - {L(_ITM_GME)} * (CAST({n} - s.i AS DOUBLE) * b.sm) * 0.5e0) AS th2
+  FROM base b CROSS JOIN steps s
+  JOIN dem ON dem.px = CAST((b.ox * ({n} - s.i) + b.tx * s.i + {n // 2}) // {n} AS INTEGER)
+          AND dem.py = CAST((b.oy * ({n} - s.i) + b.ty * s.i + {n // 2}) // {n} AS INTEGER)
+),
+agg AS (
+  SELECT c_custkey, ox, oy, max(th1) AS te1, max(th2) AS te2,
+         COUNT(*) AS n_samples,
+         SUM(CAST(floor(z * 100.0e0 + 0.5e0) AS BIGINT)) AS zc
+  FROM ps GROUP BY c_custkey, ox, oy
+),
+rk AS (
+  SELECT r.c_custkey, r.ox, r.oy, r.z, r.rn, agg.n_samples
+  FROM (
+    SELECT c_custkey, ox, oy, z,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey, ox, oy ORDER BY z, i) AS rn
+    FROM ps
+  ) r JOIN agg USING (c_custkey, ox, oy)
+),
+dec AS (
+  SELECT lo.c_custkey, lo.ox, lo.oy, (hi.z - lo.z) AS dh
+  FROM (SELECT * FROM rk WHERE rn = 1 + (n_samples - 1) // 10) lo
+  JOIN (SELECT * FROM rk WHERE rn = n_samples - (n_samples - 1) // 10) hi
+    USING (c_custkey, ox, oy)
+),
+h1 AS (
+  SELECT ps.c_custkey, ps.ox, ps.oy, MIN(ps.i) AS i1
+  FROM ps JOIN agg USING (c_custkey, ox, oy)
+  WHERE ps.th1 = agg.te1 GROUP BY ps.c_custkey, ps.ox, ps.oy
+),
+h2 AS (
+  SELECT ps.c_custkey, ps.ox, ps.oy, MAX(ps.i) AS i2
+  FROM ps JOIN agg USING (c_custkey, ox, oy)
+  WHERE ps.th2 = agg.te2 GROUP BY ps.c_custkey, ps.ox, ps.oy
+),
+link AS (
+  SELECT b.c_custkey, b.ox, b.oy, b.d_m, b.sm, b.zt,
+         agg.te1, agg.te2, agg.n_samples,
+         dec.dh,
+         (CAST(h1.i1 AS DOUBLE) * b.sm) AS dl1,
+         (CAST({n} - h2.i2 AS DOUBLE) * b.sm) AS dl2,
+         greatest(1.0e0, {L(OBS_Z)} - (CAST(agg.zc AS DOUBLE) / (CAST(agg.n_samples AS DOUBLE) * 100.0e0))) AS he1,
+         greatest(1.0e0, b.zt - (CAST(agg.zc AS DOUBLE) / (CAST(agg.n_samples AS DOUBLE) * 100.0e0))) AS he2
+  FROM base b
+  JOIN agg USING (c_custkey, ox, oy)
+  JOIN dec USING (c_custkey, ox, oy)
+  JOIN h1 USING (c_custkey, ox, oy)
+  JOIN h2 USING (c_custkey, ox, oy)
+)
+SELECT * FROM link
+"""
+    chained = _itm_chain(*duckdb_spellings()).wrap_sql(link)
+    return f"""
+SELECT c_custkey, ox, oy, n_samples,
+       d_m AS dist_m, dh AS dh_m, dl1 AS dl1_m, dl2 AS dl2_m,
+       te1 AS theta_e1, te2 AS theta_e2, regime,
+       aref AS aref_db, fspl AS fspl_db, ploss AS path_loss_db,
+       {L(ITM_REFRACTIVITY)} AS refractivity,
+       {L(ITM_CONDUCTIVITY)} AS conductivity,
+       {L(ITM_PERMITTIVITY)} AS permittivity,
+       {L(ITM_HUMIDITY)} AS humidity
+FROM ({chained})
+"""
+
+
+RADIO_ITM_LOSS_SQL = _radio_itm_sql()
