@@ -1421,3 +1421,231 @@ SELECT CAST((py // {SCENE}) * {GRID_W // SCENE} + (px // {SCENE}) AS INTEGER) AS
        4326 AS epsg
 FROM dem
 """
+
+
+# --- external .ovr overview sidecars ---------------------------------------
+# The non-COG flavor the reference actually emits: OvrType.create_external_
+# auto/single/multi (gdalos_types.py:22-26) via gdalos_trans.py:1067 add_ovr
+# — a bare base-resolution .tif plus a SIDECAR <name>.tif.ovr holding the
+# reduced-resolution levels. The sidecar is itself just a TIFF whose IFDs
+# are the overview grids (GDAL's external-overview layout: libtiff
+# multi-IFD, NewSubfileType=1, no geo tags — geometry lives on the base
+# file's IFD0 only), so the existing tiled/deflate IFD machinery covers it.
+
+
+def _encode_geotiff_ovr_pair(grid, origin_lon: float, origin_lat: float,
+                             levels: int = OVERVIEW_LEVELS):
+    """(base_tif_bytes, ovr_bytes): single-IFD base GeoTIFF + the
+    external .ovr sidecar with one reduced-resolution IFD per level —
+    the same grids _encode_geotiff_cog packs as internal overviews."""
+    import numpy as np
+
+    g64 = np.asarray(grid, dtype="int64")
+    base = _encode_geotiff(g64, origin_lon, origin_lat)
+    specs = [
+        _tiled_ifd_spec(_overview_grid(g64, 1 << k), origin_lon, origin_lat,
+                        subfile=True)
+        for k in range(1, levels + 1)
+    ]
+    return base, _assemble_multi(specs)
+
+
+def scene_tiff_ovr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(scene_id, payload, ovr) — base GeoTIFF + external overview
+    sidecar byte streams per scene; same single groupBy as scene_tiffs."""
+    g = dem_grid(spark, sf_dir).select(
+        "px",
+        "py",
+        (F.col("elev") * 100).cast("long").alias("elev_cents"),
+        ((F.col("py") / SCENE).cast("int") * (GRID_W // SCENE)
+         + (F.col("px") / SCENE).cast("int")).alias("scene_id"),
+    )
+
+    def encode(pdf):
+        import numpy as np
+        import pandas as pd
+
+        sid = int(pdf["scene_id"].iloc[0])
+        sy, sx = divmod(sid, GRID_W // SCENE)
+        ox, oy = sx * SCENE, sy * SCENE
+        vals = pdf["elev_cents"].to_numpy()
+        if (vals == NODATA).any():
+            raise OverflowError(
+                "pixel value equals the NODATA sentinel; use a wider "
+                "sample format for this band"
+            )
+        grid = np.full((SCENE, SCENE), NODATA, dtype="int64")
+        grid[pdf["py"].to_numpy() - oy, pdf["px"].to_numpy() - ox] = vals
+        base, ovr = _encode_geotiff_ovr_pair(grid, LON0 + ox * PIX, LAT0 - oy * PIX)
+        return pd.DataFrame(
+            {"scene_id": [sid], "payload": [base], "ovr": [ovr]}
+        )
+
+    return g.groupBy("scene_id").applyInPandas(
+        encode, schema="scene_id int, payload binary, ovr binary"
+    )
+
+
+def write_ovr_scenes(
+    spark: SparkSession, sf_dir: str, out_dir: str, overwrite: bool = False
+) -> DataFrame:
+    """Write each scene as the (.tif, .tif.ovr) PAIR with the two-step
+    temp+rename commit per file. The SIDECAR commits FIRST: GDAL (and
+    any reader) discovers .ovr via the base file, so ordering the base
+    rename last means a reader that can open the .tif always finds its
+    finished sidecar — no torn pair is ever observable. Skipped only
+    when BOTH halves already exist (a crashed run that committed just
+    the .ovr is repaired by the next run)."""
+    pairs = scene_tiff_ovr_pairs(spark, sf_dir)
+
+    def write(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        os.makedirs(out_dir, exist_ok=True)
+
+        def commit(data: bytes, final: str) -> None:
+            fd, tmp = tempfile.mkstemp(
+                dir=out_dir, prefix=f".{os.path.basename(final)}.", suffix=".part"
+            )
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(bytes(data))
+                os.replace(tmp, final)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+
+        for pdf in batches:
+            rows = []
+            for sid, base, ovr in zip(pdf["scene_id"], pdf["payload"], pdf["ovr"]):
+                tif = os.path.join(out_dir, f"scene_{int(sid):05d}.tif")
+                sidecar = f"{tif}.ovr"
+                if os.path.exists(tif) and os.path.exists(sidecar) and not overwrite:
+                    action = "skipped"
+                else:
+                    commit(ovr, sidecar)
+                    commit(base, tif)
+                    action = "written"
+                rows.append(
+                    (int(sid), tif, action,
+                     os.path.getsize(tif), os.path.getsize(sidecar))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["scene_id", "path", "action", "tif_bytes", "ovr_bytes"],
+            )
+
+    return pairs.mapInPandas(
+        write,
+        schema="scene_id int, path string, action string, "
+        "tif_bytes bigint, ovr_bytes bigint",
+    )
+
+
+def _ovr_out_dir(sf_dir: str) -> str:
+    from gdalos_spark.datamodel import source_fingerprint
+
+    fp = source_fingerprint(f"{sf_dir}/lineitem.parquet")
+    slug = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    return os.path.join(os.environ.get("GDALOS_OVR_ROOT", "/tmp/gdalos_ovr"), slug)
+
+
+def ovr_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate for the external-overview flavor: write the
+    (.tif, .tif.ovr) pairs, read BOTH files back, and report base
+    structure + exact pixel aggregates per resolution level. The base
+    must decode to exactly one full-geometry IFD and the sidecar to the
+    overview levels — same floor-average integer reduction as the COG,
+    so the SQL oracle recomputes every column from lineitem."""
+    written = write_ovr_scenes(spark, sf_dir, _ovr_out_dir(sf_dir))
+
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for sid, path in zip(pdf["scene_id"], pdf["path"]):
+                with open(path, "rb") as f:
+                    base_payload = f.read()
+                with open(f"{path}.ovr", "rb") as f:
+                    ovr_payload = f.read()
+                base_ifds = _read_ifds(base_payload)
+                ovr_ifds = _read_ifds(ovr_payload)
+                base = _grid_from_tags(base_ifds[0], base_payload)
+                _, _, epsg = _decode_geotiff(base_payload)
+                pres = base[base != NODATA].astype("int64")
+                row = [
+                    int(sid),
+                    base_ifds[0][_T_WIDTH][0],
+                    base_ifds[0][_T_HEIGHT][0],
+                    len(base_ifds[0][_T_TILE_OFFSETS]),
+                    len(base_ifds),
+                    len(ovr_ifds),
+                    epsg,
+                    int(pres.size),
+                    int(pres.sum()),
+                ]
+                for tags in ovr_ifds:
+                    ov = _grid_from_tags(tags, ovr_payload)
+                    ovp = ov[ov != NODATA].astype("int64")
+                    row += [int(ovp.size), int(ovp.sum())]
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "scene_id", "width", "height", "n_tiles", "base_ifds",
+                    "ovr_ifds", "epsg", "px_count", "sum_cents",
+                    "ov1_count", "ov1_sum", "ov2_count", "ov2_sum",
+                ],
+            ).astype({"px_count": "int64", "sum_cents": "int64"})
+
+    return written.mapInPandas(
+        stats,
+        schema="scene_id int, width int, height int, n_tiles int, "
+        "base_ifds int, ovr_ifds int, epsg int, px_count bigint, "
+        "sum_cents bigint, ov1_count bigint, ov1_sum bigint, "
+        "ov2_count bigint, ov2_sum bigint",
+    )
+
+
+OVR_WRITE_MANIFEST_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL}),
+base AS (
+  SELECT CAST((py // {SCENE}) * {GRID_W // SCENE} + (px // {SCENE}) AS INTEGER) AS scene_id,
+         px % {SCENE} AS lx, py % {SCENE} AS ly,
+         CAST(elev * 100 AS BIGINT) AS v
+  FROM dem
+),
+ov1 AS (
+  SELECT scene_id, lx // 2 AS ox, ly // 2 AS oy,
+         CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS v
+  FROM base GROUP BY 1, 2, 3
+),
+ov2 AS (
+  SELECT scene_id, lx // 4 AS ox, ly // 4 AS oy,
+         CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS v
+  FROM base GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT scene_id, COUNT(*) AS px_count, SUM(v) AS sum_cents
+  FROM base GROUP BY 1
+),
+o1 AS (SELECT scene_id, COUNT(*) AS ov1_count, SUM(v) AS ov1_sum FROM ov1 GROUP BY 1),
+o2 AS (SELECT scene_id, COUNT(*) AS ov2_count, SUM(v) AS ov2_sum FROM ov2 GROUP BY 1)
+SELECT b.scene_id,
+       {SCENE} AS width, {SCENE} AS height,
+       {(SCENE // TILE_W) * (SCENE // TILE_H)} AS n_tiles,
+       1 AS base_ifds,
+       {OVERVIEW_LEVELS} AS ovr_ifds,
+       4326 AS epsg,
+       CAST(px_count AS BIGINT) AS px_count,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(ov1_count AS BIGINT) AS ov1_count,
+       CAST(ov1_sum AS BIGINT) AS ov1_sum,
+       CAST(ov2_count AS BIGINT) AS ov2_count,
+       CAST(ov2_sum AS BIGINT) AS ov2_sum
+FROM b JOIN o1 USING (scene_id) JOIN o2 USING (scene_id)
+"""

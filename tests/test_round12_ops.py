@@ -167,3 +167,56 @@ def test_radio_itm_physics_sane(ducks):
         assert d["dh_m"] >= 0
         if d["regime"] == "diffraction":
             assert d["aref_db"] > 0
+
+
+# --- ovr_write_manifest ------------------------------------------------------
+
+
+def test_ovr_write_manifest_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["ovr_write_manifest"],
+        entrymod.oracle_sql()["ovr_write_manifest"],
+    )
+
+
+def test_ovr_pair_roundtrip_and_skip(spark, tmp_path):
+    """The written pair decodes back to the COG's exact grids (base ==
+    internal IFD0, sidecar levels == internal overview IFDs), reruns
+    skip, and the sidecar is a valid standalone TIFF with reduced-
+    resolution subfile IFDs and no geo tags."""
+    from gdalos_spark.sources import geotiff as G
+
+    out = str(tmp_path / "ovr")
+    rows = {r["scene_id"]: r for r in G.write_ovr_scenes(spark, SF_DIR, out).collect()}
+    assert rows and all(r["action"] == "written" for r in rows.values())
+    again = {r["scene_id"]: r for r in G.write_ovr_scenes(spark, SF_DIR, out).collect()}
+    assert all(r["action"] == "skipped" for r in again.values())
+
+    cogs = {r["scene_id"]: r for r in G.write_cog_scenes(spark, SF_DIR, str(tmp_path / "cog")).collect()}
+    for sid, r in rows.items():
+        base_payload = open(r["path"], "rb").read()
+        ovr_payload = open(r["path"] + ".ovr", "rb").read()
+        cog_payload = open(cogs[sid]["path"], "rb").read()
+        base_ifds = G._read_ifds(base_payload)
+        ovr_ifds = G._read_ifds(ovr_payload)
+        cog_ifds = G._read_ifds(cog_payload)
+        assert len(base_ifds) == 1 and len(ovr_ifds) == G.OVERVIEW_LEVELS
+        # base carries geometry; sidecar IFDs are subfile-marked, geo-free
+        assert G._T_MODEL_SCALE in base_ifds[0]
+        for tags in ovr_ifds:
+            assert tags[G._T_SUBFILE_TYPE][0] == 1
+            assert G._T_MODEL_SCALE not in tags
+        # pixel-identical to the internal-overview COG, level by level
+        import numpy as np
+
+        assert np.array_equal(
+            G._grid_from_tags(base_ifds[0], base_payload),
+            G._grid_from_tags(cog_ifds[0], cog_payload),
+        )
+        for ot, ct in zip(ovr_ifds, cog_ifds[1:]):
+            assert np.array_equal(
+                G._grid_from_tags(ot, ovr_payload),
+                G._grid_from_tags(ct, cog_payload),
+            )
