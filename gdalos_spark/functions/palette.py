@@ -205,3 +205,25 @@ def interp_channel_case_sql(
         )
     whens.append(f"ELSE {entries[-1][1]}")
     return "CASE " + " ".join(whens) + " END"
+
+
+def bin_index_case_sql(pal: list[tuple[float, str]], value_expr: str) -> str:
+    """0-based palette-entry INDEX of the matched bin — the pixel value
+    a palette-band raster stores (the color-table lookup key
+    -expand rgb resolves)."""
+    whens = " ".join(
+        f"WHEN {value_expr} >= {key} THEN {i}"
+        for i, (key, _) in reversed(list(enumerate(pal))[1:])
+    )
+    return f"CAST(CASE {whens} ELSE 0 END AS INTEGER)"
+
+
+def channel_case_sql(pal: list[tuple[float, str]], chan_off: int, value_expr: str) -> str:
+    """One expanded 8-bit channel (chan_off: 0=A, 2=R, 4=G, 6=B in the
+    AARRGGBB hex) of the matched bin — host-parsed to integer literals,
+    so the expansion is one CASE chain per band, exact integers only."""
+    whens = " ".join(
+        f"WHEN {value_expr} >= {key} THEN {int(c[chan_off:chan_off + 2], 16)}"
+        for key, c in reversed(pal[1:])
+    )
+    return f"CAST(CASE {whens} ELSE {int(pal[0][1][chan_off:chan_off + 2], 16)} END AS INTEGER)"

@@ -5744,3 +5744,47 @@ FROM {prev} o LEFT JOIN npar np ON np.px = o.px AND np.py = o.py
 
 
 RASTER_STREAM_ORDER_SQL = _stream_order_sql()
+
+
+# ---------------------------------------------------------------------------
+# raster_expand_rgb — palette band -> 3-band RGB translate
+#    ref: /root/reference/src/gdalos/gdalos_trans.py:480-485 (region
+#    expand_rgb: RasterKind.pal + expand_rgb -> translate_options
+#    ['rgbExpand'] = 'rgb', out suffix 'rgb'); gdalos_types.py:84-96
+#    resampling_alg_by_kind routes palette rasters specially for the
+#    same reason: index pixels must not be averaged.
+#
+# GDAL's -expand rgb resolves each palette INDEX pixel through the color
+# table into three 8-bit bands. The palette band here is the DEM binned
+# through the talos palette (the same index raster_color_relief colors);
+# the expansion is a host-parsed CASE chain per channel — a pure
+# projection, zero shuffles, whole-stage codegen, exact integers in
+# every gated column. A 100-TB palette raster expands embarrassingly
+# parallel: no data-dependent state, filters/pruning push to the scan.
+# ---------------------------------------------------------------------------
+
+
+def raster_expand_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = dem_grid(spark, sf_dir)
+    v = "CAST(elev AS DOUBLE)"
+    return g.select(
+        "px",
+        "py",
+        F.expr(palette.bin_index_case_sql(PALETTE, v)).alias("pal_idx"),
+        F.expr(palette.channel_case_sql(PALETTE, 2, v)).alias("r"),
+        F.expr(palette.channel_case_sql(PALETTE, 4, v)).alias("g"),
+        F.expr(palette.channel_case_sql(PALETTE, 6, v)).alias("b"),
+        F.expr(palette.channel_case_sql(PALETTE, 0, v)).alias("a"),
+    )
+
+
+RASTER_EXPAND_RGB_SQL = f"""
+WITH dem AS ({DEM_GRID_SQL})
+SELECT px, py,
+       {palette.bin_index_case_sql(PALETTE, "CAST(elev AS DOUBLE)")} AS pal_idx,
+       {palette.channel_case_sql(PALETTE, 2, "CAST(elev AS DOUBLE)")} AS r,
+       {palette.channel_case_sql(PALETTE, 4, "CAST(elev AS DOUBLE)")} AS g,
+       {palette.channel_case_sql(PALETTE, 6, "CAST(elev AS DOUBLE)")} AS b,
+       {palette.channel_case_sql(PALETTE, 0, "CAST(elev AS DOUBLE)")} AS a
+FROM dem
+"""

@@ -220,3 +220,31 @@ def test_ovr_pair_roundtrip_and_skip(spark, tmp_path):
                 G._grid_from_tags(ot, ovr_payload),
                 G._grid_from_tags(ct, cog_payload),
             )
+
+
+# --- raster_expand_rgb -------------------------------------------------------
+
+
+def test_raster_expand_rgb_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_expand_rgb"],
+        entrymod.oracle_sql()["raster_expand_rgb"],
+    )
+
+
+def test_raster_expand_rgb_consistent_with_color_relief(ducks):
+    """Expanded channels must reassemble the exact AARRGGBB string
+    raster_color_relief bins to, pixel for pixel."""
+    rel = {
+        (r[0], r[1]): r[4]
+        for r in ducks.execute(entrymod.oracle_sql()["raster_color_relief"]).fetchall()
+    }
+    rows = ducks.execute(entrymod.oracle_sql()["raster_expand_rgb"]).fetchall()
+    assert rows
+    from gdalos_spark.operators.raster import PALETTE
+
+    for px, py, idx, r, g, b, a in rows:
+        assert f"{a:02X}{r:02X}{g:02X}{b:02X}" == rel[(px, py)]
+        assert PALETTE[idx][1] == rel[(px, py)]
