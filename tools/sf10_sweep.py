@@ -1,0 +1,120 @@
+"""Full-catalog execution sweep at an upscale — the round-discipline
+tool VERDICT r11 item 8 asked for (the ad-hoc round-11 version caught
+dbscan's static grid cell: 1989 s -> 85 s).
+
+Runs EVERY queries() key end-to-end (noop sink — full computation, no
+collect) at the given upscale dir and writes per-key walls
+INCREMENTALLY to the output JSON, so a hung key still leaves the
+artifact for every key before it. Correctness is NOT checked here (the
+sf0.01 driver gate owns that); this is the scale-bug detector: a key
+whose wall is wildly out of family with its plan class is the next
+dbscan.
+
+Usage:
+  python tools/sf10_sweep.py                      # /tmp/gdalos_sf10 -> sf10_sweep.json
+  python tools/sf10_sweep.py --sf=DIR --out=F.json
+  python tools/sf10_sweep.py --only=k1,k2         # subset
+  python tools/sf10_sweep.py --skip=k1,k2         # exclusions
+  python tools/sf10_sweep.py --resume             # skip keys already in --out
+
+The upscale comes from tools/make_scaled_sf.py (throughput data only).
+Session configs mirror bench.py (AQE, 16 MB splits, 32 shuffle
+partitions) so walls are comparable with the BASELINE.md tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def arg(name: str, default: str | None = None) -> str | None:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return default
+
+
+def main() -> int:
+    sf_dir = arg("sf", "/tmp/gdalos_sf10")
+    out_path = arg("out", "sf10_sweep.json")
+    only = arg("only")
+    skip = set((arg("skip") or "").split(",")) - {""}
+    resume = "--resume" in sys.argv
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gdalos_spark-sf10-sweep")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 32)))
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [s for s in only.split(",") if s] if only else list(qs)
+    names = [n for n in names if n not in skip]
+
+    results: dict[str, dict] = {}
+    if resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("keys", {})
+        names = [n for n in names if n not in results]
+
+    def dump() -> None:
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_keys": len(results), "keys": results},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+
+    # stage the bucketed fact layout once, like bench.py's ingest step
+    try:
+        from gdalos_spark.sources.bucketed import stage_facts
+
+        stage_facts(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"stage_bucketed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            results[name] = {"sec": round(time.perf_counter() - t0, 2)}
+        except Exception as e:  # noqa: BLE001
+            results[name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        dump()
+        print(
+            f"[{i + 1}/{len(names)}] {name}: {results[name]['sec']}s"
+            + (" ERROR" if "error" in results[name] else ""),
+            flush=True,
+        )
+    dump()
+    errs = {k: v for k, v in results.items() if "error" in v}
+    slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
+    print(f"\n{len(results)} keys, {len(errs)} errors; slowest:")
+    for k, v in slow:
+        print(f"  {v['sec']:>8.2f}s  {k}")
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
