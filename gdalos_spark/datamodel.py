@@ -39,8 +39,17 @@ TABLES = (
 
 # Grid dimensions for the derived DEM. 64x64 at sf0.001 gives a dense grid;
 # the derivation is scale-free (bigger SF -> denser cells, same extent).
-GRID_W = 64
-GRID_H = 64
+# SPARK_GRAFT_GRID_W/H make CELL COUNT a scale axis (VERDICT r11 item 1:
+# scale factor alone only grows the rows aggregated INTO each cell, never
+# the cells — a 100-TB raster is 10^10+ cells, so the dem-family plans
+# must be exercised at >=10^7 cells too; tools/grid_sweep.py). The driver
+# and every correctness gate run the 64x64 default — hash gates are
+# untouched. Must be a multiple of 8 so the resample target grids
+# (3/2 and 3/8 of the source axis) stay exact.
+GRID_W = int(os.environ.get("SPARK_GRAFT_GRID_W", "64"))
+GRID_H = int(os.environ.get("SPARK_GRAFT_GRID_H", str(GRID_W)))
+if GRID_W % 8 or GRID_H % 8 or GRID_W < 8 or GRID_W > 65536 or GRID_H > 65536:
+    raise ValueError(f"SPARK_GRAFT_GRID_W/H must be multiples of 8 in [8, 65536], got {GRID_W}x{GRID_H}")
 
 
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"

@@ -1936,16 +1936,21 @@ ZORDER_TILE_BITS = 8  # morton >> 8 => 16x16-cell aligned tiles
 
 
 def _spread_spark(x: str) -> str:
-    """Interleave zeros between the low 8 bits (Spark SQL text)."""
-    s1 = f"((({x}) | shiftleft(({x}), 4)) & 3855)"
-    s2 = f"(({s1} | shiftleft({s1}, 2)) & 13107)"
-    return f"(({s2} | shiftleft({s2}, 1)) & 21845)"
+    """Interleave zeros between the low 16 bits (Spark SQL text) — wide
+    enough for the 65536-px grid ceiling; identical values to the old
+    8-bit masks for any px < 256, so the 64-default hash gates are
+    unchanged."""
+    s0 = f"((({x}) | shiftleft(({x}), 8)) & 16711935)"
+    s1 = f"(({s0} | shiftleft({s0}, 4)) & 252645135)"
+    s2 = f"(({s1} | shiftleft({s1}, 2)) & 858993459)"
+    return f"(({s2} | shiftleft({s2}, 1)) & 1431655765)"
 
 
 def _spread_duck(x: str) -> str:
-    s1 = f"((({x}) | (({x}) << 4)) & 3855)"
-    s2 = f"(({s1} | ({s1} << 2)) & 13107)"
-    return f"(({s2} | ({s2} << 1)) & 21845)"
+    s0 = f"((({x}) | (({x}) << 8)) & 16711935)"
+    s1 = f"(({s0} | ({s0} << 4)) & 252645135)"
+    s2 = f"(({s1} | ({s1} << 2)) & 858993459)"
+    return f"(({s2} | ({s2} << 1)) & 1431655765)"
 
 
 def raster_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,7 +2307,7 @@ RASTER_FLOW_DIRECTION_SQL = _flow_sql()
 #    default next to the 'average'/'mode' variants already covered.
 # ---------------------------------------------------------------------------
 
-BILIN_T = 96  # target size: 64 -> 96 (scale 2/3 source-per-target)
+BILIN_T = (GRID_W * 3) // 2  # target axis: W -> 3W/2 (scale 2/3 source-per-target; 96 at the 64 default)
 
 
 def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2368,8 +2373,8 @@ def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tx",
             "ty",
-            F.greatest(F.lit(0), F.least(F.lit(63), F.col("c.cx"))).alias("cx"),
-            F.greatest(F.lit(0), F.least(F.lit(63), F.col("c.cy"))).alias("cy"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("c.cx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("c.cy"))).alias("cy"),
             F.col("c.w").alias("w"),
         )
         .filter(F.col("w") > 0)
@@ -2408,8 +2413,8 @@ base AS (
 ),
 corners AS (
   SELECT tx, ty,
-         GREATEST(0, LEAST(63, x0 + dx)) AS cx,
-         GREATEST(0, LEAST(63, y0 + dy)) AS cy,
+         GREATEST(0, LEAST({GRID_W - 1}, x0 + dx)) AS cx,
+         GREATEST(0, LEAST({GRID_W - 1}, y0 + dy)) AS cy,
          (CASE WHEN dx = 0 THEN 6 - fx ELSE fx END)
          * (CASE WHEN dy = 0 THEN 6 - fy ELSE fy END) AS w
   FROM base, (VALUES (0,0),(1,0),(0,1),(1,1)) AS d(dx, dy)
@@ -2499,8 +2504,8 @@ def _resample_16tap(
         base.crossJoin(F.broadcast(taps))
         .select(
             "tx", "ty",
-            F.greatest(F.lit(0), F.least(F.lit(63), F.col("x0") + F.col("dx"))).alias("cx"),
-            F.greatest(F.lit(0), F.least(F.lit(63), F.col("y0") + F.col("dy"))).alias("cy"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("x0") + F.col("dx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("y0") + F.col("dy"))).alias("cy"),
             (F.expr(w_builder("dx", "fx")) * F.expr(w_builder("dy", "fy"))).alias("w"),
         )
         .filter(F.col("w") != 0)
@@ -2543,8 +2548,8 @@ base AS (
 ),
 corners AS (
   SELECT tx, ty,
-         GREATEST(0, LEAST(63, x0 + dx)) AS cx,
-         GREATEST(0, LEAST(63, y0 + dy)) AS cy,
+         GREATEST(0, LEAST({GRID_W - 1}, x0 + dx)) AS cx,
+         GREATEST(0, LEAST({GRID_W - 1}, y0 + dy)) AS cy,
          {w_builder('dx', 'fx')} * {w_builder('dy', 'fy')} AS w
   FROM base, (VALUES (-1),(0),(1),(2)) AS tx_(dx), (VALUES (-1),(0),(1),(2)) AS ty_(dy)
 ),
@@ -2696,8 +2701,8 @@ def raster_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(wy), "fy")
         .select(
             "tx", "ty", "dwx", "dwy",
-            F.greatest(F.lit(0), F.least(F.lit(63), F.col("x0") + F.col("dx"))).alias("cx"),
-            F.greatest(F.lit(0), F.least(F.lit(63), F.col("y0") + F.col("dy"))).alias("cy"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("x0") + F.col("dx"))).alias("cx"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("y0") + F.col("dy"))).alias("cy"),
             (F.col("wx") * F.col("wy")).alias("w"),
         )
         .filter(F.col("w") != 0)
@@ -2742,8 +2747,8 @@ base AS (
 wtab(f, d, w, dw) AS (VALUES {vals}),
 corners AS (
   SELECT b.tx, b.ty, x.dw AS dwx, y.dw AS dwy,
-         GREATEST(0, LEAST(63, b.x0 + x.d)) AS cx,
-         GREATEST(0, LEAST(63, b.y0 + y.d)) AS cy,
+         GREATEST(0, LEAST({GRID_W - 1}, b.x0 + x.d)) AS cx,
+         GREATEST(0, LEAST({GRID_W - 1}, b.y0 + y.d)) AS cy,
          x.w * y.w AS w
   FROM base b JOIN wtab x ON x.f = b.fx JOIN wtab y ON y.f = b.fy
   WHERE x.w * y.w <> 0
@@ -2783,7 +2788,7 @@ RASTER_RESAMPLE_LANCZOS_SQL = _lanczos_sql()
 # s spans [3s, 3s+3), so the overlap weights are exact integers in
 # thirds summing to 8; the 2-D weight wx*wy is exact in ninths and
 # value = sum(w*cents) / sum(w) / 100 is a division of exact BIGINTs.
-AVG_T = 24
+AVG_T = (GRID_W * 3) // 8  # 24 at the 64 default; AVG_T * 8/3 == GRID_W exactly
 
 
 def raster_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
