@@ -2473,55 +2473,119 @@ def _w1296_bspline(d: str, f: str) -> str:
     )
 
 
-def _resample_16tap(
-    spark: SparkSession, sf_dir: str, w_builder, denom: int, out_col: str
+def _u_int(d: int, f: int) -> int:
+    """Python twin of _u_sixths: tap distance in sixths for offset d in
+    {-1,0,1,2} at fraction f in [0,6) — the same CASE arms as integers."""
+    return f + 6 if d == -1 else (f if d == 0 else (6 - f if d == 1 else 12 - f))
+
+
+def _w432_cubic_py(d: int, f: int) -> int:
+    """Python twin of _w432_cubic — identical integer polynomials."""
+    u = _u_int(d, f)
+    if d in (0, 1):
+        return 3 * u**3 - 30 * u**2 + 432
+    return -(u**3) + 30 * u**2 - 288 * u + 864
+
+
+def _w1296_bspline_py(d: int, f: int) -> int:
+    """Python twin of _w1296_bspline — identical integer polynomials."""
+    u = _u_int(d, f)
+    if d in (0, 1):
+        return 3 * u**3 - 36 * u**2 + 864
+    return (12 - u) ** 3
+
+
+def _kernel_tap_rows(weight_py, taps: tuple) -> list:
+    """(f, d, w, dw) rows for one axis: integer weight per (fraction,
+    tap offset) plus the per-fraction weight sum dw. f only ever lands
+    in {1,3,5} under the (4t-1)/6 center mapping, but all six residues
+    are emitted so the table is mapping-agnostic."""
+    rows = []
+    for f in range(6):
+        ws = [(d, weight_py(d, f)) for d in taps]
+        dw = sum(w for _, w in ws)
+        rows += [(f, d, w, dw) for d, w in ws]
+    return rows
+
+
+def _axis_taps(
+    spark: SparkSession, tap_rows: list, t_col: str, c_col: str, w_col: str, dw_col: str
 ) -> DataFrame:
-    """Shared 16-tap resample plan (cubic + cubicspline): the
-    metadata-sized target grid maps centers at (4t-1)/6, cross-joins the
-    broadcast 16-row tap offsets, evaluates the kernel's integer weight
-    text, clamps taps to the grid (GDAL replicate edges), equi-joins the
-    DEM on the cell key and sums weighted cents under one groupBy —
-    value = sum(w*cents)/denom is ONE correctly-rounded double division
-    of exact integers."""
+    """One axis of a separable kernel as a broadcastable tap frame:
+    (target index, clamped source cell, integer weight, per-fraction
+    weight sum). CUBIC_T targets x <=6 nonzero taps — metadata-sized at
+    any grid (<=590k rows at the 65536 cap), built with spark.range so
+    the only driver-side literal is the <=36-row kernel table."""
+    wtab = spark.createDataFrame(tap_rows, "f int, d int, w bigint, dw bigint")
+    base = spark.range(CUBIC_T).select(
+        F.col("id").cast("int").alias(t_col),
+        F.expr("(4*id - 1 + 600) div 6 - 100").cast("int").alias("c0"),
+        F.expr("(4*id - 1) - 6*((4*id - 1 + 600) div 6 - 100)").cast("int").alias("f"),
+    )
+    return (
+        base.join(F.broadcast(wtab), "f")
+        .filter(F.col("w") != 0)
+        .select(
+            t_col,
+            F.greatest(
+                F.lit(0), F.least(F.lit(GRID_W - 1), F.col("c0") + F.col("d"))
+            ).alias(c_col),
+            F.col("w").alias(w_col),
+            F.col("dw").alias(dw_col),
+        )
+    )
+
+
+def _resample_separable(
+    spark: SparkSession, sf_dir: str, tap_rows: list, finalize
+) -> DataFrame:
+    """Shared separable-kernel resample plan (cubic, cubicspline,
+    lanczos): convolve the y axis first — DEM broadcast-equi-joined to
+    the per-axis tap frame on the source row, one groupBy summing
+    wy*cents into the exact-integer column profile g(px, ty) — then the
+    x axis over g the same way. Identical values to the direct 2-D
+    form because sum_{dx,dy} wx*wy*cents == sum_dx wx * (sum_dy
+    wy*cents) in exact BIGINTs (clamping is per-axis, so the
+    factorization is exact at edges too), and `finalize` applies each
+    kernel's unchanged terminal division. vs the direct form, corner
+    rows drop from T^2*k^2 to H*T*k + T^2*k (2.4x for 16 taps, 3.6x for
+    36) and BOTH joins are broadcasts — the 4096x4096-cell sweep
+    measured the direct 16-tap plan at 460-618 s against lanczos' 289 s
+    on MORE taps, pinning per-row weight-text evaluation + the
+    dem-side sort-merge join as the wall this shape removes."""
     dem = dem_grid(spark, sf_dir).select(
         "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
     )
-    targets = spark.range(CUBIC_T * CUBIC_T).select(
-        F.expr(f"cast(id div {CUBIC_T} as int)").alias("tx"),
-        F.expr(f"cast(id % {CUBIC_T} as int)").alias("ty"),
+    ytaps = _axis_taps(spark, tap_rows, "ty", "cy", "wy", "dwy")
+    xtaps = _axis_taps(spark, tap_rows, "tx", "cx", "wx", "dwx")
+    g = (
+        dem.join(F.broadcast(ytaps), dem.py == ytaps.cy)
+        .groupBy("px", "ty", "dwy")
+        .agg(F.sum(F.col("wy") * F.col("cents")).alias("gy"))
     )
-    base = (
-        targets.withColumn("x0", F.expr("(4*tx - 1 + 600) div 6 - 100"))
-        .withColumn("y0", F.expr("(4*ty - 1 + 600) div 6 - 100"))
-        .withColumn("fx", F.expr("(4*tx - 1) - 6*x0"))
-        .withColumn("fy", F.expr("(4*ty - 1) - 6*y0"))
+    out = (
+        g.join(F.broadcast(xtaps), g.px == xtaps.cx)
+        .groupBy("tx", "ty", "dwx", "dwy")
+        .agg(F.sum(F.col("wx") * F.col("gy")).alias("wsum"))
     )
-    taps = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1, 2) for dy in (-1, 0, 1, 2)],
-        "dx int, dy int",
-    )
-    corners = (
-        base.crossJoin(F.broadcast(taps))
-        .select(
-            "tx", "ty",
-            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("x0") + F.col("dx"))).alias("cx"),
-            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("y0") + F.col("dy"))).alias("cy"),
-            (F.expr(w_builder("dx", "fx")) * F.expr(w_builder("dy", "fy"))).alias("w"),
-        )
-        .filter(F.col("w") != 0)
-    )
-    joined = corners.join(
-        dem, (corners.cx == dem.px) & (corners.cy == dem.py), "inner"
-    )
-    return (
-        joined.groupBy("tx", "ty")
-        .agg(
-            (
-                F.sum(F.col("w") * F.col("cents")).cast("double")
-                / F.lit(float(denom))
-            ).alias(out_col)
-        )
-        .orderBy("tx", "ty")
+    return finalize(out).orderBy("tx", "ty")
+
+
+def _resample_16tap(
+    spark: SparkSession, sf_dir: str, weight_py, denom: int, out_col: str
+) -> DataFrame:
+    """16-tap kernels (cubic + cubicspline) through the separable plan;
+    both are partitions of unity per axis, so the terminal value stays
+    ONE correctly-rounded double division by the constant denom."""
+    return _resample_separable(
+        spark,
+        sf_dir,
+        _kernel_tap_rows(weight_py, (-1, 0, 1, 2)),
+        lambda out: out.select(
+            "tx",
+            "ty",
+            (F.col("wsum").cast("double") / F.lit(float(denom))).alias(out_col),
+        ),
     )
 
 
@@ -2579,12 +2643,15 @@ def raster_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEGATIVE (cubic overshoot), so the nonzero filter is w != 0, never
     w > 0.
 
-    Plan: identical to bilinear — the metadata-sized target grid
-    explodes through a broadcast 16-row tap table, equi-joins the DEM
-    on the cell key, one groupBy sums the weighted cents. Edge handling
-    is GDAL's replicate-clamp (clamped taps sum their weights).
+    Plan: separable two-pass (see _resample_separable) — y-convolve the
+    DEM against a broadcast per-axis integer tap frame, then x-convolve
+    the exact-integer column profile; identical values to the direct
+    16-tap join at a fraction of the corner rows. Edge handling is
+    GDAL's replicate-clamp (clamped taps sum their weights).
     Scaffolding shared with cubicspline via _resample_16tap."""
-    return _resample_16tap(spark, sf_dir, _w432_cubic, 432 * 432 * 100, "elev_cubic")
+    return _resample_16tap(
+        spark, sf_dir, _w432_cubic_py, 432 * 432 * 100, "elev_cubic"
+    )
 
 
 RASTER_RESAMPLE_CUBIC_SQL = _resample_16tap_sql(
@@ -2611,10 +2678,10 @@ def raster_resample_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both give 216 at u = 6; the four x-weights sum to exactly 1296 —
     the B-spline partition of unity, exact in integers; all weights
     NON-negative, the smoothing-kernel signature). One terminal double
-    division of exact BIGINTs. Scaffolding shared with cubic via
-    _resample_16tap."""
+    division of exact BIGINTs; same separable two-pass plan as cubic.
+    Scaffolding shared with cubic via _resample_16tap."""
     return _resample_16tap(
-        spark, sf_dir, _w1296_bspline, 1296 * 1296 * 100, "elev_bspline"
+        spark, sf_dir, _w1296_bspline_py, 1296 * 1296 * 100, "elev_bspline"
     )
 
 
@@ -2664,64 +2731,29 @@ def _lanczos_tap_rows() -> list[tuple[int, int, int, int]]:
 
 
 def raster_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lanczos-3 resample of the DEM to 96x96: 36 taps per target
-    through TWO joins against the broadcast 36-row fixed-point weight
-    table (one per axis), normalization by the exact integer per-axis
-    weight sums, one terminal double division —
+    """Lanczos-3 resample of the DEM to 96x96: 36 taps per target from
+    the 36-row fixed-point weight table, normalization by the exact
+    integer per-axis weight sums, one terminal double division —
     value = sum(wx*wy*cents) / (dwx*dwy) / 100. The 1/1024 fixed-point
     discretization is the documented kernel contract (GDAL's warp
     kernels are fixed-point too); weights go negative in the side
-    lobes, so the nonzero filter is w != 0."""
-    dem = dem_grid(spark, sf_dir).select(
-        "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
-    )
-    targets = spark.range(CUBIC_T * CUBIC_T).select(
-        F.expr(f"cast(id div {CUBIC_T} as int)").alias("tx"),
-        F.expr(f"cast(id % {CUBIC_T} as int)").alias("ty"),
-    )
-    base = (
-        targets.withColumn("x0", F.expr("(4*tx - 1 + 600) div 6 - 100"))
-        .withColumn("y0", F.expr("(4*ty - 1 + 600) div 6 - 100"))
-        .withColumn("fx", F.expr("(4*tx - 1) - 6*x0"))
-        .withColumn("fy", F.expr("(4*ty - 1) - 6*y0"))
-    )
-    wtab = spark.createDataFrame(
-        _lanczos_tap_rows(), "f int, d int, w bigint, dw bigint"
-    )
-    wx = wtab.select(
-        F.col("f").alias("fx"), F.col("d").alias("dx"),
-        F.col("w").alias("wx"), F.col("dw").alias("dwx"),
-    )
-    wy = wtab.select(
-        F.col("f").alias("fy"), F.col("d").alias("dy"),
-        F.col("w").alias("wy"), F.col("dw").alias("dwy"),
-    )
-    corners = (
-        base.join(F.broadcast(wx), "fx")
-        .join(F.broadcast(wy), "fy")
-        .select(
-            "tx", "ty", "dwx", "dwy",
-            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("x0") + F.col("dx"))).alias("cx"),
-            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("y0") + F.col("dy"))).alias("cy"),
-            (F.col("wx") * F.col("wy")).alias("w"),
-        )
-        .filter(F.col("w") != 0)
-    )
-    joined = corners.join(
-        dem, (corners.cx == dem.px) & (corners.cy == dem.py), "inner"
-    )
-    return (
-        joined.groupBy("tx", "ty", "dwx", "dwy")
-        .agg(F.sum(F.col("w") * F.col("cents")).alias("wsum"))
-        .select(
-            "tx", "ty",
+    lobes, so the nonzero filter is w != 0. Same separable two-pass
+    plan as cubic/cubicspline (_resample_separable) — the per-fraction
+    weight sums dwy/dwx ride the groupBy keys of their own pass, so the
+    normalization term reaches the terminal division unchanged."""
+    return _resample_separable(
+        spark,
+        sf_dir,
+        _lanczos_tap_rows(),
+        lambda out: out.select(
+            "tx",
+            "ty",
             (
                 F.col("wsum").cast("double")
                 / (F.col("dwx") * F.col("dwy")).cast("double")
                 / F.lit(100.0)
             ).alias("elev_lanczos"),
-        )
-        .orderBy("tx", "ty")
+        ),
     )
 
 
