@@ -43,10 +43,23 @@ def main() -> int:
         "streaming_stream_outer_join": SE.SSOJ_QUERY_NAME,
         "streaming_stream_full_outer_join": SE.SSFOJ_QUERY_NAME,
     }
+    # rocksdb = snapshot checkpointing (the measured default);
+    # rocksdb_chg = changelog checkpointing (per-batch row deltas) —
+    # the object-store arm, opt-in via SPARK_GRAFT_ROCKSDB_CHANGELOG.
+    arms = [
+        ("hdfs", {"SPARK_GRAFT_STATE_STORE": "hdfs"}),
+        ("rocksdb", {"SPARK_GRAFT_STATE_STORE": "rocksdb",
+                     "SPARK_GRAFT_ROCKSDB_CHANGELOG": "false"}),
+        ("rocksdb_chg", {"SPARK_GRAFT_STATE_STORE": "rocksdb",
+                         "SPARK_GRAFT_ROCKSDB_CHANGELOG": "true"}),
+    ]
+    if os.environ.get("SPARK_GRAFT_AB_ARMS"):
+        keep = set(os.environ["SPARK_GRAFT_AB_ARMS"].split(","))
+        arms = [a for a in arms if a[0] in keep]
     for op in ops:
         fn = getattr(SE, op)
-        for arm in ("hdfs", "rocksdb"):
-            os.environ["SPARK_GRAFT_STATE_STORE"] = arm
+        for arm, env in arms:
+            os.environ.update(env)
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             wall = round(time.time() - t0, 2)
