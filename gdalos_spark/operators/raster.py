@@ -2798,12 +2798,11 @@ RASTER_RESAMPLE_LANCZOS_SQL = _lanczos_sql()
 
 
 # ---------------------------------------------------------------------------
-# raster_resample_average / raster_resample_nearest — the two remaining
-# CONTINUOUS resamplers as a DOWNSAMPLE pair (the kernels above all
-# upsample 64 -> 96; average is GDAL's zoom-out workhorse). The enum's
-# last member, 'mode' — the non-fast-mode pick for palette rasters
-# (gdalos_types.py:84-96) — is covered by raster_overview_mode above
-# (:169), which is exactly a mode resample at ratio 2.
+# raster_resample_average / raster_resample_nearest /
+# raster_resample_mode — the remaining resamplers as a DOWNSAMPLE
+# family (the kernels above all upsample 64 -> 96; average is GDAL's
+# zoom-out workhorse, mode the palette pick). With mode below, every
+# GdalResamplingAlg member has its own warp-grid key.
 #    ref: /root/reference/src/gdalos/gdalos_types.py:36-50 — 'average
 #    computes the average of all non-NODATA contributing pixels.
 #    Starting with GDAL 3.1, this is a weighted average taking into
@@ -2957,6 +2956,130 @@ t AS (
 )
 SELECT t.tx, t.ty, CAST(dem.cents AS DOUBLE) / 100.0 AS elev_near
 FROM t JOIN dem ON t.cx = dem.px AND t.cy = dem.py
+ORDER BY tx, ty
+"""
+
+
+def raster_resample_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL 'mode' resample of the PALETTE band to 24x24 (ratio 8/3) —
+    the non-fast-mode pick for palette rasters in the reference's
+    resampling_alg_by_kind (gdalos_types.py:84-96: index pixels must
+    never be averaged; this key completes the GdalResamplingAlg enum
+    1:1 on the shared warp grid — raster_overview_mode covers only the
+    ratio-2 overview case).
+
+    Each target cell takes the palette index (the same talos-palette
+    bin raster_expand_rgb/color_relief resolve) with the LARGEST total
+    overlap weight across its <=16 contributing source cells — the
+    exact thirds weights of raster_resample_average, so partial-overlap
+    pixels vote fractionally; ties break to the SMALLEST index
+    (DiscreteMode.down, the raster_overview_mode convention). Every
+    gated column is an exact integer.
+
+    Plan: the same co-partitioned contrib-join as average, then ONE
+    groupBy on (target, class) and a per-target window rank — the
+    class-vote table is <=16 rows per target, so the rank input is a
+    fraction of the contrib volume."""
+    dem = dem_grid(spark, sf_dir).select(
+        "px",
+        "py",
+        F.expr(
+            palette.bin_index_case_sql(PALETTE, "CAST(elev AS DOUBLE)")
+        ).alias("cls"),
+    )
+    targets = spark.range(AVG_T * AVG_T).select(
+        F.expr(f"cast(id div {AVG_T} as int)").alias("tx"),
+        F.expr(f"cast(id % {AVG_T} as int)").alias("ty"),
+    )
+    contrib = (
+        targets
+        .withColumn("sx0", F.expr("(8*tx) div 3"))
+        .withColumn("sy0", F.expr("(8*ty) div 3"))
+        .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn(
+            "wx",
+            F.expr(
+                "greatest(0, least(8*tx + 8, 3*(sx0 + dx) + 3)"
+                " - greatest(8*tx, 3*(sx0 + dx)))"
+            ),
+        )
+        .filter(F.col("wx") > 0)
+        .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn(
+            "wy",
+            F.expr(
+                "greatest(0, least(8*ty + 8, 3*(sy0 + dy) + 3)"
+                " - greatest(8*ty, 3*(sy0 + dy)))"
+            ),
+        )
+        .filter(F.col("wy") > 0)
+        .select(
+            "tx", "ty",
+            (F.col("sx0") + F.col("dx")).alias("cx"),
+            (F.col("sy0") + F.col("dy")).alias("cy"),
+            (F.col("wx") * F.col("wy")).cast("bigint").alias("w"),
+        )
+    )
+    counted = (
+        contrib.join(dem, (contrib.cx == dem.px) & (contrib.cy == dem.py))
+        .groupBy("tx", "ty", "cls")
+        .agg(F.sum("w").alias("cls_weight"))
+    )
+    rank_w = Window.partitionBy("tx", "ty").orderBy(
+        F.desc("cls_weight"), F.asc("cls")
+    )
+    cnt_w = Window.partitionBy("tx", "ty")
+    return (
+        counted.withColumn("rk", F.row_number().over(rank_w))
+        .withColumn("n_cls", F.count(F.lit(1)).over(cnt_w).cast("int"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "tx", "ty",
+            F.col("cls").alias("mode_pal_idx"),
+            "cls_weight",
+            "n_cls",
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+RASTER_RESAMPLE_MODE_SQL = f"""
+WITH dem AS (
+  SELECT px, py,
+         {palette.bin_index_case_sql(PALETTE, "CAST(elev AS DOUBLE)")} AS cls
+  FROM ({DEM_GRID_SQL})
+),
+t AS (
+  SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
+  FROM range({AVG_T}) x, range({AVG_T}) y
+),
+contrib AS (
+  SELECT tx, ty,
+         (8*tx) // 3 + dx AS cx,
+         (8*ty) // 3 + dy AS cy,
+         CAST(
+           GREATEST(0, LEAST(8*tx + 8, 3*((8*tx) // 3 + dx) + 3)
+                       - GREATEST(8*tx, 3*((8*tx) // 3 + dx)))
+           * GREATEST(0, LEAST(8*ty + 8, 3*((8*ty) // 3 + dy) + 3)
+                         - GREATEST(8*ty, 3*((8*ty) // 3 + dy)))
+           AS BIGINT) AS w
+  FROM t, range(4) xd(dx), range(4) yd(dy)
+),
+nz AS (SELECT * FROM contrib WHERE w > 0),
+counted AS (
+  SELECT nz.tx, nz.ty, dem.cls, CAST(SUM(nz.w) AS BIGINT) AS cls_weight
+  FROM nz JOIN dem ON nz.cx = dem.px AND nz.cy = dem.py
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT tx, ty, cls, cls_weight,
+         ROW_NUMBER() OVER (PARTITION BY tx, ty
+                            ORDER BY cls_weight DESC, cls ASC) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY tx, ty) AS INTEGER) AS n_cls
+  FROM counted
+)
+SELECT tx, ty, cls AS mode_pal_idx, cls_weight, n_cls
+FROM ranked WHERE rk = 1
 ORDER BY tx, ty
 """
 

@@ -248,3 +248,47 @@ def test_raster_expand_rgb_consistent_with_color_relief(ducks):
     for px, py, idx, r, g, b, a in rows:
         assert f"{a:02X}{r:02X}{g:02X}{b:02X}" == rel[(px, py)]
         assert PALETTE[idx][1] == rel[(px, py)]
+
+
+def test_raster_resample_mode_matches_oracle(spark, ducks):
+    assert_matches_oracle(
+        spark,
+        ducks,
+        entrymod.queries()["raster_resample_mode"],
+        entrymod.oracle_sql()["raster_resample_mode"],
+    )
+
+
+def test_raster_resample_mode_semantics(ducks):
+    """The winner really is the max-weight palette class per target
+    (ties to the smallest index), recomputed independently from the
+    average key's contrib weights and the expand_rgb class map."""
+    from collections import defaultdict
+
+    cls_of = {
+        (r[0], r[1]): r[2]
+        for r in ducks.execute(entrymod.oracle_sql()["raster_expand_rgb"]).fetchall()
+    }
+    votes: dict[tuple, dict] = defaultdict(lambda: defaultdict(int))
+    # re-derive the exact thirds overlap weights per (target, source)
+    n_t = max(r[0] for r in ducks.execute(
+        entrymod.oracle_sql()["raster_resample_mode"]).fetchall()) + 1
+    for tx in range(n_t):
+        for ty in range(n_t):
+            for dx in range(4):
+                for dy in range(4):
+                    cx, cy = (8 * tx) // 3 + dx, (8 * ty) // 3 + dy
+                    wx = max(0, min(8 * tx + 8, 3 * cx + 3) - max(8 * tx, 3 * cx))
+                    wy = max(0, min(8 * ty + 8, 3 * cy + 3) - max(8 * ty, 3 * cy))
+                    if wx * wy and (cx, cy) in cls_of:
+                        votes[(tx, ty)][cls_of[(cx, cy)]] += wx * wy
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in ducks.execute(entrymod.oracle_sql()["raster_resample_mode"]).fetchall()
+    }
+    assert got
+    for key, v in votes.items():
+        best = min(sorted(v.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
+        cls, w = best
+        assert got[key] == (cls, w, len(v)), (key, got[key], best)
+    assert set(got) == set(votes)
