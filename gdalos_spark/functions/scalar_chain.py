@@ -150,8 +150,16 @@ class ScalarChain:
         return df
 
     def wrap_sql(self, inner: str) -> str:
-        q = inner
-        for batch in self.levels():
+        """Render as a FLAT WITH-chain (one CTE per level), not nested
+        subqueries: the full lrprop program levels ~300 deep, and a
+        300-deep `SELECT * FROM (...)` nest exhausts DuckDB's parser
+        recursion; a 300-CTE chain is linear and parses fine (an inner
+        query carrying its own WITH nests legally inside the first
+        CTE's body)."""
+        parts = [f"__sc_in AS ({inner})"]
+        prev = "__sc_in"
+        for i, batch in enumerate(self.levels()):
             cols = ", ".join(f"{e} AS {n}" for n, e in batch)
-            q = f"SELECT *, {cols} FROM ({q})"
-        return q
+            parts.append(f"__sc_{i} AS (SELECT *, {cols} FROM {prev})")
+            prev = f"__sc_{i}"
+        return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM {prev}"

@@ -1144,6 +1144,7 @@ GEO_ELLIPSOIDAL_SQL = _geo_ellipsoidal_sql()
 # engines. Catalog-sized — zero shuffles.
 # ---------------------------------------------------------------------------
 
+import cmath as _cm
 import math as _m
 
 _SCALE_DIAG_IN = 24
@@ -2564,9 +2565,11 @@ GEODESIC_DESTINATION_SQL = _geodesic_destination_sql()
 #         Irregular Terrain Model, version 1.2.2: The Algorithm"), not a
 #         port of any reference code.
 #
-# Scope (documented reduction, flagged per row): the p2p DIFFRACTION-range
-# reference attenuation — the heart of the "non-free-space" model — over
-# the SAME integer-sampled DEM profiles as point_to_point_los:
+# Scope: the p2p reference attenuation through lrprop's LOS and
+# diffraction regimes — the full "non-free-space" model short of
+# troposcatter (d > dx, the beyond-horizon scatter range far past these
+# links; documented out of scope) — over the SAME integer-sampled DEM
+# profiles as point_to_point_los:
 #   * qlrps scenario setup runs HOST-SIDE from RadioBaseParams exactly as
 #     ITM does once per scenario: effective earth curvature
 #     gme = 157e-9 * (1 - 0.04665*exp(Ns/179.3)) and the surface transfer
@@ -2582,11 +2585,14 @@ GEODESIC_DESTINATION_SQL = _geodesic_destination_sql()
 #     over the M present samples, deterministic (z, i) ordering — the
 #     sparse small-SF DEM drops cells, so M varies per link).
 #   * adiff: double knife-edge (aknfe) + smooth-earth (fht) attenuation
-#     blended by the ITM weighting, plus the clutter term afo.
-#   * LOS-regime links (horizon angle below the direct ray on both ends)
-#     get regime='los' and the diffraction formula evaluated at
-#     de = max(d, dla + step) — lrprop's two-ray LOS blend is out of
-#     scope; the flag marks exactly the rows it would refine.
+#     blended by the ITM weighting, plus the clutter term afo — fitted
+#     through lrprop's two abscissae d3/d4 into the diffraction line
+#     aed + emd*d that IS the diffraction-range aref.
+#   * alos: lrprop's two-ray LOS blend — the complex ground reflection
+#     over zgnd, the two-ray phase, the wls weighting against the
+#     diffraction line — probed at lrprop's d0/d1 and fitted into
+#     (ael, ak1, ak2); LOS-range aref = max(ael + ak1*d + ak2*ln d, 0).
+#     regime = lrprop's literal branch d < dlsa.
 # Every transcendental is an engine-identical polynomial/Newton form
 # from functions/scalar_chain.py (ln via integer bit-length + atanh
 # series, exp via base-2 range reduction + Maclaurin, cbrt via Newton) —
@@ -2598,9 +2604,12 @@ GEODESIC_DESTINATION_SQL = _geodesic_destination_sql()
 # Plan shape: tiny link table (|customers|/23 x 5 observers) crossJoin a
 # 63-row step table, equi-join the DEM on the sampled cell — the same
 # bounded fan-out as point_to_point_los — one groupBy + one window for
-# the per-link reductions, then a pure scalar projection chain (wide
-# whole-stage codegen, zero further shuffles). At 100 TB the link table
-# is what scales; per-link cost stays O(N_LOS_STEPS).
+# the per-link reductions, then a pure scalar projection chain with
+# zero further shuffles. The full lrprop program is ~350 columns, past
+# the JVM's 64KB codegen method cap, so Spark falls back to interpreted
+# projection for this stage — measured irrelevant at link-table
+# cardinality (the profile join dominates); at 100 TB the link table is
+# what scales and the projection stays embarrassingly parallel.
 # ---------------------------------------------------------------------------
 
 ITM_REFRACTIVITY = 300.0  # RadioBaseParams defaults, radio_params.py:53
@@ -2613,6 +2622,11 @@ _ITM_GME = 157e-9 * (1.0 - 0.04665 * _m.exp(ITM_REFRACTIVITY / 179.3))
 _ITM_QK = 0.2667357184806571  # 1/|zgnd|, host cmath: sqrt(15+1.2446j - 1)
 _ITM_FSPL_C = 8.685889638065035  # 20/ln(10)
 _ITM_FSPL_K = 25.17975792706731  # 20*log10(433 MHz) - 27.55
+# surface transfer impedance zgnd (horizontal polarity) — host cmath,
+# qlrps: sqrt(complex(eps_r, 376.62*sigma/wn) - 1); _ITM_QK == 1/|zgnd|
+_ITM_ZGND = _cm.sqrt(complex(ITM_PERMITTIVITY, 376.62 * ITM_CONDUCTIVITY / _ITM_WN) - 1.0)
+# lrprop's diffraction-line abscissa scale xae = (wn * gme^2)^(-1/3)
+_ITM_XAE = (_ITM_WN * _ITM_GME * _ITM_GME) ** (-1.0 / 3.0)
 
 
 def _itm_chain(intdiv: str, shift) -> "ScalarChain":
@@ -2629,9 +2643,6 @@ def _itm_chain(intdiv: str, shift) -> "ScalarChain":
     c.add("dla", "(dl1 + dl2)")
     c.add("dlsa", "(dls1 + dls2)")
     c.add("tha", f"greatest(te1 + te2, -(dla * {gme}))")
-    c.add("de", "greatest(d_m, dla + sm)")
-    c.add("th", f"(tha + de * {gme})")
-    c.add("ds", "(de - dla)")
     # clutter term afo (ITM adiff setup)
     c.exp_neg(f"(dlsa * {L(1.0 / 50e3)})", "e_dlsa")
     c.add("q0", "((1.0e0 - 0.8e0 * e_dlsa) * dh)")
@@ -2667,40 +2678,165 @@ def _itm_chain(intdiv: str, shift) -> "ScalarChain":
         )
     c.add("xht", "(q1j + q2j)")
     c.add("aht", "(20.0e0 + fht1 + fht2)")
-    # double knife edge at de
-    c.add("qd", f"(0.0795775e0 * {wn} * ds * th * th)")
-    for j in (1, 2):
-        c.add(f"v2{j}", f"(qd * dl{j} / (ds + dl{j}))")
-        c.ln(f"v2{j}", f"lnv2{j}")
-        c.add(
-            f"ak{j}",
-            f"(CASE WHEN v2{j} < 5.76e0 THEN 6.02e0 + 9.11e0 * sqrt(v2{j}) - 1.27e0 * v2{j} "
-            f"ELSE 12.953e0 + 4.343e0 * lnv2{j} END)",
-        )
-    c.add("adiffv", "(ak1 + ak2)")
-    # smooth-earth attenuation at de
-    c.add("ax", "(ds / th)")
-    c.cbrt(f"(ax * {wn})", "wa")
-    c.add("pk", f"({qk} / wa)")
-    c.add("qx", f"greatest((1.607e0 - pk) * 151.0e0 * wa * th + xht, 1.0e0)")
-    c.ln("qx", "lnqx")
-    c.add("ar", "(0.05751e0 * qx - 4.343e0 * lnqx - aht)")
-    # blend weight + reference attenuation
-    c.exp_neg(f"(de * {L(1.0 / 50e3)})", "e_de")
-    c.add("qw", f"((wd1 + xd1 / de) * least((1.0e0 - 0.8e0 * e_de) * dh * {wn}, 6283.2e0))")
-    c.add("wd", "(25.1e0 / (25.1e0 + sqrt(qw)))")
-    c.add("aref", "(ar * wd + (1.0e0 - wd) * adiffv + afo)")
-    # FSPL via the same polynomial ln + regime flag + total
+
+    # --- lrprop diffraction line: adiff evaluated at the two ITM fit
+    # abscissae d3/d4, then aref(diffraction-range d) = aed + emd*d
+    c.add("d3", f"greatest(dlsa, dla + {L(1.3787 * _ITM_XAE)})")
+    c.add("d4", f"(d3 + {L(2.7574 * _ITM_XAE)})")
+    _itm_adiff_at(c, "3", gme, wn, qk, L)
+    _itm_adiff_at(c, "4", gme, wn, qk, L)
+    c.add("emd", "((adiff_4 - adiff_3) / (d4 - d3))")
+    c.add("aed", "(adiff_3 - emd * d3)")
+
+    # --- lrprop LOS coefficients: alos (two-ray over zgnd) at the ITM
+    # probe distances d0/d1, the (ael, ak1, ak2) fit, aref(LOS d) =
+    # max(ael + ak1*d + ak2*ln d, 0)
+    c.add("wls", f"(0.021e0 / (0.021e0 + {wn} * dh / greatest(1.0e4, dlsa)))")
+    c.add("qh", "(he1 + he2)")
+    c.add("d0r", f"(1.908e0 * {wn} * he1 * he2)")
+    c.add("d0l", "(CASE WHEN aed >= 0.0e0 THEN least(d0r, 0.5e0 * dla) ELSE d0r END)")
+    c.add(
+        "d1l",
+        "(CASE WHEN aed >= 0.0e0 THEN (d0l + 0.25e0 * (dla - d0l)) "
+        "ELSE greatest((0.0e0 - aed) / greatest(emd, 1.0e-12), 0.25e0 * dla) END)",
+    )
+    _itm_alos_at(c, "0", "d0l", wn, L)
+    _itm_alos_at(c, "1", "d1l", wn, L)
+    c.add("a2l", "(aed + emd * dlsa)")
+    c.ln("d0l", "lnd0")
+    c.ln("d1l", "lnd1")
+    c.ln("dlsa", "lnd2")
+    c.add("qlog", "(lnd2 - lnd0)")
+    c.add("l10", "(lnd1 - lnd0)")
+    c.add("ak2den", "((dlsa - d0l) * l10 - (d1l - d0l) * qlog)")
+    # the d0<d1 gate is ITM's; the |den| guard keeps degenerate geometry
+    # finite and engine-identical (kwx-clamp convention)
+    c.add(
+        "ak2a",
+        "(CASE WHEN d0l < d1l AND abs(ak2den) > 1.0e-9 THEN "
+        "greatest(0.0e0, ((dlsa - d0l) * (alos_1 - alos_0)"
+        " - (d1l - d0l) * (a2l - alos_0)) / ak2den) ELSE 0.0e0 END)",
+    )
+    c.add(
+        "wq",
+        "(CASE WHEN d0l < d1l AND (aed >= 0.0e0 OR ak2a > 0.0e0) THEN 1 ELSE 0 END)",
+    )
+    c.add("ak1a", "((a2l - alos_0 - ak2a * qlog) / (dlsa - d0l))")
+    c.add("ak2b", "(greatest(a2l - alos_0, 0.0e0) / greatest(qlog, 1.0e-12))")
+    c.add("dim21", "(greatest(a2l - alos_1, 0.0e0) / greatest(dlsa - d1l, 1.0e-9))")
+    c.add(
+        "ak1",
+        "(CASE WHEN wq = 1 THEN (CASE WHEN ak1a < 0.0e0 THEN "
+        "(CASE WHEN ak2b = 0.0e0 THEN emd ELSE 0.0e0 END) ELSE ak1a END) "
+        "ELSE (CASE WHEN dim21 = 0.0e0 THEN emd ELSE dim21 END) END)",
+    )
+    c.add(
+        "ak2",
+        "(CASE WHEN wq = 1 THEN (CASE WHEN ak1a < 0.0e0 THEN ak2b ELSE ak2a END) "
+        "ELSE 0.0e0 END)",
+    )
+    c.add("ael", "(a2l - ak1 * dlsa - ak2 * lnd2)")
+
+    # --- regime pick (lrprop's literal branch), FSPL, total
     c.ln("d_m", "ln_d")
+    c.add("alos_fit", "greatest(ael + ak1 * d_m + ak2 * ln_d, 0.0e0)")
+    c.add("aref", "(CASE WHEN d_m < dlsa THEN alos_fit ELSE (aed + emd * d_m) END)")
     c.add("fspl", f"({L(_ITM_FSPL_C)} * ln_d + {L(_ITM_FSPL_K)})")
     c.add("ploss", "(fspl + greatest(0.0e0, aref))")
-    c.add(
-        "regime",
-        f"(CASE WHEN te1 < (zt - {L(OBS_Z)}) / d_m - {gme} * d_m * 0.5e0 "
-        f"AND te2 < ({L(OBS_Z)} - zt) / d_m - {gme} * d_m * 0.5e0 "
-        f"THEN 'los' ELSE 'diffraction' END)",
-    )
+    c.add("regime", "(CASE WHEN d_m < dlsa THEN 'los' ELSE 'diffraction' END)")
     return c
+
+
+def _itm_adiff_at(c: "ScalarChain", t: str, gme: str, wn: str, qk: str, L) -> None:
+    """ITM adiff(d) at the distance column d{t}: double knife-edge +
+    smooth-earth blend over the setup columns (tha, dla, dl1/2, xht,
+    aht, afo, wd1, xd1, dh) — the same program the round-11 chain
+    evaluated once at de, now tagged so lrprop can fit its diffraction
+    line through adiff(d3) and adiff(d4)."""
+    c.add(f"th_{t}", f"(tha + d{t} * {gme})")
+    c.add(f"ds_{t}", f"(d{t} - dla)")
+    c.add(f"qd_{t}", f"(0.0795775e0 * {wn} * ds_{t} * th_{t} * th_{t})")
+    for j in (1, 2):
+        c.add(f"v2{j}_{t}", f"(qd_{t} * dl{j} / (ds_{t} + dl{j}))")
+        c.ln(f"v2{j}_{t}", f"lnv2{j}_{t}")
+        c.add(
+            f"ak{j}_{t}",
+            f"(CASE WHEN v2{j}_{t} < 5.76e0 THEN 6.02e0 + 9.11e0 * sqrt(v2{j}_{t}) - 1.27e0 * v2{j}_{t} "
+            f"ELSE 12.953e0 + 4.343e0 * lnv2{j}_{t} END)",
+        )
+    c.add(f"adiffv_{t}", f"(ak1_{t} + ak2_{t})")
+    c.add(f"ax_{t}", f"(ds_{t} / th_{t})")
+    c.cbrt(f"(ax_{t} * {wn})", f"wa_{t}")
+    c.add(f"pk_{t}", f"({qk} / wa_{t})")
+    c.add(f"qx_{t}", f"greatest((1.607e0 - pk_{t}) * 151.0e0 * wa_{t} * th_{t} + xht, 1.0e0)")
+    c.ln(f"qx_{t}", f"lnqx_{t}")
+    c.add(f"ar_{t}", f"(0.05751e0 * qx_{t} - 4.343e0 * lnqx_{t} - aht)")
+    c.exp_neg(f"(d{t} * {L(1.0 / 50e3)})", f"e_de_{t}")
+    c.add(
+        f"qw_{t}",
+        f"((wd1 + xd1 / d{t}) * least((1.0e0 - 0.8e0 * e_de_{t}) * dh * {wn}, 6283.2e0))",
+    )
+    c.add(f"wd_{t}", f"(25.1e0 / (25.1e0 + sqrt(qw_{t})))")
+    c.add(f"adiff_{t}", f"(ar_{t} * wd_{t} + (1.0e0 - wd_{t}) * adiffv_{t} + afo)")
+
+
+# Maclaurin sine bank (odd, 6 terms, |x| <= pi/2 => err < 6e-8) — the
+# proven _GEO_SIN_C coefficients from the geodesic family below.
+_ITM_SIN_C = [1.0, -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880, -1.0 / 39916800]
+
+
+def _itm_alos_at(c: "ScalarChain", t: str, dcol: str, wn: str, L) -> None:
+    """ITM alos(d) at the distance column: the two-ray field
+    |exp(-j*ph) + R| over the complex surface impedance zgnd (host
+    constants; the complex ratio (sps - zgnd)/(sps + zgnd) is
+    rationalized into real/imag columns), blended with the diffraction
+    line by wls. sin/cos are the Maclaurin bank after range reduction
+    to [-pi/2, pi/2] (ITM caps the phase at 3.14 via q = 3.14 -
+    2.4649/q, so the reduction is a single fold)."""
+    from gdalos_spark.functions.literals import horner as _h
+
+    zr, zi = _ITM_ZGND.real, _ITM_ZGND.imag
+    c.exp_neg(f"({dcol} * {L(1.0 / 50e3)})", f"ea_{t}")
+    c.add(f"qa_{t}", f"((1.0e0 - 0.8e0 * ea_{t}) * dh)")
+    c.add(f"fr4a_{t}", f"sqrt(sqrt(qa_{t} / 16.0e0))")
+    c.exp_neg(f"fr4a_{t}", f"efr_{t}")
+    c.add(f"sa_{t}", f"(0.78e0 * qa_{t} * efr_{t})")
+    c.add(f"sps_{t}", f"(qh / sqrt({dcol} * {dcol} + qh * qh))")
+    c.add(
+        f"rden_{t}",
+        f"((sps_{t} + {L(zr)}) * (sps_{t} + {L(zr)}) + {L(zi * zi)})",
+    )
+    c.add(f"rre0_{t}", f"((sps_{t} * sps_{t} - {L(zr * zr + zi * zi)}) / rden_{t})")
+    c.add(f"rim0_{t}", f"((0.0e0 - {L(2.0 * zi)}) * sps_{t} / rden_{t})")
+    c.exp_neg(f"least({wn} * sa_{t} * sps_{t}, 10.0e0)", f"esc_{t}")
+    c.add(f"rq_{t}", f"((rre0_{t} * rre0_{t} + rim0_{t} * rim0_{t}) * esc_{t} * esc_{t})")
+    c.add(
+        f"rsc_{t}",
+        f"(esc_{t} * (CASE WHEN rq_{t} < 0.25e0 OR rq_{t} < sps_{t} "
+        f"THEN sqrt(sps_{t} / greatest(rq_{t}, 1.0e-12)) ELSE 1.0e0 END))",
+    )
+    c.add(f"rre_{t}", f"(rre0_{t} * rsc_{t})")
+    c.add(f"rim_{t}", f"(rim0_{t} * rsc_{t})")
+    c.add(f"ph0_{t}", f"({wn} * he1 * he2 * 2.0e0 / {dcol})")
+    c.add(
+        f"ph_{t}",
+        f"(CASE WHEN ph0_{t} > 1.57e0 THEN (3.14e0 - 2.4649e0 / ph0_{t}) ELSE ph0_{t} END)",
+    )
+    c.add(f"cu_{t}", f"({L(_m.pi / 2)} - ph_{t})")
+    c.add(f"cph_{t}", f"(cu_{t} * {_h(f'(cu_{t} * cu_{t})', _ITM_SIN_C)})")
+    c.add(f"su_{t}", f"least(ph_{t}, {L(_m.pi)} - ph_{t})")
+    c.add(f"sph_{t}", f"(su_{t} * {_h(f'(su_{t} * su_{t})', _ITM_SIN_C)})")
+    c.add(
+        f"abq_{t}",
+        f"((cph_{t} + rre_{t}) * (cph_{t} + rre_{t})"
+        f" + (rim_{t} - sph_{t}) * (rim_{t} - sph_{t}))",
+    )
+    c.ln(f"abq_{t}", f"lnabq_{t}", scale=1e12)
+    c.add(
+        f"alos_{t}",
+        f"((((0.0e0 - 4.343e0) * lnabq_{t}) - (emd * {dcol} + aed)) * wls"
+        f" + (emd * {dcol} + aed))",
+    )
 
 
 _ITM_OUT = (

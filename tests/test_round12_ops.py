@@ -70,17 +70,17 @@ def test_radio_itm_matches_oracle(spark, ducks):
 
 
 def _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2):
-    """Independent pure-libm twin of the _itm_chain adiff program —
-    validates the polynomial/Newton machinery numerically, not just
-    cross-engine equality."""
+    """Independent pure-libm twin of the full _itm_chain lrprop program
+    (adiff line fit + two-ray LOS fit) — validates the
+    polynomial/Newton machinery numerically, not just cross-engine
+    equality. Follows NTIA ITM 1.2.2 lrprop/adiff/alos directly."""
     from gdalos_spark.operators import viewshed as V
 
     gme, wn, qk, hg = V._ITM_GME, V._ITM_WN, V._ITM_QK, V.ITM_HG
+    zgnd = V._ITM_ZGND
     dls1, dls2 = math.sqrt(2 * he1 / gme), math.sqrt(2 * he2 / gme)
     dla, dlsa = dl1 + dl2, dls1 + dls2
     tha = max(te1 + te2, -(dla * gme))
-    de = max(d_m, dla + sm)
-    th, ds = tha + de * gme, de - dla
     q0 = (1 - 0.8 * math.exp(-dlsa / 50e3)) * dh
     q1c = q0 * 0.78 * math.exp(-((q0 / 16.0) ** 0.25))
     afo = min(15.0, 2.171 * math.log(1 + 4.77e-4 * hg * hg * wn * q1c))
@@ -113,16 +113,80 @@ def _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2):
             return 6.02 + 9.11 * math.sqrt(v2) - 1.27 * v2
         return 12.953 + 4.343 * math.log(v2)
 
-    qd = 0.0795775 * wn * ds * th * th
-    adiffv = aknfe(qd * dl1 / (ds + dl1)) + aknfe(qd * dl2 / (ds + dl2))
-    ax = ds / th
-    wa = (ax * wn) ** (1.0 / 3.0)
-    pk = qk / wa
-    qx = max((1.607 - pk) * 151.0 * wa * th + xht, 1.0)
-    ar = 0.05751 * qx - 4.343 * math.log(qx) - aht
-    qw = (wd1 + xd1 / de) * min((1 - 0.8 * math.exp(-de / 50e3)) * dh * wn, 6283.2)
-    wd = 25.1 / (25.1 + math.sqrt(qw))
-    return ar * wd + (1 - wd) * adiffv + afo
+    def adiff(d):
+        th, ds = tha + d * gme, d - dla
+        qd = 0.0795775 * wn * ds * th * th
+        adiffv = aknfe(qd * dl1 / (ds + dl1)) + aknfe(qd * dl2 / (ds + dl2))
+        wa = ((ds / th) * wn) ** (1.0 / 3.0)
+        pk = qk / wa
+        qx = max((1.607 - pk) * 151.0 * wa * th + xht, 1.0)
+        ar = 0.05751 * qx - 4.343 * math.log(qx) - aht
+        qw = (wd1 + xd1 / d) * min((1 - 0.8 * math.exp(-d / 50e3)) * dh * wn, 6283.2)
+        wd = 25.1 / (25.1 + math.sqrt(qw))
+        return ar * wd + (1 - wd) * adiffv + afo
+
+    xae = (wn * gme * gme) ** (-1.0 / 3.0)
+    d3 = max(dlsa, dla + 1.3787 * xae)
+    d4 = d3 + 2.7574 * xae
+    a3, a4 = adiff(d3), adiff(d4)
+    emd = (a4 - a3) / (d4 - d3)
+    aed = a3 - emd * d3
+
+    if d_m >= dlsa:
+        return aed + emd * d_m
+
+    wls = 0.021 / (0.021 + wn * dh / max(10e3, dlsa))
+    qh = he1 + he2
+
+    def alos(d):
+        q = (1 - 0.8 * math.exp(-d / 50e3)) * dh
+        s = 0.78 * q * math.exp(-((q / 16.0) ** 0.25))
+        sps = qh / math.sqrt(d * d + qh * qh)
+        r = (sps - zgnd) / (sps + zgnd) * math.exp(-min(10.0, wn * s * sps))
+        q2 = abs(r) ** 2
+        if q2 < 0.25 or q2 < sps:
+            r = r * math.sqrt(sps / q2)
+        alosv = emd * d + aed
+        ph = wn * he1 * he2 * 2.0 / d
+        if ph > 1.57:
+            ph = 3.14 - 2.4649 / ph
+        fld = complex(math.cos(ph), -math.sin(ph)) + r
+        return (-4.343 * math.log(abs(fld) ** 2) - alosv) * wls + alosv
+
+    d2 = dlsa
+    a2 = aed + emd * d2
+    d0 = 1.908 * wn * he1 * he2
+    if aed >= 0:
+        d0 = min(d0, 0.5 * dla)
+        d1 = d0 + 0.25 * (dla - d0)
+    else:
+        d1 = max(-aed / emd, 0.25 * dla)
+    a1 = alos(d1)
+    wq = False
+    ak1 = ak2 = 0.0
+    if d0 < d1:
+        a0 = alos(d0)
+        q = math.log(d2 / d0)
+        ak2 = max(
+            0.0,
+            ((d2 - d0) * (a1 - a0) - (d1 - d0) * (a2 - a0))
+            / ((d2 - d0) * math.log(d1 / d0) - (d1 - d0) * q),
+        )
+        wq = aed >= 0 or ak2 > 0
+        if wq:
+            ak1 = (a2 - a0 - ak2 * q) / (d2 - d0)
+            if ak1 < 0:
+                ak1 = 0.0
+                ak2 = max(a2 - a0, 0.0) / q
+                if ak2 == 0:
+                    ak1 = emd
+    if not wq:
+        ak1 = max(a2 - a1, 0.0) / (d2 - d1)
+        ak2 = 0.0
+        if ak1 == 0:
+            ak1 = emd
+    ael = a2 - ak1 * d2 - ak2 * math.log(d2)
+    return max(ael + ak1 * d_m + ak2 * math.log(d_m), 0.0)
 
 
 def test_radio_itm_aref_tracks_libm(ducks):
