@@ -44,12 +44,17 @@ TABLES = (
 # the cells — a 100-TB raster is 10^10+ cells, so the dem-family plans
 # must be exercised at >=10^7 cells too; tools/grid_sweep.py). The driver
 # and every correctness gate run the 64x64 default — hash gates are
-# untouched. Must be a multiple of 8 so the resample target grids
-# (3/2 and 3/8 of the source axis) stay exact.
+# untouched. Both dims must be multiples of 64: that keeps the resample
+# target grids (3/2 and 3/8 of the source axis) exact AND keeps the
+# scene writers' row-major scene ids collision-free (SCENE=32 blocks;
+# a dim that is a multiple of 8 but not of SCENE would alias scene ids,
+# and a dim < SCENE would divide by zero in the scene encode).
 GRID_W = int(os.environ.get("SPARK_GRAFT_GRID_W", "64"))
 GRID_H = int(os.environ.get("SPARK_GRAFT_GRID_H", str(GRID_W)))
-if GRID_W % 8 or GRID_H % 8 or GRID_W < 8 or GRID_W > 65536 or GRID_H > 65536:
-    raise ValueError(f"SPARK_GRAFT_GRID_W/H must be multiples of 8 in [8, 65536], got {GRID_W}x{GRID_H}")
+if any(g % 64 or g < 64 or g > 65536 for g in (GRID_W, GRID_H)):
+    raise ValueError(
+        f"SPARK_GRAFT_GRID_W/H must be multiples of 64 in [64, 65536], got {GRID_W}x{GRID_H}"
+    )
 
 
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"

@@ -68,10 +68,20 @@ class ScalarChain:
         floor(y*scale + 0.5), identical both engines) + the atanh-series
         log2 of operators/text. Inputs are clamped to >= 1 integer unit
         so degenerate rows stay finite (callers branch-gate with CASE);
-        quantization error is scale-relative and engine-identical."""
+        quantization error is scale-relative and engine-identical.
+
+        The input is additionally clamped to <= 9.0e18/scale BEFORE the
+        integerization: past that, floor(y*scale) exceeds BIGINT and the
+        double->BIGINT cast diverges across engines (DuckDB throws Out of
+        Range, Spark saturates). The clamp is the same SQL text on both
+        sides, so degenerate rows (e.g. an underflowed diffraction-line
+        slope pushing a fit distance to ~1e12) saturate at ln(cap)
+        identically instead of crashing one engine and corrupting the
+        other."""
+        cap = 9.0e18 / scale
         yi = self.add(
             f"{out}_yi",
-            f"greatest(CAST(1 AS BIGINT), CAST(floor(({y}) * {dbl_lit(scale)} + 0.5e0) AS BIGINT))",
+            f"greatest(CAST(1 AS BIGINT), CAST(floor(least({y}, {dbl_lit(cap)}) * {dbl_lit(scale)} + 0.5e0) AS BIGINT))",
         )
         bl = self.add(f"{out}_bl", f"(length(bin({yi})) - 1)")
         m = self.add(
@@ -89,10 +99,22 @@ class ScalarChain:
         )
 
     def exp_neg(self, x: str, out: str) -> str:
-        """out = exp(-x) for x in [0, 60): base-2 range reduction
-        (nt = floor(x*log2 e), an exact shift) + Maclaurin exp(-r) on
-        the residual r in [0, ln 2) — truncation < 2e-12 relative."""
-        t = self.add(f"{out}_t", f"(({x}) * {dbl_lit(LOG2E)})")
+        """out = exp(-x): base-2 range reduction (nt = floor(x*log2 e),
+        an exact shift) + Maclaurin exp(-r) on the residual r in
+        [0, ln 2) — truncation < 2e-12 relative.
+
+        The reduced exponent is clamped to [0, 62] so the BIGINT shift
+        stays representable for ANY input: without it, x >= 63*ln2
+        (~43.7, reachable from uncapped fit distances in the ITM chain)
+        makes DuckDB throw Out of Range on 1<<63 while Spark's shiftleft
+        wraps mod 64 and returns garbage. With the clamp both engines
+        saturate identically at ~exp(-43) ~ 2e-19, and negative inputs
+        (callers' responsibility, but cheap to make safe) floor at
+        exp(0) scale rather than a negative shift."""
+        t = self.add(
+            f"{out}_t",
+            f"least(greatest(({x}) * {dbl_lit(LOG2E)}, 0.0e0), 62.0e0)",
+        )
         nt = self.add(f"{out}_nt", f"CAST(floor({t}) AS INTEGER)")
         r = self.add(
             f"{out}_r", f"(({t} - CAST({nt} AS DOUBLE)) * {dbl_lit(LN2)})"

@@ -1967,8 +1967,13 @@ def raster_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     can check (bbox area == cell count). One scan, one groupBy shuffle.
     """
     g = dem_grid(spark, sf_dir)
+    # The combine runs in BIGINT: spread(py) occupies bits 0..30 for
+    # py < 65536, so the final <<1 sets bit 31 — an INT32 overflow that
+    # DuckDB rejects and Spark silently wraps negative. The per-axis
+    # spreads themselves stay within INT32 (max intermediate 0x66666666).
     morton = F.expr(
-        f"({_spread_spark('px')} | shiftleft({_spread_spark('py')}, 1))"
+        f"(CAST({_spread_spark('px')} AS BIGINT)"
+        f" | shiftleft(CAST({_spread_spark('py')} AS BIGINT), 1))"
     )
     tiled = g.select(
         F.shiftright(morton, ZORDER_TILE_BITS).cast("int").alias("tile_id"),
@@ -1985,7 +1990,12 @@ def raster_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_sql() -> str:
-    morton = f"({_spread_duck('px')} | ({_spread_duck('py')} << 1))"
+    # BIGINT combine for the same reason as the Spark side: the final
+    # <<1 on the spread py sets bit 31 for py >= 32768.
+    morton = (
+        f"(CAST({_spread_duck('px')} AS BIGINT)"
+        f" | (CAST({_spread_duck('py')} AS BIGINT) << 1))"
+    )
     return f"""
 WITH dem AS ({DEM_GRID_SQL})
 SELECT CAST({morton} >> {ZORDER_TILE_BITS} AS INTEGER) AS tile_id,
@@ -2307,7 +2317,8 @@ RASTER_FLOW_DIRECTION_SQL = _flow_sql()
 #    default next to the 'average'/'mode' variants already covered.
 # ---------------------------------------------------------------------------
 
-BILIN_T = (GRID_W * 3) // 2  # target axis: W -> 3W/2 (scale 2/3 source-per-target; 96 at the 64 default)
+BILIN_T = (GRID_W * 3) // 2  # target x axis: W -> 3W/2 (scale 2/3 source-per-target; 96 at the 64 default)
+BILIN_TH = (GRID_H * 3) // 2  # target y axis — sized from GRID_H so rectangular grids resample the full extent
 
 
 def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2332,9 +2343,9 @@ def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     dem = dem_grid(spark, sf_dir).select(
         "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
     )
-    targets = spark.range(BILIN_T * BILIN_T).select(
-        F.expr(f"cast(id div {BILIN_T} as int)").alias("tx"),
-        F.expr(f"cast(id % {BILIN_T} as int)").alias("ty"),
+    targets = spark.range(BILIN_T * BILIN_TH).select(
+        F.expr(f"cast(id div {BILIN_TH} as int)").alias("tx"),
+        F.expr(f"cast(id % {BILIN_TH} as int)").alias("ty"),
     )
     # shift keeps the dividend positive so integer div == floor
     corners = (
@@ -2374,7 +2385,7 @@ def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tx",
             "ty",
             F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("c.cx"))).alias("cx"),
-            F.greatest(F.lit(0), F.least(F.lit(GRID_W - 1), F.col("c.cy"))).alias("cy"),
+            F.greatest(F.lit(0), F.least(F.lit(GRID_H - 1), F.col("c.cy"))).alias("cy"),
             F.col("c.w").alias("w"),
         )
         .filter(F.col("w") > 0)
@@ -2401,7 +2412,7 @@ WITH dem AS (
 ),
 t AS (
   SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
-  FROM range({BILIN_T}) x, range({BILIN_T}) y
+  FROM range({BILIN_T}) x, range({BILIN_TH}) y
 ),
 base AS (
   SELECT tx, ty,
@@ -2414,7 +2425,7 @@ base AS (
 corners AS (
   SELECT tx, ty,
          GREATEST(0, LEAST({GRID_W - 1}, x0 + dx)) AS cx,
-         GREATEST(0, LEAST({GRID_W - 1}, y0 + dy)) AS cy,
+         GREATEST(0, LEAST({GRID_H - 1}, y0 + dy)) AS cy,
          (CASE WHEN dx = 0 THEN 6 - fx ELSE fx END)
          * (CASE WHEN dy = 0 THEN 6 - fy ELSE fy END) AS w
   FROM base, (VALUES (0,0),(1,0),(0,1),(1,1)) AS d(dx, dy)
@@ -2441,6 +2452,7 @@ RASTER_RESAMPLE_BILINEAR_SQL = _bilinear_sql()
 # ---------------------------------------------------------------------------
 
 CUBIC_T = BILIN_T  # same 64 -> 96 target grid / center mapping as bilinear
+CUBIC_TH = BILIN_TH  # y target axis (== CUBIC_T on square grids)
 
 
 def _u_sixths(d: str, f: str) -> str:
@@ -2509,15 +2521,25 @@ def _kernel_tap_rows(weight_py, taps: tuple) -> list:
 
 
 def _axis_taps(
-    spark: SparkSession, tap_rows: list, t_col: str, c_col: str, w_col: str, dw_col: str
+    spark: SparkSession,
+    tap_rows: list,
+    t_col: str,
+    c_col: str,
+    w_col: str,
+    dw_col: str,
+    n_targets: int = CUBIC_T,
+    src_max: int = GRID_W - 1,
 ) -> DataFrame:
     """One axis of a separable kernel as a broadcastable tap frame:
     (target index, clamped source cell, integer weight, per-fraction
-    weight sum). CUBIC_T targets x <=6 nonzero taps — metadata-sized at
-    any grid (<=590k rows at the 65536 cap), built with spark.range so
-    the only driver-side literal is the <=36-row kernel table."""
+    weight sum). n_targets/src_max parameterize the axis (x: CUBIC_T /
+    GRID_W-1, y: CUBIC_TH / GRID_H-1 — rectangular grids size and clamp
+    each axis independently). Targets x <=6 nonzero taps —
+    metadata-sized at any grid (<=590k rows at the 65536 cap), built
+    with spark.range so the only driver-side literal is the <=36-row
+    kernel table."""
     wtab = spark.createDataFrame(tap_rows, "f int, d int, w bigint, dw bigint")
-    base = spark.range(CUBIC_T).select(
+    base = spark.range(n_targets).select(
         F.col("id").cast("int").alias(t_col),
         F.expr("(4*id - 1 + 600) div 6 - 100").cast("int").alias("c0"),
         F.expr("(4*id - 1) - 6*((4*id - 1 + 600) div 6 - 100)").cast("int").alias("f"),
@@ -2528,7 +2550,7 @@ def _axis_taps(
         .select(
             t_col,
             F.greatest(
-                F.lit(0), F.least(F.lit(GRID_W - 1), F.col("c0") + F.col("d"))
+                F.lit(0), F.least(F.lit(src_max), F.col("c0") + F.col("d"))
             ).alias(c_col),
             F.col("w").alias(w_col),
             F.col("dw").alias(dw_col),
@@ -2556,8 +2578,12 @@ def _resample_separable(
     dem = dem_grid(spark, sf_dir).select(
         "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
     )
-    ytaps = _axis_taps(spark, tap_rows, "ty", "cy", "wy", "dwy")
-    xtaps = _axis_taps(spark, tap_rows, "tx", "cx", "wx", "dwx")
+    ytaps = _axis_taps(
+        spark, tap_rows, "ty", "cy", "wy", "dwy", CUBIC_TH, GRID_H - 1
+    )
+    xtaps = _axis_taps(
+        spark, tap_rows, "tx", "cx", "wx", "dwx", CUBIC_T, GRID_W - 1
+    )
     g = (
         dem.join(F.broadcast(ytaps), dem.py == ytaps.cy)
         .groupBy("px", "ty", "dwy")
@@ -2600,7 +2626,7 @@ WITH dem AS (
 ),
 t AS (
   SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
-  FROM range({CUBIC_T}) x, range({CUBIC_T}) y
+  FROM range({CUBIC_T}) x, range({CUBIC_TH}) y
 ),
 base AS (
   SELECT tx, ty,
@@ -2613,7 +2639,7 @@ base AS (
 corners AS (
   SELECT tx, ty,
          GREATEST(0, LEAST({GRID_W - 1}, x0 + dx)) AS cx,
-         GREATEST(0, LEAST({GRID_W - 1}, y0 + dy)) AS cy,
+         GREATEST(0, LEAST({GRID_H - 1}, y0 + dy)) AS cy,
          {w_builder('dx', 'fx')} * {w_builder('dy', 'fy')} AS w
   FROM base, (VALUES (-1),(0),(1),(2)) AS tx_(dx), (VALUES (-1),(0),(1),(2)) AS ty_(dy)
 ),
@@ -2766,7 +2792,7 @@ WITH dem AS (
 ),
 t AS (
   SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
-  FROM range({CUBIC_T}) x, range({CUBIC_T}) y
+  FROM range({CUBIC_T}) x, range({CUBIC_TH}) y
 ),
 base AS (
   SELECT tx, ty,
@@ -2780,7 +2806,7 @@ wtab(f, d, w, dw) AS (VALUES {vals}),
 corners AS (
   SELECT b.tx, b.ty, x.dw AS dwx, y.dw AS dwy,
          GREATEST(0, LEAST({GRID_W - 1}, b.x0 + x.d)) AS cx,
-         GREATEST(0, LEAST({GRID_W - 1}, b.y0 + y.d)) AS cy,
+         GREATEST(0, LEAST({GRID_H - 1}, b.y0 + y.d)) AS cy,
          x.w * y.w AS w
   FROM base b JOIN wtab x ON x.f = b.fx JOIN wtab y ON y.f = b.fy
   WHERE x.w * y.w <> 0
@@ -2820,6 +2846,7 @@ RASTER_RESAMPLE_LANCZOS_SQL = _lanczos_sql()
 # thirds summing to 8; the 2-D weight wx*wy is exact in ninths and
 # value = sum(w*cents) / sum(w) / 100 is a division of exact BIGINTs.
 AVG_T = (GRID_W * 3) // 8  # 24 at the 64 default; AVG_T * 8/3 == GRID_W exactly
+AVG_TH = (GRID_H * 3) // 8  # y target axis; AVG_TH * 8/3 == GRID_H exactly
 
 
 def raster_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2838,9 +2865,9 @@ def raster_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     dem = dem_grid(spark, sf_dir).select(
         "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
     )
-    targets = spark.range(AVG_T * AVG_T).select(
-        F.expr(f"cast(id div {AVG_T} as int)").alias("tx"),
-        F.expr(f"cast(id % {AVG_T} as int)").alias("ty"),
+    targets = spark.range(AVG_T * AVG_TH).select(
+        F.expr(f"cast(id div {AVG_TH} as int)").alias("tx"),
+        F.expr(f"cast(id % {AVG_TH} as int)").alias("ty"),
     )
     contrib = (
         targets
@@ -2893,7 +2920,7 @@ WITH dem AS (
 ),
 t AS (
   SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
-  FROM range({AVG_T}) x, range({AVG_T}) y
+  FROM range({AVG_T}) x, range({AVG_TH}) y
 ),
 contrib AS (
   SELECT tx, ty,
@@ -2927,11 +2954,11 @@ def raster_resample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dem = dem_grid(spark, sf_dir).select(
         "px", "py", F.round(F.col("elev") * 100, 0).cast("bigint").alias("cents")
     )
-    targets = spark.range(AVG_T * AVG_T).select(
-        F.expr(f"cast(id div {AVG_T} as int)").alias("tx"),
-        F.expr(f"cast(id % {AVG_T} as int)").alias("ty"),
-        F.expr(f"cast((8*(id div {AVG_T}) + 4) div 3 as int)").alias("cx"),
-        F.expr(f"cast((8*(id % {AVG_T}) + 4) div 3 as int)").alias("cy"),
+    targets = spark.range(AVG_T * AVG_TH).select(
+        F.expr(f"cast(id div {AVG_TH} as int)").alias("tx"),
+        F.expr(f"cast(id % {AVG_TH} as int)").alias("ty"),
+        F.expr(f"cast((8*(id div {AVG_TH}) + 4) div 3 as int)").alias("cx"),
+        F.expr(f"cast((8*(id % {AVG_TH}) + 4) div 3 as int)").alias("cy"),
     )
     return (
         targets.join(dem, (targets.cx == dem.px) & (targets.cy == dem.py))
@@ -2952,7 +2979,7 @@ t AS (
   SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty,
          (8*CAST(x.range AS INTEGER) + 4) // 3 AS cx,
          (8*CAST(y.range AS INTEGER) + 4) // 3 AS cy
-  FROM range({AVG_T}) x, range({AVG_T}) y
+  FROM range({AVG_T}) x, range({AVG_TH}) y
 )
 SELECT t.tx, t.ty, CAST(dem.cents AS DOUBLE) / 100.0 AS elev_near
 FROM t JOIN dem ON t.cx = dem.px AND t.cy = dem.py
@@ -2987,9 +3014,9 @@ def raster_resample_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             palette.bin_index_case_sql(PALETTE, "CAST(elev AS DOUBLE)")
         ).alias("cls"),
     )
-    targets = spark.range(AVG_T * AVG_T).select(
-        F.expr(f"cast(id div {AVG_T} as int)").alias("tx"),
-        F.expr(f"cast(id % {AVG_T} as int)").alias("ty"),
+    targets = spark.range(AVG_T * AVG_TH).select(
+        F.expr(f"cast(id div {AVG_TH} as int)").alias("tx"),
+        F.expr(f"cast(id % {AVG_TH} as int)").alias("ty"),
     )
     contrib = (
         targets
@@ -3051,7 +3078,7 @@ WITH dem AS (
 ),
 t AS (
   SELECT CAST(x.range AS INTEGER) AS tx, CAST(y.range AS INTEGER) AS ty
-  FROM range({AVG_T}) x, range({AVG_T}) y
+  FROM range({AVG_T}) x, range({AVG_TH}) y
 ),
 contrib AS (
   SELECT tx, ty,

@@ -40,7 +40,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gdalos_spark.datamodel import DEM_GRID_SQL, GRID_W, dem_grid
+from gdalos_spark.datamodel import DEM_GRID_SQL, GRID_H, GRID_W, dem_grid
 
 # scene / geo layout: 2x2 quadrant scenes over the 64x64 DEM grid,
 # 0.5-degree pixels anchored at (-180, 60) north-up — every lon/lat is
@@ -1305,7 +1305,12 @@ def _cog_out_dir(sf_dir: str) -> str:
     from gdalos_spark.datamodel import source_fingerprint
 
     fp = source_fingerprint(f"{sf_dir}/lineitem.parquet")
-    slug = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    # GRID dims are part of the key: they became an env-controlled scale
+    # axis, and a slug without them would silently serve scenes written
+    # at a different grid size (stale data, gate divergence, bogus sweep
+    # walls) instead of rebuilding.
+    key = f"{os.path.abspath(sf_dir)}:{fp}:{GRID_W}x{GRID_H}"
+    slug = hashlib.md5(key.encode()).hexdigest()[:12]
     return os.path.join(os.environ.get("GDALOS_COG_ROOT", "/tmp/gdalos_cog"), slug)
 
 
@@ -1549,7 +1554,12 @@ def _ovr_out_dir(sf_dir: str) -> str:
     from gdalos_spark.datamodel import source_fingerprint
 
     fp = source_fingerprint(f"{sf_dir}/lineitem.parquet")
-    slug = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    # GRID dims are part of the key: they became an env-controlled scale
+    # axis, and a slug without them would silently serve scenes written
+    # at a different grid size (stale data, gate divergence, bogus sweep
+    # walls) instead of rebuilding.
+    key = f"{os.path.abspath(sf_dir)}:{fp}:{GRID_W}x{GRID_H}"
+    slug = hashlib.md5(key.encode()).hexdigest()[:12]
     return os.path.join(os.environ.get("GDALOS_OVR_ROOT", "/tmp/gdalos_ovr"), slug)
 
 

@@ -41,7 +41,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gdalos_spark.datamodel import DEM_GRID_SQL, GRID_W, dem_grid
+from gdalos_spark.datamodel import DEM_GRID_SQL, GRID_H, GRID_W, dem_grid
 from gdalos_spark.sources.geotiff import LAT0, LON0, PIX, SCENE
 
 GPKG_TILE = 16          # tile_width = tile_height
@@ -268,7 +268,12 @@ def _gpkg_out_dir(sf_dir: str) -> str:
     from gdalos_spark.datamodel import source_fingerprint
 
     fp = source_fingerprint(f"{sf_dir}/lineitem.parquet")
-    slug = hashlib.md5(f"{os.path.abspath(sf_dir)}:{fp}".encode()).hexdigest()[:12]
+    # GRID dims are part of the key: they became an env-controlled scale
+    # axis, and a slug without them would silently serve scenes written
+    # at a different grid size (stale data, gate divergence, bogus sweep
+    # walls) instead of rebuilding.
+    key = f"{os.path.abspath(sf_dir)}:{fp}:{GRID_W}x{GRID_H}"
+    slug = hashlib.md5(key.encode()).hexdigest()[:12]
     return os.path.join(os.environ.get("GDALOS_GPKG_ROOT", "/tmp/gdalos_gpkg"), slug)
 
 
@@ -295,7 +300,7 @@ def write_gpkg_scenes(
             f"array_min(filter(transform(sequence(0, 31), "
             f"k -> cast({GPKG_DIV} as bigint) * shiftleft(cast(1 as bigint), k)), "
             f"d -> coalesce(m, cast(0 as bigint)) div d < {GPKG_NODATA16}))"
-        ).cast("int").alias("div")
+        ).alias("div")  # BIGINT: k=27..31 divisors exceed INT32
     )
     g = g.crossJoin(F.broadcast(dv))
 
@@ -303,6 +308,13 @@ def write_gpkg_scenes(
         import pandas as pd
 
         os.makedirs(out_dir, exist_ok=True)
+        if pd.isna(pdf["div"].iloc[0]):
+            # empty filter result = no k<32 divisor fits — the same
+            # boundary _gpkg_div_for raises at; fail loudly instead of
+            # int(NaN) crashing with an unrelated message
+            raise OverflowError(
+                "band max needs divisor past the oracle's k<32 search bound"
+            )
         div = int(pdf["div"].iloc[0])
         sid, ox, oy, z1, ov = _scene_tiles(pdf, div)
         final = os.path.join(out_dir, f"scene_{sid:05d}.gpkg")

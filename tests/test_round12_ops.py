@@ -356,3 +356,31 @@ def test_raster_resample_mode_semantics(ducks):
         cls, w = best
         assert got[key] == (cls, w, len(v)), (key, got[key], best)
     assert set(got) == set(votes)
+
+
+# --- resample kernel family: cross-engine gates ------------------------------
+# The Spark plans are SEPARABLE two-pass convolutions while the DuckDB
+# oracles are the direct 2-D weighted joins, so this parametrized gate is
+# also the standing proof that the separable factorization is value-exact
+# (the code-review follow-up to the round-12 rewrite, which had left the
+# rewritten kernels with no cross-engine test while they sat outside the
+# certified front window).
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "raster_resample_bilinear",
+        "raster_resample_cubic",
+        "raster_resample_cubicspline",
+        "raster_resample_lanczos",
+        "raster_resample_average",
+        "raster_resample_nearest",
+    ],
+)
+def test_resample_kernels_match_oracle(spark, ducks, key):
+    assert_matches_oracle(
+        spark, ducks, entrymod.queries()[key], entrymod.oracle_sql()[key]
+    )
