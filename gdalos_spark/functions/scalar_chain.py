@@ -77,7 +77,16 @@ class ScalarChain:
         sides, so degenerate rows (e.g. an underflowed diffraction-line
         slope pushing a fit distance to ~1e12) saturate at ln(cap)
         identically instead of crashing one engine and corrupting the
-        other."""
+        other.
+
+        Every stage is materialized as its own column ON PURPOSE: the
+        total expression NODE count is what sizes DuckDB's per-thread
+        executor state (one ~16 KB intermediate vector per node per
+        thread), and an inlined variant that repeated the mantissa
+        sub-expression ~24x per ln pushed a ~400-ln program past 100 GB
+        of transient state at 32 threads. Small flat stages keep the
+        node count minimal; depth is handled at render time (see
+        _plan / the ITM render-mode notes)."""
         cap = 9.0e18 / scale
         yi = self.add(
             f"{out}_yi",
@@ -110,7 +119,10 @@ class ScalarChain:
         wraps mod 64 and returns garbage. With the clamp both engines
         saturate identically at ~exp(-43) ~ 2e-19, and negative inputs
         (callers' responsibility, but cheap to make safe) floor at
-        exp(0) scale rather than a negative shift."""
+        exp(0) scale rather than a negative shift.
+
+        Stages are materialized, not inlined — see ln's docstring for
+        why node count (DuckDB executor state) outranks depth here."""
         t = self.add(
             f"{out}_t",
             f"least(greatest(({x}) * {dbl_lit(LOG2E)}, 0.0e0), 62.0e0)",
@@ -164,24 +176,96 @@ class ScalarChain:
             out.append(cur)
         return out
 
-    def apply_spark(self, df):
+    def _plan(self, keep, inputs):
+        """Liveness-pruned rendering plan: for each level, the
+        pass-through columns still referenced downstream and the subset
+        of the level's definitions worth emitting. Without pruning each
+        level carries EVERY prior column (`SELECT *`), so a ~600-column
+        / ~490-level program pushes ~900-wide vectors through ~490
+        projection operators per thread — enough to OOM DuckDB outright
+        and to bloat Spark's analysis the same way. With it, width per
+        level is the live set (tens), independent of program length."""
+        levels = self.levels()
+        defined = {n for n, _ in self.items}
+        known = defined | set(inputs)
+        missing = set(keep) - known
+        if missing:
+            raise ValueError(f"keep names not defined anywhere: {sorted(missing)}")
+        need = set(keep)
+        plan = []
+        for batch in reversed(levels):
+            names_here = {n for n, _ in batch}
+            emit = [(n, e) for n, e in batch if n in need]
+            carry = sorted(need - names_here)
+            refs: set[str] = set()
+            for _, e in emit:
+                refs |= {t for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", e) if t in known}
+            need = (need - names_here) | refs
+            plan.append((carry, emit))
+        plan.reverse()
+        return plan
+
+    def apply_spark(self, df, keep=None, inputs=(), segment=None):
+        """keep/inputs enable liveness pruning (see _plan): `keep` is
+        the column set the caller reads off the result, `inputs` the
+        source-frame columns the program may reference or pass through.
+
+        `segment` caps the PLAN DEPTH a single Spark query tree carries:
+        every `segment` emitted levels the frame is cut with a lazy
+        localCheckpoint, so Catalyst's tree recursion and whole-stage
+        codegen's consume() recursion each see at most `segment` stacked
+        projections. Both recursions overflow the JVM stack somewhere
+        past ~300 stacked projections (measured: 307 renders fine, 487
+        overflows — analysis when wide, codegen when narrow), and the
+        checkpointed intermediate is link-cardinality rows, so the cut
+        is free at any scale."""
         from pyspark.sql import functions as F
 
-        for batch in self.levels():
-            df = df.withColumns({n: F.expr(e) for n, e in batch})
+        if keep is None:
+            for batch in self.levels():
+                df = df.withColumns({n: F.expr(e) for n, e in batch})
+            return df
+        emitted = 0
+        for carry, emit in self._plan(keep, inputs):
+            if not emit:
+                continue  # fully-dead level: nothing defined here survives
+            df = df.select(
+                *carry, *[F.expr(e).alias(n) for n, e in emit]
+            )
+            emitted += 1
+            if segment and emitted % segment == 0:
+                df = df.localCheckpoint(eager=False)
         return df
 
-    def wrap_sql(self, inner: str) -> str:
+    def wrap_sql(self, inner: str, keep=None, inputs=()) -> str:
         """Render as a FLAT WITH-chain (one CTE per level), not nested
         subqueries: the full lrprop program levels ~300 deep, and a
         300-deep `SELECT * FROM (...)` nest exhausts DuckDB's parser
         recursion; a 300-CTE chain is linear and parses fine (an inner
         query carrying its own WITH nests legally inside the first
-        CTE's body)."""
+        CTE's body). keep/inputs enable liveness pruning (see _plan).
+
+        The pruned path renders the input CTE AS MATERIALIZED: DuckDB
+        then feeds the chain from a materialized scan, and a sub-morsel
+        input (the ITM link table is ~300 rows) runs the WHOLE chain on
+        ONE thread. Without it every worker thread instantiates executor
+        state for every level, and the >=128 KB per-level chunks each
+        become an mmap — ~60k mappings at 32 threads for the ITM
+        program, which overruns the kernel's default 65530
+        vm.max_map_count and surfaces as a spurious out-of-memory."""
         parts = [f"__sc_in AS ({inner})"]
         prev = "__sc_in"
-        for i, batch in enumerate(self.levels()):
-            cols = ", ".join(f"{e} AS {n}" for n, e in batch)
-            parts.append(f"__sc_{i} AS (SELECT *, {cols} FROM {prev})")
+        if keep is None:
+            for i, batch in enumerate(self.levels()):
+                cols = ", ".join(f"{e} AS {n}" for n, e in batch)
+                parts.append(f"__sc_{i} AS (SELECT *, {cols} FROM {prev})")
+                prev = f"__sc_{i}"
+            return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM {prev}"
+        parts[0] = f"__sc_in AS MATERIALIZED ({inner})"
+        for i, (carry, emit) in enumerate(self._plan(keep, inputs)):
+            if not emit:
+                continue  # fully-dead level: nothing defined here survives
+            cols = ", ".join([*carry, *(f"{e} AS {n}" for n, e in emit)])
+            parts.append(f"__sc_{i} AS (SELECT {cols} FROM {prev})")
             prev = f"__sc_{i}"
         return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM {prev}"

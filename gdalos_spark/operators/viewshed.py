@@ -2565,11 +2565,14 @@ GEODESIC_DESTINATION_SQL = _geodesic_destination_sql()
 #         Irregular Terrain Model, version 1.2.2: The Algorithm"), not a
 #         port of any reference code.
 #
-# Scope: the p2p reference attenuation through lrprop's LOS and
-# diffraction regimes — the full "non-free-space" model short of
-# troposcatter (d > dx, the beyond-horizon scatter range far past these
-# links; documented out of scope) — over the SAME integer-sampled DEM
-# profiles as point_to_point_los:
+# Scope: the p2p reference attenuation through ALL THREE lrprop
+# regimes — LOS, diffraction, and troposcatter (ascat: the H0
+# scatter-efficiency blend, the F(theta*d) table, the refractivity exp
+# term, fitted into the (aes, ems) line with the dx crossover; the
+# scatter line is computed for every link exactly as lrprop does and
+# gated via the dx_m/aes_db/ems_db_per_m output columns even where the
+# 9-km test links never reach d > dx) — over the SAME integer-sampled
+# DEM profiles as point_to_point_los:
 #   * qlrps scenario setup runs HOST-SIDE from RadioBaseParams exactly as
 #     ITM does once per scenario: effective earth curvature
 #     gme = 157e-9 * (1 - 0.04665*exp(Ns/179.3)) and the surface transfer
@@ -2627,6 +2630,12 @@ _ITM_FSPL_K = 25.17975792706731  # 20*log10(433 MHz) - 27.55
 _ITM_ZGND = _cm.sqrt(complex(ITM_PERMITTIVITY, 376.62 * ITM_CONDUCTIVITY / _ITM_WN) - 1.0)
 # lrprop's diffraction-line abscissa scale xae = (wn * gme^2)^(-1/3)
 _ITM_XAE = (_ITM_WN * _ITM_GME * _ITM_GME) ** (-1.0 / 3.0)
+# troposcatter scenario constants (ascat / the lrprop wscat section):
+# the 200 km probe spacing, the dx log floor dla + 0.3*xae*ln(47.7*wn),
+# and etq = (5.67e-6*Ns - 2.32e-3)*Ns + 0.031 from the refractivity
+_ITM_DS = 200e3
+_ITM_DXLOG = 0.3 * _ITM_XAE * _m.log(47.7 * _ITM_WN)
+_ITM_ETQ = (5.67e-6 * ITM_REFRACTIVITY - 2.32e-3) * ITM_REFRACTIVITY + 0.031
 
 
 def _itm_chain(intdiv: str, shift) -> "ScalarChain":
@@ -2737,13 +2746,51 @@ def _itm_chain(intdiv: str, shift) -> "ScalarChain":
     )
     c.add("ael", "(a2l - ak1 * dlsa - ak2 * lnd2)")
 
-    # --- regime pick (lrprop's literal branch), FSPL, total
+    # --- lrprop troposcatter line: ascat (ITM section 4, the d > dx
+    # regime) evaluated at the two ITM probe distances d5/d6 = dla +
+    # 200/400 km — IN THAT CALL ORDER (lrprop computes a6 BEFORE a5;
+    # ascat's h0s state couples the two evaluations, so the order is
+    # observable) — then the (aes, ems) fit and the dx crossover.
+    c.add("ad_s", "abs(dl1 - dl2)")
+    c.add("rr_s", "(CASE WHEN dl1 < dl2 THEN he1 / he2 ELSE he2 / he1 END)")
+    c.add("d6", f"(dla + {L(2.0 * _ITM_DS)})")
+    c.add("d5", f"(dla + {L(_ITM_DS)})")
+    _itm_ascat_at(c, "6", gme, wn, L, prev=None)
+    _itm_ascat_at(c, "5", gme, wn, L, prev=("inv_s6", "h0_s6"))
+    c.add("ems0", f"((a_s6 - a_s5) / {L(_ITM_DS)})")
+    # wsc gates the fit on lrprop's a5 < 1000 validity check; the
+    # |emd-ems| guard keeps the dx division finite when the two lines
+    # are parallel (kwx-clamp convention — the reference divides raw
+    # and the 0*inf would poison aes with NaN)
+    c.add(
+        "wsc",
+        "(CASE WHEN a_s5 < 1000.0e0 AND abs(emd - ems0) > 1.0e-12 "
+        "THEN 1 ELSE 0 END)",
+    )
+    c.add("ems", "(CASE WHEN wsc = 1 THEN ems0 ELSE emd END)")
+    c.add(
+        "dx",
+        f"(CASE WHEN wsc = 1 THEN greatest(dlsa, greatest(dla + {L(_ITM_DXLOG)}, "
+        "(a_s5 - aed - ems0 * d5) / (emd - ems0))) ELSE 1.0e7 END)",
+    )
+    c.add("aes", "(CASE WHEN wsc = 1 THEN (emd - ems) * dx + aed ELSE aed END)")
+
+    # --- regime pick (lrprop's literal branches), FSPL, total
     c.ln("d_m", "ln_d")
     c.add("alos_fit", "greatest(ael + ak1 * d_m + ak2 * ln_d, 0.0e0)")
-    c.add("aref", "(CASE WHEN d_m < dlsa THEN alos_fit ELSE (aed + emd * d_m) END)")
+    c.add(
+        "aref",
+        "(CASE WHEN d_m < dlsa THEN alos_fit "
+        "WHEN d_m <= dx THEN (aed + emd * d_m) "
+        "ELSE (aes + ems * d_m) END)",
+    )
     c.add("fspl", f"({L(_ITM_FSPL_C)} * ln_d + {L(_ITM_FSPL_K)})")
     c.add("ploss", "(fspl + greatest(0.0e0, aref))")
-    c.add("regime", "(CASE WHEN d_m < dlsa THEN 'los' ELSE 'diffraction' END)")
+    c.add(
+        "regime",
+        "(CASE WHEN d_m < dlsa THEN 'los' "
+        "WHEN d_m <= dx THEN 'diffraction' ELSE 'scatter' END)",
+    )
     return c
 
 
@@ -2778,6 +2825,142 @@ def _itm_adiff_at(c: "ScalarChain", t: str, gme: str, wn: str, qk: str, L) -> No
     )
     c.add(f"wd_{t}", f"(25.1e0 / (25.1e0 + sqrt(qw_{t})))")
     c.add(f"adiff_{t}", f"(ar_{t} * wd_{t} + (1.0e0 - wd_{t}) * adiffv_{t} + afo)")
+
+
+def _itm_h0f(c: "ScalarChain", tag: str, r: str, ett: str, L) -> str:
+    """ITM's frequency-gain function H0(r, et) (NTIA memo eq. 6.6.x /
+    itm h0f): table nodes a/b indexed by the integer part of et with
+    linear interpolation between nodes; x = (1/r)^2. The >= 1 table
+    argument means the ln clamp never engages for valid geometry; tiny
+    |r| saturates at ln's cap identically in both engines."""
+    c.add(f"x_{tag}", f"(1.0e0 / ({r} * {r}))")
+    c.add(
+        f"it_{tag}",
+        f"least(CAST(floor(least({ett}, 1.0e9)) AS INTEGER), 5)",
+    )
+    c.add(
+        f"qi_{tag}",
+        f"(CASE WHEN {ett} < 5.0e0 THEN {ett} - CAST(it_{tag} AS DOUBLE) ELSE 0.0e0 END)",
+    )
+    alo = (
+        f"(CASE it_{tag} WHEN 1 THEN 25.0e0 WHEN 2 THEN 80.0e0 "
+        f"WHEN 3 THEN 177.0e0 WHEN 4 THEN 395.0e0 ELSE 705.0e0 END)"
+    )
+    blo = (
+        f"(CASE it_{tag} WHEN 1 THEN 24.0e0 WHEN 2 THEN 45.0e0 "
+        f"WHEN 3 THEN 68.0e0 WHEN 4 THEN 80.0e0 ELSE 105.0e0 END)"
+    )
+    ahi = (
+        f"(CASE it_{tag} WHEN 1 THEN 80.0e0 WHEN 2 THEN 177.0e0 "
+        f"WHEN 3 THEN 395.0e0 ELSE 705.0e0 END)"
+    )
+    bhi = (
+        f"(CASE it_{tag} WHEN 1 THEN 45.0e0 WHEN 2 THEN 68.0e0 "
+        f"WHEN 3 THEN 80.0e0 ELSE 105.0e0 END)"
+    )
+    c.add(f"glo_{tag}", f"(({alo} * x_{tag} + {blo}) * x_{tag} + 1.0e0)")
+    c.add(f"ghi_{tag}", f"(({ahi} * x_{tag} + {bhi}) * x_{tag} + 1.0e0)")
+    c.ln(f"glo_{tag}", f"lnlo_{tag}")
+    c.ln(f"ghi_{tag}", f"lnhi_{tag}")
+    return c.add(
+        f"h0f_{tag}",
+        f"(4.343e0 * ((1.0e0 - qi_{tag}) * lnlo_{tag} + qi_{tag} * lnhi_{tag}))",
+    )
+
+
+def _itm_ascat_at(c: "ScalarChain", t: str, gme: str, wn: str, L, prev) -> None:
+    """ITM ascat(d) at the distance column d{t} (NTIA memo section 4 /
+    itm ascat): the H0 scatter-efficiency blend over (r1, r2), the
+    F(theta*d) attenuation table ahd, and the refractivity exp term.
+    ascat keeps mutable state h0s between calls — lrprop evaluates d6
+    FIRST, then d5 with h0s = h0(d6) — so `prev` threads the earlier
+    call's (invalid-flag, h0) columns into this one's entry/clamp
+    branches exactly as the statics do:
+      * entry: if the previous call was valid and its h0 > 15, reuse it
+        outright (the whole compute branch, including the r1/r2 < 0.2
+        invalid return, is skipped);
+      * clamp: a freshly computed h0 > 15 falls back to the previous h0
+        when that one exists and is >= 0."""
+    s = f"_s{t}"
+    d = f"d{t}"
+    c.add(f"thr{s}", f"(te1 + te2 + {d} * {gme})")
+    c.add(f"r1{s}", f"(2.0e0 * {wn} * thr{s} * he1)")
+    c.add(f"r2{s}", f"(2.0e0 * {wn} * thr{s} * he2)")
+    c.add(
+        f"inv{s}",
+        f"(CASE WHEN r1{s} < 0.2e0 AND r2{s} < 0.2e0 THEN 1 ELSE 0 END)",
+    )
+    # q = rr/ss uses the UNCLAMPED ss (the reference clamps ss after
+    # forming the ratio)
+    c.add(f"ss0{s}", f"(({d} - ad_s) / ({d} + ad_s))")
+    c.add(f"qq0{s}", f"(rr_s / ss0{s})")
+    c.add(f"ssc{s}", f"greatest(0.1e0, ss0{s})")
+    c.add(f"qqc{s}", f"least(greatest(0.1e0, qq0{s}), 10.0e0)")
+    c.add(f"z0{s}", f"(({d} - ad_s) * ({d} + ad_s) * thr{s} * 0.25e0 / {d})")
+    c.add(f"tm{s}", f"least(1.7e0, z0{s} / 8.0e3)")
+    c.add(f"tm6{s}", f"(tm{s} * tm{s} * tm{s} * tm{s} * tm{s} * tm{s})")
+    c.exp_neg(f"tm6{s}", f"etm{s}")
+    c.add(f"et{s}", f"(({L(_ITM_ETQ)} * etm{s} + 1.0e0) * z0{s} / 1.7556e3)")
+    c.add(f"ett{s}", f"greatest(et{s}, 1.0e0)")
+    _itm_h0f(c, f"h1{s}", f"r1{s}", f"ett{s}", L)
+    _itm_h0f(c, f"h2{s}", f"r2{s}", f"ett{s}", L)
+    c.add(f"h0a{s}", f"((h0f_h1{s} + h0f_h2{s}) / 2.0e0)")
+    c.ln(f"ett{s}", f"lnett{s}")
+    c.ln(f"ssc{s}", f"lnss{s}")
+    c.ln(f"qqc{s}", f"lnqq{s}")
+    c.add(
+        f"h0b{s}",
+        f"(h0a{s} + least(h0a{s}, (1.38e0 - lnett{s}) * lnss{s} * lnqq{s} * 0.49e0))",
+    )
+    c.add(f"h0c{s}", f"greatest(h0b{s}, 0.0e0)")
+    c.add(f"tt{s}", f"((1.0e0 + 1.4142e0 / r1{s}) * (1.0e0 + 1.4142e0 / r2{s}))")
+    c.add(
+        f"ta{s}",
+        f"(tt{s} * tt{s} * (r1{s} + r2{s}) / (r1{s} + r2{s} + 2.8284e0))",
+    )
+    c.ln(f"ta{s}", f"lntt{s}")
+    c.add(
+        f"h0d{s}",
+        f"(CASE WHEN et{s} < 1.0e0 THEN "
+        f"et{s} * h0c{s} + (1.0e0 - et{s}) * 4.343e0 * lntt{s} "
+        f"ELSE h0c{s} END)",
+    )
+    if prev is None:
+        # first call (d6): h0s starts at -15, so the entry reuse and the
+        # > 15 clamp can never fire
+        c.add(f"h0{s}", f"h0d{s}")
+        c.add(f"invx{s}", f"inv{s}")
+    else:
+        inv_p, h0_p = prev
+        c.add(
+            f"skip{s}",
+            f"(CASE WHEN {inv_p} = 0 AND {h0_p} > 15.0e0 THEN 1 ELSE 0 END)",
+        )
+        c.add(
+            f"h0{s}",
+            f"(CASE WHEN skip{s} = 1 THEN {h0_p} "
+            f"WHEN h0d{s} > 15.0e0 AND {inv_p} = 0 AND {h0_p} >= 0.0e0 THEN {h0_p} "
+            f"ELSE h0d{s} END)",
+        )
+        c.add(f"invx{s}", f"(CASE WHEN skip{s} = 1 THEN 0 ELSE inv{s} END)")
+    # scatter attenuation line at the smooth angle th = tha + d*gme
+    c.add(f"tht{s}", f"(tha + {d} * {gme})")
+    c.add(f"td{s}", f"(tht{s} * {d})")
+    c.ln(f"td{s}", f"lntd{s}")
+    c.add(
+        f"ahd{s}",
+        f"(CASE WHEN td{s} <= 1.0e4 THEN 133.4e0 + 0.332e-3 * td{s} - 4.343e0 * lntd{s} "
+        f"WHEN td{s} <= 7.0e4 THEN 104.6e0 + 0.212e-3 * td{s} - 1.086e0 * lntd{s} "
+        f"ELSE 71.8e0 + 0.157e-3 * td{s} + 2.171e0 * lntd{s} END)",
+    )
+    c.add(f"t4{s}", f"(tht{s} * tht{s} * tht{s} * tht{s})")
+    c.ln(f"({L(47.7 * _ITM_WN)} * t4{s})", f"lnw4{s}", scale=1e12)
+    c.exp_neg(f"(td{s} / 4.0e4)", f"e40{s}")
+    c.add(
+        f"a{s}",
+        f"(CASE WHEN invx{s} = 1 THEN 1001.0e0 ELSE "
+        f"ahd{s} + 4.343e0 * lnw4{s} - ({L(0.1 * (ITM_REFRACTIVITY - 301.0))}) * e40{s} + h0{s} END)",
+    )
 
 
 # Maclaurin sine bank (odd, 6 terms, |x| <= pi/2 => err < 6e-8) — the
@@ -2842,8 +3025,21 @@ def _itm_alos_at(c: "ScalarChain", t: str, dcol: str, wn: str, L) -> None:
 _ITM_OUT = (
     "c_custkey", "ox", "oy", "n_samples", "dist_m", "dh_m", "dl1_m",
     "dl2_m", "theta_e1", "theta_e2", "regime", "aref_db", "fspl_db",
-    "path_loss_db", "refractivity", "conductivity", "permittivity",
-    "humidity",
+    "path_loss_db", "dx_m", "aes_db", "ems_db_per_m", "refractivity",
+    "conductivity", "permittivity", "humidity",
+)
+# liveness sets for the chain renderers: what the final projections read
+# (keep) and what the `link` frame provides (inputs). With ~600 chain
+# columns over ~490 levels, un-pruned rendering carries every column
+# through every level — wide enough to OOM DuckDB — so both engines
+# render the pruned plan (identical text both sides, as always).
+_ITM_KEEP = (
+    "c_custkey", "ox", "oy", "n_samples", "d_m", "dh", "dl1", "dl2",
+    "te1", "te2", "regime", "aref", "fspl", "ploss", "dx", "aes", "ems",
+)
+_ITM_IN = (
+    "c_custkey", "ox", "oy", "d_m", "sm", "zt", "te1", "te2",
+    "n_samples", "dh", "dl1", "dl2", "he1", "he2",
 )
 
 
@@ -2944,7 +3140,23 @@ def radio_itm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("he1", F.expr(f"greatest(1.0e0, {L(OBS_Z)} - zbar)"))
         .withColumn("he2", F.expr("greatest(1.0e0, zt - zbar)"))
     )
-    out = _itm_chain(*spark_spellings()).apply_spark(link)
+    # Both engines render the chain PRUNED (keep/inputs liveness) —
+    # per-column expression text stays byte-identical; only which
+    # columns each level carries differs per engine:
+    #   * Spark additionally cuts the plan every 150 levels (segment):
+    #     past ~300 stacked projections the JVM stack overflows, in
+    #     Catalyst analysis when the levels are wide and in codegen's
+    #     consume() recursion when they are narrow. The checkpointed
+    #     cut is link-cardinality rows — free at any scale.
+    #   * DuckDB renders the input CTE AS MATERIALIZED so the whole
+    #     chain runs single-threaded off a sub-morsel scan: with 32
+    #     threads each instantiating per-level executor state, the
+    #     >=128 KB chunk allocations overran the kernel's default
+    #     65530 vm.max_map_count (spurious OOM) — and the
+    #     single-thread plan is also ~10x faster at this cardinality.
+    out = _itm_chain(*spark_spellings()).apply_spark(
+        link, keep=_ITM_KEEP, inputs=_ITM_IN, segment=150
+    )
     return out.select(
         "c_custkey", "ox", "oy", "n_samples",
         F.col("d_m").alias("dist_m"),
@@ -2957,6 +3169,9 @@ def radio_itm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aref").alias("aref_db"),
         F.col("fspl").alias("fspl_db"),
         F.col("ploss").alias("path_loss_db"),
+        F.col("dx").alias("dx_m"),
+        F.col("aes").alias("aes_db"),
+        F.col("ems").alias("ems_db_per_m"),
         F.expr(f"{L(ITM_REFRACTIVITY)}").alias("refractivity"),
         F.expr(f"{L(ITM_CONDUCTIVITY)}").alias("conductivity"),
         F.expr(f"{L(ITM_PERMITTIVITY)}").alias("permittivity"),
@@ -3046,12 +3261,15 @@ link AS (
 )
 SELECT * FROM link
 """
-    chained = _itm_chain(*duckdb_spellings()).wrap_sql(link)
+    chained = _itm_chain(*duckdb_spellings()).wrap_sql(
+        link, keep=_ITM_KEEP, inputs=_ITM_IN
+    )
     return f"""
 SELECT c_custkey, ox, oy, n_samples,
        d_m AS dist_m, dh AS dh_m, dl1 AS dl1_m, dl2 AS dl2_m,
        te1 AS theta_e1, te2 AS theta_e2, regime,
        aref AS aref_db, fspl AS fspl_db, ploss AS path_loss_db,
+       dx AS dx_m, aes AS aes_db, ems AS ems_db_per_m,
        {L(ITM_REFRACTIVITY)} AS refractivity,
        {L(ITM_CONDUCTIVITY)} AS conductivity,
        {L(ITM_PERMITTIVITY)} AS permittivity,

@@ -69,11 +69,40 @@ def test_radio_itm_matches_oracle(spark, ducks):
     )
 
 
+def _itm_libm_h0f(r, et):
+    """libm twin of ITM's H0 frequency-gain table interpolation."""
+    a = (25.0, 80.0, 177.0, 395.0, 705.0)
+    b = (24.0, 45.0, 68.0, 80.0, 105.0)
+    it = int(et)
+    if it <= 0:
+        it, q = 1, 0.0
+    elif it >= 5:
+        it, q = 5, 0.0
+    else:
+        q = et - it
+    x = (1.0 / r) ** 2
+    h0fv = 4.343 * math.log((a[it - 1] * x + b[it - 1]) * x + 1.0)
+    if q != 0.0:
+        h0fv = (1.0 - q) * h0fv + q * 4.343 * math.log((a[it] * x + b[it]) * x + 1.0)
+    return h0fv
+
+
+def _itm_libm_ahd(td):
+    """libm twin of ITM's F(theta*d) scatter attenuation table."""
+    if td <= 10e3:
+        return 133.4 + 0.332e-3 * td - 4.343 * math.log(td)
+    if td <= 70e3:
+        return 104.6 + 0.212e-3 * td - 1.086 * math.log(td)
+    return 71.8 + 0.157e-3 * td + 2.171 * math.log(td)
+
+
 def _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2):
     """Independent pure-libm twin of the full _itm_chain lrprop program
-    (adiff line fit + two-ray LOS fit) — validates the
-    polynomial/Newton machinery numerically, not just cross-engine
-    equality. Follows NTIA ITM 1.2.2 lrprop/adiff/alos directly."""
+    (adiff line fit + two-ray LOS fit + ascat troposcatter line) —
+    validates the polynomial/Newton machinery numerically, not just
+    cross-engine equality. Follows NTIA ITM 1.2.2 lrprop/adiff/alos/
+    ascat directly, including the a6-before-a5 call order ascat's h0s
+    state makes observable. Returns (aref, dx, aes, ems)."""
     from gdalos_spark.operators import viewshed as V
 
     gme, wn, qk, hg = V._ITM_GME, V._ITM_WN, V._ITM_QK, V.ITM_HG
@@ -132,8 +161,67 @@ def _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2):
     emd = (a4 - a3) / (d4 - d3)
     aed = a3 - emd * d3
 
+    # --- ascat troposcatter line (computed for every link, as in the
+    # chain): d6 evaluated BEFORE d5, h0s threading the two calls
+    ad = dl1 - dl2
+    rr = he2 / he1
+    if ad < 0:
+        ad, rr = -ad, 1.0 / rr
+    ens = V.ITM_REFRACTIVITY
+    etq = (5.67e-6 * ens - 2.32e-3) * ens + 0.031
+
+    def ascat(d, h0s):
+        th = te1 + te2 + d * gme
+        r1 = 2.0 * wn * th * he1
+        r2 = 2.0 * wn * th * he2
+        if h0s > 15.0:
+            h0 = h0s
+        else:
+            if r1 < 0.2 and r2 < 0.2:
+                return 1001.0, h0s
+            ss = (d - ad) / (d + ad)
+            q = rr / ss
+            ss = max(0.1, ss)
+            q = min(max(0.1, q), 10.0)
+            z0 = (d - ad) * (d + ad) * th * 0.25 / d
+            temp = min(1.7, z0 / 8.0e3) ** 6
+            et = (etq * math.exp(-temp) + 1.0) * z0 / 1.7556e3
+            ett = max(et, 1.0)
+            h0 = (_itm_libm_h0f(r1, ett) + _itm_libm_h0f(r2, ett)) / 2.0
+            h0 += min(h0, (1.38 - math.log(ett)) * math.log(ss) * math.log(q) * 0.49)
+            h0 = max(h0, 0.0)
+            if et < 1.0:
+                tt = (1.0 + 1.4142 / r1) * (1.0 + 1.4142 / r2)
+                h0 = et * h0 + (1.0 - et) * 4.343 * math.log(
+                    tt * tt * (r1 + r2) / (r1 + r2 + 2.8284)
+                )
+            if h0 > 15.0 and h0s >= 0.0:
+                h0 = h0s
+        tht = tha + d * gme
+        return (
+            _itm_libm_ahd(tht * d)
+            + 4.343 * math.log(47.7 * wn * tht**4)
+            - 0.1 * (ens - 301.0) * math.exp(-tht * d / 40e3)
+            + h0,
+            h0,
+        )
+
+    d6 = dla + 2.0 * V._ITM_DS
+    d5 = dla + V._ITM_DS
+    a6, h0s = ascat(d6, -15.0)
+    a5, h0s = ascat(d5, h0s)
+    ems0 = (a6 - a5) / V._ITM_DS
+    if a5 < 1000.0 and abs(emd - ems0) > 1e-12:
+        ems = ems0
+        dx = max(dlsa, dla + V._ITM_DXLOG, (a5 - aed - ems0 * d5) / (emd - ems0))
+        aes = (emd - ems) * dx + aed
+    else:
+        ems, aes, dx = emd, aed, 1.0e7
+
     if d_m >= dlsa:
-        return aed + emd * d_m
+        if d_m <= dx:
+            return aed + emd * d_m, dx, aes, ems
+        return aes + ems * d_m, dx, aes, ems
 
     wls = 0.021 / (0.021 + wn * dh / max(10e3, dlsa))
     qh = he1 + he2
@@ -186,13 +274,13 @@ def _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2):
         if ak1 == 0:
             ak1 = emd
     ael = a2 - ak1 * d2 - ak2 * math.log(d2)
-    return max(ael + ak1 * d_m + ak2 * math.log(d_m), 0.0)
+    return max(ael + ak1 * d_m + ak2 * math.log(d_m), 0.0), dx, aes, ems
 
 
 def test_radio_itm_aref_tracks_libm(ducks):
-    """The gated aref_db values must agree with an independent libm
-    evaluation of the same reduced-ITM program to ~1e-4 dB (bounded by
-    the 1e-9/1e-6 integerization of the ln/cbrt inputs)."""
+    """The gated aref_db / dx_m / aes_db values must agree with an
+    independent libm evaluation of the same ITM program to ~1e-3 dB
+    (bounded by the 1e-9/1e-6 integerization of the ln/cbrt inputs)."""
     from gdalos_spark.operators import viewshed as V
 
     sql = V.RADIO_ITM_LOSS_SQL
@@ -203,18 +291,58 @@ def test_radio_itm_aref_tracks_libm(ducks):
     ).fetchall()
     assert rows
     gated = {
-        (round(r[4], 6), round(r[5], 6)): r[11]
+        (round(r[4], 6), round(r[5], 6)): (r[11], r[14], r[15])
         for r in ducks.execute(sql).fetchall()
     }
     checked = 0
     for d_m, sm, dh, te1, te2, dl1, dl2, he1, he2 in rows:
-        ref = _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2)
+        ref, dx, aes, _ems = _itm_libm(d_m, sm, dh, te1, te2, dl1, dl2, he1, he2)
         got = gated.get((round(d_m, 6), round(dh, 6)))
         if got is None:
             continue  # two links sharing (d, dh) — skip ambiguous pins
-        assert abs(got - ref) < 1e-3, (d_m, dh, got, ref)
+        assert abs(got[0] - ref) < 1e-3, (d_m, dh, got[0], ref)
+        # dx is meters at ~2.5e5 scale — compare relatively
+        assert abs(got[1] - dx) < 1e-6 * max(abs(dx), 1.0), (d_m, got[1], dx)
+        assert abs(got[2] - aes) < 1e-3, (d_m, got[2], aes)
         checked += 1
     assert checked >= 5
+
+
+def test_radio_itm_scatter_regime_tracks_libm(ducks):
+    """Drive the chain itself into the d > dx troposcatter regime with
+    synthetic far links (the 9-km test geometry never leaves LOS) and
+    pin regime pick + path loss against the libm twin."""
+    from gdalos_spark.functions.scalar_chain import duckdb_spellings
+    from gdalos_spark.operators import viewshed as V
+
+    cases = [
+        # (d_m, dh, te1, te2, dl1, dl2, he1, he2)
+        (500e3, 40.0, -0.002, -0.001, 2000.0, 3000.0, 5.0, 7.0),
+        (800e3, 90.0, 0.001, 0.002, 4000.0, 2500.0, 12.0, 3.0),
+        (300e3, 15.0, -0.004, -0.003, 1500.0, 1500.0, 2.0, 2.0),
+    ]
+    c = V._itm_chain(*duckdb_spellings())
+    saw_scatter = 0
+    for d_m, dh, te1, te2, dl1, dl2, he1, he2 in cases:
+        inner = (
+            f"SELECT 1 AS c_custkey, 0 AS ox, 0 AS oy, 1 AS n_samples, "
+            f"{d_m:.1f}e0 AS d_m, 1.0e0 AS sm, 0.0e0 AS zt, "
+            f"{te1:e} AS te1, {te2:e} AS te2, {dh:.1f}e0 AS dh, "
+            f"{dl1:.1f}e0 AS dl1, {dl2:.1f}e0 AS dl2, "
+            f"{he1:.1f}e0 AS he1, {he2:.1f}e0 AS he2"
+        )
+        sql = c.wrap_sql(inner, keep=V._ITM_KEEP, inputs=V._ITM_IN)
+        regime, aref, dx, aes, ems = ducks.execute(
+            f"SELECT regime, aref, dx, aes, ems FROM ({sql})"
+        ).fetchone()
+        ref, rdx, raes, rems = _itm_libm(d_m, 1.0, dh, te1, te2, dl1, dl2, he1, he2)
+        assert abs(aref - ref) < 1e-3, (d_m, aref, ref)
+        assert abs(dx - rdx) < 1e-6 * max(abs(rdx), 1.0)
+        assert abs(aes - raes) < 1e-3
+        if d_m > rdx:
+            assert regime == "scatter", (d_m, rdx, regime)
+            saw_scatter += 1
+    assert saw_scatter >= 2, "cases failed to reach the scatter regime"
 
 
 def test_radio_itm_physics_sane(ducks):
@@ -223,12 +351,16 @@ def test_radio_itm_physics_sane(ducks):
     rows = ducks.execute(entrymod.oracle_sql()["radio_itm_loss"]).fetchall()
     assert rows
     for r in rows:
-        d = dict(zip("c_custkey ox oy n_samples dist_m dh_m dl1_m dl2_m theta_e1 theta_e2 regime aref_db fspl_db path_loss_db refractivity conductivity permittivity humidity".split(), r))
+        d = dict(zip("c_custkey ox oy n_samples dist_m dh_m dl1_m dl2_m theta_e1 theta_e2 regime aref_db fspl_db path_loss_db dx_m aes_db ems_db_per_m refractivity conductivity permittivity humidity".split(), r))
         assert d["path_loss_db"] >= d["fspl_db"] - 1e-12
         assert math.isfinite(d["aref_db"])
-        assert d["regime"] in ("los", "diffraction")
+        assert d["regime"] in ("los", "diffraction", "scatter")
         assert (d["refractivity"], d["conductivity"], d["permittivity"], d["humidity"]) == (300.0, 0.03, 15.0, 10.0)
         assert d["dh_m"] >= 0
+        # the scatter crossover always sits beyond the smooth-earth
+        # horizon sum and the ahd log floor
+        assert d["dx_m"] > 0 and math.isfinite(d["aes_db"])
+        assert math.isfinite(d["ems_db_per_m"])
         if d["regime"] == "diffraction":
             assert d["aref_db"] > 0
 
