@@ -3143,10 +3143,14 @@ def radio_itm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both engines render the chain PRUNED (keep/inputs liveness) —
     # per-column expression text stays byte-identical; only which
     # columns each level carries differs per engine:
-    #   * Spark additionally cuts the plan every 150 levels (segment):
+    #   * Spark additionally cuts the plan every 40 levels (segment):
     #     past ~300 stacked projections the JVM stack overflows, in
     #     Catalyst analysis when the levels are wide and in codegen's
-    #     consume() recursion when they are narrow. The checkpointed
+    #     consume() recursion when they are narrow, and 40-level
+    #     segments additionally COMPILE under Janino's method limits —
+    #     measured at sf0.1: segment 40/80/150 = 23.3/29.1/47.6 s
+    #     (150 spends minutes in failed compile attempts before the
+    #     interpreted fallback; 40 runs compiled). The checkpointed
     #     cut is link-cardinality rows — free at any scale.
     #   * DuckDB renders the input CTE AS MATERIALIZED so the whole
     #     chain runs single-threaded off a sub-morsel scan: with 32
@@ -3155,7 +3159,7 @@ def radio_itm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     65530 vm.max_map_count (spurious OOM) — and the
     #     single-thread plan is also ~10x faster at this cardinality.
     out = _itm_chain(*spark_spellings()).apply_spark(
-        link, keep=_ITM_KEEP, inputs=_ITM_IN, segment=150
+        link, keep=_ITM_KEEP, inputs=_ITM_IN, segment=40
     )
     return out.select(
         "c_custkey", "ox", "oy", "n_samples",
