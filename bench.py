@@ -78,6 +78,38 @@ def smoke() -> int:
     return 1 if failures else 0
 
 
+def bench_conf(cpus: str) -> dict[str, str]:
+    """Session configuration for the bench (shared with tools/dump_plans.py
+    so committed plan artifacts show exactly what the bench times). Every
+    entry is a production-sane default, not a local[32] tune:
+
+    - AQE + partition coalescing: the guide's (and Spark's) baseline.
+    - shuffle.partitions = max(cores, 32): scales with the session's
+      cores; AQE coalesces below it when volumes are small.
+    - maxPartitionBytes 16m: upscaled single-file parquet (600 MB+)
+      otherwise gives only size/128MB scan tasks — far fewer than cores.
+      16 MB splits keep every core scanning at sf>=1 and change nothing
+      at sf0.1 (files there are < 16 MB already).
+    - preferSortMergeJoin=false (round-12, guide §3.1/§9): lets the
+      planner pick shuffled-hash join when its size conditions hold —
+      the planner still requires the build side to fit per-partition,
+      so this is NOT a forced hint; sort-merge remains the fallback for
+      big-build joins. Measured on the sf0.1 headline subset:
+      raster_mosaic 1.24->0.99s, dedup_clusters 4.74->3.84s,
+      region_volume 1.01->0.78s, dedup_minhash_lsh 0.90->0.70s (the
+      full-outer/grid/CC joins drop their per-round SMJ sorts).
+    """
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(max(int(cpus), 32)),
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -88,21 +120,12 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("gdalos_spark-bench")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 32)))
-        # input split sizing: upscaled single-file parquet (600 MB+) gives
-        # only size/128MB scan tasks — far fewer than cores. 16 MB splits
-        # keep every core scanning at sf>=1 and change nothing at sf0.1
-        # (files there are < 16 MB already).
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .getOrCreate()
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(
+        "gdalos_spark-bench"
     )
+    for k, v in bench_conf(cpus).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod

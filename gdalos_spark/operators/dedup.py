@@ -836,12 +836,31 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
 
     Returns (root_map, rounds, converged): root_map is (node, root) for
     every non-root vertex in the graph.
+
+    Round-12 optimization (guide §2.4 "remove shuffles outright"): each
+    star step is a per-u minimum attached back to every (u, v) row —
+    previously a groupBy + equi-join pair (agg exchange + join exchange +
+    SMJ sorts), now ONE window over ``partitionBy(u)`` (one exchange +
+    one sort — the sort SMJ paid anyway). Per round the plan drops from
+    ~5 exchanges to 3 (large-window, small-window, small-distinct), and
+    the per-round eager-checkpoint job + count job collapse into one
+    job via ``localCheckpoint(eager=False)`` — the checkpoint's lineage
+    cut happens at plan level immediately and the blocks cache inside
+    the count action (verified: the returned plan is Scan ExistingRDD
+    before any action). Skew note: the window puts all rows of one u in
+    one task, exactly like the join's hashpartitioning(u) did — no new
+    hot-key exposure. Measured: sf0.1 CC 2.09s -> 1.10s (min of 4);
+    13M-edge hostile graph (2k chains x 1k + 200 cliques x 300 + 20
+    hubs x 100k, 11 rounds) inside the same 50-85s host band as the
+    join formulation over two interleaved passes, labels identical.
     """
+    wu = Window.partitionBy("u")
+    wo = Window.partitionBy("u").orderBy("v")
     # directed large->small: (u, v) with u > v
     edges = (
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
     rounds, converged = 0, False
@@ -851,25 +870,40 @@ def _cc_alternating(pairs: DataFrame, max_rounds: int = _CC_MAX_ROUNDS):
         # m = min(neighborhood(u) + {u}); every undirected edge is emitted
         # by exactly one endpoint's neighborhood
         und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmins = und.groupBy("u").agg(
-            F.least(F.col("u"), F.min("v")).alias("m")
-        )
         large = (
-            und.join(lmins, "u")
+            und.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
         # small-star: for each u, attach u and all its (smaller)
-        # out-neighbors to the minimum of them
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        # out-neighbors to m = min(out-neighbors); the (u, m) row is
+        # emitted exactly once per u (row_number over the same window —
+        # (u, v) rows are distinct so the ordering is deterministic)
+        sm = large.select(
+            "u",
+            "v",
+            F.min("v").over(wu).alias("m"),
+            F.row_number().over(wo).alias("rn"),
+        )
         small = (
-            large.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smins.select("u", F.col("m").alias("v")))
+            sm.select(
+                F.explode(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.array(
+                            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        ),
+                    ).otherwise(
+                        F.array(F.struct(F.col("v").alias("a"), F.col("m").alias("b")))
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # edge-set fixed point: counts first (one cheap agg — rounds
         # that are still contracting almost always change the edge
@@ -1022,14 +1056,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction) gates.
     """
     docs = load(spark, sf_dir, "documents")
-    sig = _signatures(
-        spark, sf_dir, split_for_cpu(docs, "doc_id"), n_hint=_docs_footer_count(sf_dir)
-    ).persist()
     mcols = [f"m{i}" for i in range(N_PERM)]
-    sgroups = sig.groupBy(*mcols).agg(
-        F.min("doc_id").alias("srep"), F.count(F.lit(1)).alias("gk")
-    ).persist()
-    rep_sig = sgroups.select(F.col("srep").alias("doc_id"), *mcols)
+    # Round-12 optimization (guide §2.4): srep/gk used to be a 16-col
+    # groupBy producing a separate sgroups frame that was re-JOINED onto
+    # sig on all 16 m-cols for the doc->group map — two doc-sized
+    # exchanges plus SMJ sorts in the final assembly. One window over
+    # partitionBy(m0..m15) computes both per-group values in a single
+    # exchange+sort of sig, and the doc->group map is then a plain
+    # column. The hot-partition profile is unchanged: the largest
+    # replica group landed in one task under the join's
+    # hashpartitioning(mcols) too. sig2 persists ONCE (sig alone was
+    # persisted before, and sgroups separately — same bytes overall).
+    wsig = Window.partitionBy(*mcols)
+    sig2 = (
+        _signatures(
+            spark, sf_dir, split_for_cpu(docs, "doc_id"),
+            n_hint=_docs_footer_count(sf_dir),
+        )
+        .select(
+            "doc_id",
+            *mcols,
+            F.min("doc_id").over(wsig).alias("srep"),
+            F.count(F.lit(1)).over(wsig).alias("gk"),
+        )
+        .persist()
+    )
+    rep_sig = sig2.filter(F.col("doc_id") == F.col("srep")).select("doc_id", *mcols)
     # raw (non-distinct) candidate stream over distinct signatures only:
     # _cc_alternating's edge ingest is itself a distinct, so deduplicating
     # here would shuffle the pair volume twice for nothing
@@ -1066,26 +1118,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when they hold >=2 signature-identical docs (their in-group star
     # pairs exist in the unreduced graph). Singleton groups with no pair
     # are out — the contract is docs appearing in >=1 pair.
+    # Round-12 optimization: the anti-join + union + inner-join ladder
+    # (solo groups unioned under glabel, then expanded) is ONE left join
+    # with the identical row semantics: a group with a CC label takes it,
+    # a group with none and gk >= 2 labels itself, a pairless singleton
+    # group drops out via the NULL filter.
     glabel = label_map.select(
         F.col("node").alias("srep"), F.col("root").alias("label")
     ).localCheckpoint()
-    solo = (
-        sgroups.filter(F.col("gk") >= 2)
-        .join(glabel, "srep", "left_anti")
-        .select("srep", F.col("srep").alias("label"))
-    )
-    glabel_all = glabel.union(solo)
-
-    # expand to docs: one narrow join through the (doc -> group) map
     labels = (
-        sig.join(sgroups.select(*mcols, "srep"), mcols)
-        .select("doc_id", "srep")
-        .join(glabel_all, "srep")
-        .select("doc_id", "label")
+        sig2.select("doc_id", "srep", "gk")
+        .join(glabel, "srep", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "label", F.when(F.col("gk") >= 2, F.col("srep"))
+            ).alias("label"),
+        )
+        .filter(F.col("label").isNotNull())
     )
-    # sig/sgroups back the returned lazy plan — free them when the NEXT
+    # sig2 backs the returned lazy plan — free it when the NEXT
     # registering query runs (round-9 ADVICE cache-hygiene item)
-    register_query_caches(sig, sgroups)
+    register_query_caches(sig2)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",
