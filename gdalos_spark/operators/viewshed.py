@@ -1352,6 +1352,13 @@ def point_to_point_los(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "ox", "oy", "tx", "ty", "i",
         ((F.col("z") - OBS_Z) / F.col("i").cast("double")).alias("tan_i"),
     )
+    # Round-12 note: a window-max formulation of tan_t (one exchange
+    # instead of the join-back) was A/B'd and REJECTED — the i == n
+    # filter pushes below the DEM join, so the "second computation" of
+    # `scored` is links-sized, the join runs as a sort-free shuffled
+    # hash join, and the window arm's full sort of the profile stream
+    # measured slightly SLOWER at both sf0.1 (2.5 vs 2.6s) and sf10
+    # (11.9 vs 13.3s). The join-back is the better plan at scale.
     tgt_tan = scored.filter(F.col("i") == n).select(
         "c_custkey", "ox", "oy",
         F.col("tan_i").alias("tan_t"),
@@ -3090,50 +3097,44 @@ def radio_itm_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "ox", "oy", "i", "z", "th1", "th2")
     )
     key = ["c_custkey", "ox", "oy"]
-    agg = ps.groupBy(*key).agg(
-        F.expr("max(th1)").alias("te1"),
-        F.expr("max(th2)").alias("te2"),
-        F.count(F.lit(1)).alias("n_samples"),
-        F.expr("SUM(CAST(floor(z * 100.0e0 + 0.5e0) AS BIGINT))").alias("zc"),
-    )
-    # interdecile positions derive from the PER-LINK sample count: the
-    # sparse small-SF DEM drops profile cells (the same n_samples
+    # Round-12 optimization (guide §2.4): te/decile/horizon statistics
+    # all derive from the SAME per-link profile rows, but each used to
+    # be a separate consumer of the un-persisted `ps` — the max/count
+    # agg, the rank window joined back to it, the decile self-join, and
+    # two te-filter joins — FIVE recomputations of the links x steps x
+    # DEM profile join (20M rows at sf10), each with its own exchange.
+    # One window computes te1/te2/n_samples/rn in a single
+    # exchange+sort, and the same-key groupBy that follows needs NO
+    # second exchange (the window output is already hash-partitioned by
+    # the link key). Every formula is textually identical — max/count/
+    # integer-sum are order-free and the rank selections pick the same
+    # rows — so every gated value is unchanged (re-driven VALUES-EXACT).
+    # Interdecile positions still derive from the PER-LINK sample count:
+    # the sparse small-SF DEM drops profile cells (the same n_samples
     # variance point_to_point_los reports), so fixed ranks 7/57 would
-    # silently drop whole links
-    w = Window.partitionBy(*key).orderBy("z", "i")
-    rk = (
-        ps.select(*key, "z", "i")
-        .withColumn("rn", F.row_number().over(w))
-        .join(agg.select(*key, "n_samples"), key)
+    # silently drop whole links.
+    wl = Window.partitionBy(*key)
+    wlo = Window.partitionBy(*key).orderBy("z", "i")
+    ps2 = (
+        ps.withColumn("te1", F.max("th1").over(wl))
+        .withColumn("te2", F.max("th2").over(wl))
+        .withColumn("n_samples", F.count(F.lit(1)).over(wl))
+        .withColumn("rn", F.row_number().over(wlo))
     )
-    dec = (
-        rk.filter(F.expr("rn = 1 + (n_samples - 1) div 10"))
-        .select(*key, F.col("z").alias("z_lo"))
-        .join(
-            rk.filter(F.expr("rn = n_samples - (n_samples - 1) div 10"))
-            .select(*key, F.col("z").alias("z_hi")),
-            key,
-        )
-        .select(*key, F.expr("(z_hi - z_lo)").alias("dh"))
-    )
-    h1 = (
-        ps.join(agg.select(*key, "te1"), key)
-        .filter(F.col("th1") == F.col("te1"))
-        .groupBy(*key)
-        .agg(F.min("i").alias("i1"))
-    )
-    h2 = (
-        ps.join(agg.select(*key, "te2"), key)
-        .filter(F.col("th2") == F.col("te2"))
-        .groupBy(*key)
-        .agg(F.max("i").alias("i2"))
+    stats = ps2.groupBy(*key).agg(
+        F.max("te1").alias("te1"),
+        F.max("te2").alias("te2"),
+        F.max("n_samples").alias("n_samples"),
+        F.expr("SUM(CAST(floor(z * 100.0e0 + 0.5e0) AS BIGINT))").alias("zc"),
+        F.max(F.expr("CASE WHEN rn = 1 + (n_samples - 1) div 10 THEN z END")).alias("z_lo"),
+        F.max(F.expr("CASE WHEN rn = n_samples - (n_samples - 1) div 10 THEN z END")).alias("z_hi"),
+        F.min(F.expr("CASE WHEN th1 = te1 THEN i END")).alias("i1"),
+        F.max(F.expr("CASE WHEN th2 = te2 THEN i END")).alias("i2"),
     )
     link = (
         base.select(*key, "d_m", "sm", "zt")
-        .join(agg, key)
-        .join(dec, key)
-        .join(h1, key)
-        .join(h2, key)
+        .join(stats, key)
+        .withColumn("dh", F.expr("(z_hi - z_lo)"))
         .withColumn("dl1", F.expr("(CAST(i1 AS DOUBLE) * sm)"))
         .withColumn("dl2", F.expr(f"(CAST({n} - i2 AS DOUBLE) * sm)"))
         .withColumn("zbar", F.expr("(CAST(zc AS DOUBLE) / (CAST(n_samples AS DOUBLE) * 100.0e0))"))
