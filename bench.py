@@ -98,16 +98,40 @@ def bench_conf(cpus: str) -> dict[str, str]:
       raster_mosaic 1.24->0.99s, dedup_clusters 4.74->3.84s,
       region_volume 1.01->0.78s, dedup_minhash_lsh 0.90->0.70s (the
       full-outer/grid/CC joins drop their per-round SMJ sorts).
+    - AQE initialPartitionNum derived from the DEM cell count (round-12,
+      guide §2.2/§5 "fewer, larger reduce partitions ... let AQE
+      coalesce" + spill bounds): the big-grid stencil/kernel shuffles
+      are O(cells), so initial shuffle partitions hold a constant
+      ~2^18 cells each (~85 MB of pass-2 kernel rows) and AQE coalesces
+      everything smaller back down. shuffle.partitions itself must NOT
+      be raised for this: split_for_cpu()'s explicit repartition(n, key)
+      derives from it and is not AQE-coalescible. At the driver's 64x64
+      dims the derived value never exceeds the base partitions, so the
+      conf is omitted and the bench session is byte-identical to r11's.
+      Measured at the 8192x8192-cell grid (interleaved same-session
+      A/Bs): raster_resample_lanczos 221.4 -> 193.4s warm and the cold
+      spill cliff (370.9s) gone; raster_sieve 151.1 -> 102.4s; 512/1024
+      regress on the same data (quadratic block growth, guide §2.2) —
+      constant cells-per-partition is the scale rule, not "more".
     """
-    return {
+    base_parts = max(int(cpus), 32)
+    conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.shuffle.partitions": str(max(int(cpus), 32)),
+        "spark.sql.shuffle.partitions": str(base_parts),
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
+    grid_w = int(os.environ.get("SPARK_GRAFT_GRID_W", "64"))
+    grid_h = int(os.environ.get("SPARK_GRAFT_GRID_H", str(grid_w)))
+    init_parts = (grid_w * grid_h) >> 18
+    if init_parts > base_parts:
+        conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
+            min(init_parts, 4096)
+        )
+    return conf
 
 
 def main() -> None:

@@ -151,6 +151,28 @@ def test_quantile_flowpath_jaccard_verbs(spark):
     assert self_term == 0
 
 
+def test_bench_conf_grid_adaptive_partitions(monkeypatch):
+    """The AQE initialPartitionNum is derived from the DEM cell count
+    (constant ~2^18 cells per initial partition, round-12): omitted at the
+    driver's 64x64 dims so the bench session matches the recorded
+    contract, present and scale-proportional at big grids, capped at
+    4096."""
+    import bench
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    monkeypatch.delenv("SPARK_GRAFT_GRID_W", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_GRID_H", raising=False)
+    assert key not in bench.bench_conf("32")
+    monkeypatch.setenv("SPARK_GRAFT_GRID_W", "8192")
+    assert bench.bench_conf("32")[key] == "256"
+    monkeypatch.setenv("SPARK_GRAFT_GRID_W", "65536")
+    monkeypatch.setenv("SPARK_GRAFT_GRID_H", "65536")
+    assert bench.bench_conf("32")[key] == "4096"
+    # base shuffle partitions are untouched by the knob (split_for_cpu
+    # derives its explicit repartition width from them)
+    assert bench.bench_conf("32")["spark.sql.shuffle.partitions"] == "32"
+
+
 def test_bench_smoke_passes(spark):
     """The bench pre-flight must load every table cleanly — this is the
     guard against the round-3 failure mode (a parquet physical-type change

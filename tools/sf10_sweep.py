@@ -49,17 +49,20 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("gdalos_spark-sf10-sweep")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 32)))
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .getOrCreate()
+    from bench import bench_conf
+
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(
+        "gdalos_spark-sf10-sweep"
     )
+    # bench-identical session (incl. the grid-derived initialPartitionNum)
+    # so sweep walls stay comparable with BASELINE.md; only driver memory
+    # is raised for the upscale.
+    for k, v in bench_conf(cpus).items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
