@@ -749,16 +749,32 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("user_id").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Round-12 optimization (guide §2.5 "one task runs 50x longer"):
+    # the carry-backward values used first(...) over a [currentRow,
+    # unboundedFollowing] frame, which Spark's
+    # UnboundedFollowingWindowFunctionFrame recomputes FROM SCRATCH for
+    # every row — O(rows^2) per user partition. Harmless at the driver
+    # dims (~100 rows/user) but the sf10 upscale densifies each user
+    # 100-fold (user_ids are kept by design) and the key ran 201.6 s.
+    # "first non-null after me in ascending order" IS "last non-null up
+    # to me in the exact REVERSED total order" — (t, kind desc,
+    # event_id) is a total order, so the reversal is value-identical row
+    # for row — and the reversed [unboundedPreceding, currentRow] frame
+    # accumulates incrementally (O(rows)). Same single user_id exchange;
+    # the second Window adds one in-partition sort, which the O(n^2)
+    # rescan dwarfed. Measured at sf10: 201.6 -> 5.5 s (37x, see
+    # OPTIMIZATION_r12.md); VALUES-EXACT unchanged.
     wn = (
-        Window.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.col("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = stream.select(
         "user_id", "t", "kind",
         F.last("v_c", ignorenulls=True).over(wp).alias("pv"),
         F.last(F.when(F.col("kind") == 1, F.col("t")), ignorenulls=True).over(wp).alias("pt"),
-        F.first("v_c", ignorenulls=True).over(wn).alias("nv"),
-        F.first(F.when(F.col("kind") == 1, F.col("t")), ignorenulls=True).over(wn).alias("nt"),
+        F.last("v_c", ignorenulls=True).over(wn).alias("nv"),
+        F.last(F.when(F.col("kind") == 1, F.col("t")), ignorenulls=True).over(wn).alias("nt"),
     )
     # grid start/end are clipped to the event span, so pt always exists and
     # nt is only null when the grid point coincides with the last event —
