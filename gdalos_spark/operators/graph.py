@@ -154,9 +154,19 @@ def pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint. Per iteration: one degree-join, one target-key shuffle —
     the same two-exchange round as large-scale PageRank, with
     localCheckpoint cutting lineage between rounds."""
+    from gdalos_spark.datamodel import register_query_caches
+
     e = _edges(spark, sf_dir)
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Round-12 optimization (guide §5 caching): sym is consumed by the
+    # degree agg AND by every power iteration, and un-persisted each
+    # consumer re-ran the whole edge derivation (lineitem distinct +
+    # blocked self-join + distinct — the expensive part of the operator).
+    # Invisible at sf0.1 (~1 s edge build) but 3 recomputations ~50 s
+    # each at sf10: the full-catalog sweep caught the key at 156.5 s;
+    # persisting sym once drops it to the single edge-build floor.
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
+    register_query_caches(sym, deg)
     ranks = deg.select("a", F.lit(PR_INIT_U).cast("bigint").alias("rank_u"))
     for _ in range(PR_ITERS):
         contrib = (

@@ -1536,8 +1536,27 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") * 7919 % 6400).alias("exi"),
         (F.col("event_id") * 104729 % 6400).alias("eyi"),
     )
+    # Round-12 optimization (the identical-collapse discipline, guide
+    # §2.3 "shuffle keys and metadata instead of payloads"): both point
+    # derivations are 6400-PERIODIC in their key (k*c % 6400 repeats
+    # every 6400 ids), so however large the corpus there are at most
+    # 6400 distinct probe points and 6400 distinct event points. d2 and
+    # the (d2, event_id) argmin are pure functions of the POINT pair —
+    # co-located events all tie on d2 and row_number's event_id
+    # tie-break always picks the minimum id, so collapsing events to
+    # (point, min event_id) and probes to distinct points, running the
+    # identical 3x3 cell join on the collapsed frames, and mapping
+    # customers back through their (pxi, pyi) reproduces every output
+    # row byte-for-byte (SQL twin unchanged and still gates it).
+    # The candidate join drops from |probes| x cell-occupancy (8e9 rows
+    # at sf10: 13.5M probe-cells x ~600 events/cell — 365.9 s in the
+    # full-catalog sweep) to at most 6400 x 9 x occupancy-of-distinct
+    # (~21k rows at ANY scale); the per-scale work is one map-side-
+    # partial-agg pass over each table. Measured: 365.9 -> 4.6 s.
+    ev_pts = ev.groupBy("exi", "eyi").agg(F.min("event_id").alias("event_id"))
+    probe_pts = cust.select("pxi", "pyi").distinct()
     shift = 6400 // (1 << KNN_CELL_BITS)  # integer units per cell = 200
-    ev_cells = ev.select(
+    ev_cells = ev_pts.select(
         "event_id", "exi", "eyi",
         F.expr(f"exi div {shift}").alias("cx"),
         F.expr(f"eyi div {shift}").alias("cy"),
@@ -1545,31 +1564,30 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
     )
-    probes = cust.crossJoin(F.broadcast(offsets)).select(
-        "c_custkey", "pxi", "pyi",
+    probes = probe_pts.crossJoin(F.broadcast(offsets)).select(
+        "pxi", "pyi",
         (F.expr(f"pxi div {shift}") + F.col("dx")).alias("cx"),
         (F.expr(f"pyi div {shift}") + F.col("dy")).alias("cy"),
     )
     cand = probes.join(ev_cells, ["cx", "cy"]).select(
-        "c_custkey", "pxi", "pyi", "event_id",
+        "pxi", "pyi", "event_id",
         (
             (F.col("exi") - F.col("pxi")) * (F.col("exi") - F.col("pxi"))
             + (F.col("eyi") - F.col("pyi")) * (F.col("eyi") - F.col("pyi"))
         ).alias("d2"),
     )
-    w = Window.partitionBy("c_custkey").orderBy("d2", "event_id")
+    w = Window.partitionBy("pxi", "pyi").orderBy("d2", "event_id")
     best = (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
-            "c_custkey",
+            "pxi", "pyi",
             F.col("event_id").alias("nearest_event"),
             (F.sqrt(F.col("d2").cast("double")) / 100.0).alias("distance"),
         )
     )
     return (
-        cust.select("c_custkey")
-        .join(best, "c_custkey", "left")
+        cust.join(F.broadcast(best), ["pxi", "pyi"], "left")
         .select(
             "c_custkey",
             F.coalesce("nearest_event", F.lit(-1)).alias("nearest_event"),
