@@ -1316,6 +1316,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp-rounded values — deterministic across engines."""
     from gdalos_spark.operators import similarity as sim
 
+    from gdalos_spark.datamodel import footer_count
+
     cc = sim.centroid_similarity(spark, sf_dir)  # vec_id, label, cos_centroid
     emb = load(spark, sf_dir, "embeddings")
     # spread the probe side across the full core count BEFORE the pair
@@ -1324,48 +1326,149 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redistribute it — without this the 2.5M-pair fold at the sf1
     # upscale ran on one core (135s; 6.5s repartitioned). Cheap: slim
     # rows, no-op at real scale where the scan is already wide.
-    base = (
-        split_for_cpu(
-            emb.select(
-                "vec_id",
-                "label",
-                vectors.emb_double(F.col("embedding")).alias("emb"),
-                F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
-            ),
+    base = split_for_cpu(
+        emb.select(
             "vec_id",
+            "label",
+            vectors.emb_double(F.col("embedding")).alias("emb"),
+            F.sqrt(vectors.norm2(F.col("embedding"))).alias("sn"),
+        ),
+        "vec_id",
+    ).join(cc, ["vec_id", "label"])
+    # Round-12 optimization: the adaptive identical-vector collapse (the
+    # dedup_embedding_cosine / minhash / simhash shape, guide §2.3
+    # "decide with small rows"). The pair predicate is a pure function
+    # of the two (label, emb) GROUPS: sn and cos_centroid are functions
+    # of (label, emb) — identical inputs give identical doubles — and
+    # within a group cos(a, b) rounds to 1.0 >= tau, so a member's
+    # better-duplicate count decomposes exactly into
+    #   (its 0-based vec_id rank inside its own group)            [ties]
+    #   + sum of |g| over qualifying groups with smaller cc       [bulk]
+    #   + per-member count over qualifying groups with EQUAL cc   [rare]
+    # and only the last term ever touches member x member volume —
+    # restricted to distinct-vector groups whose 6-dp centroid cosines
+    # collide. The full-catalog sf10 sweep caught the direct path at
+    # 564 s (200k vectors with 2k distinct in 10 fixed labels -> ~2e9
+    # full 64-dim cosine folds); collapsed, the group pair stage is
+    # |groups|^2/|labels| and the rest is one window pass. Measured:
+    # 564 -> 21.4 s noop (26x; row-identical to the direct plan at sf10,
+    # 512.1 s same session). The same 95%-distinct stats gate as
+    # dedup_minhash_lsh keeps replica-free corpora on the direct plan
+    # (one narrow window pass of overhead decides), and below
+    # COLLAPSE_MIN_DOCS the footer count short-circuits to the direct
+    # plan with no stats job at all — the driver/bench dims never see
+    # the collapse machinery.
+    better = None
+    n_src = footer_count(sf_dir, "embeddings")
+    if n_src >= COLLAPSE_MIN_DOCS:
+        wg = Window.partitionBy("label", "emb")
+        wgo = Window.partitionBy("label", "emb").orderBy("vec_id")
+        mem = base.select(
+            "vec_id", "label", "emb", "sn", "cos_centroid",
+            F.min("vec_id").over(wg).alias("gid"),
+            F.count(F.lit(1)).over(wg).alias("k"),
+            F.row_number().over(wgo).alias("rk"),
+        ).persist()
+        n_groups, n_rows = mem.agg(
+            F.countDistinct("gid"), F.count(F.lit(1))
+        ).first()
+        if n_groups < 0.95 * n_rows:
+            groups = mem.filter(F.col("vec_id") == F.col("gid"))
+            ga = groups.select(
+                F.col("gid").alias("gid_a"), F.col("label").alias("lbl"),
+                F.col("emb").alias("emb_a"), F.col("sn").alias("sn_a"),
+                F.col("cos_centroid").alias("cc_a"),
+            )
+            gb = groups.select(
+                F.col("gid").alias("gid_b"), F.col("label").alias("lbl"),
+                F.col("emb").alias("emb_b"), F.col("sn").alias("sn_b"),
+                F.col("cos_centroid").alias("cc_b"), F.col("k").alias("k_b"),
+            )
+            gcos = F.round(
+                vectors.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("sn_a") * F.col("sn_b")),
+                6,
+            )
+            qp = (
+                ga.join(F.broadcast(gb), "lbl")
+                .filter((F.col("gid_a") != F.col("gid_b")) & (gcos >= SEM_TAU))
+                .select("gid_a", "gid_b", "cc_a", "cc_b", "k_b")
+            )
+            lesser = (
+                qp.filter(F.col("cc_b") < F.col("cc_a"))
+                .groupBy("gid_a")
+                .agg(F.sum("k_b").alias("n_less"))
+            )
+            eqmem = (
+                qp.filter(F.col("cc_b") == F.col("cc_a"))
+                .select("gid_a", "gid_b")
+                .join(
+                    mem.select(
+                        F.col("gid").alias("gid_b"), F.col("vec_id").alias("vec_b")
+                    ),
+                    "gid_b",
+                )
+                .select("gid_a", "vec_b")
+            )
+            eqcnt = (
+                mem.select("vec_id", F.col("gid").alias("gid_a"))
+                .join(eqmem, "gid_a")
+                .filter(F.col("vec_b") < F.col("vec_id"))
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("n_eq"))
+            )
+            better = (
+                mem.select(
+                    "vec_id", "gid",
+                    (F.col("rk") - F.lit(1)).cast("bigint").alias("n_own"),
+                )
+                .join(lesser.withColumnRenamed("gid_a", "gid"), "gid", "left")
+                .join(eqcnt, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    (
+                        F.col("n_own")
+                        + F.coalesce(F.col("n_less"), F.lit(0))
+                        + F.coalesce(F.col("n_eq"), F.lit(0))
+                    ).alias("n_better_dups"),
+                )
+                .filter(F.col("n_better_dups") > 0)
+            )
+            register_query_caches(mem)
+        else:
+            mem.unpersist()
+    if better is None:
+        base = base.persist()
+        register_query_caches(base)
+        a = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl"),
+            F.col("emb").alias("emb_a"), F.col("sn").alias("sn_a"),
+            F.col("cos_centroid").alias("cc_a"),
         )
-        .join(cc, ["vec_id", "label"])
-        .persist()
-    )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl"),
-        F.col("emb").alias("emb_a"), F.col("sn").alias("sn_a"),
-        F.col("cos_centroid").alias("cc_a"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl"),
-        F.col("emb").alias("emb_b"), F.col("sn").alias("sn_b"),
-        F.col("cos_centroid").alias("cc_b"),
-    )
-    cos = F.round(vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("sn_a") * F.col("sn_b")), 6)
-    # the candidate side is BROADCAST: an equi-join on a handful of
-    # cluster ids caps parallelism at |clusters| under sort-merge (10
-    # tasks on a 32-core host — measured 53s at the sf1 upscale) and
-    # shuffles full vectors on both sides; the broadcast keeps the probe
-    # scan at full width (6.5s same data). At production SemDeDup k
-    # (~n/1000) the per-cluster side is small and this hint generalizes
-    # to broadcasting the cluster's members. The cheap keeper-rule
-    # predicate precedes the 64-dim cosine so most pairs never fold.
-    better = a.join(F.broadcast(b), "lbl").filter(
-        (F.col("vec_a") != F.col("vec_b"))
-        & (
-            (F.col("cc_b") < F.col("cc_a"))
-            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("vec_b") < F.col("vec_a")))
+        b = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl"),
+            F.col("emb").alias("emb_b"), F.col("sn").alias("sn_b"),
+            F.col("cos_centroid").alias("cc_b"),
         )
-        & (cos >= SEM_TAU)
-    ).groupBy(F.col("vec_a").alias("vec_id")).agg(
-        F.count(F.lit(1)).alias("n_better_dups")
-    )
+        cos = F.round(vectors.dot(F.col("emb_a"), F.col("emb_b")) / (F.col("sn_a") * F.col("sn_b")), 6)
+        # the candidate side is BROADCAST: an equi-join on a handful of
+        # cluster ids caps parallelism at |clusters| under sort-merge (10
+        # tasks on a 32-core host — measured 53s at the sf1 upscale) and
+        # shuffles full vectors on both sides; the broadcast keeps the probe
+        # scan at full width (6.5s same data). At production SemDeDup k
+        # (~n/1000) the per-cluster side is small and this hint generalizes
+        # to broadcasting the cluster's members. The cheap keeper-rule
+        # predicate precedes the 64-dim cosine so most pairs never fold.
+        better = a.join(F.broadcast(b), "lbl").filter(
+            (F.col("vec_a") != F.col("vec_b"))
+            & (
+                (F.col("cc_b") < F.col("cc_a"))
+                | ((F.col("cc_b") == F.col("cc_a")) & (F.col("vec_b") < F.col("vec_a")))
+            )
+            & (cos >= SEM_TAU)
+        ).groupBy(F.col("vec_a").alias("vec_id")).agg(
+            F.count(F.lit(1)).alias("n_better_dups")
+        )
     return (
         cc.join(better, "vec_id", "left")
         .select(
