@@ -208,6 +208,14 @@ def register_query_caches(*dfs: DataFrame) -> None:
     _QUERY_CACHES.extend(dfs)
 
 
+def append_query_caches(*dfs: DataFrame) -> None:
+    """Track ``dfs`` WITHOUT releasing the current batch — for a
+    composite operator whose own persists are built on top of a callee's
+    registered caches (releasing those would force the composite's lazy
+    plan to recompute the callee's shared subtree)."""
+    _QUERY_CACHES.extend(dfs)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from gdalos_spark.sources import bucketed
 

@@ -23,7 +23,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gdalos_spark.datamodel import load, register_query_caches, split_for_cpu
+from gdalos_spark.datamodel import (
+    append_query_caches,
+    load,
+    register_query_caches,
+    split_for_cpu,
+)
 from gdalos_spark.functions import hashing, vectors
 from gdalos_spark.functions.hashing import (
     MINHASH_A,
@@ -1809,8 +1814,51 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEMI-JOINED to the candidate docs first (only candidate docs'
     shingles move), the pair intersection is an equi-join on the
     shingle, and every error is rounded once to micro-units so bucket
-    aggregates sum as integers."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    aggregates sum as integers.
+
+    Plan choice (round-12): the exploded pair⋈shingle join materializes
+    Σ_pairs |shingles(doc_a)| rows — 1.44e9 at the sf10 upscale (27.1M
+    pairs x 53 shingles/doc), all shuffled again for the doc_b-side
+    match; the sweep measured the key at 228.8 s while its pair source
+    runs in ~6 s. When the documents table is small enough to broadcast
+    as per-doc DISTINCT-shingle ARRAYS (footer row count — no scan),
+    the same scored rows come from two broadcast hash joins plus a
+    map-side ``size(array_intersect())``: the per-pair volume never
+    exists, nothing wider than the 27M pair rows moves, and one
+    broadcast exchange is reused by both sides. Equivalence is exact,
+    not approximate: intersection/size of the distinct string arrays is
+    the same integer arithmetic as the shingle equi-join + count, the
+    INNER join's drop of zero-overlap candidate pairs is reproduced by
+    the ``shared > 0`` filter, and est_jaccard rides the unique
+    (doc_a, doc_b) pair rows unchanged. Above the gate (or forced via
+    SPARK_GRAFT_CALIB_ARRAYS=0) the original equi-join plan runs — at
+    true 100 TB the array table cannot broadcast and the exploded
+    shuffle IS the honest distributed intersection."""
+    import os
+
+    force = os.environ.get("SPARK_GRAFT_CALIB_ARRAYS", "").strip()
+    use_arrays = (
+        force == "1"
+        if force in ("0", "1")
+        else _docs_footer_count(sf_dir) <= CALIB_ARR_BROADCAST_MAX_DOCS
+    )
+    if use_arrays:
+        return _minhash_calibration_arrays(spark, sf_dir)
+    # Persist the candidate set: it feeds cand_docs TWICE (both union
+    # arms) and the shared-shingle join. (Measured wash at the sf10
+    # upscale — 228.8 s unpersisted vs 241.4 s persisted: the wall is
+    # the exploded join below, and dedup_minhash_lsh's internal sig
+    # persist already kept the recompute cheap. Kept because three
+    # consumers of a lazy 27M-row plan is recompute exposure that only
+    # grows past the broadcast gate.) APPEND to the cache batch rather
+    # than re-register: dedup_minhash_lsh registered sig2, which backs
+    # this lazy plan — releasing it here would force the signature
+    # build to recompute inside every pairs materialization.
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .persist()
+    )
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1823,6 +1871,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    append_query_caches(pairs, sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b"))
@@ -1844,14 +1893,66 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_j",
             F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
         )
-        .withColumn(
-            "err_u",
-            F.abs(F.round((F.col("est_jaccard") - F.col("exact_j")) * 1_000_000.0)).cast("bigint"),
-        )
-        # FLOOR, not a bare int cast: DuckDB CAST(double AS INT) rounds
-        # while Spark truncates — the decile edge would disagree
-        .withColumn("decile", F.least(F.lit(9), F.floor(F.col("exact_j") * 10).cast("int")))
     )
+    return _calibration_buckets(scored)
+
+
+# Broadcasting the per-doc shingle-array table costs ~1.8 KB/doc on the
+# heap (53 avg shingles x ~25-char strings at the sf10 upscale), so 1M
+# docs is ~2 GB — comfortable under the bench's 16 GB driver, far past
+# every driver/bench SF, and small against the exploded join it avoids.
+CALIB_ARR_BROADCAST_MAX_DOCS = 1_000_000
+
+
+def _minhash_calibration_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-array calibration plan: per-doc distinct shingle sets as
+    arrays (the same sets doc_shingles explodes), candidate pairs joined
+    to them on both ends through ONE reused broadcast, intersection and
+    union sizes computed map-side. ``shared > 0`` mirrors the equi-join
+    plan's INNER semantics (a candidate pair with no common shingle
+    never reaches scored there either)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    arr = docs.select(
+        "doc_id", F.array_distinct(shingles3(F.col("text"))).alias("shset")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(arr).select(
+                F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(arr).select(
+                F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "est_jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("shared"),
+            F.size("sh_a").cast("bigint").alias("sz_a"),
+            F.size("sh_b").cast("bigint").alias("sz_b"),
+        )
+        .filter(F.col("shared") > 0)
+        .withColumn(
+            "exact_j",
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+        )
+    )
+    return _calibration_buckets(scored)
+
+
+def _calibration_buckets(scored: DataFrame) -> DataFrame:
+    """Shared decile-bucketing tail of both calibration plans: micro-unit
+    error + FLOOR-based decile (not a bare int cast: DuckDB CAST(double
+    AS INT) rounds while Spark truncates — the decile edge would
+    disagree), then the bucket aggregates."""
+    scored = scored.withColumn(
+        "err_u",
+        F.abs(F.round((F.col("est_jaccard") - F.col("exact_j")) * 1_000_000.0)).cast("bigint"),
+    ).withColumn("decile", F.least(F.lit(9), F.floor(F.col("exact_j") * 10).cast("int")))
     return (
         scored.groupBy("decile")
         .agg(

@@ -79,6 +79,13 @@ def _rocksdb_tuning() -> dict:
     wb = os.environ.get("SPARK_GRAFT_ROCKSDB_WRITEBUF_MB", "").strip()
     if wb:
         confs["spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB"] = wb
+    track = os.environ.get("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "").strip().lower()
+    if track in ("true", "false"):
+        # numRowsTotal maintenance costs one RocksDB get per put; for the
+        # write-heavy stream-stream joins (every event buffered once) the
+        # documented perf remedy is turning it off. A/B knob — see
+        # BASELINE.md for the measured arms before changing any default.
+        confs["spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"] = track
     return confs
 
 

@@ -173,6 +173,27 @@ def test_bench_conf_grid_adaptive_partitions(monkeypatch):
     assert bench.bench_conf("32")["spark.sql.shuffle.partitions"] == "32"
 
 
+def test_append_query_caches_batch_semantics(spark):
+    """append_query_caches (round-12: minhash_calibration's pairs persist)
+    must extend the current batch WITHOUT releasing the callee's persists,
+    and the next register_query_caches must free the whole batch."""
+    from gdalos_spark import datamodel as dm
+
+    a = spark.range(3).persist()
+    b = spark.range(4).persist()
+    c = spark.range(5)
+    a.count(), b.count()
+    dm.register_query_caches(a)
+    dm.append_query_caches(b)
+    # the callee's persist survives the append
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert dm._QUERY_CACHES == [a, b]
+    # the NEXT query's registration frees the whole composite batch
+    dm.register_query_caches(c)
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    dm.release_query_caches()
+
+
 def test_bench_smoke_passes(spark):
     """The bench pre-flight must load every table cleanly — this is the
     guard against the round-3 failure mode (a parquet physical-type change

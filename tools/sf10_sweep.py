@@ -62,6 +62,12 @@ def main() -> int:
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     )
+    # The stream-stream join keys materialize through the memory sink
+    # (their oracle contract); at a 10x upscale the joined micro-batch
+    # output crosses the default 1g maxResultSize. Same remedy as
+    # tools/stream_state_ab.py: an execution-harness limit, not a plan
+    # property (local-mode "driver" is the whole process).
+    builder = builder.config("spark.driver.maxResultSize", "8g")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
