@@ -94,10 +94,15 @@ def bench_conf(cpus: str) -> dict[str, str]:
       planner pick shuffled-hash join when its size conditions hold —
       the planner still requires the build side to fit per-partition,
       so this is NOT a forced hint; sort-merge remains the fallback for
-      big-build joins. Measured on the sf0.1 headline subset:
-      raster_mosaic 1.24->0.99s, dedup_clusters 4.74->3.84s,
-      region_volume 1.01->0.78s, dedup_minhash_lsh 0.90->0.70s (the
-      full-outer/grid/CC joins drop their per-round SMJ sorts).
+      big-build joins. Plan-level effect (committed r12 artifacts): the
+      headline query it changes is dedup_clusters, whose per-round CC
+      joins go SMJ->SHJ (plans/r12: 10 SMJ -> 2, 4 SHJ appear; measured
+      4.74->3.84s same-session). The other headline plans are unchanged
+      (dims already broadcast; the full-outer mosaic edges keep SMJ at
+      plan time because their stats estimates exceed the local-hash-map
+      gate) — same-session deltas observed on them (raster_mosaic
+      1.24->0.99s, region_volume 1.01->0.78s) sit inside the host band
+      and are NOT attributed to this conf.
     - AQE initialPartitionNum derived from the DEM cell count (round-12,
       guide §2.2/§5 "fewer, larger reduce partitions ... let AQE
       coalesce" + spill bounds): the big-grid stencil/kernel shuffles
