@@ -94,16 +94,36 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation bounds the wedge fan-out by the smaller
     endpoint's degree). Output: global triangle/wedge counts and the
     closure ratio, the clustering signal."""
+    from gdalos_spark.datamodel import register_query_caches
+
     e = _edges(spark, sf_dir).persist()
+    register_query_caches(e)
+    n_edges = e.count()
     e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
-    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
-    tri = wedges.join(
-        closing, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")), "left_semi"
+    # Round-13 (guide §2.1/§5): count wedges and closed wedges in ONE pass.
+    # The old shape ran wedges.count() and then a LEFT SEMI tri.count() —
+    # the E⋈E wedge join (the expensive stage: |wedges| >> |E|) executed
+    # twice. Because e is DISTINCT on (a, b), the closing edge matches a
+    # wedge at most once, so a LEFT join + count(closed) is row-for-row
+    # the semi-join count while sharing the single wedge pass.
+    closing = e.select(
+        F.col("a").alias("ca"), F.col("b").alias("cb"), F.lit(1).alias("closed")
     )
-    n_edges = e.count()
-    n_wedges = wedges.count()
-    n_tri = tri.count()
+    counts = (
+        wedges.join(
+            closing,
+            (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("closed").alias("n_tri"),
+        )
+        .first()
+    )
+    n_wedges = counts["n_wedges"]
+    n_tri = counts["n_tri"]
     return spark.createDataFrame(
         [(n_edges, n_wedges, n_tri, (3.0 * n_tri) / n_wedges if n_wedges else -1.0)],
         "n_edges bigint, n_wedges bigint, n_triangles bigint, closure_ratio double",
