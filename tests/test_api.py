@@ -223,3 +223,32 @@ def test_cli_verbs_and_trans_paths(spark, tmp_path):
                     spark=spark) == 0
     assert cli.main(["cli", "trans", sf, "-extent", "10", "30", "10", "30",
                      "-o", out, "-overwrite", "-quiet"], spark=spark) == 0
+
+
+def test_sweep_out_of_family_flagging(tmp_path, monkeypatch):
+    """sf10_sweep auto-adjudication (round-13): a key is flagged for a
+    fresh-JVM re-run only when its wall is >3x its committed-baseline
+    wall AFTER host normalization — a uniformly slower host flags
+    nothing, a single 10x-out key is caught."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sf10_sweep", os.path.join(os.path.dirname(__file__), "..", "tools", "sf10_sweep.py")
+    )
+    sw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sw)
+    with open(os.path.join(os.path.dirname(__file__), "..", "sf10_sweep.json")) as f:
+        base = _json.load(f)["keys"]
+    # a uniformly 4x-slower host: no flags
+    uniform = {k: {"sec": round(v["sec"] * 4, 2)} for k, v in base.items() if "error" not in v}
+    assert sw._flag_out_of_family(uniform) == []
+    # same host, one key 5x out of family (and above the 30s floor)
+    out = dict(uniform)
+    out["radio_itm_loss"] = {"sec": base["radio_itm_loss"]["sec"] * 4 * 5}
+    assert sw._flag_out_of_family(out) == ["radio_itm_loss"]
+    # sub-30s walls are never flagged (stage-floor noise, not scale bugs)
+    tiny = dict(uniform)
+    tiny["dedup_exact"] = {"sec": 25.0}
+    assert "dedup_exact" not in sw._flag_out_of_family(tiny)

@@ -16,6 +16,16 @@ Usage:
   python tools/sf10_sweep.py --only=k1,k2         # subset
   python tools/sf10_sweep.py --skip=k1,k2         # exclusions
   python tools/sf10_sweep.py --resume             # skip keys already in --out
+  python tools/sf10_sweep.py --no-adjudicate      # skip the isolation re-runs
+
+Long single-session sweeps overstate the largest generated-code keys
+3-7x on slow hosts (JVM code-cache/GC state after ~290 prior queries —
+the r12 finding), so after the sweep any key whose wall is out of
+family vs the committed baseline sweep is AUTO-ADJUDICATED: re-run
+--only in a fresh child JVM and recorded as {"sec": in_sweep,
+"isolated": child_sec}. Out-of-family = wall > 3x the key's baseline
+wall after host normalization (the median now/baseline ratio across
+all common keys, so a uniformly slower host flags nothing).
 
 The upscale comes from tools/make_scaled_sf.py (throughput data only).
 Session configs mirror bench.py (AQE, 16 MB splits, 32 shuffle
@@ -117,12 +127,77 @@ def main() -> int:
             flush=True,
         )
     dump()
+
+    # --- auto-adjudication of out-of-family walls (fresh per-key JVM) ---
+    if "--no-adjudicate" not in sys.argv and not only:
+        flagged = _flag_out_of_family(results)
+        for k in flagged:
+            iso = _isolated_rerun(k, sf_dir, out_path)
+            if iso is not None:
+                results[k]["isolated"] = iso
+                print(f"adjudicated {k}: in_sweep={results[k]['sec']}s "
+                      f"isolated={iso}s", flush=True)
+            dump()
+
     errs = {k: v for k, v in results.items() if "error" in v}
     slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:15]
     print(f"\n{len(results)} keys, {len(errs)} errors; slowest:")
     for k, v in slow:
-        print(f"  {v['sec']:>8.2f}s  {k}")
+        iso = f" (isolated {v['isolated']}s)" if "isolated" in v else ""
+        print(f"  {v['sec']:>8.2f}s  {k}{iso}")
     return 1 if errs else 0
+
+
+def _flag_out_of_family(results: dict) -> list[str]:
+    """Keys whose sweep wall is > 3x their committed-baseline wall after
+    host normalization (median now/baseline ratio over all common keys)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_path = os.path.join(root, "sf10_sweep.json")
+    if not os.path.exists(base_path):
+        return []
+    with open(base_path) as f:
+        base = json.load(f).get("keys", {})
+    ratios = sorted(
+        results[k]["sec"] / base[k]["sec"]
+        for k in results
+        if k in base and "error" not in results[k]
+        and base[k].get("sec", 0) > 1.0 and results[k]["sec"] > 1.0
+    )
+    if len(ratios) < 10:
+        return []
+    host = ratios[len(ratios) // 2]
+    return [
+        k for k in results
+        if k in base and "error" not in results[k]
+        and base[k].get("sec", 0) > 1.0
+        and results[k]["sec"] > 30.0
+        and results[k]["sec"] / base[k]["sec"] > 3.0 * host
+    ]
+
+
+def _isolated_rerun(key: str, sf_dir: str, out_path: str) -> float | None:
+    """Re-run one key in a fresh child JVM; return its wall or None."""
+    import subprocess
+    import tempfile
+
+    tmp = os.path.join(tempfile.gettempdir(), f"gdalos_iso_{key}.json")
+    if os.path.exists(tmp):
+        os.unlink(tmp)
+    rc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), f"--sf={sf_dir}",
+         f"--only={key}", f"--out={tmp}", "--no-adjudicate"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        timeout=3600,
+    )
+    if rc.returncode != 0 and not os.path.exists(tmp):
+        return None
+    try:
+        with open(tmp) as f:
+            rec = json.load(f)["keys"].get(key, {})
+        return None if "error" in rec else rec.get("sec")
+    except Exception:  # noqa: BLE001
+        return None
 
 
 if __name__ == "__main__":
