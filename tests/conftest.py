@@ -19,6 +19,25 @@ from gdalos_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy end-to-end test (full-catalog plan sweeps, trained-model "
+        "A/Bs, multi-arm equivalence drives); skipped by default so the plain "
+        "`pytest tests/ -x -q` suite completes inside any driver budget — "
+        "opt in with SPARK_GRAFT_SLOW_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS", "").strip() == "1":
+        return
+    skip = pytest.mark.skip(reason="slow test: opt in via SPARK_GRAFT_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     # Pin the bucketed-stage root to a fresh empty dir so test plans are

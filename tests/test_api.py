@@ -1,9 +1,12 @@
 """Smoke test for the reference-parity API facade."""
 
+import pytest
+
 from gdalos_spark.api import GdalosSpark
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_facade_covers_reference_verbs(spark):
     eng = GdalosSpark(spark, SF_DIR)
     # lazy construction only — every verb must build a valid plan
@@ -28,6 +31,7 @@ def test_facade_covers_reference_verbs(spark):
     assert eng.info().count() > 0
 
 
+@pytest.mark.slow
 def test_round3_facade_verbs(spark):
     """Every round-3 facade verb returns a non-empty lazy DataFrame."""
     from gdalos_spark.api import GdalosSpark
@@ -42,6 +46,7 @@ def test_round3_facade_verbs(spark):
         assert getattr(eng, verb)().count() > 0, verb
 
 
+@pytest.mark.slow
 def test_round4_facade_verbs(spark):
     """Every round-4 facade verb returns a non-empty DataFrame."""
     from gdalos_spark.api import GdalosSpark

@@ -185,6 +185,7 @@ def test_kmeans_train_converges(spark, ducks):
         assert total[r] <= total[r - 1] + 1e-9, total
 
 
+@pytest.mark.slow
 def test_trained_pq_codebook_beats_seeded(spark, monkeypatch):
     """The item-7 'Done' bar: the k-means-trained codebook beats the
     seeded one — lower quantization error, and higher recall@k in the

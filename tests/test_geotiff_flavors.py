@@ -43,6 +43,7 @@ def test_lzw_spec_vector():
     assert codes == [256, 7, 258, 8, 8, 258, 6, 257]
 
 
+@pytest.mark.slow
 def test_lzw_width_boundaries_and_clear():
     """Round trips crossing the 9->10->11->12 early-change boundaries
     and the table-full Clear reset."""

@@ -103,6 +103,7 @@ def _run_arms(spark, monkeypatch, cells):
     return out
 
 
+@pytest.mark.slow
 def test_comb_arms_identical_and_exact(spark, monkeypatch):
     cells = _comb()
     res = _run_arms(spark, monkeypatch, cells)
@@ -119,6 +120,7 @@ def test_comb_arms_identical_and_exact(spark, monkeypatch):
     assert res["levelsync"][2] >= 30
 
 
+@pytest.mark.slow
 def test_serpentine_arms_identical_and_exact(spark, monkeypatch):
     cells = _serpentine()
     res = _run_arms(spark, monkeypatch, cells)

@@ -228,6 +228,7 @@ def test_kmeans_refine_partitions_all_vectors(spark):
         assert r.shift_l1 >= 0.0
 
 
+@pytest.mark.slow
 def test_round4_llm_additions_match_oracle(spark, ducks):
     for key in ("text_c4_filters", "semantic_dedup", "ann_ivfpq_topk",
                 "ann_recall_report"):

@@ -5,6 +5,8 @@ regression fails here instead of melting a cluster: broadcasts stay
 broadcasts, filters reach the scan, candidate generation never degrades
 to a cartesian product, top-k uses WindowGroupLimit's partial limit."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
@@ -68,6 +70,7 @@ def test_ann_topk_uses_window_group_limit(spark):
     assert_in_plan(q(spark, "ann_cosine_topk"), "WindowGroupLimit")
 
 
+@pytest.mark.slow
 def test_no_python_udfs_in_sql_operators(spark):
     """Every oracle-checked operator stays JVM-side: no BatchEvalPython
     (row UDF) or ArrowEvalPython stages anywhere."""
@@ -345,6 +348,7 @@ def test_session_batch3_shapes(spark):
     assert_broadcast_join(q(spark, "raster_shaded_relief"))
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark):
     """The global scale invariant: NO operator in the entire catalog may
     plan a CartesianProduct. Every legitimate all-pairs construct in the

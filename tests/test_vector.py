@@ -140,6 +140,7 @@ def test_rasterize_vector_layer_plan_shape(spark):
     assert "BroadcastExchange" in plan
 
 
+@pytest.mark.slow
 def test_rasterize_burn_arms_identical(spark):
     """The adaptive gate's two burn plans (bbox-pruned broadcast edges
     vs scanline row-key join) must be result-IDENTICAL on the same
