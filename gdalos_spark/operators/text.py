@@ -34,8 +34,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (langs x N) and broadcast; the document side is scanned once.
     The synthetic corpus shares one vocabulary across langs, so accuracy
     is near-chance — the operator contract (profile -> score -> argmax)
-    is what's exercised."""
-    docs = load(spark, sf_dir, "documents")
+    is what's exercised. Both corpus passes (profile term frequencies
+    and per-document distinct tokens) tokenize from the scan, so a
+    split-starved local layout serializes them on one task —
+    split_for_cpu spreads the scan; wide scans pass through."""
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     tok_all = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
     tf = tok_all.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
     w_top = Window.partitionBy("lang").orderBy(F.desc("tf"), F.asc("tok"))
@@ -305,8 +308,12 @@ def text_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit the md5 of the fully-redacted text (emails -> [EMAIL] first,
     then IPs -> [IP], then phones -> [PHONE]; that order means the IP
     pattern can't match digits inside an already-redacted email).
-    Narrow projection, zero shuffles, whole-stage codegen end to end."""
-    docs = load(spark, sf_dir, "documents")
+    Narrow projection, whole-stage codegen end to end; zero shuffles on
+    any production-width scan (split_for_cpu passes wide scans through
+    untouched — only the degenerate single-split local layout takes the
+    one CPU re-spread, which this round measured at 5.1 s -> 0.8 s for
+    the six regex passes at the sf10 single-file upscale)."""
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     aug = docs.select("doc_id", _augmented_text().alias("t"))
     red = F.regexp_replace(
         F.regexp_replace(
@@ -651,9 +658,12 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4's real English stopword/blocklist tables — the plan is what
     matters: every rule is evaluated inside ONE projection with
     transform/aggregate array folds over the line index, so the operator
-    is map-side only (zero shuffles, embarrassingly parallel at 100 TB)
-    and the document text never leaves the scan task."""
-    docs = load(spark, sf_dir, "documents")
+    is map-side only (zero shuffles on any production-width scan,
+    embarrassingly parallel at 100 TB) and the document text never
+    leaves the scan task. The degenerate single-split local layout
+    takes split_for_cpu's one re-spread so the array folds parallelize
+    (27.4 s -> ~1 s at the sf10 single-file upscale)."""
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     words = docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
     n_lines = f"CAST(ceil(size(words) / {C4_LINE_WORDS}.0) AS INT)"
     # one array of per-line rule codes: bit0 short, bit1 no-stopword,
@@ -1265,8 +1275,10 @@ def corpus_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual data recipe targets). p is a ratio of exact integers
     and log2(p) = log2(n_l) - log2(N) via the polynomial stages, so
     every double is engine-identical; the bounded per-language table is
-    the only shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    the only shuffle on a production-width scan (the tokenizing partial
+    agg needs split_for_cpu's re-spread only on the degenerate
+    single-split local layout)."""
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     per_lang = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
@@ -1329,8 +1341,10 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary-free proxy) — every count an integer from one regexp
     pass, the score the classic linear formula of two exact ratios.
     Single scan, zero shuffles; the grade-band CASE classifies on the
-    same double both engines computed identically."""
-    docs = load(spark, sf_dir, "documents")
+    same double both engines computed identically. split_for_cpu
+    spreads the regexp passes when the local scan is single-split; wide
+    scans pass through with zero exchanges."""
+    docs = split_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     words = F.size(F.split("text", " ")).cast("bigint")
     sents = F.greatest(
         F.lit(1).cast("bigint"),
@@ -1456,17 +1470,26 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix of predicted vs ground-truth language plus per-cell recall —
     the qualification table any heuristic classifier needs before it
     gates a corpus at scale. Reuses text_language_id's plan (one scan)
-    and adds one tiny groupBy; recall is an exact integer ratio."""
+    and adds one tiny groupBy; recall is an exact integer ratio.
+
+    Round-13 (guide §2.4): lang_total was a groupBy over ``cells``
+    self-joined back on lang, which put the whole classifier subtree
+    (two corpus tokenizations + the score window) in the plan TWICE —
+    measured 30.0 s vs text_language_id's own 7.0 s at the sf10
+    upscale. A sum window over partitionBy(lang) on the bounded
+    langs x langs cells frame computes the identical total in one
+    subtree (the window's bigint sum is the same F.sum the groupBy
+    ran, so recall's double division is bit-identical)."""
     pred = text_language_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
     cells = pred.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
-    return cells.join(totals, "lang").select(
+    lang_total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.select(
         "lang",
         "pred_lang",
         "n_docs",
-        (F.col("n_docs").cast("double") / F.col("lang_total")).alias("recall"),
+        (F.col("n_docs").cast("double") / lang_total).alias("recall"),
         (F.col("lang") == F.col("pred_lang")).alias("correct"),
     )
 

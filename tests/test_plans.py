@@ -198,10 +198,37 @@ def test_round3_candidate_joins_stay_equi(spark):
     assert_broadcast_join(q(spark, "point_to_point_los"))
 
 
-def test_c4_filters_has_no_shuffle(spark):
-    """Line-rule evaluation is one projection chain: zero exchanges."""
-    plan = q(spark, "text_c4_filters")._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+def test_c4_filters_has_no_shuffle(spark, tmp_path):
+    """Line-rule evaluation is one projection chain: zero exchanges on a
+    production-width scan (split_for_cpu passes it through untouched).
+    The starved single-split local layout instead takes exactly the one
+    doc_id re-spread so the array folds parallelize."""
+    import os
+
+    from gdalos_spark.operators.text import text_c4_filters
+
+    starved = text_c4_filters(spark, SF_DIR)
+    plan = starved._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+    wide_sf = str(tmp_path / "wide_sf")
+    os.makedirs(wide_sf)
+    load(spark, SF_DIR, "documents").repartition(8).write.parquet(
+        f"{wide_sf}/documents.parquet"
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+    try:
+        plan = (
+            text_c4_filters(spark, wide_sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
 
 
 def test_round4_candidate_joins_stay_equi(spark):
