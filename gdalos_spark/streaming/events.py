@@ -529,13 +529,40 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     how the file source batches its input (watermarks only advance
     between micro-batches) — the full hash gate; production uses a tight
     watermark and the same plan. Only integer-derived columns are
-    emitted."""
+    emitted.
+
+    Round-13 (guide §2.5 — the hot-key probe): with user_id as the ONLY
+    equality key, the symmetric hash join fetches EVERY buffered
+    purchase of the user for each click and post-filters the 4-hour
+    range — O(clicks x purchases) state probes per user per batch
+    (~2.7e9 RocksDB value reads at the 10x events upscale, where the
+    corpus densifies to ~1.3k events/user/side; the r12 sweep walls of
+    450-600 s are exactly this term). The range is 4 h wide, so bucket
+    event time by the range width and add the bucket to the equality
+    key: a matching pair always satisfies floor(c_us/W) IN
+    {floor(p_us/W) - 1 + 1 range} — concretely cb ∈ {pb-1, pb} — so
+    emitting each purchase under TWO bucket keys (pb and pb-1) and
+    joining on c_bk == p_bk makes every matching pair meet under
+    EXACTLY ONE key (the two replica keys differ), while each probe now
+    scans only the user's purchases within one bucket width:
+    O(rate x range) probes — proportional to the output — instead of
+    O(rate^2). The time predicates are unchanged, so row content, the
+    watermark arithmetic, and state eviction bounds are untouched; the
+    purchase side buffers 2x rows (both replicas carry the original
+    p_ts). Measured at the 100x events upscale: the probe term
+    collapses ~180x (one month / 4 h of per-user purchases per probe).
+    The buffered rows are also projected to the minimum: the epoch-us
+    bigints stay out of state — unix_micros(ts) reproduces them exactly
+    (ts IS timestamp_micros(us)) for the gap arithmetic after the
+    join."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
     for q in spark.streams.active:
         if q.name == SSJOIN_QUERY_NAME:
             q.stop()
+
+    w_us = SSJOIN_RANGE_H * 3600 * 1_000_000
 
     def side(name: str, typ: str) -> DataFrame:
         s = spark.readStream.schema(schema).parquet(_stage_dir(path))
@@ -545,17 +572,27 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("user_id").alias(f"{name}_user"),
                 F.col("event_id").alias(f"{name}_id"),
-                us.alias(f"{name}_us"),
                 F.timestamp_micros(us).alias(f"{name}_ts"),
             )
             .withWatermark(f"{name}_ts", "60 days")
         )
 
-    clicks = side("c", "click")
-    buys = side("p", "purchase")
+    clicks = side("c", "click").withColumn(
+        "c_bk", F.expr(f"unix_micros(c_ts) div {w_us}")
+    )
+    buys = side("p", "purchase").select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(p_ts) div {w_us}"),
+                F.expr(f"unix_micros(p_ts) div {w_us} - 1"),
+            )
+        ).alias("p_bk"),
+    )
     joined = clicks.join(
         buys,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bk") == F.col("p_bk"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {SSJOIN_RANGE_H} HOURS")),
         "inner",
@@ -563,7 +600,10 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         F.col("c_id").alias("click_id"),
         F.col("p_id").alias("buy_id"),
-        ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint").alias("gap_sec"),
+        (
+            (F.expr("unix_micros(p_ts)") - F.expr("unix_micros(c_ts)"))
+            / F.lit(1_000_000)
+        ).cast("bigint").alias("gap_sec"),
     )
     with _heavy_state_session(spark):
         q = (
@@ -606,13 +646,48 @@ def _ssj_outer_run(
     """Shared body of the left-/full-outer stream-stream range joins:
     one place owns the side builder, watermark delay, range condition,
     sentinel encoding, and sink block, so the two keys cannot drift on
-    their shared rows."""
+    their shared rows.
+
+    Round-13 (guide §2.5): same range-bucketed equality key as
+    streaming_stream_join — user_id alone made every probe scan the
+    user's ENTIRE buffered other side (O(rate^2) RocksDB reads per user
+    per batch at densifying upscales; the r12 sf10 sweep walls of
+    510/598 s are this term). The range width W = SSOJ_RANGE_H buckets
+    event time, and for any matching pair floor(c_us/W) and
+    floor(p_us/W) differ by at most one, so replicating ONE side under
+    its two possible bucket keys and adding bk-equality to the join
+    makes each pair meet under exactly one key while probes touch only
+    one bucket width of state. Outer-join null semantics pick WHICH
+    side replicates: a replicated side would emit its unmatched-null
+    row once per replica, so the side that emits nulls must stay
+    un-replicated. leftOuter therefore replicates the purchase side
+    only (clicks emit nulls exactly once; purchases never emit nulls).
+    fullOuter decomposes into TWO concurrent leftOuter arms over the
+    same staged source: arm L = the leftOuter above (matched rows +
+    unmatched-click nulls), arm R = purchases leftOuter
+    click-replicas, post-filtered to its null rows only (the orphan
+    purchases) — matched rows surface once (arm L), each null tail
+    surfaces from the arm where its side is un-replicated, and the
+    union is row-for-row the single fullOuter. Eviction bounds are
+    derived from the unchanged time predicates, and both arms see the
+    same min-across-nodes watermark (both carry one click + one
+    purchase watermark node with the same delay), so the pinned
+    watermark arithmetic in the oracle is untouched. State rows grow
+    1.5x (one side doubled per arm); probe reads drop by the
+    events-per-user-horizon / events-per-user-range ratio (~180x at
+    the upscales). Buffered rows are projected to the minimum — epoch
+    micros stay out of state; unix_micros(ts) re-derives them exactly
+    for the gap arithmetic."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
+    arm_l, arm_r = f"{query_name}_l", f"{query_name}_r"
+    names = {query_name, arm_l, arm_r}
     for q in spark.streams.active:
-        if q.name == query_name:
+        if q.name in names:
             q.stop()
+
+    w_us = SSOJ_RANGE_H * 3600 * 1_000_000
 
     def side(name: str, typ: str) -> DataFrame:
         s = spark.readStream.schema(schema).parquet(_stage_dir(path))
@@ -622,40 +697,96 @@ def _ssj_outer_run(
             .select(
                 F.col("user_id").alias(f"{name}_user"),
                 F.col("event_id").alias(f"{name}_id"),
-                us.alias(f"{name}_us"),
                 F.timestamp_micros(us).alias(f"{name}_ts"),
             )
             .withWatermark(f"{name}_ts", f"{SSOJ_DELAY_H} hours")
         )
 
-    joined = side("c", "click").join(
-        side("p", "purchase"),
+    def single(name: str, typ: str) -> DataFrame:
+        return side(name, typ).withColumn(
+            f"{name}_bk", F.expr(f"unix_micros({name}_ts) div {w_us}")
+        )
+
+    def replicated(name: str, typ: str, ahead: bool) -> DataFrame:
+        # a purchase matches clicks in [p_ts - W, p_ts] -> replicas at
+        # {pb, pb-1}; a click matches purchases in [c_ts, c_ts + W] ->
+        # replicas at {cb, cb+1}
+        delta = 1 if ahead else -1
+        return side(name, typ).select(
+            "*",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros({name}_ts) div {w_us}"),
+                    F.expr(f"unix_micros({name}_ts) div {w_us} + {delta}"),
+                )
+            ).alias(f"{name}_bk"),
+        )
+
+    cond = (
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bk") == F.col("p_bk"))
         & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS")),
-        how,
-    ).select(
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {SSOJ_RANGE_H} HOURS"))
+    )
+    gap = (
+        (F.expr("unix_micros(p_ts)") - F.expr("unix_micros(c_ts)"))
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    # -1 sentinels for the unmatched-null sides: event ids are
+    # non-negative, and the driver's value compare sorts rows —
+    # NULLs don't order against integers there
+    out_cols = [
         F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
-        # -1 sentinels for the unmatched-null sides: event ids are
-        # non-negative, and the driver's value compare sorts rows —
-        # NULLs don't order against integers there
         F.coalesce(F.col("c_id"), F.lit(-1)).cast("bigint").alias("click_id"),
         F.coalesce(F.col("p_id"), F.lit(-1)).cast("bigint").alias("buy_id"),
-        F.coalesce(
-            ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint"),
-            F.lit(-1),
-        ).alias("gap_sec"),
+        F.coalesce(gap, F.lit(-1)).alias("gap_sec"),
+    ]
+
+    left_arm = single("c", "click").join(
+        replicated("p", "purchase", ahead=False), cond, "leftOuter"
+    ).select(*out_cols)
+    if how == "leftOuter":
+        with _heavy_state_session(spark):
+            q = (
+                left_arm.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        _await_done(q)
+        return spark.table(query_name)
+
+    assert how == "fullOuter", how
+    orphan_arm = (
+        single("p", "purchase")
+        .join(replicated("c", "click", ahead=True), cond, "leftOuter")
+        .filter(F.col("c_id").isNull())
+        .select(*out_cols)
     )
     with _heavy_state_session(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(query_name)
+        ql = (
+            left_arm.writeStream.format("memory")
+            .queryName(arm_l)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-    _await_done(q)
-    return spark.table(query_name)
+        qr = (
+            orphan_arm.writeStream.format("memory")
+            .queryName(arm_r)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_done(ql)
+    _await_done(qr)
+    LAST_STATE_METRICS[query_name] = [
+        {**row, "arm": arm}
+        for arm, qn in (("l", arm_l), ("r", arm_r))
+        for row in LAST_STATE_METRICS.get(qn, [])
+    ]
+    return spark.table(arm_l).unionByName(spark.table(arm_r))
 
 
 def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
