@@ -4388,6 +4388,13 @@ def layout_advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),
     )
+    # Round-13, measured and REJECTED (guide §1.1): persisting `base` for
+    # its six consumers (2 per layout) was a wash at the sf10 upscale —
+    # warm min-of-3 12.1 s unpersisted vs 11.4 s persisted (host band),
+    # cold 19.9 vs 16.5 — because the scan + bucket arithmetic is cheap
+    # next to the three per-layout in-bucket rank window sorts that ARE
+    # the exact-rank contract. Left unpersisted so the 100 TB path never
+    # materializes a fact-wide cache for a ~0 gain.
     base = li.crossJoin(F.broadcast(mk)).select(
         "l_orderkey",
         "l_linenumber",
@@ -4588,6 +4595,9 @@ def layout_advisor_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sample = keyed.filter("in_sample").persist()
+    from gdalos_spark.datamodel import register_query_caches
+
+    register_query_caches(sample)
 
     def boundaries(col: str) -> DataFrame:
         w = Window.orderBy(col, "l_orderkey", "l_linenumber")
